@@ -1,0 +1,74 @@
+package graft.cache
+
+import com.google.common.cache.{Cache, CacheBuilder}
+
+import java.util.concurrent.{Callable, TimeUnit}
+
+/** Retry with bounded backoff, bailing on client errors.
+  *
+  * Policy port of the reference (reference:
+  * src/glue-table-cache.ts:192-195 — `async-retry` with 3 retries,
+  * 200-500 ms backoff, bail on HTTP 400/403 / "HTTP 40" messages).
+  */
+object Retry {
+  final class BailException(cause: Throwable) extends RuntimeException(cause)
+
+  def isClientError(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("HTTP 40") || m.contains("status code: 400") || m.contains("status code: 403")
+  }
+
+  def withRetry[T](retries: Int = 3, minDelayMs: Long = 200, maxDelayMs: Long = 500)(f: => T): T = {
+    var attempt = 0
+    var delay = minDelayMs
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if isClientError(e) => throw e // bail: no retry on 4xx
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > retries) throw e
+          Thread.sleep(delay)
+          delay = math.min(maxDelayMs, delay * 2)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** LRU + TTL cache with single-flight loads.
+  *
+  * Mirrors the reference's two `LRUCache` instances with per-key
+  * mutexes (reference: src/glue-table-cache.ts:34-44, 75-84,
+  * 135-204): bounded entries, expire-after-write TTL, and a
+  * guarantee that concurrent readers of the same missing key trigger
+  * exactly one load (Guava's `get(key, loader)` gives this). Unlike
+  * the reference, load failures are NOT cached — the next caller
+  * retries — which is strictly safer for a long-lived driver.
+  */
+final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long) {
+  private val underlying: Cache[String, V] = CacheBuilder.newBuilder()
+    .maximumSize(maxEntries.toLong)
+    .expireAfterWrite(ttlMs, TimeUnit.MILLISECONDS)
+    .build[String, V]()
+
+  /** Single-flight get-or-load. */
+  def get(key: String)(load: => V): V =
+    underlying.get(key, new Callable[V] { def call(): V = load })
+
+  def getIfPresent(key: String): Option[V] = Option(underlying.getIfPresent(key))
+  def invalidate(key: String): Unit = underlying.invalidate(key)
+  def invalidateAll(): Unit = underlying.invalidateAll()
+
+  /** Drop every key containing `substr` — the reference's listing
+    * invalidation rule (reference: src/glue-table-cache.ts:206-215).
+    */
+  def invalidateMatching(substr: String): Unit = {
+    val it = underlying.asMap().keySet().iterator()
+    val toDrop = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) { val k = it.next(); if (k.contains(substr)) toDrop += k }
+    toDrop.foreach(underlying.invalidate)
+  }
+
+  def size: Long = underlying.size()
+}

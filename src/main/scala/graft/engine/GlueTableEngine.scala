@@ -1,0 +1,331 @@
+package graft.engine
+
+import graft.cache.{Retry, TtlCache}
+import graft.catalog.CatalogProvider
+import graft.listing.{FileLister, HadoopFileLister, IcebergSnapshotResolver}
+import graft.model._
+import graft.prune.Extractors
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The engine facade — Spark-native re-expression of the reference's
+  * `GlueTableCache` public surface (reference:
+  * src/glue-table-cache.ts:242-347, src/index.ts:1-2).
+  *
+  * Where the reference converts `glue.db.tbl` SQL into DuckDB setup
+  * statements + a rewritten query string (string-level dataflow), this
+  * engine rewrites the *logical plan*: each `UnresolvedRelation` over
+  * the `glue` catalog becomes the plan of a (partition-pruned) parquet
+  * read, and Spark executes it. No SQL re-serialization, no variables
+  * — the idiomatic equivalents are documented per method.
+  *
+  * Scale notes (100 TB design):
+  *  - Metadata and listings are driver-side and cached (LRU+TTL,
+  *    single-flight) — O(#files) strings, never data.
+  *  - Hive-layout tables are read with `basePath` so Spark's own
+  *    `PartitioningAwareFileIndex` + `PruneFileSourcePartitions`
+  *    prune partitions per-relation — sound under OR/CTE/subquery
+  *    predicates, fixing the reference's OR-to-AND over-pruning bug
+  *    (reference: src/sql-transformer.ts:244-247 joined with AND at
+  *    src/glue-table-cache.ts:329-331).
+  *  - Projection tables additionally prune the listing DataFrame with
+  *    partition-key conjuncts found above each relation.
+  *  - Data movement is all executor-side vectorized parquet scan with
+  *    Catalyst filter pushdown.
+  */
+final class GlueTableEngine(
+    val spark: SparkSession,
+    catalog: CatalogProvider,
+    config: CacheConfig = CacheConfig(),
+    listerOverride: Option[FileLister] = None) {
+
+  private def hadoopConf = Shim.classic(spark).sparkContext.hadoopConfiguration
+  private val lister: FileLister = listerOverride.getOrElse(new HadoopFileLister(hadoopConf))
+  private lazy val iceberg = new IcebergSnapshotResolver(hadoopConf)
+
+  // Two caches, mirroring the reference (src/glue-table-cache.ts:75-84).
+  private val metaCache = new TtlCache[CachedTableMetadata](config.maxEntries, config.tableMetadataTtlMs)
+  private val listingCache = new TtlCache[Seq[S3FileInfo]](config.maxEntries, config.s3ListingTtlMs)
+
+  // ---------------------------------------------------------------- metadata
+
+  /** ≈ reference `getTableMetadataCached` (src/glue-table-cache.ts:150-204):
+    * single-flight cached fetch with retry/backoff and 4xx bail.
+    */
+  def tableMetadata(database: String, table: String): CachedTableMetadata = try {
+    metaCacheGet(database, table)
+  } catch {
+    // Unwrap Guava's loader-exception wrappers so callers see the
+    // reference's error surface ("Table db.tbl not found", …).
+    case e: com.google.common.util.concurrent.UncheckedExecutionException
+      if e.getCause != null => throw e.getCause
+    case e: java.util.concurrent.ExecutionException
+      if e.getCause != null => throw e.getCause
+  }
+
+  private def metaCacheGet(database: String, table: String): CachedTableMetadata =
+    metaCache.get(s"$database.$table") {
+      Retry.withRetry() {
+        val t = catalog.getTable(database, table)
+        val ttype = TableClassifier.classify(t)
+        val projections =
+          if (ttype == TableType.GlueProjected) Some(ProjectionParser.parse(t.parameters)) else None
+        // Partition fetch failure is non-fatal (reference:
+        // test/util.glue.test.ts:100-114).
+        val partMeta =
+          if (ttype == TableType.Hive) {
+            val vals = try catalog.getPartitions(database, table) catch { case _: Exception => Nil }
+            Some(PartitionMetadata(t.partitionKeys.map(_.name), vals))
+          } else None
+        CachedTableMetadata(System.currentTimeMillis(), ttype, t, partMeta, projections)
+      }
+    }
+
+  private def location(meta: CachedTableMetadata): String =
+    meta.table.location.getOrElse(throw new IllegalStateException(
+      s"No storage location found for ${meta.table.database}.${meta.table.name}"))
+
+  // ---------------------------------------------------------------- listing
+
+  /** Cached recursive file listing (≈ reference `__listS3FilesCached`
+    * / `__listS3IcebergFilesCached`, src/glue-table-cache.ts:349-466).
+    */
+  def files(database: String, table: String, versionOffset: Int = 0): Seq[S3FileInfo] = {
+    val meta = tableMetadata(database, table)
+    val key = s"${database}_${table}_v$versionOffset"
+    listingCache.get(key) {
+      Retry.withRetry() {
+        meta.tableType match {
+          case TableType.Iceberg =>
+            iceberg.dataFiles(location(meta), versionOffset).map(p => S3FileInfo(p, Map.empty))
+          case _ =>
+            lister.list(location(meta), meta.table.partitionKeys.map(_.name))
+        }
+      }
+    }
+  }
+
+  /** The listing DataFrame: `path` + one extracted partition-value
+    * column per key — the in-engine analog of the reference's
+    * `<db>_<tbl>_s3_listing` table (reference:
+    * src/glue-table-cache.ts:298-306). The B-tree indexes the
+    * reference adds (src/glue-table-cache.ts:308-312) are
+    * intentionally dropped: the listing is a small in-memory
+    * DataFrame, filtered with codegen'd predicates.
+    */
+  def listingDF(database: String, table: String): DataFrame = {
+    val meta = tableMetadata(database, table)
+    val fs = files(database, table)
+    import org.apache.spark.sql.Encoders
+    val base = Shim.classic(spark).createDataset(fs.map(_.path).toList)(Encoders.STRING).toDF("path")
+    meta.table.partitionKeys.foldLeft(base) { (df, key) =>
+      df.withColumn(key.name, Extractors.forKey(meta, key.name)(col("path")))
+    }
+  }
+
+  /** Pruned path list (≈ the reference's `SET VARIABLE db_tbl_files`
+    * statement, src/glue-table-cache.ts:323-333), with the optional
+    * proxy-address rewrite (src/glue-table-cache.ts:54-65, 235-239).
+    */
+  def prunedFiles(database: String, table: String, predicates: Seq[Column]): Seq[String] = {
+    val pruned = predicates.foldLeft(listingDF(database, table))(_.filter(_))
+    val paths = pruned.select("path").collect().map(_.getString(0)).toSeq
+    config.proxyAddress match {
+      case Some(proxy) => paths.map(_.replaceFirst("^s3://", proxy))
+      case None        => paths
+    }
+  }
+
+  // ---------------------------------------------------------------- reading
+
+  /** Full (unpruned) DataFrame for a table — the analog of the
+    * reference's `GLUE__db_tbl` view body (reference:
+    * src/sql-transformer.ts:295-328). Empty table → 1-null-column
+    * empty relation, matching the reference's `SELECT NULL LIMIT 0`
+    * (src/sql-transformer.ts:322).
+    */
+  def tableDF(database: String, table: String, versionOffset: Int = 0): DataFrame =
+    readFiles(tableMetadata(database, table),
+      files(database, table, versionOffset).map(_.path))
+
+  /** Read a set of files of a table, attaching partition columns. */
+  private def readFiles(meta: CachedTableMetadata, paths: Seq[String]): DataFrame = {
+    if (paths.isEmpty)
+      return spark.range(0).select(lit(null).cast("string").as("null"))
+    meta.tableType match {
+      case TableType.Hive =>
+        // basePath read → Spark discovers `key=value` partition dirs,
+        // keeps them as columns, and prunes them natively from any
+        // filter above (PruneFileSourcePartitions) — per-relation and
+        // sound, unlike the reference's global top-level-WHERE rule.
+        spark.read.option("basePath", location(meta)).parquet(paths: _*)
+      case TableType.GlueProjected =>
+        // Projection layouts aren't `key=value`, so Spark can't
+        // discover them; attach partition values by running the same
+        // extractor on each row's source file path (constant per
+        // file, so parquet still vectorizes; the extract itself is
+        // codegen'd).
+        val base = spark.read.parquet(paths: _*)
+        meta.table.partitionKeys.foldLeft(base) { (df, key) =>
+          df.withColumn(key.name, Extractors.forKey(meta, key.name)(input_file_name()))
+        }
+      case _ =>
+        spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Pruned read: filter the listing on partition predicates first,
+    * then read only surviving files.
+    */
+  def prunedTableDF(database: String, table: String, predicates: Seq[Column]): DataFrame = {
+    val meta = tableMetadata(database, table)
+    val all = files(database, table).map(_.path)
+    val kept = if (predicates.isEmpty) all else prunedFiles(database, table, predicates)
+    if (kept.isEmpty && all.nonEmpty) readFiles(meta, all).limit(0)
+    else readFiles(meta, kept)
+  }
+
+  // ---------------------------------------------------------------- SQL path
+
+  private case class GlueRef(database: String, table: String)
+
+  private def glueRef(parts: Seq[String]): Option[GlueRef] =
+    if (parts.headOption.exists(_.equalsIgnoreCase("glue"))) {
+      parts.length match {
+        case 2 => Some(GlueRef("default", parts(1))) // schema defaults (reference: src/sql-transformer.ts:165-167)
+        case 3 => Some(GlueRef(parts(1), parts(2)))
+        case n => throw new IllegalArgumentException(
+          s"Invalid Glue table reference (expected glue.db.table): ${parts.mkString(".")} ($n parts)")
+      }
+    } else None
+
+  /** All glue refs in a SQL string (≈ reference
+    * `getQueryGlueTableRefs`, src/sql-transformer.ts:63-78).
+    */
+  def glueTableRefs(sql: String): Seq[(String, String)] = {
+    val plan = Shim.parsePlan(spark, sql)
+    val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    plan.foreachWithSubqueries {
+      case u: UnresolvedRelation =>
+        glueRef(u.multipartIdentifier).foreach(r => out += ((r.database, r.table)))
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  /** Run a SQL query containing `glue.db.tbl` references — the
+    * flagship entry point (≈ reference `convertGlueTableQuery` +
+    * caller execution, src/glue-table-cache.ts:242-251). Partition
+    * predicates are harvested per-relation from `Filter` nodes
+    * directly above each scan; Hive tables additionally get Spark's
+    * native partition pruning via the basePath read.
+    */
+  def query(sql: String): DataFrame = {
+    val plan = Shim.parsePlan(spark, sql)
+    val rewritten = rewriteWithPruning(plan)
+    Shim.ofRows(spark, rewritten)
+  }
+
+  /** Register `GLUE__<db>_<tbl>` temp views for every glue ref in the
+    * query (≈ reference `getGlueTableViewSetupSql`,
+    * src/glue-table-cache.ts:253-347 + view naming at
+    * src/sql-transformer.ts:283-293, hyphens stripped).
+    */
+  def setupFor(sql: String): Seq[String] =
+    glueTableRefs(sql).map { case (db, tbl) =>
+      val name = Naming.viewName(db, tbl)
+      tableDF(db, tbl).createOrReplaceTempView(name)
+      name
+    }
+
+  /** Rewrite each glue relation into its (pruned) parquet-read plan,
+    * keeping every other node untouched.
+    */
+  private def rewriteWithPruning(plan: LogicalPlan): LogicalPlan = {
+    def partitionConjuncts(cond: Expression, keys: Set[String]): Seq[Column] = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(cond).flatMap { c =>
+        val attrs = c.collect { case a: UnresolvedAttribute => a }
+        val onlyPartitionCols = attrs.nonEmpty &&
+          attrs.forall(a => keys.contains(a.nameParts.last.toLowerCase)) &&
+          c.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
+          c.find(e => !e.isInstanceOf[UnresolvedAttribute] && !e.isInstanceOf[Literal] &&
+            !e.deterministic).isEmpty
+        if (!onlyPartitionCols) None
+        else {
+          // Strip qualifiers (t.year → year) so the predicate binds to
+          // the listing DataFrame's columns, then round-trip via SQL
+          // text — simple, and only ever applied to small conjuncts.
+          val stripped = c.transform {
+            case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+          }
+          try Some(expr(stripped.sql)) catch { case _: Exception => None }
+        }
+      }
+    }
+
+    // Replace relations bottom-up; at Filter nodes, retry the rewrite
+    // of a directly-underlying glue relation with pruning predicates.
+    def relationPlan(ref: GlueRef, preds: Seq[Column]): LogicalPlan = {
+      val df = prunedTableDF(ref.database, ref.table, preds)
+      Shim.analyzedPlan(df)
+    }
+
+    // Top-down so the Filter case sees the still-unresolved relation
+    // below it and can attach pruning predicates before the bare
+    // relation case would rewrite it unpruned.
+    def rewrite(p: LogicalPlan): LogicalPlan = p.transformDownWithSubqueries {
+      case f @ Filter(cond, child) =>
+        // Peel SubqueryAlias to find a relation right below the filter.
+        def relationBelow(n: LogicalPlan): Option[UnresolvedRelation] = n match {
+          case u: UnresolvedRelation => Some(u)
+          case SubqueryAlias(_, u: UnresolvedRelation) => Some(u)
+          case _ => None
+        }
+        relationBelow(child) match {
+          case Some(u) if glueRef(u.multipartIdentifier).isDefined =>
+            val ref = glueRef(u.multipartIdentifier).get
+            val keys = tableMetadata(ref.database, ref.table)
+              .table.partitionKeys.map(_.name.toLowerCase).toSet
+            val preds = if (keys.isEmpty) Nil else partitionConjuncts(cond, keys)
+            val newRel = relationPlan(ref, preds)
+            val newChild = child match {
+              case SubqueryAlias(id, _) => SubqueryAlias(id, newRel)
+              case _ => newRel
+            }
+            Filter(cond, newChild)
+          case _ => f
+        }
+      case u: UnresolvedRelation if glueRef(u.multipartIdentifier).isDefined =>
+        relationPlan(glueRef(u.multipartIdentifier).get, Nil)
+    }
+    rewrite(plan)
+  }
+
+  // ---------------------------------------------------------------- cache mgmt
+
+  /** ≈ reference `clearCache` (src/glue-table-cache.ts:124-127). */
+  def clearCache(): Unit = { metaCache.invalidateAll(); listingCache.invalidateAll() }
+
+  /** ≈ reference `invalidateTable` (src/glue-table-cache.ts:206-215):
+    * drop the metadata key and every listing key containing
+    * `<db>_<tbl>`.
+    */
+  def invalidateTable(database: String, table: String): Unit = {
+    metaCache.invalidate(s"$database.$table")
+    listingCache.invalidateMatching(s"${database}_$table")
+  }
+
+  /** ≈ reference `close` (drops caches; the SparkSession is shared
+    * and stays up, like the reference leaves the caller's process
+    * alone).
+    */
+  def close(): Unit = clearCache()
+}

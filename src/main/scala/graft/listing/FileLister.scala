@@ -1,0 +1,63 @@
+package graft.listing
+
+import graft.model.S3FileInfo
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Recursive data-file listing for a table location.
+  *
+  * Port of the reference's S3 lister semantics (reference:
+  * src/util/s3.ts:4-58): trailing `/` normalization, recursive
+  * enumeration with pagination (Hadoop's RemoteIterator handles the
+  * equivalent of ListObjectsV2 continuation tokens), `*_$folder$`
+  * marker filtering, and per-key partition-value extraction with
+  * `key=([^/]+)` (reference: src/util/s3.ts:15-25).
+  *
+  * Uses the Hadoop FileSystem API so the same code serves file://
+  * locally and s3a:// on a cluster. Listing happens once per TTL
+  * window and is cached (see [[graft.cache.TtlCache]]) — at 100 TB
+  * scale the listing for a large table is still only O(file count)
+  * driver-side metadata, same strategy Spark's own
+  * InMemoryFileIndex uses.
+  */
+trait FileLister {
+  def list(location: String, partitionKeys: Seq[String]): Seq[S3FileInfo]
+}
+
+final class HadoopFileLister(hadoopConf: Configuration) extends FileLister {
+
+  override def list(location: String, partitionKeys: Seq[String]): Seq[S3FileInfo] = {
+    // Ensure trailing slash like the reference (src/util/s3.ts:34-37).
+    val loc = if (location.endsWith("/")) location else location + "/"
+    val root = new Path(loc)
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return Nil
+    val out = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val status = it.next()
+      val p = status.getPath
+      val name = p.getName
+      // Skip S3 folder markers (reference: src/util/s3.ts:51-53) and
+      // Spark/Hadoop metadata files (_SUCCESS, .crc, hidden).
+      val skip = name.endsWith("_$folder$") || name.startsWith("_") ||
+        name.startsWith(".") || status.getLen == 0
+      if (!skip) out += p.toString
+    }
+    val sorted = out.toSeq.sorted // deterministic order
+    sorted.map(p => S3FileInfo(p, PartitionValues.extract(p, partitionKeys)))
+  }
+}
+
+object PartitionValues {
+  /** `key=value` extraction from a path, per key (reference:
+    * src/util/s3.ts:15-25).
+    */
+  def extract(path: String, keys: Seq[String]): Map[String, String] =
+    keys.flatMap { k =>
+      val re = (java.util.regex.Pattern.quote(k) + "=([^/]+)").r
+      re.findFirstMatchIn(path).map(m => k -> m.group(1))
+    }.toMap
+}

@@ -1,0 +1,104 @@
+package graft.listing
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Iceberg snapshot → data-file resolution, without an Iceberg
+  * runtime.
+  *
+  * Port of the reference's pure-metadata pipeline (reference:
+  * src/util/iceberg.ts:11-36, executed at
+  * src/glue-table-cache.ts:349-414):
+  *   1. among the metadata-dir JSON files, pick the one with the
+  *      max `last-sequence-number`; `versionOffset` versions back =
+  *      time travel (the reference's OFFSET n);
+  *   2. take `snapshots[last]["manifest-list"]` — an Avro file whose
+  *      rows carry `manifest_path`;
+  *   3. read each manifest Avro; rows carry
+  *      `data_file { file_path }` — those are the data files.
+  *
+  * Manifests are tiny (KBs) regardless of table size, so this walk
+  * is driver-side on purpose — at 100 TB the data files never move
+  * through the driver, only their paths do, identical to how the
+  * reference materializes a file-listing table for DuckDB.
+  */
+final class IcebergSnapshotResolver(hadoopConf: Configuration) {
+  private val mapper = new ObjectMapper()
+
+  /** @return data file paths of the selected snapshot (sorted). */
+  def dataFiles(location: String, versionOffset: Int = 0): Seq[String] = {
+    val loc = location.stripSuffix("/")
+    val metaDir = new Path(s"$loc/metadata")
+    val fs = metaDir.getFileSystem(hadoopConf)
+    if (!fs.exists(metaDir)) return Nil
+
+    // 1. metadata JSONs ordered by last-sequence-number DESC
+    //    (reference: src/util/iceberg.ts:20-27).
+    val jsons = fs.listStatus(metaDir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        try mapper.readTree(in) -> s.getPath.toString finally in.close()
+      }
+    if (jsons.isEmpty) return Nil
+    val ordered = jsons.sortBy { case (node, _) =>
+      -Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L)
+    }
+    if (versionOffset >= ordered.size) return Nil
+    val (meta, _) = ordered(versionOffset)
+
+    // 2. snapshots[len(snapshots)]['manifest-list']
+    //    (reference: src/util/iceberg.ts:28-29 — last element).
+    val snaps = Option(meta.get("snapshots")).map(_.elements())
+    val lastSnap: Option[JsonNode] = snaps.flatMap { it =>
+      var last: JsonNode = null
+      while (it.hasNext) last = it.next()
+      Option(last)
+    }
+    val manifestList = lastSnap.flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+    manifestList match {
+      case None => Nil
+      case Some(ml) =>
+        // 3. manifest-list avro → manifest_path rows
+        //    (reference: src/util/iceberg.ts:30-31).
+        val manifestPaths = readAvroField(ml, r => r.get("manifest_path").toString)
+        // 4. each manifest avro → data_file.file_path rows
+        //    (reference: src/util/iceberg.ts:32-33).
+        val files = manifestPaths.flatMap { mp =>
+          readAvroField(mp, { r =>
+            r.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+          })
+        }
+        files.distinct.sorted
+    }
+  }
+
+  /** Read one projected field from every record of a (small) Avro
+    * file. Copies to a local temp file first so the plain Avro
+    * DataFileReader works against any Hadoop FileSystem.
+    */
+  private def readAvroField(path: String, f: GenericRecord => String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val local = java.io.File.createTempFile("graft-manifest", ".avro")
+    try {
+      val out = new java.io.FileOutputStream(local)
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close() }
+      val reader = new DataFileReader[GenericRecord](local, new GenericDatumReader[GenericRecord]())
+      val rows = ArrayBuffer.empty[String]
+      try while (reader.hasNext) rows += f(reader.next())
+      finally reader.close()
+      rows.toSeq
+    } finally local.delete()
+  }
+}

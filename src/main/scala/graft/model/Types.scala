@@ -1,0 +1,146 @@
+package graft.model
+
+/** Data model for the Glue-table engine.
+  *
+  * Re-expresses the reference's metadata model (reference:
+  * src/types.ts:4-62) as idiomatic Scala case classes. Schema of the
+  * actual data stays external/deferred exactly like the reference —
+  * Spark infers it from parquet at scan time, the way the reference
+  * lets DuckDB infer it (reference: src/util/glue.ts:136-175).
+  */
+
+/** Table-type taxonomy (reference: src/types.ts:4-11). Only Hive,
+  * Iceberg, GlueProjected and Unpartitioned are ever produced by the
+  * classifier (reference: src/util/glue.ts:13-19); Hudi/Delta are
+  * declared-but-unreachable, kept for surface parity.
+  */
+sealed trait TableType
+object TableType {
+  case object Hive          extends TableType
+  case object Iceberg       extends TableType
+  case object Hudi          extends TableType
+  case object Delta         extends TableType
+  case object GlueProjected extends TableType
+  case object Unpartitioned extends TableType
+}
+
+/** One column of a catalog table (name + Glue/Hive type string). */
+final case class ColumnDef(name: String, dataType: String = "string")
+
+/** Catalog entry — the subset of an AWS Glue `Table` the engine uses
+  * (reference: src/util/glue.ts:21-50): name, database, storage
+  * location, partition keys, free-form parameters.
+  */
+final case class GlueTable(
+    database: String,
+    name: String,
+    location: Option[String],
+    partitionKeys: Seq[ColumnDef] = Nil,
+    parameters: Map[String, String] = Map.empty)
+
+/** Partition-projection pattern parsed from Glue table parameters
+  * `projection.<col>.<prop>` (reference: src/types.ts:35-40,
+  * src/util/glue.ts:52-103).
+  */
+final case class ProjectionPattern(
+    ptype: String,                     // enum | integer | date | injected
+    format: Option[String] = None,     // date format, default yyyy-MM-dd
+    range: Seq[String] = Nil,
+    values: Seq[String] = Nil)
+
+/** One partition's values + optional explicit location
+  * (reference: src/types.ts:22-28).
+  */
+final case class PartitionInfo(values: Seq[String], location: Option[String])
+
+/** Partition metadata fetched for Hive tables (reference:
+  * src/types.ts:22-28; src/util/glue.ts:105-134). Note: the reference
+  * has a bug where `keys` is filled with the first partition's VALUES
+  * (src/util/glue.ts:123); we store the actual key names.
+  */
+final case class PartitionMetadata(keys: Seq[String], values: Seq[PartitionInfo])
+
+/** Cached metadata wrapper (reference: src/types.ts:18-33). */
+final case class CachedTableMetadata(
+    timestamp: Long,
+    tableType: TableType,
+    table: GlueTable,
+    partitionMetadata: Option[PartitionMetadata] = None,
+    projectionPatterns: Option[Map[String, ProjectionPattern]] = None)
+
+/** A single data file + the partition values extracted from its path
+  * (reference: src/types.ts:13-16).
+  */
+final case class S3FileInfo(path: String, partitionValues: Map[String, String])
+
+/** Engine configuration (reference: src/types.ts:42-49 — defaults
+  * maxEntries=100, both TTLs 3600000 ms). `proxyAddress` replicates
+  * the reference's optional HTTP block-cache path rewrite
+  * (reference: src/glue-table-cache.ts:54-65).
+  */
+final case class CacheConfig(
+    maxEntries: Int = 100,
+    tableMetadataTtlMs: Long = 3600000L,
+    s3ListingTtlMs: Long = 3600000L,
+    proxyAddress: Option[String] = None)
+
+object TableClassifier {
+  /** Port of the reference classifier (src/util/glue.ts:13-19):
+    * `table_type == ICEBERG` → Iceberg; `projection.enabled == true`
+    * → GlueProjected; has partition keys → Hive; else Unpartitioned.
+    */
+  def classify(t: GlueTable): TableType = {
+    val params = t.parameters
+    if (params.get("table_type").exists(_.equalsIgnoreCase("ICEBERG"))) TableType.Iceberg
+    else if (params.get("projection.enabled").contains("true")) TableType.GlueProjected
+    else if (t.partitionKeys.nonEmpty) TableType.Hive
+    else TableType.Unpartitioned
+  }
+}
+
+object ProjectionParser {
+  /** Parse `projection.<col>.<prop>` parameters into per-column
+    * patterns (reference: src/util/glue.ts:52-103). `range`/`values`
+    * accept a JSON array or comma-separated string
+    * (reference: src/util/glue.ts:84-99).
+    */
+  def parse(parameters: Map[String, String]): Map[String, ProjectionPattern] = {
+    val Prop = raw"projection\.([^.]+)\.(type|format|range|values)".r
+    val byCol = parameters.toSeq.collect {
+      case (Prop(col, prop), v) => (col, prop, v)
+    }.groupBy(_._1)
+    byCol.flatMap { case (col, props) =>
+      val m = props.map(p => p._2 -> p._3).toMap
+      m.get("type").map { t =>
+        col -> ProjectionPattern(
+          ptype = t,
+          format = m.get("format"),
+          range = m.get("range").map(parseListValue).getOrElse(Nil),
+          values = m.get("values").map(parseListValue).getOrElse(Nil))
+      }
+    }
+  }
+
+  /** JSON array (`["a","b"]` / `[1,2]`) or comma-separated (`a,b`)
+    * → list of strings (reference: src/util/glue.ts:84-99).
+    */
+  def parseListValue(v: String): Seq[String] = {
+    val s = v.trim
+    if (s.startsWith("[") && s.endsWith("]")) {
+      s.substring(1, s.length - 1).split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").trim)
+        .filter(_.nonEmpty)
+    } else s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+object Naming {
+  /** Name-mangling rules (reference: src/sql-transformer.ts:283-293):
+    * hyphens stripped; view name `GLUE__<db>_<tbl>`.
+    */
+  private def clean(s: String): String = s.replace("-", "")
+  def filesVarName(db: String, tbl: String): String  = s"${clean(db)}_${clean(tbl)}_files"
+  def gviewFilesVarName(db: String, tbl: String): String = s"${clean(db)}_${clean(tbl)}_gview_files"
+  def viewName(db: String, tbl: String): String      = s"GLUE__${clean(db)}_${clean(tbl)}"
+  def listingName(db: String, tbl: String): String   = s"${clean(db)}_${clean(tbl)}_s3_listing"
+}

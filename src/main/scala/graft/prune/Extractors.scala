@@ -1,0 +1,74 @@
+package graft.prune
+
+import graft.model.{CachedTableMetadata, ProjectionPattern, TableType}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Partition-value extractor expressions over a file-path column.
+  *
+  * Port of the reference's SQL-string generators (reference:
+  * src/util/glue.ts:136-193) as Spark `Column`s — same regexes, but
+  * codegen'd by Catalyst instead of interpolated into DuckDB SQL.
+  */
+object Extractors {
+
+  /** Hive layout: `.../key=value/...`
+    * (reference: src/util/glue.ts:173-174).
+    */
+  def hive(key: String)(path: Column): Column =
+    regexp_extract(path, java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
+
+  /** Date projection: SimpleDateFormat → regex, extract first match
+    * (reference: src/util/glue.ts:148-153; default format
+    * `yyyy-MM-dd`).
+    */
+  def dateProjection(format: Option[String])(path: Column): Column =
+    regexp_extract(path, "(" + convertDateFormatToRegex(format.getOrElse("yyyy-MM-dd")) + ")", 1)
+
+  /** Integer projection: first all-digit path segment, cast to int
+    * (reference: src/util/glue.ts:155-157).
+    */
+  def integerProjection(path: Column): Column =
+    regexp_extract(path, "/([0-9]+)/", 1).cast(IntegerType)
+
+  /** Enum projection: last directory component
+    * (reference: src/util/glue.ts:159-161).
+    */
+  def enumProjection(path: Column): Column =
+    regexp_extract(path, "/([^/]+)/[^/]*$", 1)
+
+  /** Java date-format tokens → regex (reference:
+    * src/util/glue.ts:177-193).
+    */
+  def convertDateFormatToRegex(fmt: String): String =
+    fmt
+      .replace("yyyy", raw"\d{4}")
+      .replace("MM", raw"\d{2}")
+      .replace("dd", raw"\d{2}")
+      .replace("HH", raw"\d{2}")
+      .replace("mm", raw"\d{2}")
+      .replace("ss", raw"\d{2}")
+
+  /** Extractor for one partition key of a table (dispatch port of
+    * reference: src/util/glue.ts:136-175). Injected projection is
+    * explicitly unsupported, matching the reference
+    * (src/util/glue.ts:163-166).
+    */
+  def forKey(meta: CachedTableMetadata, key: String): Column => Column = {
+    meta.tableType match {
+      case TableType.GlueProjected =>
+        val pattern: Option[ProjectionPattern] = meta.projectionPatterns.flatMap(_.get(key))
+        pattern.map(_.ptype) match {
+          case Some("date")     => dateProjection(pattern.flatMap(_.format))
+          case Some("integer")  => integerProjection
+          case Some("enum")     => enumProjection
+          case Some("injected") =>
+            throw new UnsupportedOperationException(
+              s"Injected projection values not supported yet for partition key $key")
+          case _ => hive(key)
+        }
+      case _ => hive(key)
+    }
+  }
+}
