@@ -1,0 +1,235 @@
+package graft.fixtures
+
+import graft.catalog.FixtureCatalog
+import graft.engine.GlueTableEngine
+import graft.model.{ColumnDef, GlueTable}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Fixture tables derived from the driver's testdata — the offline
+  * stand-ins for Glue-cataloged S3 layouts (FIXTURES.md):
+  *  - a Hive-partitioned lineitem copy (`key=value` dirs),
+  *  - projection-layout copies (bare-value dirs: date / integer /
+  *    enum),
+  *  - a 2-snapshot Iceberg layout with Avro manifests,
+  *  - unpartitioned + empty tables.
+  *
+  * Generated once per scale factor under target/fixtures (idempotent
+  * via done-markers) so queries can run against them repeatedly.
+  */
+object TestFixtures {
+
+  private val lock = new Object
+
+  def root(sfDir: String): String = {
+    val name = new File(sfDir).getName.replace(".", "_") // sf0.01 -> sf0_01, no pure-numeric segment
+    s"/root/repo/target/fixtures/$name"
+  }
+
+  /** Events reader: the testdata uses ns timestamps which Spark only
+    * reads as long via the legacy conf; convert to micros (same
+    * truncation DuckDB applies).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def ensure(sfDir: String, flag: String)(build: => Unit): Unit = lock.synchronized {
+    val marker = Paths.get(s"${root(sfDir)}/.done_$flag")
+    if (!Files.exists(marker)) {
+      build
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, "ok".getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Strip the `key=` prefix from partition dirs, turning a Hive
+    * layout into a projection layout (`.../<value>/file.parquet`).
+    */
+  private def stripKeyPrefix(dir: String, key: String): Unit = {
+    val d = new File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(s"$key=")) {
+        val target = new File(d, f.getName.stripPrefix(s"$key="))
+        f.renameTo(target)
+      }
+    }
+  }
+
+  def hiveLineitem(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/lineitem_part"
+    ensure(sfDir, "lineitem_part") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.mode("overwrite").partitionBy("l_returnflag", "l_linestatus").parquet(out)
+    }
+    out
+  }
+
+  def flatOrders(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/orders_flat"
+    ensure(sfDir, "orders_flat") {
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .repartition(2).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Date-projection layout: events under `.../<yyyy-MM-dd>/...`. */
+  def eventsByDay(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_by_day"
+    ensure(sfDir, "events_by_day") {
+      events(spark, sfDir)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("dt").parquet(out)
+      stripKeyPrefix(out, "dt")
+    }
+    out
+  }
+
+  /** Integer-projection layout: events under `.../<month 1..12>/...`. */
+  def eventsByMonth(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_by_month"
+    ensure(sfDir, "events_by_month") {
+      events(spark, sfDir)
+        .withColumn("m", month(col("ts")))
+        .write.mode("overwrite").partitionBy("m").parquet(out)
+      stripKeyPrefix(out, "m")
+    }
+    out
+  }
+
+  /** Enum-projection layout: documents under `.../<lang>/...`. */
+  def docsByLang(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/docs_by_lang"
+    ensure(sfDir, "docs_by_lang") {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      stripKeyPrefix(out, "lang")
+    }
+    out
+  }
+
+  def emptyTable(sfDir: String): String = {
+    val out = s"${root(sfDir)}/empty_tbl"
+    new File(out).mkdirs()
+    out
+  }
+
+  // ------------------------------------------------------------ Iceberg
+
+  private val manifestListSchema: Schema = SchemaBuilder.record("manifest_file").fields()
+    .requiredString("manifest_path").endRecord()
+  private val dataFileSchema: Schema = SchemaBuilder.record("r2").fields()
+    .requiredString("file_path").endRecord()
+  private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
+    .name("data_file").`type`(dataFileSchema).noDefault().endRecord()
+
+  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(path))
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  /** Two-snapshot Iceberg layout over lineitem: snapshot 1 holds the
+    * even-orderkey file, snapshot 2 adds the odd-orderkey file. Latest
+    * resolves both files; versionOffset=1 time-travels to evens only.
+    */
+  def icebergLineitem(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/iceberg_lineitem"
+    ensure(sfDir, "iceberg_lineitem") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/data_even")
+      li.filter(col("l_orderkey") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/data_odd")
+      def dataFile(sub: String): String = {
+        val d = new File(s"$out/$sub")
+        d.listFiles().find(f => f.getName.endsWith(".parquet")).get.getAbsolutePath
+      }
+      val evenFile = dataFile("data_even")
+      val oddFile = dataFile("data_odd")
+      new File(s"$out/metadata").mkdirs()
+
+      def manifestRow(path: String): GenericRecord = {
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("file_path", path)
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("data_file", df)
+        e
+      }
+      def mlRow(path: String): GenericRecord = {
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", path)
+        r
+      }
+      writeAvro(s"$out/metadata/manifest1.avro", manifestEntrySchema, Seq(manifestRow(evenFile)))
+      writeAvro(s"$out/metadata/manifest2.avro", manifestEntrySchema,
+        Seq(manifestRow(evenFile), manifestRow(oddFile)))
+      writeAvro(s"$out/metadata/ml1.avro", manifestListSchema, Seq(mlRow(s"$out/metadata/manifest1.avro")))
+      writeAvro(s"$out/metadata/ml2.avro", manifestListSchema, Seq(mlRow(s"$out/metadata/manifest2.avro")))
+
+      def metaJson(lsn: Int, mls: Seq[String]): String = {
+        val snaps = mls.zipWithIndex.map { case (ml, i) =>
+          s"""{"snapshot-id": ${i + 1}, "manifest-list": "$ml"}"""
+        }.mkString("[", ", ", "]")
+        s"""{"format-version": 2, "last-sequence-number": $lsn, "snapshots": $snaps}"""
+      }
+      Files.write(Paths.get(s"$out/metadata/v1.metadata.json"),
+        metaJson(1, Seq(s"$out/metadata/ml1.avro")).getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(s"$out/metadata/v2.metadata.json"),
+        metaJson(2, Seq(s"$out/metadata/ml1.avro", s"$out/metadata/ml2.avro")).getBytes(StandardCharsets.UTF_8))
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ catalog
+
+  /** The fixture catalog for one scale factor — every layout the
+    * reference's table-type classifier produces (FIXTURES.md §1-4).
+    */
+  def catalogFor(spark: SparkSession, sfDir: String): FixtureCatalog = {
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "lineitem_part", Some(hiveLineitem(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("l_returnflag"), ColumnDef("l_linestatus"))))
+    cat.register(GlueTable("default", "orders_flat", Some(flatOrders(spark, sfDir))))
+    cat.register(GlueTable("default", "events_by_day", Some(eventsByDay(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("dt")),
+      parameters = Map(
+        "projection.enabled" -> "true",
+        "projection.dt.type" -> "date",
+        "projection.dt.format" -> "yyyy-MM-dd",
+        "projection.dt.range" -> "[\"2024-01-01\",\"2024-12-31\"]")))
+    cat.register(GlueTable("default", "events_by_month", Some(eventsByMonth(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("m")),
+      parameters = Map(
+        "projection.enabled" -> "true",
+        "projection.m.type" -> "integer",
+        "projection.m.range" -> "[1,12]")))
+    cat.register(GlueTable("default", "docs_by_lang", Some(docsByLang(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("lang")),
+      parameters = Map(
+        "projection.enabled" -> "true",
+        "projection.lang.type" -> "enum",
+        "projection.lang.values" -> "de,en,es,fr,zh")))
+    cat.register(GlueTable("default", "iceberg_lineitem", Some(icebergLineitem(spark, sfDir)),
+      parameters = Map("table_type" -> "ICEBERG")))
+    cat.register(GlueTable("default", "empty_tbl", Some(emptyTable(sfDir))))
+    cat
+  }
+
+  private val engines = scala.collection.concurrent.TrieMap.empty[String, GlueTableEngine]
+
+  /** One engine per (session, sfDir), reused across queries. */
+  def engineFor(spark: SparkSession, sfDir: String): GlueTableEngine =
+    engines.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir",
+      new GlueTableEngine(spark, catalogFor(spark, sfDir)))
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.functions.CrossHash._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Every operator is pair-generation-aware: the naive all-pairs
+  * O(n^2) join never appears in the Spark plans. Candidates come from
+  * an inverted index (shared shingle), minhash band buckets, or
+  * simhash band buckets — each a plain shuffle-on-key join whose cost
+  * is O(candidate pairs), which is what makes these runnable at 100 TB
+  * (the oracle SQL used for correctness testing IS the naive
+  * quadratic form, run by DuckDB on small SF only).
+  */
+object Dedup {
+
+  /** Exact-duplicate statistics per source (hash-groupBy on md5 of the
+    * full text). Map-side partial aggregation; one shuffle on
+    * `source`.
+    */
+  def exactStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source")
+
+  /** Per-document minhash signature (as a comma-joined string for a
+    * stable cross-engine representation).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat_ws(",", minhashSig(shingleHashes(col("text"), 3)).cast("array<string>")).as("sig"))
+      .orderBy("doc_id")
+
+  /** Near-duplicate pairs via MinHash LSH over word-trigram shingles:
+    * each of the K minhash values is a 1-row band; docs sharing any
+    * band value become candidates (shuffle join on (band, value));
+    * candidates are verified with exact Jaccard and kept at
+    * `threshold`. With K=16 bands, P(miss) at j=0.8 is (1-0.8)^16 ~
+    * 6.6e-12 — the result matches the exact quadratic oracle.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sigs = docs.select(
+      col("doc_id"),
+      col("text"),
+      shingles(col("text"), 3).as("sh"),
+      minhashSig(shingleHashes(col("text"), 3)).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sh"),
+      posexplode(col("sig")).as(Seq("band", "v")))
+    val a = banded.select(col("band"), col("v"), col("doc_id").as("a"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("v"), col("doc_id").as("b"), col("sh").as("shb"))
+    val cand = a.join(b, Seq("band", "v"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb")
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("jac",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index:
+    * explode (doc, shingle), self-join on shingle, count shared
+    * shingles per pair, jaccard = shared/(|A|+|B|-shared). Finds every
+    * pair with jaccard > 0 (shared >= 1), so thresholding is exact —
+    * same result as the quadratic oracle, at inverted-index cost.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .withColumn("jac", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** Per-document 48-bit simhash. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash(tokenHashes(col("text"))).as("sim"))
+      .orderBy("doc_id")
+
+  /** Simhash near-duplicate pairs at hamming distance <= maxDist,
+    * found via band-LSH: 4 bands x 12 bits. For maxDist <= 3 the
+    * banding is EXACT (pigeonhole), so this equals the all-pairs
+    * oracle while joining only on band buckets.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < SimhashBands, "band LSH is exact only for dist < #bands")
+    val sigs = docs.select(col("doc_id"), simhash(tokenHashes(col("text"))).as("sim"))
+    val banded = sigs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until SimhashBands).map { i =>
+        shiftright(col("sim"), i * SimhashBandBits).bitwiseAND(lit((1 << SimhashBandBits) - 1))
+      }: _*)).as(Seq("band", "v")))
+    val a = banded.select(col("band"), col("v"), col("doc_id").as("a"), col("sim").as("sa"))
+    val b = banded.select(col("band"), col("v"), col("doc_id").as("b"), col("sim").as("sb"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sa", "sb")
+      .dropDuplicates("a", "b")
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+      .orderBy("a", "b")
+  }
+
+  /** Embedding near-duplicate pairs, blocked by `label` (the
+    * pipeline's cluster/bucket column): pairs within a block with
+    * cosine >= threshold. Blocking turns O(n^2) into
+    * sum over blocks of O(|block|^2) — at scale the label would come
+    * from an ANN partitioner (see [[Similarity]]).
+    */
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val x = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+    x.join(y, Seq("label"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata extracted executor-side.
+  *
+  * The Spark-side machinery is real — binary column, per-partition
+  * batch iteration with a typed Encoder, stable output schema,
+  * narrow (no shuffle) execution — while the actual media decode is a
+  * STUB: this container has no image/audio codecs, so
+  * [[decodeImageStub]] derives deterministic fake dimensions from the
+  * byte stream. Swapping in a real decoder (javax.imageio / ffmpeg
+  * via a native lib on the executors) changes only that one function;
+  * schema, partitioning and batching stay identical.
+  *
+  * Scale note: mapPartitions keeps per-record overhead at
+  * iterator-step cost and lets a real decoder amortize native-lib
+  * init per partition (the Scala analog of `mapInPandas` batching).
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String)
+
+  /** STUB decoder — deterministic fake metadata from the payload
+    * bytes (length + first byte). A real implementation would parse
+    * the image header here.
+    */
+  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val len = bytes.length
+    val first = if (len > 0) bytes(0) & 0xff else 0
+    val fmt = (len % 3) match {
+      case 0 => "png"
+      case 1 => "jpeg"
+      case _ => "webp"
+    }
+    (64 + (len % 513), 32 + first, fmt)
+  }
+
+  /** documents(text) -> fake image bytes (utf-8 payload) -> decoded
+    * metadata. The encode step stands in for "binary column read from
+    * parquet"; everything downstream treats it as opaque bytes.
+    */
+  def imageMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    implicit val enc = Encoders.product[MediaMeta]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    binary.as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, fmt) = decodeImageStub(bytes)
+          MediaMeta(id, w, h, fmt)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same deterministic stub in DuckDB (texts are ASCII so
+    * octet_length(encode(text)) == len and the first byte is
+    * ord(text[1])).
+    */
+  def sqlImageMeta: String =
+    """SELECT doc_id,
+      |  64 + (octet_length(encode(text)) % 513) AS width,
+      |  32 + ord(substr(text, 1, 1)) AS height,
+      |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

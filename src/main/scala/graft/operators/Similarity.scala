@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. One broadcast of the query vector, one pass, one
+  *    small top-k sort. Fine at any row count that a full scan is
+  *    fine at.
+  *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets.
+  *    Hyperplane weights are INTEGER-valued pseudo-random constants
+  *    (w(j,d) = ((j*131 + d*7919) mod 1009) - 504), so the bucket id
+  *    of a vector is a deterministic fold both Spark and DuckDB
+  *    compute identically — the oracle replicates bucketing exactly.
+  *    At scale the bucket id becomes a partitioning key: a query
+  *    probes one bucket (or a few), never the full corpus.
+  */
+object Similarity {
+
+  val LshPlanes = 4
+
+  /** Integer hyperplane weight for plane j, dimension d (1-based d). */
+  def planeWeight(j: Int, d: Int): Long = ((j * 131L + d * 7919L) % 1009L) - 504L
+
+  /** Dot of an embedding with integer plane j (double fold, same
+    * order as the DuckDB fragment).
+    */
+  private def planeDot(emb: org.apache.spark.sql.Column, j: Int) =
+    aggregate(
+      zip_with(emb, typedLit((1 to 64).map(d => planeWeight(j, d))),
+        (x, w) => x.cast("double") * w.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  /** LSH bucket id = sum of 2^j over planes with positive projection. */
+  def bucketId(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until LshPlanes).map { j =>
+      when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB fragment for the same bucket id over a bound list column. */
+  def sqlBucketId(e: String): String =
+    (0 until LshPlanes).map { j =>
+      val dot = s"list_reduce(list_prepend(0.0, [$e[d]::DOUBLE * ((($j*131 + d*7919) % 1009) - 504)::DOUBLE for d in range(1, len($e) + 1)]), (s, v) -> s + v)"
+      s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Exact cosine top-k neighbors of `queryVecId` (excluded itself). */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN via LSH: candidates = vectors in the query's bucket; rank
+    * candidates by exact cosine, keep top-k. (Single-probe; multiprobe
+    * = also scan buckets at hamming distance 1 — left as the recall
+    * knob.)
+    */
+  def lshTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val withBucket = emb.withColumn("bucket", bucketId(col("embedding")))
+    val q = withBucket.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("bucket"))
+    withBucket.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.CrossHash._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: token stats, quality scoring, language
+  * ID, fingerprinting. All pure per-row expressions (narrow, codegen,
+  * no shuffle) with exact DuckDB oracle equivalents.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic and mirrored into the oracle SQL.
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "y"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("len"))
+      .orderBy("doc_id")
+
+  private def ratio(num: Column, den: Column): Column =
+    num.cast("double") / den.cast("double")
+
+  /** Quality score: 0.4 * min(1, tokens/20) + 0.3 * stopword-ratio +
+    * 0.3 * alphabetic-char-ratio, rounded to 6 decimals. The exact
+    * arithmetic shape is mirrored in the oracle.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopRatio = ratio(size(filter(t, w => w.isin(stopwords: _*))), size(t))
+    val alphaRatio = ratio(length(regexp_replace(col("text"), "[^a-z]", "")), length(col("text")))
+    docs.select(
+      col("doc_id"),
+      round(lit(0.4) * least(lit(1.0), nTok / lit(20.0)) +
+        lit(0.3) * stopRatio + lit(0.3) * alphaRatio, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: count distinct lexicon hits per language; argmax
+    * with a fixed precedence (en > de > fr > es); all-zero -> 'und'.
+    */
+  def langid(docs: DataFrame): DataFrame = {
+    val dt = distinctTokens(col("text"))
+    val scores = lexicons.map { case (lang, words) =>
+      lang -> size(array_intersect(dt, typedLit(words)))
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred =
+      when(en >= de && en >= fr && en >= es && en > 0, "en")
+        .when(de >= fr && de >= es && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    docs.select(col("doc_id"), pred.as("pred_lang")).orderBy("doc_id")
+  }
+
+  /** Document fingerprint: min rolling hash over word 5-gram shingles
+    * (winnowing-style); docs shorter than 5 tokens -> -1.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      coalesce(array_min(shingleHashes(col("text"), 5)), lit(-1L)).as("fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** The same quality formula over DuckDB (bound to `documents`). */
+  def sqlQuality: String = {
+    val t = sqlTokens("text")
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, $t AS t, text FROM documents)
+       |SELECT doc_id,
+       |  round(0.4 * least(1.0, len(t)::DOUBLE / 20.0)
+       |      + 0.3 * (len(list_filter(t, w -> w IN ($stop)))::DOUBLE / len(t)::DOUBLE)
+       |      + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)::DOUBLE), 6) AS quality
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  def sqlLangid: String = {
+    val dt = sqlDistinctTokens("text")
+    def score(words: Seq[String]) =
+      s"len(list_intersect(dt, [${words.map(w => s"'$w'").mkString(", ")}]))"
+    val Seq(en, de, fr, es) = lexicons.map(l => score(l._2))
+    s"""WITH tok AS (SELECT doc_id, $dt AS dt FROM documents),
+       |sc AS (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM tok)
+       |SELECT doc_id,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+       |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       |       WHEN s_es > 0 THEN 'es'
+       |       ELSE 'und' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,470 @@
+package graft.queries
+
+import graft.fixtures.TestFixtures
+import graft.functions.CrossHash
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-facing query inventory: every entry pairs a Spark
+  * implementation with an exactly-equivalent DuckDB oracle SQL (same
+  * column names, same deterministic ORDER BY, arithmetic written so
+  * both engines produce identical values — decimals for sums, shared
+  * fold order for doubles, cross-engine hashes for dedup).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def dec2(c: String) = col(c).cast("decimal(18,2)")
+
+  // ================================================================ core SQL
+
+  val core: Map[String, (Q, String)] = Map(
+    "q1_pricing_summary" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec2("l_quantity")).as("sum_qty"),
+            sum(dec2("l_extendedprice")).as("sum_base"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc"),
+            round(sum(dec2("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q2_filter_in" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem")
+          .filter(col("l_quantity") > 45 && col("l_returnflag").isin("A", "N") &&
+            (col("l_discount") < 0.02 || col("l_tax") > 0.07) && col("l_shipdate").isNotNull)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber").limit(100)
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag IN ('A', 'N')
+        |  AND (l_discount < 0.02 OR l_tax > 0.07) AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    "q3_segment_revenue" -> ((
+      (spark: SparkSession, sf: String) => {
+        val li = t(spark, sf, "lineitem"); val o = t(spark, sf, "orders"); val c = t(spark, sf, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment,
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "q4_region_balance" -> ((
+      (spark: SparkSession, sf: String) => {
+        val c = t(spark, sf, "customer"); val n = t(spark, sf, "nation"); val r = t(spark, sf, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_cust"), sum(dec2("c_acctbal")).as("tot_bal"))
+          .orderBy("r_name")
+      },
+      """SELECT r_name, COUNT(*) AS n_cust, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    "q5_cte_reagg" -> ((
+      (spark: SparkSession, sf: String) => {
+        val o = t(spark, sf, "orders"); val c = t(spark, sf, "customer")
+        val stats = o.filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(dec2("o_totalprice")).as("tot"))
+        val big = stats.filter(col("n_orders") >= 2)
+        big.join(c, big("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sum(col("n_orders")).as("n_orders"),
+            round(sum(col("tot")).cast("double") / sum(col("n_orders")), 4).as("avg_price"),
+            count(when(col("n_orders") > 3, 1)).as("heavy"))
+          .orderBy("c_mktsegment")
+      },
+      """WITH order_stats AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY o_custkey
+        |), big AS (SELECT * FROM order_stats WHERE n_orders >= 2)
+        |SELECT c_mktsegment,
+        |  COUNT(*) AS n_cust,
+        |  SUM(b.n_orders) AS n_orders,
+        |  ROUND(CAST(SUM(b.tot) AS DOUBLE) / SUM(b.n_orders), 4) AS avg_price,
+        |  COUNT(CASE WHEN b.n_orders > 3 THEN 1 END) AS heavy
+        |FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "q6_topk_orders" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "q7_distinct_agg" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem").groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "q8_setops" -> ((
+      (spark: SparkSession, sf: String) => {
+        val a = t(spark, sf, "customer").select(col("c_nationkey").as("k")).distinct()
+        val b = t(spark, sf, "supplier").select(col("s_nationkey").as("k")).distinct()
+        a.except(b).withColumn("op", lit("except"))
+          .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+          .orderBy("op", "k")
+      },
+      """SELECT k, 'except' AS op FROM
+        |  (SELECT DISTINCT c_nationkey AS k FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT k, 'intersect' AS op FROM
+        |  (SELECT DISTINCT c_nationkey AS k FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |ORDER BY op, k""".stripMargin)),
+
+    "q9_window_rank" -> ((
+      (spark: SparkSession, sf: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(spark, sf, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("run_tot", sum(dec2("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "run_tot")
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT o_custkey, rn, o_orderkey, run_tot FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS run_tot
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    "q10_subquery_avg" -> ((
+      (spark: SparkSession, sf: String) => {
+        val o = t(spark, sf, "orders")
+        val avgP = o.agg((sum(dec2("o_totalprice")).cast("double") / count(lit(1))).as("ap"))
+        o.crossJoin(broadcast(avgP))
+          .filter(col("o_totalprice") > col("ap"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS first_key
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "q11_string_funcs" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "documents").select(
+          col("doc_id"),
+          upper(substring(col("source"), 1, 3)).as("src3"),
+          regexp_extract(col("source"), "src([0-9]+)", 1).cast("int").as("src_num"),
+          length(col("text")).as("len"),
+          substring(regexp_replace(col("text"), "data", "DATA"), 1, 40).as("replaced"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, upper(substr(source, 1, 3)) AS src3,
+        |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+        |  len(text) AS len,
+        |  substr(regexp_replace(text, 'data', 'DATA', 'g'), 1, 40) AS replaced
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q12_json_extract" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.events(spark, sf)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), count(when(col("k") > 50, 1)).as("n_big"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, SUM(k) AS sum_k, COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "q13_hourly_events" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.events(spark, sf)
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec2("value")).as("sv"))
+          .orderBy("h", "event_type")
+      },
+      """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
+
+    "q14_sessionize" -> ((
+      (spark: SparkSession, sf: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 1800L * 1000000L
+        val x = TestFixtures.events(spark, sf)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("ns",
+            when(col("prev").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1).otherwise(0))
+          .withColumn("sid", sum(col("ns"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        x.groupBy("user_id", "sid").agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_len"), sum("n_events").as("n_events"))
+          .orderBy("user_id")
+      },
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len, SUM(n_events) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "q15_array_agg" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem").groupBy("l_returnflag")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+
+  // ================================================================ glue engine
+
+  val glue: Map[String, (Q, String)] = Map(
+    "g1_glue_prune" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT l_linestatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+            |FROM glue.default.lineitem_part WHERE l_returnflag = 'A'
+            |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+      },
+      """SELECT l_linestatus, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    "g2_glue_join" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT o.o_orderpriority, count(*) AS n
+            |FROM glue.default.lineitem_part l
+            |JOIN glue.default.orders_flat o ON l.l_orderkey = o.o_orderkey
+            |WHERE l.l_returnflag = 'R'
+            |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "g3_glue_view" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        eng.setupFor("SELECT * FROM glue.default.orders_flat")
+        spark.sql(
+          """SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+            |FROM GLUE__default_orders_flat GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "g4_proj_date" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT event_type, count(*) AS n FROM glue.default.events_by_day
+            |WHERE dt = '2024-01-02' GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-02'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "g5_proj_enum" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT source, count(*) AS n, sum(n_chars) AS chars FROM glue.default.docs_by_lang
+            |WHERE lang = 'fr' GROUP BY source ORDER BY source""".stripMargin)
+      },
+      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars FROM documents
+        |WHERE lang = 'fr' GROUP BY source ORDER BY source""".stripMargin)),
+
+    "g6_iceberg_latest" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).tableDF("default", "iceberg_lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "g7_iceberg_travel" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).tableDF("default", "iceberg_lineitem", versionOffset = 1)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |FROM lineitem WHERE l_orderkey % 2 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "g8_glue_empty" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          "SELECT count(*) AS n FROM glue.default.empty_tbl")
+      },
+      "SELECT COUNT(*) AS n FROM lineitem WHERE false"))
+  )
+
+  // ================================================================ pipeline ops
+
+  import CrossHash._
+
+  private def docTokCte(alias: String = "tok"): String =
+    s"WITH $alias AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)"
+
+  val pipeline: Map[String, (Q, String)] = Map(
+    "d1_dedup_exact" -> ((
+      (spark: SparkSession, sf: String) => Dedup.exactStats(t(spark, sf, "documents")),
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_uniq, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    "d2_minhash_sig" -> ((
+      (spark: SparkSession, sf: String) => Dedup.minhashSignatures(t(spark, sf, "documents")),
+      s"""${docTokCte()},
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |hs AS (SELECT doc_id, list_transform(s, w -> ${sqlCharFold("w")}) AS hs FROM sh)
+         |SELECT doc_id, array_to_string(${sqlMinhashSigOf("hs")}, ',') AS sig
+         |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    "d3_dedup_minhash" -> ((
+      (spark: SparkSession, sf: String) => Dedup.minhashPairs(t(spark, sf, "documents"), 0.8),
+      s"""${docTokCte()},
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a, b, round(jac, 6) AS jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin)),
+
+    "d4_simhash_sig" -> ((
+      (spark: SparkSession, sf: String) => Dedup.simhashSignatures(t(spark, sf, "documents")),
+      s"""${docTokCte()},
+         |hs AS (SELECT doc_id, ${sqlTokenHashesOf("t")} AS hs FROM tok)
+         |SELECT doc_id, ${sqlSimhashOf("hs")} AS sim FROM hs ORDER BY doc_id""".stripMargin)),
+
+    "d5_dedup_simhash" -> ((
+      (spark: SparkSession, sf: String) => Dedup.simhashPairs(t(spark, sf, "documents"), 3),
+      s"""${docTokCte()},
+         |hs AS (SELECT doc_id, ${sqlTokenHashesOf("t")} AS hs FROM tok),
+         |sig AS (SELECT doc_id, ${sqlSimhashOf("hs")} AS sim FROM hs)
+         |SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sim, b.sim)) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY a, b""".stripMargin)),
+
+    "d6_dedup_embedding" -> ((
+      (spark: SparkSession, sf: String) => Dedup.embeddingPairs(t(spark, sf, "embeddings"), 0.4),
+      s"""WITH e AS (SELECT vec_id, label, embedding, ${VectorFunctions.sqlNorm("embedding")} AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    ${VectorFunctions.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin)),
+
+    "d7_ngram_jaccard" -> ((
+      (spark: SparkSession, sf: String) => Dedup.ngramJaccardPairs(t(spark, sf, "documents"), 2, 0.5),
+      s"""${docTokCte()},
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 2)} AS s FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a, b, round(jac, 6) AS jac FROM p WHERE jac >= 0.5 ORDER BY a, b""".stripMargin)),
+
+    "s1_ann_brute" -> ((
+      (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0)
+         |SELECT e.vec_id, round(${VectorFunctions.sqlDot("e.embedding", "qe")} / (${VectorFunctions.sqlNorm("e.embedding")} * ${VectorFunctions.sqlNorm("qe")}), 6) AS cos
+         |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    "s2_ann_lsh" -> ((
+      (spark: SparkSession, sf: String) => Similarity.lshTopK(t(spark, sf, "embeddings"), 0L, 5),
+      s"""WITH eb AS (SELECT vec_id, embedding, ${Similarity.sqlBucketId("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${VectorFunctions.sqlDot("e.embedding", "qe")} / (${VectorFunctions.sqlNorm("e.embedding")} * ${VectorFunctions.sqlNorm("qe")}), 6) AS cos
+         |FROM eb e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
+
+    "t1_token_stats" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),
+      s"""SELECT doc_id, len(${sqlTokens("text")}) AS n_tokens, len(text) AS len
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "t2_quality" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.quality(t(spark, sf, "documents")),
+      TextAnalysis.sqlQuality)),
+
+    "t3_langid" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),
+      TextAnalysis.sqlLangid)),
+
+    "t4_fingerprint" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.fingerprint(t(spark, sf, "documents")),
+      s"""${docTokCte()},
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 5)} AS s FROM tok)
+         |SELECT doc_id, coalesce(list_min(list_transform(s, w -> ${sqlCharFold("w")})), -1) AS fp
+         |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    "m1_media_meta" -> ((
+      (spark: SparkSession, sf: String) => Multimodal.imageMeta(t(spark, sf, "documents")),
+      Multimodal.sqlImageMeta))
+  )
+
+  val all: Map[String, (Q, String)] = core ++ glue ++ pipeline
+}
