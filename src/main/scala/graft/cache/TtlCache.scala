@@ -52,9 +52,17 @@ final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long) {
     .expireAfterWrite(ttlMs, TimeUnit.MILLISECONDS)
     .build[String, V]()
 
-  /** Single-flight get-or-load. */
+  /** Single-flight get-or-load. Loader exceptions are unwrapped so
+    * callers see the original error surface, not Guava's wrapper.
+    */
   def get(key: String)(load: => V): V =
-    underlying.get(key, new Callable[V] { def call(): V = load })
+    try underlying.get(key, new Callable[V] { def call(): V = load })
+    catch {
+      case e: com.google.common.util.concurrent.UncheckedExecutionException
+        if e.getCause != null => throw e.getCause
+      case e: java.util.concurrent.ExecutionException
+        if e.getCause != null => throw e.getCause
+    }
 
   def getIfPresent(key: String): Option[V] = Option(underlying.getIfPresent(key))
   def invalidate(key: String): Unit = underlying.invalidate(key)

@@ -56,18 +56,7 @@ final class GlueTableEngine(
   /** ≈ reference `getTableMetadataCached` (src/glue-table-cache.ts:150-204):
     * single-flight cached fetch with retry/backoff and 4xx bail.
     */
-  def tableMetadata(database: String, table: String): CachedTableMetadata = try {
-    metaCacheGet(database, table)
-  } catch {
-    // Unwrap Guava's loader-exception wrappers so callers see the
-    // reference's error surface ("Table db.tbl not found", …).
-    case e: com.google.common.util.concurrent.UncheckedExecutionException
-      if e.getCause != null => throw e.getCause
-    case e: java.util.concurrent.ExecutionException
-      if e.getCause != null => throw e.getCause
-  }
-
-  private def metaCacheGet(database: String, table: String): CachedTableMetadata =
+  def tableMetadata(database: String, table: String): CachedTableMetadata =
     metaCache.get(s"$database.$table") {
       Retry.withRetry() {
         val t = catalog.getTable(database, table)

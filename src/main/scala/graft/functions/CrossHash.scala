@@ -86,6 +86,24 @@ object CrossHash {
     }.reduce(_ + _)
   }
 
+  // ------------------------------------------------------ native fast path
+  // Single-pass Catalyst expressions computing the same values (see
+  // HashExpressions for why these exist).
+
+  import org.apache.spark.sql.graft.Shim
+
+  def minhashSigFast(text: Column, n: Int): Column =
+    Shim.column(MinHashSigExpr(Shim.expression(text), n))
+
+  def simhashFast(text: Column): Column =
+    Shim.column(SimHashExpr(Shim.expression(text)))
+
+  def shinglesFast(text: Column, n: Int): Column =
+    Shim.column(ShinglesExpr(Shim.expression(text), n))
+
+  def fingerprintFast(text: Column, n: Int): Column =
+    Shim.column(FingerprintExpr(Shim.expression(text), n))
+
   // ------------------------------------------------------------ DuckDB side
   // SQL fragment builders parameterized by an (already bound) column
   // or expression name; used to assemble the oracle queries from the

@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Native Catalyst expressions for the cross-engine signature
+  * functions — single-pass per row, exact same values as the
+  * higher-order-function formulations in [[CrossHash]] (and therefore
+  * as the DuckDB oracles).
+  *
+  * Why native expressions and not `transform`/`aggregate` columns:
+  * the HOF formulation re-evaluates the tokenize+hash subtree once
+  * per minhash permutation (16x) / simhash bit (48x), and optimizer
+  * rules (CollapseProject, filter pushdown through Generate) happily
+  * duplicate the subtree further — observed 100x slowdowns at sf0.1.
+  * One opaque expression computes the signature in a single pass over
+  * the text, is free to be duplicated by the optimizer (it costs
+  * microseconds), and keeps the whole stage pipelined. This is
+  * preference order (b) of the build contract: a custom Expression
+  * where composition genuinely can't express the cost model.
+  */
+object HashOps {
+  val P: Long = CrossHash.P
+
+  /** Left-fold char hash — identical to CrossHash.charFold /
+    * sqlCharFold (ASCII payloads: codepoint == UTF-16 unit).
+    */
+  def charFold(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  /** Whitespace tokens, empties dropped (== CrossHash.tokens). */
+  def tokenize(text: String): Array[String] =
+    text.split(" ", -1).filter(_.nonEmpty)
+
+  /** Distinct word n-gram '_'-joined shingle hashes (first-occurrence
+    * distinct, matching array_distinct semantics; order irrelevant to
+    * min/majority consumers).
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty
+    val seen = mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      seen += toks.slice(i, i + n).mkString("_")
+      i += 1
+    }
+    seen.iterator.map(charFold).toArray
+  }
+
+  def distinctTokenHashes(text: String): Array[Long] = {
+    val seen = mutable.LinkedHashSet.empty[String]
+    tokenize(text).foreach(seen += _)
+    seen.iterator.map(charFold).toArray
+  }
+
+  /** K minhash values over a hash set, one pass. */
+  def minhash(hashes: Array[Long]): Array[Long] = {
+    val out = Array.fill(CrossHash.MinhashK)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var k = 0
+      while (k < CrossHash.MinhashK) {
+        val v = (h * CrossHash.minhashA(k) + CrossHash.minhashB(k)) % P
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** 48-bit simhash over a hash set, one pass. */
+  def simhash(hashes: Array[Long]): Long = {
+    val n = hashes.length
+    var sig = 0L
+    var k = 0
+    while (k < CrossHash.SimhashBits) {
+      var ones = 0
+      var i = 0
+      while (i < n) {
+        if (((hashes(i) * CrossHash.simhashA(k) + CrossHash.simhashB(k)) % P) % 2 == 1) ones += 1
+        i += 1
+      }
+      if (2 * ones > n) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+}
+
+/** array<bigint>: minhash signature of a text column over word
+  * `n`-gram shingles. Null text -> null; fewer than n tokens -> nulls
+  * per slot (matching array_min over an empty array).
+  */
+case class MinHashSigExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any = {
+    val hs = HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n)
+    if (hs.isEmpty) {
+      new GenericArrayData(Array.fill[Any](CrossHash.MinhashK)(null))
+    } else {
+      new GenericArrayData(HashOps.minhash(hs).map(Long.box))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** bigint: 48-bit simhash of a text column over distinct word tokens. */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.simhash(HashOps.distinctTokenHashes(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash48"
+}
+
+/** array<string>: distinct word n-gram shingles (single pass; same
+  * values as CrossHash.shingles).
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = HashOps.tokenize(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + n <= toks.length) { seen += toks.slice(i, i + n).mkString("_"); i += 1 }
+    new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+/** bigint: min rolling shingle hash (document fingerprint); -1 when
+  * fewer than n tokens.
+  */
+case class FingerprintExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val hs = HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n)
+    if (hs.isEmpty) -1L else hs.min
+  }
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+/** double: cosine similarity of two float-array columns, with the
+  * exact left-fold evaluation order of VectorFunctions.cosine /
+  * sqlCosine (dot and both norms accumulated in index order in
+  * double).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xf = x.getFloat(i).toDouble
+      val yf = y.getFloat(i).toDouble
+      dot += xf * yf; nx += xf * xf; ny += yf * yf
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}

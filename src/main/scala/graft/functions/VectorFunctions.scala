@@ -26,6 +26,12 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native single-pass cosine (same fold order; see HashExpressions). */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(CosineSimExpr(Shim.expression(a), Shim.expression(b)))
+  }
+
   // ------------------------------------------------------------ DuckDB side
 
   /** Same fold: prepend 0.0, products in index order. */

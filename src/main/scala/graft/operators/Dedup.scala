@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * is O(candidate pairs), which is what makes these runnable at 100 TB
   * (the oracle SQL used for correctness testing IS the naive
   * quadratic form, run by DuckDB on small SF only).
+  *
+  * Plan hygiene: the expensive tokenize+hash subtree is computed ONCE
+  * per document behind a repartition barrier. Without the barrier,
+  * Catalyst's CollapseProject inlines the subtree into each of the
+  * K minhash / 48 simhash terms (higher-order array lambdas are
+  * interpreted, so codegen subexpression elimination never sees
+  * them), multiplying the work by K; the exchange also spreads rows
+  * across cores when the source is a single small file.
   */
 object Dedup {
 
@@ -29,13 +37,19 @@ object Dedup {
         min("doc_id").as("first_doc"))
       .orderBy("source")
 
+  /** Spread a (often single-file) small-doc source across cores before
+    * the per-row signature work.
+    */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+
   /** Per-document minhash signature (as a comma-joined string for a
     * stable cross-engine representation).
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      concat_ws(",", minhashSig(shingleHashes(col("text"), 3)).cast("array<string>")).as("sig"))
+    spread(docs)
+      .select(col("doc_id"),
+        concat_ws(",", minhashSigFast(col("text"), 3).cast("array<string>")).as("sig"))
       .orderBy("doc_id")
 
   /** Near-duplicate pairs via MinHash LSH over word-trigram shingles:
@@ -44,23 +58,29 @@ object Dedup {
     * candidates are verified with exact Jaccard and kept at
     * `threshold`. With K=16 bands, P(miss) at j=0.8 is (1-0.8)^16 ~
     * 6.6e-12 — the result matches the exact quadratic oracle.
+    *
+    * The band join carries only (band, value, doc_id); shingle arrays
+    * are joined back per side AFTER pair dedup, so the shuffle volume
+    * is O(candidate pairs) ints, not arrays.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sigs = docs.select(
+    val sigs = spread(docs).select(
       col("doc_id"),
-      col("text"),
-      shingles(col("text"), 3).as("sh"),
-      minhashSig(shingleHashes(col("text"), 3)).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"), col("sh"),
-      posexplode(col("sig")).as(Seq("band", "v")))
-    val a = banded.select(col("band"), col("v"), col("doc_id").as("a"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("v"), col("doc_id").as("b"), col("sh").as("shb"))
-    val cand = a.join(b, Seq("band", "v"))
+      shinglesFast(col("text"), 3).as("sh"),
+      minhashSigFast(col("text"), 3).as("sig"))
+    val banded = sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "v")))
+    // Equi-join on (band, v) via using-columns so the planner is
+    // guaranteed a hash join; the a<b ordering is a post-filter
+    // (folding it into the join condition risks a nested-loop plan).
+    val cand = banded.withColumnRenamed("doc_id", "a")
+      .join(banded.withColumnRenamed("doc_id", "b"), Seq("band", "v"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sha", "shb")
-      .dropDuplicates("a", "b")
+      .select("a", "b")
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("sh"))
     cand
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
       .withColumn("jac",
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))))
@@ -76,7 +96,7 @@ object Dedup {
     * same result as the quadratic oracle, at inverted-index cost.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val sh = spread(docs).select(col("doc_id"), shinglesFast(col("text"), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
     val inv = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
     val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s"))
@@ -93,7 +113,8 @@ object Dedup {
 
   /** Per-document 48-bit simhash. */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash(tokenHashes(col("text"))).as("sim"))
+    spread(docs)
+      .select(col("doc_id"), simhashFast(col("text")).as("sim"))
       .orderBy("doc_id")
 
   /** Simhash near-duplicate pairs at hamming distance <= maxDist,
@@ -103,7 +124,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < SimhashBands, "band LSH is exact only for dist < #bands")
-    val sigs = docs.select(col("doc_id"), simhash(tokenHashes(col("text"))).as("sim"))
+    val sigs = spread(docs).select(col("doc_id"), simhashFast(col("text")).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashBands).map { i =>
         shiftright(col("sim"), i * SimhashBandBits).bitwiseAND(lit((1 << SimhashBandBits) - 1))
@@ -131,7 +152,7 @@ object Dedup {
     val y = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
     x.join(y, Seq("label"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
+      .withColumn("cos", VectorFunctions.cosineFast(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")

@@ -54,7 +54,7 @@ object Similarity {
       .select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .select(col("vec_id"), round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -70,7 +70,7 @@ object Similarity {
       .select(col("embedding").as("qe"), col("bucket"))
     withBucket.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q), Seq("bucket"))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .select(col("vec_id"), round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

@@ -69,9 +69,7 @@ object TextAnalysis {
     * (winnowing-style); docs shorter than 5 tokens -> -1.
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      coalesce(array_min(shingleHashes(col("text"), 5)), lit(-1L)).as("fp"))
+    docs.select(col("doc_id"), fingerprintFast(col("text"), 5).as("fp"))
       .orderBy("doc_id")
 
   // ------------------------------------------------------------ oracle SQL

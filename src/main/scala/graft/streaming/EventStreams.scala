@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream.
+  *
+  * The reference is purely batch (SURVEY.md §1: "Streams: none"), so
+  * these are the north-star extensions: the same aggregations the
+  * batch queries q13/q14 compute, expressed incrementally so they run
+  * on an unbounded stream with bounded state.
+  *
+  * Scale notes: watermarks bound state size; the sessionizer keys by
+  * user_id so state partitions across executors; both compose with
+  * checkpointing for exactly-once sinks.
+  */
+object EventStreams {
+
+  /** Hourly tumbling-window counts per event type (streaming analog of
+    * q13): watermark allows 1h late data, after which window state is
+    * dropped.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sv"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
+  // public: the state encoder's generated code must reach the fields
+  final case class SessState(lastTsUs: Long, sessions: Long, events: Long)
+
+  /** Stateful sessionization (streaming analog of q14): counts
+    * 30-minute-gap sessions per user with mapGroupsWithState. Each
+    * user's state is one (lastTs, counters) record — O(users) state,
+    * partitioned by key.
+    */
+  def sessionCounts(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessionAgg](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          // within a micro-batch, order by event time like the batch query
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            val newSession = s.lastTsUs == Long.MinValue || tsUs - s.lastTsUs > gapUs
+            s = SessState(tsUs, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+          }
+          state.update(s)
+          SessionAgg(user, s.sessions, s.events)
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a
+    * bounded file source and return the final memory-sink contents
+    * (used by tests and the batch-equivalence check).
+    */
+  def runToCompletion(stream: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.CrossHash
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-operator semantics: LSH candidate generation must agree
+  * with brute-force ground truth at small scale.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  /** Brute-force trigram-jaccard pairs at a threshold. */
+  private def brutePairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"), CrossHash.shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("jac", size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))))
+      .filter(col("jac") >= threshold)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH pairs equal brute-force pairs at threshold 0.8") {
+    val lsh = Dedup.minhashPairs(docs, 0.8).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brutePairs(0.8))
+    assert(lsh.nonEmpty) // the corpus has planted near-dupes
+  }
+
+  test("simhash band-LSH is exact for hamming <= 3 (pigeonhole)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)
+    val viaLsh = Dedup.simhashPairs(docs, 3).collect().map(key).toSet
+    val sigs = Dedup.simhashSignatures(docs)
+    val a = sigs.select(col("doc_id").as("a"), col("sim").as("sa"))
+    val b = sigs.select(col("doc_id").as("b"), col("sim").as("sb"))
+    val brute = a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("dist") <= 3)
+      .select("a", "b", "dist")
+      .collect().map(key).toSet
+    assert(viaLsh == brute)
+  }
+
+  test("inverted-index ngram jaccard equals quadratic definition") {
+    val inv = Dedup.ngramJaccardPairs(docs, 3, 0.8).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv == brutePairs(0.8))
+  }
+
+  test("LSH ANN results carry exact cosines, ranked descending") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 499).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, 0L, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(lsh.nonEmpty)
+    // each LSH hit's cosine equals the brute-force value for that id
+    lsh.foreach { case (id, cos) => assert(brute(id) == cos) }
+    // ranked descending
+    assert(lsh.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("exact dedup stats count planted duplicates consistently") {
+    val row = Dedup.exactStats(docs).agg(sum("n_docs"), sum("n_uniq")).collect().head
+    assert(row.getLong(0) == docs.count())
+    assert(row.getLong(1) <= row.getLong(0))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.fixtures.TestFixtures
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming extensions: a bounded file-source stream must reproduce
+  * the batch query's results exactly (same events, same semantics).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** A parquet dir of the events table with converted timestamps that
+    * a file-source stream can read.
+    */
+  private lazy val streamDir: String = {
+    val dir = s"${TestFixtures.root(TestSpark.sfDir)}/events_stream"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      TestFixtures.events(spark, TestSpark.sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val batchDf = spark.read.parquet(streamDir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(streamDir)
+    val got = EventStreams.runToCompletion(
+      EventStreams.hourlyCounts(stream), "hourly_out", OutputMode.Complete())
+      .orderBy("h", "event_type").collect()
+
+    val want = batchDf
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .orderBy("h", "event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stateful streaming sessionization equals the batch q14 session counts") {
+    import spark.implicits._
+    val batchDf = spark.read.parquet(streamDir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val got = EventStreams.runToCompletion(
+      EventStreams.sessionCounts(stream).toDF(), "sess_out", OutputMode.Update())
+      // Update mode emits one row per key per batch; keep the last state
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+
+    val want = SparkEntry.queries("q14_sessionize")(spark, TestSpark.sfDir)
+      .select("user_id", "n_sessions", "n_events").orderBy("user_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+}
