@@ -231,6 +231,35 @@ final class GlueTableEngine(
       name
     }
 
+  /** Register the listing DataFrame as `<db>_<tbl>_s3_listing` — the
+    * reference's listing-table statement (src/glue-table-cache.ts:
+    * 298-306) as a temp view. (Index statements are intentionally
+    * dropped: the listing is a small filtered DataFrame.)
+    */
+  def registerListing(database: String, table: String): String = {
+    val name = Naming.listingName(database, table)
+    listingDF(database, table).createOrReplaceTempView(name)
+    name
+  }
+
+  /** Set a SQL session variable `<db>_<tbl>_files` holding the pruned
+    * path array — surface parity with the reference's
+    * `SET VARIABLE db_tbl_files = (SELECT list(path) ...)` statement
+    * (src/glue-table-cache.ts:323-333), using Spark 4 session
+    * variables.
+    */
+  def setFilesVariable(database: String, table: String,
+      predicates: Seq[Column] = Nil): String = {
+    val varName = Naming.filesVarName(database, table)
+    val paths = prunedFiles(database, table, predicates)
+    spark.sql(s"DECLARE OR REPLACE VARIABLE $varName ARRAY<STRING>")
+    val arr =
+      if (paths.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+      else paths.map(p => "'" + p.replace("'", "''") + "'").mkString("array(", ", ", ")")
+    spark.sql(s"SET VARIABLE $varName = $arr")
+    varName
+  }
+
   /** Rewrite each glue relation into its (pruned) parquet-read plan,
     * keeping every other node untouched.
     */

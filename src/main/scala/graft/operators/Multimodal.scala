@@ -58,6 +58,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class FrameMeta(doc_id: Long, n_frames: Int, n_sampled: Int, head_hash: Long)
+
+  /** "Video" frame sampling over an opaque binary payload: fixed-size
+    * frames, every `stride`-th frame sampled, plus a fingerprint of
+    * the head frame. The frame math and byte-level hash are real; a
+    * production decoder would replace the byte-split with container
+    * parsing (same mapPartitions shape).
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    implicit val enc = Encoders.product[FrameMeta]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    binary.as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          val nSampled = (nFrames + stride - 1) / stride
+          var h = 0L
+          val headLen = math.min(frameBytes, bytes.length)
+          var i = 0
+          while (i < headLen) { h = (h * 31 + (bytes(i) & 0xff)) % graft.functions.CrossHash.P; i += 1 }
+          FrameMeta(id, nFrames, nSampled, h)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[frameSample]] (ASCII payloads: bytes == chars). */
+  def sqlFrameSample: String = {
+    val fold = graft.functions.CrossHash.sqlCharFold("substr(text, 1, 16)")
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames,
+       |  CAST((octet_length(encode(text)) // 16 + 3) // 4 AS INT) AS n_sampled,
+       |  $fold AS head_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle: the same deterministic stub in DuckDB (texts are ASCII so
     * octet_length(encode(text)) == len and the first byte is
     * ord(text[1])).

@@ -260,6 +260,56 @@ object Queries {
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len, SUM(n_events) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    "q16_recursive_cte" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "nation").createOrReplaceTempView("nation_v")
+        spark.sql(
+          """WITH RECURSIVE r(n) AS (
+            |  SELECT 0 UNION ALL SELECT n + 5 FROM r WHERE n < 20
+            |)
+            |SELECT r.n, count(*) AS n_nations
+            |FROM r JOIN nation_v ON nation_v.n_nationkey >= r.n AND nation_v.n_nationkey < r.n + 5
+            |GROUP BY r.n ORDER BY r.n""".stripMargin)
+      },
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 5 FROM r WHERE n < 20
+        |)
+        |SELECT r.n, COUNT(*) AS n_nations
+        |FROM r JOIN nation ON nation.n_nationkey >= r.n AND nation.n_nationkey < r.n + 5
+        |GROUP BY r.n ORDER BY r.n""".stripMargin)),
+
+    "q17_rollup" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("q"))
+          .orderBy("rf", "ls")
+      },
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
+
+    "q18_semi_anti" -> ((
+      (spark: SparkSession, sf: String) => {
+        val c = t(spark, sf, "customer"); val o = t(spark, sf, "orders")
+        val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+        val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+        withO.unionAll(withoutO).select("kind", "n").orderBy("kind")
+      },
+      """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin)),
+
     "q15_array_agg" -> ((
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "lineitem").groupBy("l_returnflag")
@@ -358,7 +408,21 @@ object Queries {
         TestFixtures.engineFor(spark, sf).query(
           "SELECT count(*) AS n FROM glue.default.empty_tbl")
       },
-      "SELECT COUNT(*) AS n FROM lineitem WHERE false"))
+      "SELECT COUNT(*) AS n FROM lineitem WHERE false")),
+
+    "g9_listing_view" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val view = eng.registerListing("default", "lineitem_part")
+        // also exercise the files-variable parity surface
+        eng.setFilesVariable("default", "lineitem_part",
+          Seq(col("l_returnflag") === "A"))
+        spark.sql(
+          s"""SELECT DISTINCT l_returnflag, l_linestatus FROM $view
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 
   // ================================================================ pipeline ops
@@ -463,7 +527,11 @@ object Queries {
 
     "m1_media_meta" -> ((
       (spark: SparkSession, sf: String) => Multimodal.imageMeta(t(spark, sf, "documents")),
-      Multimodal.sqlImageMeta))
+      Multimodal.sqlImageMeta)),
+
+    "m2_frame_sample" -> ((
+      (spark: SparkSession, sf: String) => Multimodal.frameSample(t(spark, sf, "documents")),
+      Multimodal.sqlFrameSample))
   )
 
   val all: Map[String, (Q, String)] = core ++ glue ++ pipeline

@@ -1,0 +1,68 @@
+package graft.resolve
+
+import graft.engine.GlueTableEngine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst integration: resolve `glue.db.tbl` relations during
+  * analysis, so PLAIN `spark.sql(...)` works on a session created
+  * with these extensions — no engine facade call needed.
+  *
+  * This is the injected-resolution-rule path of SURVEY.md §7.6: the
+  * rule delegates to the same [[GlueTableEngine]] the facade uses
+  * (same caches, same pruning); `engine.query` remains the
+  * no-session-rebuild alternative.
+  *
+  * Usage:
+  * {{{
+  * GlueResolutionRule.engineFactory = s => new GlueTableEngine(s, myCatalog)
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GlueSparkExtension)
+  *   .getOrCreate()
+  * spark.sql("SELECT * FROM glue.default.mytable WHERE dt = '2024-01-01'")
+  * }}}
+  */
+class GlueResolutionRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private lazy val engine: Option[GlueTableEngine] =
+    Option(GlueResolutionRule.engineFactory).map(_(session))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = engine match {
+    case None => plan
+    case Some(eng) =>
+      plan.resolveOperatorsUp {
+        case u: UnresolvedRelation
+            if u.multipartIdentifier.headOption.exists(_.equalsIgnoreCase("glue")) =>
+          val parts = u.multipartIdentifier
+          val (db, tbl) = parts.length match {
+            case 2 => ("default", parts(1))
+            case 3 => (parts(1), parts(2))
+            case n => throw new IllegalArgumentException(
+              s"Invalid Glue table reference (expected glue.db.table): ${parts.mkString(".")} ($n parts)")
+          }
+          // Full (unpruned) relation; Catalyst's own
+          // PruneFileSourcePartitions prunes the basePath-discovered
+          // partitions of Hive-layout tables from any filters above.
+          org.apache.spark.sql.graft.Shim.analyzedPlan(eng.tableDF(db, tbl))
+      }
+  }
+}
+
+object GlueResolutionRule {
+  /** Process-wide engine factory the injected rule uses (extensions
+    * are instantiated by Spark from a zero-arg class, so dependencies
+    * arrive via this hook).
+    */
+  @volatile var engineFactory: SparkSession => GlueTableEngine = _
+}
+
+/** Entry point for `SparkSession.builder().withExtensions(...)` or
+  * `spark.sql.extensions=graft.resolve.GlueSparkExtension`.
+  */
+class GlueSparkExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(s => new GlueResolutionRule(s))
+}
