@@ -327,6 +327,26 @@ final class GlueTableEngine(
     rewrite(plan)
   }
 
+  /** S3 credential configuration (≈ reference `setCredentials` /
+    * `CREATE SECRET`, src/glue-table-cache.ts:98-122): maps onto the
+    * Hadoop S3A configuration the executors use for s3a:// locations.
+    * No-op for local file:// fixtures.
+    */
+  def setCredentials(accessKey: String, secretKey: String,
+      sessionToken: Option[String] = None): Unit = {
+    val conf = hadoopConf
+    conf.set("fs.s3a.access.key", accessKey)
+    conf.set("fs.s3a.secret.key", secretKey)
+    sessionToken match {
+      case Some(tok) =>
+        conf.set("fs.s3a.session.token", tok)
+        conf.set("fs.s3a.aws.credentials.provider",
+          "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+      case None =>
+        conf.unset("fs.s3a.session.token")
+    }
+  }
+
   // ---------------------------------------------------------------- cache mgmt
 
   /** ≈ reference `clearCache` (src/glue-table-cache.ts:124-127). */

@@ -410,6 +410,17 @@ object Queries {
       },
       "SELECT COUNT(*) AS n FROM lineitem WHERE false")),
 
+    "g10_proj_integer" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
+            |FROM glue.default.events_by_month WHERE m = 1
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |FROM events WHERE date_part('month', ts) = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)

@@ -103,6 +103,28 @@ class EngineSpec extends AnyFunSuite {
     assert(latest.forall(p => p.endsWith(".parquet") && !p.contains("metadata")))
   }
 
+  test("lister skips folder markers and metadata files (reference src/util/s3.ts:51-53)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "listertest").toFile
+    def touch(name: String, content: String = "x"): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, content.getBytes)
+    }
+    touch("data1.parquet"); touch("data2.parquet")
+    touch("marker_$folder$"); touch("_SUCCESS", ""); touch(".hidden")
+    val lister = new graft.listing.HadoopFileLister(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val files = lister.list(dir.getAbsolutePath, Nil).map(f => new java.io.File(f.path).getName)
+    assert(files.sorted == Seq("data1.parquet", "data2.parquet"))
+  }
+
+  test("integer-projection extractor yields typed partition column") {
+    val listing = engine.listingDF("default", "events_by_month")
+    assert(listing.schema("m").dataType == org.apache.spark.sql.types.IntegerType)
+    val months = listing.select("m").distinct().collect().map(_.getInt(0)).toSet
+    assert(months.forall(m => m >= 1 && m <= 12))
+  }
+
   test("proxy address rewrites s3 paths (reference src/glue-table-cache.ts:54-65)") {
     val cat = new FixtureCatalog().register(
       GlueTable("d", "t", Some("s3://bucket/prefix/")))
