@@ -21,10 +21,18 @@ object TextAnalysis {
 
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** BPE-ish subword pattern: letter runs, digit runs, single
+    * punctuation — the usual pre-tokenizer shape, identical regex
+    * semantics in Spark (Java regex) and DuckDB (RE2) for this
+    * pattern.
+    */
+  val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(subtokenPattern), lit(0))).as("n_subtokens"),
       length(col("text")).as("len"))
       .orderBy("doc_id")
 

@@ -260,6 +260,24 @@ object Queries {
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len, SUM(n_events) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    "q19_asof_join" -> ((
+      (spark: SparkSession, sf: String) => {
+        val ev = TestFixtures.events(spark, sf)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts")
+        graft.operators.AsOfJoin.joinPrior(purchases, clicks, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin)),
+
     "q16_recursive_cte" -> ((
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "nation").createOrReplaceTempView("nation_v")
@@ -518,7 +536,9 @@ object Queries {
 
     "t1_token_stats" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),
-      s"""SELECT doc_id, len(${sqlTokens("text")}) AS n_tokens, len(text) AS len
+      s"""SELECT doc_id, len(${sqlTokens("text")}) AS n_tokens,
+         |  len(regexp_extract_all(text, '${TextAnalysis.subtokenPattern}')) AS n_subtokens,
+         |  len(text) AS len
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "t2_quality" -> ((
