@@ -22,5 +22,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Queries.all.map { case (k, (_, sql)) => k -> sql }
+    Queries.all.collect { case (k, (_, sql)) if sql != null => k -> sql }
 }

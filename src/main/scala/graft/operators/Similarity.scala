@@ -59,6 +59,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: "train" coarse centroids (here: the mean vector
+    * per `label` partition — at scale, k-means iterations as Spark
+    * jobs), assign the query to its nearest `nprobe` centroids, and
+    * exact-rank only those partitions. The inverted lists are just a
+    * partitioning of the table by centroid id — on a cluster, a
+    * bucketed/partitioned layout so a probe touches 1/nlist of the
+    * data.
+    */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    val dims = 64
+    // centroid per label: avg of each dimension (exact enough for
+    // routing; routing quality is tested by recall, not by equality)
+    val byDim = emb.select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(avg(col("x")).as("c"))
+    val centroids = byDim.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("label"), transform(col("dc"), s => s.getField("c")).as("centroid"))
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("label"), cosineFast(col("centroid").cast(s"array<float>"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc).limit(nprobe)
+      .select("label")
+    emb.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN via LSH: candidates = vectors in the query's bucket; rank
     * candidates by exact cosine, keep top-k. (Single-probe; multiprobe
     * = also scan buckets at hamming distance 1 — left as the recall

@@ -534,6 +534,13 @@ object Queries {
          |FROM eb e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // rows-only check (centroid training uses float avg, which is not
+    // order-deterministic across engines; quality asserted by the
+    // recall spec instead)
+    "s3_ann_ivf" -> ((
+      (spark: SparkSession, sf: String) => Similarity.ivfTopK(t(spark, sf, "embeddings"), 0L, 10),
+      null)),
+
     "t1_token_stats" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),
       s"""SELECT doc_id, len(${sqlTokens("text")}) AS n_tokens,

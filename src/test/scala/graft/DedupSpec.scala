@@ -65,6 +65,13 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("IVF top-k recalls most of the brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("exact dedup stats count planted duplicates consistently") {
     val row = Dedup.exactStats(docs).agg(sum("n_docs"), sum("n_uniq")).collect().head
     assert(row.getLong(0) == docs.count())
