@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -98,6 +98,47 @@ object HashOps {
     }
     sig
   }
+
+  // ---------------------------------------------------------------- codegen
+  // entry points: static-forwarder methods the generated Java calls —
+  // one virtual call per row keeps the enclosing WholeStageCodegen
+  // span intact instead of forcing interpreted fallback.
+
+  def minhashSigData(t: UTF8String, n: Int): ArrayData = {
+    val hs = shingleHashes(t.toString, n)
+    if (hs.isEmpty) new GenericArrayData(Array.fill[Any](CrossHash.MinhashK)(null))
+    else new GenericArrayData(minhash(hs).map(Long.box))
+  }
+
+  def simhashData(t: UTF8String): Long =
+    simhash(distinctTokenHashes(t.toString))
+
+  def shinglesData(t: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(t.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + n <= toks.length) { seen += toks.slice(i, i + n).mkString("_"); i += 1 }
+    new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
+  }
+
+  def fingerprintData(t: UTF8String, n: Int): Long = {
+    val hs = shingleHashes(t.toString, n)
+    if (hs.isEmpty) -1L else hs.min
+  }
+
+  def cosineData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xf = a.getFloat(i).toDouble
+      val yf = b.getFloat(i).toDouble
+      dot += xf * yf; nx += xf * xf; ny += yf * yf
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
 }
 
 /** array<bigint>: minhash signature of a text column over word
@@ -105,16 +146,12 @@ object HashOps {
   * per slot (matching array_min over an empty array).
   */
 case class MinHashSigExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullSafeEval(input: Any): Any = {
-    val hs = HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n)
-    if (hs.isEmpty) {
-      new GenericArrayData(Array.fill[Any](CrossHash.MinhashK)(null))
-    } else {
-      new GenericArrayData(HashOps.minhash(hs).map(Long.box))
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.minhashSigData(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minhashSigData($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
@@ -122,10 +159,12 @@ case class MinHashSigExpr(child: Expression, n: Int)
 
 /** bigint: 48-bit simhash of a text column over distinct word tokens. */
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    HashOps.simhash(HashOps.distinctTokenHashes(input.asInstanceOf[UTF8String].toString))
+    HashOps.simhashData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhashData($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
   override def prettyName: String = "simhash48"
@@ -135,16 +174,12 @@ case class SimHashExpr(child: Expression)
   * values as CrossHash.shingles).
   */
 case class ShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = HashOps.tokenize(input.asInstanceOf[UTF8String].toString)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = mutable.LinkedHashSet.empty[String]
-    var i = 0
-    while (i + n <= toks.length) { seen += toks.slice(i, i + n).mkString("_"); i += 1 }
-    new GenericArrayData(seen.iterator.map(s => UTF8String.fromString(s)).toArray[Any])
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shinglesData(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shinglesData($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
@@ -154,12 +189,12 @@ case class ShinglesExpr(child: Expression, n: Int)
   * fewer than n tokens.
   */
 case class FingerprintExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val hs = HashOps.shingleHashes(input.asInstanceOf[UTF8String].toString, n)
-    if (hs.isEmpty) -1L else hs.min
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.fingerprintData(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fingerprintData($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
     copy(child = newChild)
   override def prettyName: String = "doc_fingerprint"
@@ -171,22 +206,12 @@ case class FingerprintExpr(child: Expression, n: Int)
   * double).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xf = x.getFloat(i).toDouble
-      val yf = y.getFloat(i).toDouble
-      dot += xf * yf; nx += xf * xf; ny += yf * yf
-      i += 1
-    }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.cosineData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.cosineData($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins: salting.
+  *
+  * A shuffled equi-join collapses when one key dominates (one reducer
+  * gets the whole key). Salting splits each fact key into
+  * `saltFactor` sub-keys deterministically, and replicates the
+  * (small-ish) build side once per salt, so the hot key spreads over
+  * `saltFactor` reducers. AQE's skew-join handles the sort-merge case
+  * adaptively at runtime; explicit salting remains the tool when the
+  * skew is known and extreme (heavy-hitter keys at 100 TB), when the
+  * join is not SMJ, or when deterministic partitioning matters.
+  */
+object SkewUtils {
+
+  /** Inner equi-join of `fact` (skewed) with `dim` (replicable) on
+    * `key`, salted `saltFactor` ways. Result rows are identical to
+    * the plain join — only the shuffle distribution changes.
+    *
+    * The salt must be deterministic per fact row (stable under
+    * retries/speculation), so it hashes the full fact row, not a
+    * random number.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(saltFactor)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit(_)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top heavy-hitter keys by frequency — the detection half of a
+    * targeted skew strategy (salt only the hot keys, leave the rest
+    * on the normal path). One map-side-combined aggregation.
+    */
+  def heavyHitters(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.SkewUtils
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB techniques that can't show up in small-SF timings but
+  * must be correct and produce the right plan shapes: salting and
+  * bucketed co-located joins.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_linenumber")
+    // rename o_orderkey to create the shared join key
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(orders, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect()
+    val salted = SkewUtils.saltedJoin(li, orders, "l_orderkey", saltFactor = 7)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("heavy-hitter detection finds the dominant keys") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val hh = SkewUtils.heavyHitters(docs, "lang", minCount = 100)
+      .collect().map(_.getString(0)).toSet
+    assert(hh.contains("en")) // en dominates the corpus
+  }
+
+  test("bucketed tables join without a shuffle on the join key") {
+    // uses the default warehouse dir (spark-warehouse under the repo
+    // root — static conf, can't be set post-session)
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables across JVMs but their
+    // managed locations persist; clear them or CTAS refuses
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val d = new java.io.File(s"/root/repo/spark-warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: no hash-partition exchange feeding the join
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(2000)}")
+    assert(joined.count() == li.count()) // every lineitem matches one order
+  }
+}
