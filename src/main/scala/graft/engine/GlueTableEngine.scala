@@ -141,6 +141,24 @@ final class GlueTableEngine(
     readFiles(tableMetadata(database, table),
       files(database, table, versionOffset).map(_.path))
 
+  /** Format dispatch: the Glue `classification` table parameter
+    * selects the reader. The reference declares JSON/CSV tables
+    * "not supported yet" (reference README.md:22-23); supporting them
+    * here is a deliberate extension — same listing/pruning machinery,
+    * different leaf reader.
+    */
+  private def readPaths(meta: CachedTableMetadata, basePath: Option[String],
+      paths: Seq[String]): DataFrame = {
+    val reader0 = spark.read
+    val reader = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
+    meta.table.parameters.getOrElse("classification", "parquet").toLowerCase match {
+      case "csv" =>
+        reader.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+      case "json" => reader.json(paths: _*)
+      case _      => reader.parquet(paths: _*)
+    }
+  }
+
   /** Read a set of files of a table, attaching partition columns. */
   private def readFiles(meta: CachedTableMetadata, paths: Seq[String]): DataFrame = {
     if (paths.isEmpty)
@@ -151,19 +169,19 @@ final class GlueTableEngine(
         // keeps them as columns, and prunes them natively from any
         // filter above (PruneFileSourcePartitions) — per-relation and
         // sound, unlike the reference's global top-level-WHERE rule.
-        spark.read.option("basePath", location(meta)).parquet(paths: _*)
+        readPaths(meta, Some(location(meta)), paths)
       case TableType.GlueProjected =>
         // Projection layouts aren't `key=value`, so Spark can't
         // discover them; attach partition values by running the same
         // extractor on each row's source file path (constant per
         // file, so parquet still vectorizes; the extract itself is
         // codegen'd).
-        val base = spark.read.parquet(paths: _*)
+        val base = readPaths(meta, None, paths)
         meta.table.partitionKeys.foldLeft(base) { (df, key) =>
           df.withColumn(key.name, Extractors.forKey(meta, key.name)(input_file_name()))
         }
       case _ =>
-        spark.read.parquet(paths: _*)
+        readPaths(meta, None, paths)
     }
   }
 

@@ -118,6 +118,29 @@ object TestFixtures {
     out
   }
 
+  /** CSV copy of orders (reference declares CSV tables TODO; we
+    * support them via the classification parameter).
+    */
+  def ordersCsv(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/orders_csv"
+    ensure(sfDir, "orders_csv") {
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    }
+    out
+  }
+
+  /** JSON-lines copy of nation. */
+  def nationJson(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/nation_json"
+    ensure(sfDir, "nation_json") {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .coalesce(1).write.mode("overwrite").json(out)
+    }
+    out
+  }
+
   def emptyTable(sfDir: String): String = {
     val out = s"${root(sfDir)}/empty_tbl"
     new File(out).mkdirs()
@@ -222,6 +245,10 @@ object TestFixtures {
         "projection.lang.values" -> "de,en,es,fr,zh")))
     cat.register(GlueTable("default", "iceberg_lineitem", Some(icebergLineitem(spark, sfDir)),
       parameters = Map("table_type" -> "ICEBERG")))
+    cat.register(GlueTable("default", "orders_csv", Some(ordersCsv(spark, sfDir)),
+      parameters = Map("classification" -> "csv")))
+    cat.register(GlueTable("default", "nation_json", Some(nationJson(spark, sfDir)),
+      parameters = Map("classification" -> "json")))
     cat.register(GlueTable("default", "empty_tbl", Some(emptyTable(sfDir))))
     cat
   }

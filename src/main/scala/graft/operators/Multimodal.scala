@@ -102,8 +102,8 @@ object Multimodal {
     */
   def sqlImageMeta: String =
     """SELECT doc_id,
-      |  64 + (octet_length(encode(text)) % 513) AS width,
-      |  32 + ord(substr(text, 1, 1)) AS height,
+      |  CAST(64 + (octet_length(encode(text)) % 513) AS INTEGER) AS width,
+      |  CAST(32 + ord(substr(text, 1, 1)) AS INTEGER) AS height,
       |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 }

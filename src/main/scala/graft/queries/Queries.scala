@@ -40,9 +40,9 @@ object Queries {
           .orderBy("l_returnflag", "l_linestatus")
       },
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -74,7 +74,7 @@ object Queries {
           .orderBy("c_mktsegment")
       },
       """SELECT c_mktsegment,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -89,7 +89,7 @@ object Queries {
           .agg(count(lit(1)).as("n_cust"), sum(dec2("c_acctbal")).as("tot_bal"))
           .orderBy("r_name")
       },
-      """SELECT r_name, COUNT(*) AS n_cust, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_bal
+      """SELECT r_name, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS tot_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
@@ -116,7 +116,7 @@ object Queries {
         |), big AS (SELECT * FROM order_stats WHERE n_orders >= 2)
         |SELECT c_mktsegment,
         |  COUNT(*) AS n_cust,
-        |  SUM(b.n_orders) AS n_orders,
+        |  CAST(SUM(b.n_orders) AS BIGINT) AS n_orders,
         |  ROUND(CAST(SUM(b.tot) AS DOUBLE) / SUM(b.n_orders), 4) AS avg_price,
         |  COUNT(CASE WHEN b.n_orders > 3 THEN 1 END) AS heavy
         |FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
@@ -173,8 +173,8 @@ object Queries {
       },
       """SELECT o_custkey, rn, o_orderkey, run_tot FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER w AS rn,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS run_tot
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS run_tot
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
@@ -205,7 +205,7 @@ object Queries {
       },
       """SELECT doc_id, upper(substr(source, 1, 3)) AS src3,
         |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
-        |  len(text) AS len,
+        |  CAST(len(text) AS INTEGER) AS len,
         |  substr(regexp_replace(text, 'data', 'DATA', 'g'), 1, 40) AS replaced
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -217,7 +217,7 @@ object Queries {
           .agg(sum("k").as("sum_k"), count(when(col("k") > 50, 1)).as("n_big"), count(lit(1)).as("n"))
           .orderBy("event_type")
       },
-      """SELECT event_type, SUM(k) AS sum_k, COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big, COUNT(*) AS n
+      """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(CASE WHEN k > 50 THEN 1 END) AS n_big, COUNT(*) AS n
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -229,7 +229,7 @@ object Queries {
           .orderBy("h", "event_type")
       },
       """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
 
     "q14_sessionize" -> ((
@@ -257,7 +257,7 @@ object Queries {
         |  SELECT user_id, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY user_id, sid)
-        |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len, SUM(n_events) AS n_events
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len, CAST(SUM(n_events) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     "q19_asof_join" -> ((
@@ -308,7 +308,7 @@ object Queries {
           .orderBy("rf", "ls")
       },
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin)),
 
@@ -352,7 +352,7 @@ object Queries {
             |FROM glue.default.lineitem_part WHERE l_returnflag = 'A'
             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
       },
-      """SELECT l_linestatus, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      """SELECT l_linestatus, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
@@ -378,7 +378,7 @@ object Queries {
           """SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
             |FROM GLUE__default_orders_flat GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
       },
-      """SELECT o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS tot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     "g4_proj_date" -> ((
@@ -397,7 +397,7 @@ object Queries {
           """SELECT source, count(*) AS n, sum(n_chars) AS chars FROM glue.default.docs_by_lang
             |WHERE lang = 'fr' GROUP BY source ORDER BY source""".stripMargin)
       },
-      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars FROM documents
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents
         |WHERE lang = 'fr' GROUP BY source ORDER BY source""".stripMargin)),
 
     "g6_iceberg_latest" -> ((
@@ -407,7 +407,7 @@ object Queries {
           .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
           .orderBy("l_returnflag")
       },
-      """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     "g7_iceberg_travel" -> ((
@@ -417,7 +417,7 @@ object Queries {
           .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
           .orderBy("l_returnflag")
       },
-      """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
         |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -435,9 +435,27 @@ object Queries {
             |FROM glue.default.events_by_month WHERE m = 1
             |GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
-      """SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
         |FROM events WHERE date_part('month', ts) = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "g11_csv_source" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+            |FROM glue.default.orders_csv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS tot
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "g12_json_source" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT n_regionkey, count(*) AS n FROM glue.default.nation_json
+            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      },
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
@@ -496,7 +514,7 @@ object Queries {
       s"""${docTokCte()},
          |hs AS (SELECT doc_id, ${sqlTokenHashesOf("t")} AS hs FROM tok),
          |sig AS (SELECT doc_id, ${sqlSimhashOf("hs")} AS sim FROM hs)
-         |SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sim, b.sim)) AS dist
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS dist
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY a, b""".stripMargin)),
 
@@ -543,9 +561,9 @@ object Queries {
 
     "t1_token_stats" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),
-      s"""SELECT doc_id, len(${sqlTokens("text")}) AS n_tokens,
-         |  len(regexp_extract_all(text, '${TextAnalysis.subtokenPattern}')) AS n_subtokens,
-         |  len(text) AS len
+      s"""SELECT doc_id, CAST(len(${sqlTokens("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.subtokenPattern}')) AS INTEGER) AS n_subtokens,
+         |  CAST(len(text) AS INTEGER) AS len
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "t2_quality" -> ((
