@@ -345,6 +345,28 @@ final class GlueTableEngine(
     rewrite(plan)
   }
 
+  /** Sink: write a DataFrame as a new glue table (Hive layout when
+    * partition columns are given, flat parquet otherwise) and register
+    * it in the catalog so it is immediately queryable as
+    * `glue.<db>.<tbl>`. The reference is read-only; this is the write
+    * half a pipeline engine needs. Partitioned writes produce the
+    * same `key=value` layout the Hive read path prunes.
+    */
+  def writeTable(df: DataFrame, database: String, table: String, location: String,
+      partitionBy: Seq[String] = Nil): GlueTable = {
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(location)
+    val t = GlueTable(database, table, Some(location),
+      partitionKeys = partitionBy.map(ColumnDef(_)))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, table)
+    t
+  }
+
   /** S3 credential configuration (≈ reference `setCredentials` /
     * `CREATE SECRET`, src/glue-table-cache.ts:98-122): maps onto the
     * Hadoop S3A configuration the executors use for s3a:// locations.

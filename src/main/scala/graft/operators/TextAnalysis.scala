@@ -55,13 +55,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Language ID: count distinct lexicon hits per language; argmax
-    * with a fixed precedence (en > de > fr > es); all-zero -> 'und'.
+  /** Character n-gram profiles per language (the n-gram half of the
+    * language-ID heuristic; literal substrings so occurrence counting
+    * is identical in Spark and DuckDB).
+    */
+  val charNgrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", "er"),
+    "de" -> Seq("ch", "ei", "sch", "en"),
+    "fr" -> Seq("ou", "le", "eau", "es"),
+    "es" -> Seq("ll", "os", "ción", "ar"))
+
+  /** Language ID: score = 10 * distinct-lexicon hits + total char
+    * n-gram occurrences; argmax with a fixed precedence
+    * (en > de > fr > es); all-zero -> 'und'.
     */
   def langid(docs: DataFrame): DataFrame = {
     val dt = distinctTokens(col("text"))
+    def ngramCount(g: String): Column = size(split(col("text"), g)) - lit(1)
     val scores = lexicons.map { case (lang, words) =>
-      lang -> size(array_intersect(dt, typedLit(words)))
+      val wordScore = size(array_intersect(dt, typedLit(words))) * lit(10)
+      val ngScore = charNgrams.toMap.apply(lang).map(ngramCount).reduce(_ + _)
+      lang -> (wordScore + ngScore)
     }
     val Seq(en, de, fr, es) = scores.map(_._2)
     val pred =
@@ -96,10 +110,14 @@ object TextAnalysis {
 
   def sqlLangid: String = {
     val dt = sqlDistinctTokens("text")
-    def score(words: Seq[String]) =
-      s"len(list_intersect(dt, [${words.map(w => s"'$w'").mkString(", ")}]))"
-    val Seq(en, de, fr, es) = lexicons.map(l => score(l._2))
-    s"""WITH tok AS (SELECT doc_id, $dt AS dt FROM documents),
+    def score(lang: String, words: Seq[String]) = {
+      val wordScore = s"len(list_intersect(dt, [${words.map(w => s"'$w'").mkString(", ")}])) * 10"
+      val ngScore = charNgrams.toMap.apply(lang)
+        .map(g => s"(len(string_split(text, '$g')) - 1)").mkString(" + ")
+      s"($wordScore + $ngScore)"
+    }
+    val Seq(en, de, fr, es) = lexicons.map(l => score(l._1, l._2))
+    s"""WITH tok AS (SELECT doc_id, text, $dt AS dt FROM documents),
        |sc AS (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM tok)
        |SELECT doc_id,
        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'

@@ -125,6 +125,23 @@ class EngineSpec extends AnyFunSuite {
     assert(months.forall(m => m >= 1 && m <= 12))
   }
 
+  test("writeTable sink: written table is immediately queryable and pruned") {
+    import org.apache.spark.sql.functions._
+    val agg = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val loc = "/root/repo/target/fixtures/sf0_001/orders_agg_sink"
+    engine.writeTable(agg, "default", "orders_agg", loc, partitionBy = Seq("o_orderstatus"))
+    val got = engine.query(
+      "SELECT n FROM glue.default.orders_agg WHERE o_orderstatus = 'F'")
+      .collect().head.getLong(0)
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(got == want)
+    val pruned = engine.prunedFiles("default", "orders_agg",
+      Seq(col("o_orderstatus") === "F"))
+    assert(pruned.nonEmpty && pruned.forall(_.contains("o_orderstatus=F")))
+  }
+
   test("proxy address rewrites s3 paths (reference src/glue-table-cache.ts:54-65)") {
     val cat = new FixtureCatalog().register(
       GlueTable("d", "t", Some("s3://bucket/prefix/")))
