@@ -86,6 +86,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class AudioMeta(doc_id: Long, duration_ms: Long, channels: Int, peak: Int)
+
+  /** "Audio" metadata stub over an opaque binary payload: treats the
+    * bytes as 16 kHz 16-bit PCM (2 bytes/sample), derives duration,
+    * a fake channel count, and the peak byte value. Integer-exact
+    * math only, so the oracle matches without rounding concerns.
+    */
+  def audioMeta(docs: DataFrame): DataFrame = {
+    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    implicit val enc = Encoders.product[AudioMeta]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    binary.as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val samples = bytes.length / 2
+          val durationMs = samples.toLong * 1000L / 16000L
+          val channels = 1 + (bytes.length % 2)
+          val peak = if (bytes.isEmpty) 0 else bytes.map(_ & 0xff).max
+          AudioMeta(id, durationMs, channels, peak)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[audioMeta]] (ASCII payloads: peak byte = max char
+    * code).
+    */
+  def sqlAudioMeta: String =
+    """SELECT doc_id,
+      |  CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms,
+      |  CAST(1 + (octet_length(encode(text)) % 2) AS INTEGER) AS channels,
+      |  CAST(coalesce(list_max(list_transform(string_split(text, ''), c -> ord(c))), 0) AS INTEGER) AS peak
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Oracle for [[frameSample]] (ASCII payloads: bytes == chars). */
   def sqlFrameSample: String = {
     val fold = graft.functions.CrossHash.sqlCharFold("substr(text, 1, 16)")

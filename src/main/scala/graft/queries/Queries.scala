@@ -587,7 +587,11 @@ object Queries {
 
     "m2_frame_sample" -> ((
       (spark: SparkSession, sf: String) => Multimodal.frameSample(t(spark, sf, "documents")),
-      Multimodal.sqlFrameSample))
+      Multimodal.sqlFrameSample)),
+
+    "m3_audio_meta" -> ((
+      (spark: SparkSession, sf: String) => Multimodal.audioMeta(t(spark, sf, "documents")),
+      Multimodal.sqlAudioMeta))
   )
 
   val all: Map[String, (Q, String)] = core ++ glue ++ pipeline
