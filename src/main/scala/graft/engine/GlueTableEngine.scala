@@ -317,7 +317,15 @@ final class GlueTableEngine(
     // Top-down so the Filter case sees the still-unresolved relation
     // below it and can attach pruning predicates before the bare
     // relation case would rewrite it unpruned.
+    // CTE definitions live OUTSIDE UnresolvedWith.children, so they
+    // must be recursed explicitly — this is where the reference's
+    // top-level-WHERE-only pruning silently skipped CTE bodies
+    // (SURVEY §2a#5); we rewrite (and prune) inside them too.
     def rewrite(p: LogicalPlan): LogicalPlan = p.transformDownWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (name, sub, maxRec) =>
+          (name, rewrite(sub).asInstanceOf[SubqueryAlias], maxRec)
+        })
       case f @ Filter(cond, child) =>
         // Peel SubqueryAlias to find a relation right below the filter.
         def relationBelow(n: LogicalPlan): Option[UnresolvedRelation] = n match {

@@ -457,6 +457,24 @@ object Queries {
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    "g13_cte_glue" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """WITH af AS (
+            |  SELECT l_orderkey, l_quantity FROM glue.default.lineitem_part
+            |  WHERE l_returnflag = 'A')
+            |SELECT o.o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(af.l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+            |FROM af JOIN glue.default.orders_flat o ON af.l_orderkey = o.o_orderkey
+            |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+      },
+      """WITH af AS (
+        |  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'A')
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(af.l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+        |FROM af JOIN orders o ON af.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)

@@ -42,6 +42,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want) // reference would emit A AND R -> zero files
   }
 
+  test("glue refs inside CTEs resolve and prune (reference test corpus: multiple CTEs)") {
+    val got = engine.query(
+      """WITH a AS (SELECT l_orderkey FROM glue.default.lineitem_part WHERE l_returnflag = 'A'),
+        |     r AS (SELECT l_orderkey FROM glue.default.lineitem_part WHERE l_returnflag = 'R')
+        |SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM r) AS nr""".stripMargin)
+      .collect().head
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    assert(got.getLong(0) == li.filter(col("l_returnflag") === "A").count())
+    assert(got.getLong(1) == li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("glue ref inside a derived-table subquery resolves") {
+    val n = engine.query(
+      """SELECT count(*) AS n FROM (
+        |  SELECT * FROM glue.default.orders_flat WHERE o_orderstatus = 'F') t""".stripMargin)
+      .collect().head.getLong(0)
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(n == want)
+  }
+
   test("case-insensitive GLUE catalog (reference src/sql-transformer.ts:71)") {
     val n = engine.query("SELECT count(*) AS n FROM GLUE.default.orders_flat")
       .collect().head.getLong(0)
