@@ -33,8 +33,10 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+      // failures are reported as -1, never as a (fast) fake timing
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt
     }

@@ -85,7 +85,7 @@ final class GlueTableEngine(
     */
   def files(database: String, table: String, versionOffset: Int = 0): Seq[S3FileInfo] = {
     val meta = tableMetadata(database, table)
-    val key = s"${database}_${table}_v$versionOffset"
+    val key = s"$database.$table#v$versionOffset" // '.'/'#' delimiters: unambiguous for names with underscores
     listingCache.get(key) {
       Retry.withRetry() {
         meta.tableType match {
@@ -192,23 +192,22 @@ final class GlueTableEngine(
     val meta = tableMetadata(database, table)
     val all = files(database, table).map(_.path)
     val kept = if (predicates.isEmpty) all else prunedFiles(database, table, predicates)
-    if (kept.isEmpty && all.nonEmpty) readFiles(meta, all).limit(0)
-    else readFiles(meta, kept)
+    if (kept.isEmpty && all.nonEmpty) {
+      meta.tableType match {
+        // A Hive listing can prune to empty spuriously (URI-escaped
+        // partition values differ from the user's literal); fall back
+        // to the full file set — Spark's own partition filters, which
+        // unescape properly, still prune at planning, so a genuinely
+        // empty selection stays cheap.
+        case TableType.Hive => readFiles(meta, all)
+        case _              => readFiles(meta, all).limit(0)
+      }
+    } else readFiles(meta, kept)
   }
 
   // ---------------------------------------------------------------- SQL path
 
-  private case class GlueRef(database: String, table: String)
-
-  private def glueRef(parts: Seq[String]): Option[GlueRef] =
-    if (parts.headOption.exists(_.equalsIgnoreCase("glue"))) {
-      parts.length match {
-        case 2 => Some(GlueRef("default", parts(1))) // schema defaults (reference: src/sql-transformer.ts:165-167)
-        case 3 => Some(GlueRef(parts(1), parts(2)))
-        case n => throw new IllegalArgumentException(
-          s"Invalid Glue table reference (expected glue.db.table): ${parts.mkString(".")} ($n parts)")
-      }
-    } else None
+  private def glueRef(parts: Seq[String]): Option[GlueRefId] = GlueRefId.parse(parts)
 
   /** All glue refs in a SQL string (≈ reference
     * `getQueryGlueTableRefs`, src/sql-transformer.ts:63-78).
@@ -273,7 +272,8 @@ final class GlueTableEngine(
     spark.sql(s"DECLARE OR REPLACE VARIABLE $varName ARRAY<STRING>")
     val arr =
       if (paths.isEmpty) "CAST(array() AS ARRAY<STRING>)"
-      else paths.map(p => "'" + p.replace("'", "''") + "'").mkString("array(", ", ", ")")
+      else paths.map(p => "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'")
+        .mkString("array(", ", ", ")")
     spark.sql(s"SET VARIABLE $varName = $arr")
     varName
   }
@@ -282,18 +282,37 @@ final class GlueTableEngine(
     * keeping every other node untouched.
     */
   private def rewriteWithPruning(plan: LogicalPlan): LogicalPlan = {
-    def partitionConjuncts(cond: Expression, keys: Set[String]): Seq[Column] = {
+    def partitionConjuncts(cond: Expression, keys: Set[String],
+        allowedQualifiers: Set[String]): Seq[Column] = {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
       def split(e: Expression): Seq[Expression] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+        case ce.And(l, r) => split(l) ++ split(r)
         case other => Seq(other)
       }
+      // Structural whitelist: only plain comparison shapes over this
+      // relation's partition attributes and literals may prune. This
+      // rejects (a) correlated/outer-qualified attributes that merely
+      // share a column name with a partition key, and (b) unresolved
+      // functions (rand() etc. report deterministic=true before
+      // resolution, so a deterministic check alone is ineffective).
+      def allowedNode(e: Expression): Boolean = e match {
+        case _: Literal | _: UnresolvedAttribute => true
+        case _: ce.And | _: ce.Or | _: ce.Not => true
+        case _: ce.EqualTo | _: ce.EqualNullSafe | _: ce.GreaterThan |
+             _: ce.GreaterThanOrEqual | _: ce.LessThan | _: ce.LessThanOrEqual |
+             _: ce.In | _: ce.IsNull | _: ce.IsNotNull | _: ce.Cast |
+             _: ce.StartsWith | _: ce.EndsWith | _: ce.Contains => true
+        case _ => false
+      }
+      def attrOk(a: UnresolvedAttribute): Boolean =
+        keys.contains(a.nameParts.last.toLowerCase) &&
+          (a.nameParts.length == 1 ||
+            allowedQualifiers.contains(a.nameParts.init.map(_.toLowerCase).mkString(".")))
       split(cond).flatMap { c =>
         val attrs = c.collect { case a: UnresolvedAttribute => a }
         val onlyPartitionCols = attrs.nonEmpty &&
-          attrs.forall(a => keys.contains(a.nameParts.last.toLowerCase)) &&
-          c.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
-          c.find(e => !e.isInstanceOf[UnresolvedAttribute] && !e.isInstanceOf[Literal] &&
-            !e.deterministic).isEmpty
+          attrs.forall(attrOk) &&
+          c.find(e => !allowedNode(e)).isEmpty
         if (!onlyPartitionCols) None
         else {
           // Strip qualifiers (t.year → year) so the predicate binds to
@@ -309,7 +328,7 @@ final class GlueTableEngine(
 
     // Replace relations bottom-up; at Filter nodes, retry the rewrite
     // of a directly-underlying glue relation with pruning predicates.
-    def relationPlan(ref: GlueRef, preds: Seq[Column]): LogicalPlan = {
+    def relationPlan(ref: GlueRefId, preds: Seq[Column]): LogicalPlan = {
       val df = prunedTableDF(ref.database, ref.table, preds)
       Shim.analyzedPlan(df)
     }
@@ -338,7 +357,15 @@ final class GlueTableEngine(
             val ref = glueRef(u.multipartIdentifier).get
             val keys = tableMetadata(ref.database, ref.table)
               .table.partitionKeys.map(_.name.toLowerCase).toSet
-            val preds = if (keys.isEmpty) Nil else partitionConjuncts(cond, keys)
+            // an aliased relation must be referenced via the alias;
+            // unaliased may use table or db.table qualifiers
+            val quals: Set[String] = child match {
+              case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+              case _ => Set(ref.table.toLowerCase,
+                s"${ref.database}.${ref.table}".toLowerCase,
+                s"glue.${ref.database}.${ref.table}".toLowerCase)
+            }
+            val preds = if (keys.isEmpty) Nil else partitionConjuncts(cond, keys, quals)
             val newRel = relationPlan(ref, preds)
             val newChild = child match {
               case SubqueryAlias(id, _) => SubqueryAlias(id, newRel)
@@ -406,7 +433,7 @@ final class GlueTableEngine(
     */
   def invalidateTable(database: String, table: String): Unit = {
     metaCache.invalidate(s"$database.$table")
-    listingCache.invalidateMatching(s"${database}_$table")
+    listingCache.invalidateMatching(s"$database.$table")
   }
 
   /** ≈ reference `close` (drops caches; the SparkSession is shared

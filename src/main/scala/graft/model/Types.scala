@@ -134,6 +134,27 @@ object ProjectionParser {
   }
 }
 
+/** A parsed `glue.db.tbl` reference. */
+final case class GlueRefId(database: String, table: String)
+
+object GlueRefId {
+  /** Parse a multipart relation identifier as a glue reference.
+    * 1-part names (a CTE/view literally named "glue") are NOT glue
+    * refs; 2-part defaults the database (reference:
+    * src/sql-transformer.ts:165-167); >3 parts throws (reference:
+    * test/sql-transformer.test.ts:150-181).
+    */
+  def parse(parts: Seq[String]): Option[GlueRefId] =
+    if (parts.length >= 2 && parts.head.equalsIgnoreCase("glue")) {
+      parts.length match {
+        case 2 => Some(GlueRefId("default", parts(1)))
+        case 3 => Some(GlueRefId(parts(1), parts(2)))
+        case n => throw new IllegalArgumentException(
+          s"Invalid Glue table reference (expected glue.db.table): ${parts.mkString(".")} ($n parts)")
+      }
+    } else None
+}
+
 object Naming {
   /** Name-mangling rules (reference: src/sql-transformer.ts:283-293):
     * hyphens stripped; view name `GLUE__<db>_<tbl>`.

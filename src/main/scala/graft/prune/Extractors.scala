@@ -50,19 +50,35 @@ object Extractors {
       .replace("mm", raw"\d{2}")
       .replace("ss", raw"\d{2}")
 
+  /** Strip everything up to (and including) the table directory, so
+    * projection regexes see only the partition-relative path. Without
+    * this, a location like `.../2024/events/` would satisfy the
+    * integer-projection regex before the actual partition dir — a
+    * deliberate soundness improvement over the reference, whose
+    * regexes scan the full path (src/util/glue.ts:155-161).
+    */
+  def relativize(location: Option[String])(path: Column): Column =
+    location.map(_.stripSuffix("/").split("/").last).filter(_.nonEmpty) match {
+      case Some(lastSeg) =>
+        regexp_replace(path,
+          "^.*?" + java.util.regex.Pattern.quote("/" + lastSeg + "/"), "/")
+      case None => path
+    }
+
   /** Extractor for one partition key of a table (dispatch port of
     * reference: src/util/glue.ts:136-175). Injected projection is
     * explicitly unsupported, matching the reference
     * (src/util/glue.ts:163-166).
     */
   def forKey(meta: CachedTableMetadata, key: String): Column => Column = {
+    val rel = relativize(meta.table.location) _
     meta.tableType match {
       case TableType.GlueProjected =>
         val pattern: Option[ProjectionPattern] = meta.projectionPatterns.flatMap(_.get(key))
         pattern.map(_.ptype) match {
-          case Some("date")     => dateProjection(pattern.flatMap(_.format))
-          case Some("integer")  => integerProjection
-          case Some("enum")     => enumProjection
+          case Some("date")     => p => dateProjection(pattern.flatMap(_.format))(rel(p))
+          case Some("integer")  => p => integerProjection(rel(p))
+          case Some("enum")     => p => enumProjection(rel(p))
           case Some("injected") =>
             throw new UnsupportedOperationException(
               s"Injected projection values not supported yet for partition key $key")

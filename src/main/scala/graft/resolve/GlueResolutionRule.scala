@@ -35,18 +35,12 @@ class GlueResolutionRule(session: SparkSession) extends Rule[LogicalPlan] {
     case Some(eng) =>
       plan.resolveOperatorsUp {
         case u: UnresolvedRelation
-            if u.multipartIdentifier.headOption.exists(_.equalsIgnoreCase("glue")) =>
-          val parts = u.multipartIdentifier
-          val (db, tbl) = parts.length match {
-            case 2 => ("default", parts(1))
-            case 3 => (parts(1), parts(2))
-            case n => throw new IllegalArgumentException(
-              s"Invalid Glue table reference (expected glue.db.table): ${parts.mkString(".")} ($n parts)")
-          }
+            if graft.model.GlueRefId.parse(u.multipartIdentifier).isDefined =>
+          val ref = graft.model.GlueRefId.parse(u.multipartIdentifier).get
           // Full (unpruned) relation; Catalyst's own
           // PruneFileSourcePartitions prunes the basePath-discovered
           // partitions of Hive-layout tables from any filters above.
-          org.apache.spark.sql.graft.Shim.analyzedPlan(eng.tableDF(db, tbl))
+          org.apache.spark.sql.graft.Shim.analyzedPlan(eng.tableDF(ref.database, ref.table))
       }
   }
 }

@@ -42,14 +42,19 @@ object EventStreams {
   def sessionCounts(events: Dataset[Event]): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000000L
+    // full microsecond precision: Timestamp.getTime is ms-truncated,
+    // the sub-ms micros live in getNanos — without them, session-gap
+    // decisions diverge from the µs-exact batch query at the boundary
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessState, SessionAgg](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
           var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
           // within a micro-batch, order by event time like the batch query
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val tsUs = e.ts.getTime * 1000L
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val tsUs = micros(e.ts)
             val newSession = s.lastTsUs == Long.MinValue || tsUs - s.lastTsUs > gapUs
             s = SessState(tsUs, s.sessions + (if (newSession) 1 else 0), s.events + 1)
           }

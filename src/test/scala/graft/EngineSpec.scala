@@ -124,6 +124,63 @@ class EngineSpec extends AnyFunSuite {
     assert(latest.forall(p => p.endsWith(".parquet") && !p.contains("metadata")))
   }
 
+  test("a CTE literally named 'glue' is not treated as a glue ref") {
+    val n = engine.query("WITH glue AS (SELECT 1 AS x) SELECT count(*) AS n FROM glue")
+      .collect().head.getLong(0)
+    assert(n == 1)
+  }
+
+  test("outer-qualified predicates do not prune a correlated glue scan") {
+    // l2.l_returnflag refers to the OUTER relation; the inner scan of
+    // lineitem_part must NOT be pruned by it
+    val rows = engine.query(
+      """SELECT l2.l_returnflag,
+        |  (SELECT count(*) FROM glue.default.lineitem_part WHERE l2.l_returnflag = 'A') AS cnt
+        |FROM (SELECT DISTINCT l_returnflag FROM glue.default.lineitem_part) l2
+        |ORDER BY l2.l_returnflag""".stripMargin).collect()
+    val total = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet").count()
+    rows.foreach { r =>
+      val expected = if (r.getString(0) == "A") total else 0L
+      assert(r.getLong(1) == expected, s"flag=${r.getString(0)}")
+    }
+  }
+
+  test("nondeterministic predicates never prune the file listing") {
+    // rand() is unresolved at rewrite time (reports deterministic);
+    // the structural whitelist must reject it, so the scan keeps all
+    // files and the retained row filter decides
+    val df = engine.query(
+      "SELECT count(*) AS n FROM glue.default.lineitem_part " +
+        "WHERE l_returnflag = CASE WHEN rand() < 2 THEN 'A' ELSE 'R' END")
+    assert(df.collect().head.getLong(0) ==
+      spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+        .filter(col("l_returnflag") === "A").count())
+  }
+
+  test("projection extractors ignore numeric segments in the location prefix") {
+    import graft.model._
+    val meta = CachedTableMetadata(0L, TableType.GlueProjected,
+      GlueTable("d", "t", Some("/data/2024/events_by_month/"),
+        Seq(ColumnDef("m")), Map("projection.enabled" -> "true", "projection.m.type" -> "integer")),
+      projectionPatterns = Some(Map("m" -> ProjectionPattern("integer"))))
+    import spark.implicits._
+    val got = Seq("/data/2024/events_by_month/3/part-0.parquet")
+      .toDF("path")
+      .select(graft.prune.Extractors.forKey(meta, "m")(col("path")).as("m"))
+      .collect().head.getInt(0)
+    assert(got == 3) // not 2024
+  }
+
+  test("underscore table names get distinct listing cache entries") {
+    val cat = new FixtureCatalog()
+      .register(GlueTable("a", "b_c", Some(TestFixtures.flatOrders(spark, TestSpark.sfDir))))
+      .register(GlueTable("a_b", "c", Some(TestFixtures.hiveLineitem(spark, TestSpark.sfDir))))
+    val eng = new GlueTableEngine(spark, cat)
+    val f1 = eng.files("a", "b_c").map(_.path).toSet
+    val f2 = eng.files("a_b", "c").map(_.path).toSet
+    assert(f1 != f2 && f1.nonEmpty && f2.nonEmpty)
+  }
+
   test("lister skips folder markers and metadata files (reference src/util/s3.ts:51-53)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "listertest").toFile
