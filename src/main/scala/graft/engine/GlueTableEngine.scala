@@ -270,10 +270,18 @@ final class GlueTableEngine(
     val varName = Naming.filesVarName(database, table)
     val paths = prunedFiles(database, table, predicates)
     spark.sql(s"DECLARE OR REPLACE VARIABLE $varName ARRAY<STRING>")
+    // Quote-doubling ('' for ') parses in every Spark string-literal
+    // mode; backslashes are escape chars only while
+    // escapedStringLiterals is off, so double them only then.
+    val rawLiterals =
+      spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
+    def quote(p: String): String = {
+      val b = if (rawLiterals) p else p.replace("\\", "\\\\")
+      "'" + b.replace("'", "''") + "'"
+    }
     val arr =
       if (paths.isEmpty) "CAST(array() AS ARRAY<STRING>)"
-      else paths.map(p => "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'")
-        .mkString("array(", ", ", ")")
+      else paths.map(quote).mkString("array(", ", ", ")")
     spark.sql(s"SET VARIABLE $varName = $arr")
     varName
   }
@@ -333,6 +341,13 @@ final class GlueTableEngine(
       Shim.analyzedPlan(df)
     }
 
+    // An unaliased relation keeps its name qualifiers after rewrite:
+    // SELECT tbl.col / db.tbl.col / glue.db.tbl.col must still
+    // resolve, so wrap the bare parquet plan the same way Spark's
+    // SessionCatalog wraps catalog tables.
+    def qualified(ref: GlueRefId, plan: LogicalPlan): LogicalPlan =
+      SubqueryAlias(Seq("glue", ref.database, ref.table), plan)
+
     // Top-down so the Filter case sees the still-unresolved relation
     // below it and can attach pruning predicates before the bare
     // relation case would rewrite it unpruned.
@@ -369,13 +384,14 @@ final class GlueTableEngine(
             val newRel = relationPlan(ref, preds)
             val newChild = child match {
               case SubqueryAlias(id, _) => SubqueryAlias(id, newRel)
-              case _ => newRel
+              case _ => qualified(ref, newRel)
             }
             Filter(cond, newChild)
           case _ => f
         }
       case u: UnresolvedRelation if glueRef(u.multipartIdentifier).isDefined =>
-        relationPlan(glueRef(u.multipartIdentifier).get, Nil)
+        val ref = glueRef(u.multipartIdentifier).get
+        qualified(ref, relationPlan(ref, Nil))
     }
     rewrite(plan)
   }

@@ -15,9 +15,24 @@ object Extractors {
 
   /** Hive layout: `.../key=value/...`
     * (reference: src/util/glue.ts:173-174).
+    *
+    * Values are Hive-escaped in the path (Spark escapes `=`, `:`,
+    * `%`, quotes, … as `%XX` when writing `key=value` dirs), so the
+    * raw extract must be unescaped before it can be compared with
+    * user literals — otherwise `key = 'a=b'` never matches the dir
+    * `key=a%3Db` and listing-level pruning silently drops rows.
+    * Hive's `%XX` scheme is URL-decoding without the `+`-means-space
+    * rule, so protect literal `+` first, then `url_decode`; a value
+    * that still fails to decode (stray `%` from a non-Hive writer)
+    * passes through unchanged. `__HIVE_DEFAULT_PARTITION__` maps to
+    * null, matching Spark's own partition discovery.
     */
-  def hive(key: String)(path: Column): Column =
-    regexp_extract(path, java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
+  def hive(key: String)(path: Column): Column = {
+    val raw = regexp_extract(path, java.util.regex.Pattern.quote(key) + "=([^/]+)", 1)
+    val decoded = coalesce(try_url_decode(regexp_replace(raw, raw"\+", "%2B")), raw)
+    when(raw === lit("__HIVE_DEFAULT_PARTITION__"), lit(null).cast("string"))
+      .otherwise(decoded)
+  }
 
   /** Date projection: SimpleDateFormat → regex, extract first match
     * (reference: src/util/glue.ts:148-153; default format

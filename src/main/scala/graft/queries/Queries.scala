@@ -32,17 +32,20 @@ object Queries {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec2("l_quantity")).as("sum_qty"),
-            sum(dec2("l_extendedprice")).as("sum_base"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc"),
+            // decimal sums are exact; the final cast to double is one
+            // correctly-rounded conversion, identical in both engines
+            // (decimal outputs hash-mismatch at the driver layer)
+            sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+            sum(dec2("l_extendedprice")).cast("double").as("sum_base"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc"),
             round(sum(dec2("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,12 +72,12 @@ object Queries {
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("revenue"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"),
             count(lit(1)).as("n"))
           .orderBy("c_mktsegment")
       },
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -86,10 +89,10 @@ object Queries {
         c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name")
-          .agg(count(lit(1)).as("n_cust"), sum(dec2("c_acctbal")).as("tot_bal"))
+          .agg(count(lit(1)).as("n_cust"), sum(dec2("c_acctbal")).cast("double").as("tot_bal"))
           .orderBy("r_name")
       },
-      """SELECT r_name, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS tot_bal
+      """SELECT r_name, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS tot_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
@@ -166,7 +169,7 @@ object Queries {
         t(spark, sf, "orders")
           .withColumn("rn", row_number().over(w))
           .withColumn("run_tot", sum(dec2("o_totalprice"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
           .filter(col("rn") <= 3)
           .select("o_custkey", "rn", "o_orderkey", "run_tot")
           .orderBy("o_custkey", "rn")
@@ -174,7 +177,7 @@ object Queries {
       """SELECT o_custkey, rn, o_orderkey, run_tot FROM (
         |  SELECT o_custkey, o_orderkey,
         |    CAST(row_number() OVER w AS INTEGER) AS rn,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS run_tot
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_tot
         |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
@@ -224,12 +227,16 @@ object Queries {
     "q13_hourly_events" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.events(spark, sf)
-          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(dec2("value")).as("sv"))
+          // the hour bucket goes out as a formatted string: timestamp
+          // columns (like decimals) hash differently across the
+          // driver's two readers even when values are equal
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec2("value")).cast("double").as("sv"))
           .orderBy("h", "event_type")
       },
-      """SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
 
     "q14_sessionize" -> ((
@@ -300,7 +307,7 @@ object Queries {
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
             coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -308,7 +315,7 @@ object Queries {
           .orderBy("rf", "ls")
       },
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin)),
 
@@ -348,11 +355,11 @@ object Queries {
     "g1_glue_prune" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(
-          """SELECT l_linestatus, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          """SELECT l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
             |FROM glue.default.lineitem_part WHERE l_returnflag = 'A'
             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
       },
-      """SELECT l_linestatus, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+      """SELECT l_linestatus, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
@@ -375,10 +382,10 @@ object Queries {
         val eng = TestFixtures.engineFor(spark, sf)
         eng.setupFor("SELECT * FROM glue.default.orders_flat")
         spark.sql(
-          """SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+          """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
             |FROM GLUE__default_orders_flat GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
       },
-      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS tot
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     "g4_proj_date" -> ((
@@ -404,20 +411,20 @@ object Queries {
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).tableDF("default", "iceberg_lineitem")
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
           .orderBy("l_returnflag")
       },
-      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     "g7_iceberg_travel" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).tableDF("default", "iceberg_lineitem", versionOffset = 1)
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).as("q"))
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
           .orderBy("l_returnflag")
       },
-      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -431,21 +438,21 @@ object Queries {
     "g10_proj_integer" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(
-          """SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sv
+          """SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
             |FROM glue.default.events_by_month WHERE m = 1
             |GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
-      """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sv
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events WHERE date_part('month', ts) = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     "g11_csv_source" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(
-          """SELECT o_orderstatus, count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+          """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
             |FROM glue.default.orders_csv GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
       },
-      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS tot
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     "g12_json_source" -> ((
@@ -464,14 +471,14 @@ object Queries {
             |  SELECT l_orderkey, l_quantity FROM glue.default.lineitem_part
             |  WHERE l_returnflag = 'A')
             |SELECT o.o_orderpriority, count(*) AS n,
-            |  CAST(sum(CAST(af.l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+            |  CAST(sum(CAST(af.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
             |FROM af JOIN glue.default.orders_flat o ON af.l_orderkey = o.o_orderkey
             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
       },
       """WITH af AS (
         |  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'A')
         |SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(af.l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS q
+        |  CAST(SUM(CAST(af.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM af JOIN orders o ON af.l_orderkey = o.o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
