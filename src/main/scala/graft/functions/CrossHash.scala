@@ -101,6 +101,9 @@ object CrossHash {
   def shinglesFast(text: Column, n: Int): Column =
     Shim.column(ShinglesExpr(Shim.expression(text), n))
 
+  def sortedShingleHashesFast(text: Column, n: Int): Column =
+    Shim.column(ShingleHashesExpr(Shim.expression(text), n))
+
   def fingerprintFast(text: Column, n: Int): Column =
     Shim.column(FingerprintExpr(Shim.expression(text), n))
 

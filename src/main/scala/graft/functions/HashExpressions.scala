@@ -127,6 +127,16 @@ object HashOps {
     if (hs.isEmpty) -1L else hs.min
   }
 
+  /** Distinct shingle hashes as a sorted-ascending set — the bottom-k
+    * prefix of this array drives the exact prefix-filter join in
+    * Dedup.minhashPairs.
+    */
+  def sortedShingleHashesData(t: UTF8String, n: Int): ArrayData = {
+    val hs = shingleHashes(t.toString, n).distinct
+    java.util.Arrays.sort(hs)
+    new GenericArrayData(hs.map(Long.box))
+  }
+
   def cosineData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -183,6 +193,21 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** array<bigint>: distinct word n-gram shingle hashes, sorted
+  * ascending (a set in hash order; single pass).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.sortedShingleHashesData(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.sortedShingleHashesData($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes_sorted"
 }
 
 /** bigint: min rolling shingle hash (document fingerprint); -1 when

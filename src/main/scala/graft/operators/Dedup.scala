@@ -52,26 +52,79 @@ object Dedup {
         concat_ws(",", minhashSigFast(col("text"), 3).cast("array<string>")).as("sig"))
       .orderBy("doc_id")
 
-  /** Near-duplicate pairs via MinHash LSH over word-trigram shingles:
-    * each of the K minhash values is a 1-row band; docs sharing any
-    * band value become candidates (shuffle join on (band, value));
-    * candidates are verified with exact Jaccard and kept at
-    * `threshold`. With K=16 bands, P(miss) at j=0.8 is (1-0.8)^16 ~
-    * 6.6e-12 — the result matches the exact quadratic oracle.
+  /** Near-duplicate pairs at exact Jaccard >= `threshold` over
+    * word-trigram shingles, candidates from the minhash *bottom-k
+    * prefix filter* (AllPairs/PPJoin family, Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08): sort each doc's distinct shingle hashes
+    * ascending — a global total order, so this is the doc's bottom-k
+    * minhash sketch with k = |d| - ceil(t*|d|) + 1 — and two docs can
+    * reach Jaccard t only if their bottom-k prefixes SHARE a hash
+    * (the smallest common element provably lands in both prefixes).
+    * Candidates therefore come from a shuffle join on prefix hashes,
+    * plus the length filter t*max(|a|,|b|) <= min(|a|,|b|); exact
+    * Jaccard verification keeps pairs at `threshold`.
     *
-    * The band join carries only (band, value, doc_id); shingle arrays
-    * are joined back per side AFTER pair dedup, so the shuffle volume
-    * is O(candidate pairs) ints, not arrays.
+    * vs banded LSH ([[minhashPairsBanded]]): banding with 1-row bands
+    * yields ~K*avg_jaccard*n^2/2 false candidates — on corpora with a
+    * shared vocabulary that is a quadratic blowup (observed: 27% of
+    * ALL pairs become candidates at avg j=0.02). The prefix filter
+    * admits a pair only on a shared *rare-end* hash, is exact (no
+    * (1-t)^K miss probability), and its join keys are the same
+    * O(#docs * (1-t)|d|) ints. One extra prefix slot absorbs a
+    * same-doc hash collision, keeping completeness of the filter even
+    * across charFold collisions (verification is on shingle strings,
+    * so precision is unconditional).
     */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    prefixJaccardPairs(docs, 3, threshold)
+
+  /** Exact prefix-filter Jaccard join (see [[minhashPairs]]). */
+  private[graft] def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val base = spread(docs).select(
+      col("doc_id"),
+      shinglesFast(col("text"), n).as("sh"),
+      sortedShingleHashesFast(col("text"), n).as("hs"))
+    val withN = base.withColumn("nh", size(col("hs")))
+    // prefix = |d| - ceil(t|d|) + 1 smallest hashes, +1 collision slack
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold)) + lit(2)).cast("int")
+    val pref = withN.select(col("doc_id"), col("nh"),
+      explode(slice(col("hs"), lit(1), plen)).as("h"))
+    // Equi-join on the prefix hash via using-columns so the planner is
+    // guaranteed a hash join; ordering and length filters are
+    // post-filters (folding them into the join condition risks a
+    // nested-loop plan).
+    val cand = pref.select(col("h"), col("doc_id").as("a"), col("nh").as("na"))
+      .join(pref.select(col("h"), col("doc_id").as("b"), col("nh").as("nb")), Seq("h"))
+      .filter(col("a") < col("b") &&
+        greatest(col("na"), col("nb")) * lit(threshold) <= least(col("na"), col("nb")) + lit(1))
+      .select("a", "b")
+      .distinct()
+    val sh = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+      .withColumn("jac",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** Near-duplicate pairs via classic MinHash band LSH (1-row bands):
+    * docs sharing any of the K minhash values become candidates
+    * (shuffle join on (band, value)), verified with exact Jaccard.
+    * With K=16 bands, P(miss) at j=0.8 is (1-0.8)^16 ~ 6.6e-12 — in
+    * practice this equals the exact result, but candidate volume
+    * scales with K*avg_jaccard*n^2/2, so prefer [[minhashPairs]]
+    * unless average cross-doc similarity is known to be tiny.
+    */
+  def minhashPairsBanded(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sigs = spread(docs).select(
       col("doc_id"),
       shinglesFast(col("text"), 3).as("sh"),
       minhashSigFast(col("text"), 3).as("sig"))
     val banded = sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "v")))
-    // Equi-join on (band, v) via using-columns so the planner is
-    // guaranteed a hash join; the a<b ordering is a post-filter
-    // (folding it into the join condition risks a nested-loop plan).
     val cand = banded.withColumnRenamed("doc_id", "a")
       .join(banded.withColumnRenamed("doc_id", "b"), Seq("band", "v"))
       .filter(col("a") < col("b"))
