@@ -220,6 +220,78 @@ class EngineSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(_.contains("o_orderstatus=F")))
   }
 
+  test("escaped and null partition values prune correctly (Hive %XX dirs)") {
+    import spark.implicits._
+    // Spark escapes '=', ':', '%', … when writing key=value dirs and
+    // writes nulls as __HIVE_DEFAULT_PARTITION__; the listing must
+    // unescape before comparing with user literals.
+    val df = Seq(
+      ("a=b", 1), ("a=b", 2), ("c:d", 3), ("plain", 4), (null: String, 5)
+    ).toDF("k", "v")
+    val loc = "/root/repo/target/fixtures/sf0_001/escaped_parts"
+    engine.writeTable(df, "default", "escaped_parts", loc, partitionBy = Seq("k"))
+
+    val listing = engine.listingDF("default", "escaped_parts")
+    val vals = listing.select("k").distinct().collect().map(_.getString(0)).toSet
+    assert(vals == Set("a=b", "c:d", "plain", null))
+
+    // single escaped value
+    val p1 = engine.prunedFiles("default", "escaped_parts", Seq(col("k") === "a=b"))
+    assert(p1.nonEmpty && p1.forall(_.contains("k=a%3Db")))
+    // disjunction mixing an escaped and an unescaped value must keep BOTH
+    val p2 = engine.prunedFiles("default", "escaped_parts",
+      Seq(col("k") === "a=b" || col("k") === "plain"))
+    assert(p2.exists(_.contains("k=a%3Db")) && p2.exists(_.contains("k=plain")))
+    // IS NULL OR value: default-partition dir must survive the prune
+    val p3 = engine.prunedFiles("default", "escaped_parts",
+      Seq(col("k").isNull || col("k") === "c:d"))
+    assert(p3.exists(_.contains("__HIVE_DEFAULT_PARTITION__")) &&
+      p3.exists(_.contains("k=c%3Ad")))
+
+    // end-to-end through the SQL path: rows behind escaped dirs survive
+    val got = engine.query(
+      "SELECT sum(v) AS s FROM glue.default.escaped_parts " +
+        "WHERE k = 'a=b' OR k = 'plain'").collect().head.getLong(0)
+    assert(got == 1 + 2 + 4)
+    val gotNull = engine.query(
+      "SELECT sum(v) AS s FROM glue.default.escaped_parts " +
+        "WHERE k IS NULL OR k = 'c:d'").collect().head.getLong(0)
+    assert(gotNull == 3 + 5)
+  }
+
+  test("table-qualified columns resolve after rewrite (unaliased relation)") {
+    val rows = engine.query(
+      """SELECT lineitem_part.l_quantity FROM glue.default.lineitem_part
+        |WHERE lineitem_part.l_returnflag = 'A'
+        |ORDER BY lineitem_part.l_quantity LIMIT 3""".stripMargin).collect()
+    assert(rows.length == 3)
+    val qualified = engine.query(
+      "SELECT count(*) AS n FROM glue.default.lineitem_part " +
+        "WHERE glue.default.lineitem_part.l_returnflag = 'A'")
+      .collect().head.getLong(0)
+    assert(qualified ==
+      spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+        .filter(col("l_returnflag") === "A").count())
+  }
+
+  test("files variable survives quotes in paths in every literal mode") {
+    val dir = new java.io.File("/root/repo/target/fixtures/sf0_001/quote'dir")
+    dir.mkdirs()
+    import spark.implicits._
+    Seq((1, "x")).toDF("id", "s").write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val cat = new FixtureCatalog().register(
+      GlueTable("d", "qt", Some(dir.getAbsolutePath)))
+    val eng = new GlueTableEngine(spark, cat)
+    for (mode <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+      try {
+        val v = eng.setFilesVariable("d", "qt")
+        val n = spark.sql(s"SELECT size($v) AS n").collect().head.getInt(0)
+        assert(n >= 1, s"mode=$mode")
+      } finally spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    }
+  }
+
   test("proxy address rewrites s3 paths (reference src/glue-table-cache.ts:54-65)") {
     val cat = new FixtureCatalog().register(
       GlueTable("d", "t", Some("s3://bucket/prefix/")))
