@@ -150,10 +150,21 @@ final class GlueTableEngine(
   private def readPaths(meta: CachedTableMetadata, basePath: Option[String],
       paths: Seq[String]): DataFrame = {
     val reader0 = spark.read
-    val reader = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
+    val reader1 = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
+    // Catalog-declared columns (Glue StorageDescriptor.Columns) make
+    // the read schema-first: no CSV/JSON inference scan, no parquet
+    // footer merge — mandatory at scale, where an inference pass over
+    // the data would read the whole table once before the query.
+    val declared = Option(meta.table.columns).filter(_.nonEmpty).map { cols =>
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.DataType.fromDDL(c.dataType))))
+    }
+    val reader = declared.fold(reader1)(reader1.schema)
     meta.table.parameters.getOrElse("classification", "parquet").toLowerCase match {
       case "csv" =>
-        reader.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+        val r = reader.option("header", "true")
+        (if (declared.isEmpty) r.option("inferSchema", "true") else r).csv(paths: _*)
       case "json" => reader.json(paths: _*)
       case _      => reader.parquet(paths: _*)
     }

@@ -245,10 +245,16 @@ object TestFixtures {
         "projection.lang.values" -> "de,en,es,fr,zh")))
     cat.register(GlueTable("default", "iceberg_lineitem", Some(icebergLineitem(spark, sfDir)),
       parameters = Map("table_type" -> "ICEBERG")))
+    // declared columns (same types CSV/JSON inference yields, so
+    // results are identical) — the reader skips the inference scan
     cat.register(GlueTable("default", "orders_csv", Some(ordersCsv(spark, sfDir)),
-      parameters = Map("classification" -> "csv")))
+      parameters = Map("classification" -> "csv"),
+      columns = Seq(ColumnDef("o_orderkey", "bigint"), ColumnDef("o_custkey", "bigint"),
+        ColumnDef("o_orderstatus", "string"), ColumnDef("o_totalprice", "double"))))
     cat.register(GlueTable("default", "nation_json", Some(nationJson(spark, sfDir)),
-      parameters = Map("classification" -> "json")))
+      parameters = Map("classification" -> "json"),
+      columns = Seq(ColumnDef("n_nationkey", "bigint"), ColumnDef("n_name", "string"),
+        ColumnDef("n_regionkey", "bigint"))))
     cat.register(GlueTable("default", "empty_tbl", Some(emptyTable(sfDir))))
     cat
   }

@@ -29,14 +29,19 @@ final case class ColumnDef(name: String, dataType: String = "string")
 
 /** Catalog entry — the subset of an AWS Glue `Table` the engine uses
   * (reference: src/util/glue.ts:21-50): name, database, storage
-  * location, partition keys, free-form parameters.
+  * location, partition keys, free-form parameters. `columns` are the
+  * catalog-declared data columns (Glue `StorageDescriptor.Columns`,
+  * Hive type strings); when present the reader trusts them instead of
+  * inferring schema by scanning — at catalog scale an inference pass
+  * over the data is never acceptable.
   */
 final case class GlueTable(
     database: String,
     name: String,
     location: Option[String],
     partitionKeys: Seq[ColumnDef] = Nil,
-    parameters: Map[String, String] = Map.empty)
+    parameters: Map[String, String] = Map.empty,
+    columns: Seq[ColumnDef] = Nil)
 
 /** Partition-projection pattern parsed from Glue table parameters
   * `projection.<col>.<prop>` (reference: src/types.ts:35-40,
