@@ -89,6 +89,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a deterministic coarse quantizer: the "centroid" of
+    * each inverted list (= label partition) is a SEED VECTOR — the
+    * member with the smallest vec_id — rather than a float mean, so
+    * routing is exactly reproducible across engines (seed-point
+    * quantizers are the standard k-means init; routing quality is
+    * equivalent at nprobe>=2). Query flow is identical to [[ivfTopK]]:
+    * rank seeds by cosine, probe the top `nprobe` lists, exact-rank
+    * only those partitions. At scale the label is a partitioning key,
+    * so a probe touches nprobe/nlist of the data.
+    */
+  def ivfTopKSeeded(emb: DataFrame, queryVecId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    val seeds = emb.groupBy("label").agg(min("vec_id").as("seed_id"))
+    val sv = seeds.join(
+      emb.select(col("vec_id").as("seed_id"), col("embedding").as("se")), "seed_id")
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    val probed = sv.crossJoin(broadcast(q))
+      .select(col("label"), cosineFast(col("se"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("label")).limit(nprobe)
+      .select("label")
+    emb.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN via LSH: candidates = vectors in the query's bucket; rank
     * candidates by exact cosine, keep top-k. (Single-probe; multiprobe
     * = also scan buckets at hamming distance 1 — left as the recall

@@ -577,12 +577,22 @@ object Queries {
          |FROM eb e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
 
-    // rows-only check (centroid training uses float avg, which is not
-    // order-deterministic across engines; quality asserted by the
-    // recall spec instead)
+    // deterministic seed-vector coarse quantizer -> exactly
+    // replicable in DuckDB (mean-centroid ivfTopK stays recall-tested
+    // in DedupSpec)
     "s3_ann_ivf" -> ((
-      (spark: SparkSession, sf: String) => Similarity.ivfTopK(t(spark, sf, "embeddings"), 0L, 10),
-      null)),
+      (spark: SparkSession, sf: String) => Similarity.ivfTopKSeeded(t(spark, sf, "embeddings"), 0L, 10),
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |seeds AS (SELECT label, min(vec_id) AS seed_id FROM embeddings GROUP BY label),
+         |sv AS (SELECT s.label, e.embedding AS se FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
+         |probed AS (
+         |  SELECT sv.label FROM sv, q
+         |  ORDER BY ${VectorFunctions.sqlDot("se", "qe")} / (${VectorFunctions.sqlNorm("se")} * ${VectorFunctions.sqlNorm("qe")}) DESC, sv.label
+         |  LIMIT 2)
+         |SELECT e.vec_id, round(${VectorFunctions.sqlDot("e.embedding", "qe")} / (${VectorFunctions.sqlNorm("e.embedding")} * ${VectorFunctions.sqlNorm("qe")}), 6) AS cos
+         |FROM embeddings e JOIN probed USING (label), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     "t1_token_stats" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),
