@@ -148,7 +148,16 @@ object Dedup {
     * pair with jaccard > 0 (shared >= 1), so thresholding is exact —
     * same result as the quadratic oracle, at inverted-index cost.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame =
+    prefixJaccardPairs(docs, n, threshold)
+
+  /** n-gram Jaccard via the full inverted index (every shingle is a
+    * join key, shared counts by groupBy). Exact, but candidate volume
+    * is sum(df^2) over shingle document frequencies — common shingles
+    * make that quadratic, so prefer the prefix-filter path
+    * ([[ngramJaccardPairs]]) beyond small corpora.
+    */
+  def ngramJaccardPairsInverted(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val sh = spread(docs).select(col("doc_id"), shinglesFast(col("text"), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
     val inv = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))

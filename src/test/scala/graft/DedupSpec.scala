@@ -47,10 +47,18 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh == brute)
   }
 
-  test("inverted-index ngram jaccard equals quadratic definition") {
-    val inv = Dedup.ngramJaccardPairs(docs, 3, 0.8).select("a", "b")
+  test("prefix-filter ngram jaccard equals quadratic definition") {
+    val pref = Dedup.ngramJaccardPairs(docs, 3, 0.8).select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(inv == brutePairs(0.8))
+    assert(pref == brutePairs(0.8))
+  }
+
+  test("inverted-index and prefix-filter jaccard agree (lower threshold)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inv = pairs(Dedup.ngramJaccardPairsInverted(docs, 2, 0.5))
+    val pref = pairs(Dedup.ngramJaccardPairs(docs, 2, 0.5))
+    assert(inv == pref && pref.nonEmpty)
   }
 
   test("LSH ANN results carry exact cosines, ranked descending") {
