@@ -104,6 +104,9 @@ object CrossHash {
   def sortedShingleHashesFast(text: Column, n: Int): Column =
     Shim.column(ShingleHashesExpr(Shim.expression(text), n))
 
+  def sortedShingleHashes64Fast(text: Column, n: Int): Column =
+    Shim.column(ShingleHashes64Expr(Shim.expression(text), n))
+
   def fingerprintFast(text: Column, n: Int): Column =
     Shim.column(FingerprintExpr(Shim.expression(text), n))
 

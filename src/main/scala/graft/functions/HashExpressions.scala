@@ -137,6 +137,41 @@ object HashOps {
     new GenericArrayData(hs.map(Long.box))
   }
 
+  /** Strong 64-bit string hash: FNV-1a over UTF-16 units, then a
+    * splitmix64 finalizer. Spark-internal only (candidate generation
+    * and hash-space verification in the prefix-filter join) — never
+    * part of a cross-engine oracle, so it needs no DuckDB twin. Unlike
+    * [[charFold]] (mod 1e9+7, trivially collidable), a collision here
+    * needs ~2^32 shingles by birthday bound; for a corpus with D
+    * distinct shingles the chance of ANY collision is ~D^2/2^65.
+    */
+  def strongHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Sorted 64-bit hashes of a doc's DISTINCT word n-gram shingle
+    * strings. Deliberately NOT deduped after hashing: the array length
+    * is exactly the distinct-shingle-string count, so prefix lengths
+    * and Jaccard denominators derived from `size(...)` are computed
+    * over the true set size even in the (astronomically unlikely)
+    * event of a 64-bit collision.
+    */
+  def sortedShingleHashes64Data(t: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(t.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = mutable.LinkedHashSet.empty[String]
+    var i = 0
+    while (i + n <= toks.length) { seen += toks.slice(i, i + n).mkString("_"); i += 1 }
+    val hs = seen.iterator.map(strongHash64).toArray
+    java.util.Arrays.sort(hs)
+    new GenericArrayData(hs.map(Long.box))
+  }
+
   def cosineData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -208,6 +243,22 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes_sorted"
+}
+
+/** array<bigint>: strong 64-bit hashes of a doc's distinct word
+  * n-gram shingles, sorted ascending; length == distinct shingle
+  * count (see HashOps.sortedShingleHashes64Data).
+  */
+case class ShingleHashes64Expr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.sortedShingleHashes64Data(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.sortedShingleHashes64Data($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes64_sorted"
 }
 
 /** bigint: min rolling shingle hash (document fingerprint); -1 when

@@ -68,44 +68,71 @@ object Dedup {
     * yields ~K*avg_jaccard*n^2/2 false candidates — on corpora with a
     * shared vocabulary that is a quadratic blowup (observed: 27% of
     * ALL pairs become candidates at avg j=0.02). The prefix filter
-    * admits a pair only on a shared *rare-end* hash, is exact (no
-    * (1-t)^K miss probability), and its join keys are the same
-    * O(#docs * (1-t)|d|) ints. One extra prefix slot absorbs a
-    * same-doc hash collision, keeping completeness of the filter even
-    * across charFold collisions (verification is on shingle strings,
-    * so precision is unconditional).
+    * admits a pair only on a shared *rare-end* hash, has no (1-t)^K
+    * miss probability, and its join keys are the same
+    * O(#docs * (1-t)|d|) longs.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     prefixJaccardPairs(docs, 3, threshold)
 
-  /** Exact prefix-filter Jaccard join (see [[minhashPairs]]). */
+  /** Prefix-filter Jaccard join with the PPJoin positional filter
+    * (Xiao et al. WWW'08) — see [[minhashPairs]] for the prefix lemma.
+    *
+    * Shingles are ordered by a strong 64-bit hash
+    * ([[graft.functions.HashOps.strongHash64]]), which doubles as the
+    * verification domain: overlap is `|intersect|` of the two sorted
+    * hash sets (long compares, ~3x cheaper per element than string
+    * array_intersect), and the Jaccard denominator is `na+nb-overlap`
+    * where the lengths count distinct shingle STRINGS, so set sizes
+    * stay exact even under a hash collision. The result equals the
+    * quadratic string-Jaccard definition unless two distinct shingles
+    * in the corpus collide in 64 bits (P ~ D^2/2^65 for D distinct
+    * shingles — ~1e-10 at a billion shingles; the weak charFold hash
+    * of earlier rounds needed a slack slot and could still miss).
+    *
+    * Positional filter: matched prefix rows for a pair carry their
+    * 0-based positions. Grouping a pair's matches gives `c` (count of
+    * common elements inside both prefixes) and the positions (pa, pb)
+    * of the LARGEST matched element; every further common element is
+    * strictly after both (the hash order is global), so
+    * `overlap <= c + min(na-pa-1, nb-pb-1)`. Pairs whose bound misses
+    * the required overlap `ceil(t/(1+t) * (na+nb))` are dropped before
+    * the expensive verification joins — at t=0.5 this prunes every
+    * pair whose only shared prefix hash sits in the back third of the
+    * prefix. The epsilon inside ceil() guards the float landing just
+    * above an exact integer (which would over-tighten the bound);
+    * landing below only admits a candidate that verification rejects.
+    */
   private[graft] def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val base = spread(docs).select(
       col("doc_id"),
-      shinglesFast(col("text"), n).as("sh"),
-      sortedShingleHashesFast(col("text"), n).as("hs"))
-    val withN = base.withColumn("nh", size(col("hs")))
-    // prefix = |d| - ceil(t|d|) + 1 smallest hashes, +1 collision slack
-    val plen = (col("nh") - ceil(col("nh") * lit(threshold)) + lit(2)).cast("int")
-    val pref = withN.select(col("doc_id"), col("nh"),
-      explode(slice(col("hs"), lit(1), plen)).as("h"))
+      sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+    // prefix = |d| - ceil(t|d|) + 1 smallest hashes (exact AllPairs length)
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val pref = base.select(col("doc_id"), col("nh"),
+      posexplode(slice(col("hs"), lit(1), plen)).as(Seq("p", "h")))
     // Equi-join on the prefix hash via using-columns so the planner is
     // guaranteed a hash join; ordering and length filters are
     // post-filters (folding them into the join condition risks a
     // nested-loop plan).
-    val cand = pref.select(col("h"), col("doc_id").as("a"), col("nh").as("na"))
-      .join(pref.select(col("h"), col("doc_id").as("b"), col("nh").as("nb")), Seq("h"))
+    val cand = pref
+      .select(col("h"), col("p").as("pa"), col("doc_id").as("a"), col("nh").as("na"))
+      .join(pref.select(col("h"), col("p").as("pb"), col("doc_id").as("b"), col("nh").as("nb")),
+        Seq("h"))
       .filter(col("a") < col("b") &&
-        greatest(col("na"), col("nb")) * lit(threshold) <= least(col("na"), col("nb")) + lit(1))
-      .select("a", "b")
-      .distinct()
-    val sh = base.select(col("doc_id"), col("sh"))
+        greatest(col("na"), col("nb")) * lit(threshold) <= least(col("na"), col("nb")) + lit(1e-9))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("c"), max(col("pa")).as("pa"), max(col("pb")).as("pb"))
+      .filter(col("c") + least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >=
+        ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
+      .select("a", "b", "na", "nb")
+    val sh = base.select(col("doc_id"), col("hs"))
     cand
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
-      .withColumn("jac",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))))
+      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), "a")
+      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), "b")
+      .withColumn("ov", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
       .orderBy("a", "b")
