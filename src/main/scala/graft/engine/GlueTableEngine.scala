@@ -298,9 +298,12 @@ final class GlueTableEngine(
   }
 
   /** Rewrite each glue relation into its (pruned) parquet-read plan,
-    * keeping every other node untouched.
+    * keeping every other node untouched. Also the workhorse of the
+    * injected [[graft.resolve.GlueResolutionRule]], so plain
+    * `spark.sql` gets the same projection/listing pruning as
+    * [[query]] — not just Hive-layout basePath pruning.
     */
-  private def rewriteWithPruning(plan: LogicalPlan): LogicalPlan = {
+  private[graft] def rewriteWithPruning(plan: LogicalPlan): LogicalPlan = {
     def partitionConjuncts(cond: Expression, keys: Set[String],
         allowedQualifiers: Set[String]): Seq[Column] = {
       import org.apache.spark.sql.catalyst.{expressions => ce}

@@ -33,15 +33,22 @@ class GlueResolutionRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = engine match {
     case None => plan
     case Some(eng) =>
-      plan.resolveOperatorsUp {
+      // Delegate whole-plan rewriting to the engine so this path gets
+      // the SAME pruning as engine.query: partition conjuncts above a
+      // glue relation prune the file listing before the read — which
+      // is the only file-level pruning GLUE_PROJECTED layouts
+      // (non-`key=value` dirs) can get; Hive layouts additionally keep
+      // Catalyst's native PruneFileSourcePartitions via basePath. The
+      // glue-ref scan below keeps the common no-glue-tables query from
+      // paying a plan traversal in every analyzer fixed-point pass.
+      var hasGlueRef = false
+      plan.foreachWithSubqueries {
         case u: UnresolvedRelation
             if graft.model.GlueRefId.parse(u.multipartIdentifier).isDefined =>
-          val ref = graft.model.GlueRefId.parse(u.multipartIdentifier).get
-          // Full (unpruned) relation; Catalyst's own
-          // PruneFileSourcePartitions prunes the basePath-discovered
-          // partitions of Hive-layout tables from any filters above.
-          org.apache.spark.sql.graft.Shim.analyzedPlan(eng.tableDF(ref.database, ref.table))
+          hasGlueRef = true
+        case _ =>
       }
+      if (!hasGlueRef) plan else eng.rewriteWithPruning(plan)
   }
 }
 

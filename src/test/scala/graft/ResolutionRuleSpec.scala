@@ -40,6 +40,19 @@ class ResolutionRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("rule prunes projected (non key=value) layouts like the engine path") {
+    withRule { rule =>
+      val sql = "SELECT count(*) AS n FROM glue.default.docs_by_lang WHERE lang = 'fr'"
+      val viaRule = Shim.ofRows(spark, rule.apply(Shim.parsePlan(spark, sql)))
+      val viaEngine = TestFixtures.engineFor(spark, TestSpark.sfDir).query(sql)
+      // identical result AND identical scanned-file set: the rule path
+      // must file-prune projection layouts, not just compute correctly
+      assert(viaRule.collect().head.getLong(0) == viaEngine.collect().head.getLong(0))
+      assert(viaRule.inputFiles.nonEmpty && viaRule.inputFiles.forall(_.contains("/fr/")))
+      assert(viaRule.inputFiles.sorted.toSeq == viaEngine.inputFiles.sorted.toSeq)
+    }
+  }
+
   test("rule is inert without an engine factory") {
     GlueResolutionRule.engineFactory = null
     val rule = new GlueResolutionRule(spark)
