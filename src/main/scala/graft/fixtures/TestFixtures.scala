@@ -118,6 +118,42 @@ object TestFixtures {
     out
   }
 
+  /** Real tiny images, one per document: PNG (even doc_id) / JPEG
+    * (odd), encoded executor-side with the JDK's javax.imageio.
+    * Dimensions derive deterministically from doc_id
+    * (w = 16 + id%32, h = 8 + id%16) so the m1 oracle can recompute
+    * them from doc_id alone while the Spark side must parse the
+    * actual image bytes (Multimodal.decodeImageHeader).
+    */
+  def mediaImages(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/media_img"
+    ensure(sfDir, "media_img") {
+      import org.apache.spark.sql.Encoders
+      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16 + (id % 32).toInt
+            val h = 8 + (id % 16).toInt
+            val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "jpg", bos)
+            (id, bos.toByteArray)
+          }
+        }(tupleEnc)
+        .toDF("doc_id", "img")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** CSV copy of orders (reference declares CSV tables TODO; we
     * support them via the classification parameter).
     */

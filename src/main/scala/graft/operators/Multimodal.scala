@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata extracted executor-side.
   *
-  * The Spark-side machinery is real — binary column, per-partition
-  * batch iteration with a typed Encoder, stable output schema,
-  * narrow (no shuffle) execution — while the actual media decode is a
-  * STUB: this container has no image/audio codecs, so
-  * [[decodeImageStub]] derives deterministic fake dimensions from the
-  * byte stream. Swapping in a real decoder (javax.imageio / ffmpeg
-  * via a native lib on the executors) changes only that one function;
-  * schema, partitioning and batching stay identical.
+  * The Spark-side machinery — binary column, per-partition batch
+  * iteration with a typed Encoder, stable output schema, narrow (no
+  * shuffle) execution — is shared by all three media kinds. Image
+  * metadata ([[imageMeta]]) does a REAL header parse (PNG IHDR / JPEG
+  * SOFn / GIF logical screen — dimensions sit at fixed offsets or in
+  * marker segments, no codec library needed). Frame sampling and
+  * audio metadata still stub the decode (the container ships no
+  * video/audio codecs); swapping in a real decoder changes only the
+  * per-record function — schema, partitioning and batching stay
+  * identical.
   *
   * Scale note: mapPartitions keeps per-record overhead at
   * iterator-step cost and lets a real decoder amortize native-lib
@@ -23,34 +25,66 @@ object Multimodal {
 
   final case class MediaMeta(doc_id: Long, width: Int, height: Int, format: String)
 
-  /** STUB decoder — deterministic fake metadata from the payload
-    * bytes (length + first byte). A real implementation would parse
-    * the image header here.
+  /** Parse width/height/format from real image bytes.
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandatory-first,
+    *    so width/height are the big-endian ints at offsets 16/20.
+    *  - JPEG: walk the marker segments from SOI to the first frame
+    *    header SOFn (0xC0-0xCF minus DHT/JPG/DAC); its payload is
+    *    [len][precision][height][width].
+    *  - GIF: 6-byte version tag, then little-endian logical screen
+    *    width/height.
+    *
+    * Truncated or unrecognized bytes -> (0, 0, "unknown") rather than
+    * an exception: at 100 TB a corrupt record must degrade to a
+    * filterable row, not kill the stage.
     */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String) = {
-    val len = bytes.length
-    val first = if (len > 0) bytes(0) & 0xff else 0
-    val fmt = (len % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
-    }
-    (64 + (len % 513), 32 + first, fmt)
+  def decodeImageHeader(bytes: Array[Byte]): (Int, Int, String) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+      (be32(16), be32(20), "png")
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: (Int, Int, String) = (0, 0, "unknown")
+      var done = false
+      while (!done && i + 3 < bytes.length) {
+        if (u8(i) != 0xff) i += 1 // stray/entropy byte between segments
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte before a marker
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone markers
+          else {
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 9 <= bytes.length) {
+              res = (be16(i + 7), be16(i + 5), "jpeg")
+              done = true
+            } else i += 2 + be16(i + 2)
+          }
+        }
+      }
+      res
+    } else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      (le16(6), le16(8), "gif")
+    else (0, 0, "unknown")
   }
 
-  /** documents(text) -> fake image bytes (utf-8 payload) -> decoded
-    * metadata. The encode step stands in for "binary column read from
-    * parquet"; everything downstream treats it as opaque bytes.
+  /** media(doc_id, img: binary) -> parsed image metadata via
+    * [[decodeImageHeader]] — a real decode of real bytes, executed
+    * per-partition with no shuffle.
     */
-  def imageMeta(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  def imageMeta(media: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[MediaMeta]
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    binary.as[(Long, Array[Byte])](tupleEnc)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, fmt) = decodeImageStub(bytes)
+          val (w, h, fmt) = decodeImageHeader(bytes)
           MediaMeta(id, w, h, fmt)
         }
       }
@@ -131,14 +165,17 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Oracle: the same deterministic stub in DuckDB (texts are ASCII so
-    * octet_length(encode(text)) == len and the first byte is
-    * ord(text[1])).
+  /** Oracle for [[imageMeta]] over the media fixture
+    * (TestFixtures.mediaImages): image dimensions were DERIVED from
+    * doc_id at generation time (w = 16+id%32, h = 8+id%16, png for
+    * even ids / jpeg for odd), so the oracle recomputes them from
+    * doc_id alone — the Spark side must recover the same numbers by
+    * actually parsing the PNG/JPEG bytes.
     */
   def sqlImageMeta: String =
     """SELECT doc_id,
-      |  CAST(64 + (octet_length(encode(text)) % 513) AS INTEGER) AS width,
-      |  CAST(32 + ord(substr(text, 1, 1)) AS INTEGER) AS height,
-      |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 16 AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -617,7 +617,8 @@ object Queries {
          |FROM sh ORDER BY doc_id""".stripMargin)),
 
     "m1_media_meta" -> ((
-      (spark: SparkSession, sf: String) => Multimodal.imageMeta(t(spark, sf, "documents")),
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageMeta(spark.read.parquet(TestFixtures.mediaImages(spark, sf))),
       Multimodal.sqlImageMeta)),
 
     "m2_frame_sample" -> ((
