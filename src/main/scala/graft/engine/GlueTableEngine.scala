@@ -78,6 +78,35 @@ final class GlueTableEngine(
     meta.table.location.getOrElse(throw new IllegalStateException(
       s"No storage location found for ${meta.table.database}.${meta.table.name}"))
 
+  private def normalizeDir(l: String): String = if (l.endsWith("/")) l else l + "/"
+
+  /** Scheme-insensitive canonical form for prefix comparison: listed
+    * paths come back scheme-qualified (`file:/...`, `s3a://bucket/...`)
+    * while catalog locations are free-form (`/...`, `s3://bucket/...`).
+    * host+path is enough to match a file to its partition dir — a
+    * table's partitions live on one filesystem.
+    */
+  private def canonPath(p: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    Option(uri.getHost).getOrElse("") + uri.getPath
+  }
+
+  /** Hive partitions whose catalog-declared `location` lies OUTSIDE
+    * the table root, paired with their catalog values. Glue allows a
+    * partition to live anywhere; the reference lists only the table
+    * location (reference: src/util/s3.ts:34-58) and silently misses
+    * such partitions — here each external location is listed
+    * separately and its values are tagged from the CATALOG, since an
+    * out-of-root path carries no `key=value` segments to extract.
+    */
+  private def outOfRootPartitions(meta: CachedTableMetadata): Seq[(PartitionInfo, Map[String, String])] = {
+    val rootPrefix = normalizeDir(location(meta))
+    val keys = meta.partitionMetadata.map(_.keys).getOrElse(Nil)
+    meta.partitionMetadata.map(_.values).getOrElse(Nil)
+      .filter(_.location.exists(l => !normalizeDir(l).startsWith(rootPrefix)))
+      .map(pi => pi -> keys.zip(pi.values).toMap)
+  }
+
   // ---------------------------------------------------------------- listing
 
   /** Cached recursive file listing (≈ reference `__listS3FilesCached`
@@ -92,7 +121,11 @@ final class GlueTableEngine(
           case TableType.Iceberg =>
             iceberg.dataFiles(location(meta), versionOffset).map(p => S3FileInfo(p, Map.empty))
           case _ =>
-            lister.list(location(meta), meta.table.partitionKeys.map(_.name))
+            val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
+            val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>
+              lister.list(pi.location.get, Nil).map(f => f.copy(partitionValues = vals))
+            }
+            root ++ external
         }
       }
     }
@@ -109,11 +142,24 @@ final class GlueTableEngine(
   def listingDF(database: String, table: String): DataFrame = {
     val meta = tableMetadata(database, table)
     val fs = files(database, table)
-    import org.apache.spark.sql.Encoders
-    val base = Shim.classic(spark).createDataset(fs.map(_.path).toList)(Encoders.STRING).toDF("path")
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val base = fs.map(f => (f.path, f.partitionValues)).toList.toDF("path", "pv")
     meta.table.partitionKeys.foldLeft(base) { (df, key) =>
-      df.withColumn(key.name, Extractors.forKey(meta, key.name)(col("path")))
-    }
+      val extracted = Extractors.forKey(meta, key.name)(col("path"))
+      // Out-of-root Hive partition files have no key=value path
+      // segment at all (raw regexp_extract yields ""); only then fall
+      // back to the catalog map attached at listing time. Keying on
+      // the RAW match keeps __HIVE_DEFAULT_PARTITION__ mapped to null
+      // rather than resurrected from the raw listing values.
+      val value =
+        if (meta.tableType == TableType.Hive) {
+          val raw = regexp_extract(col("path"),
+            java.util.regex.Pattern.quote(key.name) + "=([^/]+)", 1)
+          when(length(raw) > 0, extracted).otherwise(element_at(col("pv"), key.name))
+        } else extracted
+      df.withColumn(key.name, value)
+    }.drop("pv")
   }
 
   /** Pruned path list (≈ the reference's `SET VARIABLE db_tbl_files`
@@ -176,11 +222,43 @@ final class GlueTableEngine(
       return spark.range(0).select(lit(null).cast("string").as("null"))
     meta.tableType match {
       case TableType.Hive =>
-        // basePath read → Spark discovers `key=value` partition dirs,
-        // keeps them as columns, and prunes them natively from any
-        // filter above (PruneFileSourcePartitions) — per-relation and
-        // sound, unlike the reference's global top-level-WHERE rule.
-        readPaths(meta, Some(location(meta)), paths)
+        val external = outOfRootPartitions(meta)
+        val byPartition = external
+          .map { case (pi, vals) =>
+            val prefix = normalizeDir(canonPath(pi.location.get))
+            (vals, paths.filter(p => canonPath(p).startsWith(prefix)))
+          }
+          .filter(_._2.nonEmpty)
+        val externalPaths = byPartition.flatMap(_._2).toSet
+        val inRoot = paths.filterNot(externalPaths)
+        if (byPartition.isEmpty)
+          // basePath read → Spark discovers `key=value` partition
+          // dirs, keeps them as columns, and prunes them natively
+          // from any filter above (PruneFileSourcePartitions) —
+          // per-relation and sound, unlike the reference's global
+          // top-level-WHERE rule.
+          readPaths(meta, Some(location(meta)), paths)
+        else {
+          // Out-of-root partition files can't share the basePath read
+          // (Spark requires every file under basePath). Read each
+          // external partition separately with catalog-tagged literal
+          // partition columns; in-root files get theirs via the path
+          // extractor — both string-typed, so the branches union
+          // cleanly and downstream filters prune either way.
+          val keys = meta.partitionMetadata.map(_.keys)
+            .getOrElse(meta.table.partitionKeys.map(_.name))
+          val inDF =
+            if (inRoot.isEmpty) None
+            else Some(keys.foldLeft(readPaths(meta, None, inRoot)) { (df, k) =>
+              df.withColumn(k, Extractors.forKey(meta, k)(input_file_name()))
+            })
+          val outDFs = byPartition.map { case (vals, ps) =>
+            keys.foldLeft(readPaths(meta, None, ps)) { (df, k) =>
+              df.withColumn(k, lit(vals.getOrElse(k, null: String)))
+            }
+          }
+          (inDF.toSeq ++ outDFs).reduce(_.unionByName(_))
+        }
       case TableType.GlueProjected =>
         // Projection layouts aren't `key=value`, so Spark can't
         // discover them; attach partition values by running the same

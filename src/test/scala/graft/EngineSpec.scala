@@ -220,6 +220,44 @@ class EngineSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(_.contains("o_orderstatus=F")))
   }
 
+  test("out-of-root catalog partition locations are listed, tagged, and pruned") {
+    import spark.implicits._
+    // Glue allows a partition's location to live outside the table
+    // root; the reference lists only the root and silently misses such
+    // partitions (reference: src/util/s3.ts:34-58).
+    val rootLoc = "/root/repo/target/fixtures/sf0_001/oor_root"
+    val extLoc = "/root/repo/target/fixtures/sf0_001/oor_external"
+    Seq((1, "x")).toDF("v", "w").withColumn("k", lit("a"))
+      .write.mode("overwrite").partitionBy("k").parquet(rootLoc)
+    // external partition: bare parquet files, no key=value path segment
+    Seq((10, "y"), (11, "z")).toDF("v", "w")
+      .write.mode("overwrite").parquet(extLoc)
+    val cat = new FixtureCatalog()
+    cat.register(
+      GlueTable("default", "oor", Some(rootLoc), partitionKeys = Seq(ColumnDef("k"))),
+      parts = Seq(
+        graft.model.PartitionInfo(Seq("a"), Some(s"$rootLoc/k=a")),
+        graft.model.PartitionInfo(Seq("b"), Some(extLoc))))
+    val eng = new GlueTableEngine(spark, cat)
+
+    // listing sees the external partition, values tagged from the catalog
+    val listing = eng.listingDF("default", "oor")
+    assert(listing.filter(col("k") === "b").count() > 0)
+
+    // pruning to the external partition keeps only its files
+    val pb = eng.prunedFiles("default", "oor", Seq(col("k") === "b"))
+    assert(pb.nonEmpty && pb.forall(_.contains("oor_external")))
+
+    // end-to-end: external rows appear (pruned and unpruned), root-only
+    // pruning still takes the plain basePath path
+    assert(eng.query("SELECT sum(v) AS s FROM glue.default.oor WHERE k = 'b'")
+      .collect().head.getLong(0) == 21)
+    assert(eng.query("SELECT sum(v) AS s FROM glue.default.oor")
+      .collect().head.getLong(0) == 22)
+    assert(eng.query("SELECT sum(v) AS s FROM glue.default.oor WHERE k = 'a'")
+      .collect().head.getLong(0) == 1)
+  }
+
   test("escaped and null partition values prune correctly (Hive %XX dirs)") {
     import spark.implicits._
     // Spark escapes '=', ':', '%', … when writing key=value dirs and
