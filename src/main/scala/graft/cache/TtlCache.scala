@@ -36,35 +36,66 @@ object Retry {
   }
 }
 
-/** LRU + TTL cache with single-flight loads.
+/** LRU + TTL cache with single-flight loads and short-TTL negative
+  * caching.
   *
   * Mirrors the reference's two `LRUCache` instances with per-key
   * mutexes (reference: src/glue-table-cache.ts:34-44, 75-84,
   * 135-204): bounded entries, expire-after-write TTL, and a
   * guarantee that concurrent readers of the same missing key trigger
-  * exactly one load (Guava's `get(key, loader)` gives this). Unlike
-  * the reference, load failures are NOT cached — the next caller
-  * retries — which is strictly safer for a long-lived driver.
+  * exactly one load (Guava's `get(key, loader)` gives this).
+  *
+  * Failed loads are cached for `errorTtlMs` (0 disables): the
+  * reference stores the error in the entry so queued waiters fail
+  * fast with it (src/glue-table-cache.ts:163-167, 183-199) — without
+  * it, a thundering herd against a down catalog endpoint retries once
+  * per caller. Unlike the reference, the error entry expires on its
+  * own short deadline rather than the full TTL, so a recovered
+  * backend is retried promptly — safer for a long-lived driver.
   */
-final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long) {
-  private val underlying: Cache[String, V] = CacheBuilder.newBuilder()
+final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long, errorTtlMs: Long = 0L) {
+  private final case class FailedLoad(error: Throwable, expiresAtMs: Long)
+
+  private val underlying: Cache[String, AnyRef] = CacheBuilder.newBuilder()
     .maximumSize(maxEntries.toLong)
     .expireAfterWrite(ttlMs, TimeUnit.MILLISECONDS)
-    .build[String, V]()
+    .build[String, AnyRef]()
 
   /** Single-flight get-or-load. Loader exceptions are unwrapped so
     * callers see the original error surface, not Guava's wrapper.
     */
-  def get(key: String)(load: => V): V =
-    try underlying.get(key, new Callable[V] { def call(): V = load })
-    catch {
-      case e: com.google.common.util.concurrent.UncheckedExecutionException
-        if e.getCause != null => throw e.getCause
-      case e: java.util.concurrent.ExecutionException
-        if e.getCause != null => throw e.getCause
+  def get(key: String)(load: => V): V = {
+    val entry =
+      try underlying.get(key, new Callable[AnyRef] {
+        def call(): AnyRef =
+          if (errorTtlMs <= 0) load
+          else
+            try load
+            catch {
+              case e: Throwable =>
+                FailedLoad(e, System.currentTimeMillis() + errorTtlMs)
+            }
+      })
+      catch {
+        case e: com.google.common.util.concurrent.UncheckedExecutionException
+          if e.getCause != null => throw e.getCause
+        case e: java.util.concurrent.ExecutionException
+          if e.getCause != null => throw e.getCause
+      }
+    entry match {
+      case FailedLoad(err, deadline) =>
+        if (System.currentTimeMillis() >= deadline) {
+          underlying.invalidate(key)
+          get(key)(load) // negative entry expired: retry the load
+        } else throw err
+      case v => v.asInstanceOf[V]
     }
+  }
 
-  def getIfPresent(key: String): Option[V] = Option(underlying.getIfPresent(key))
+  def getIfPresent(key: String): Option[V] =
+    Option(underlying.getIfPresent(key)).collect {
+      case v if !v.isInstanceOf[FailedLoad] => v.asInstanceOf[V]
+    }
   def invalidate(key: String): Unit = underlying.invalidate(key)
   def invalidateAll(): Unit = underlying.invalidateAll()
 

@@ -48,8 +48,10 @@ final class GlueTableEngine(
   private lazy val iceberg = new IcebergSnapshotResolver(hadoopConf)
 
   // Two caches, mirroring the reference (src/glue-table-cache.ts:75-84).
-  private val metaCache = new TtlCache[CachedTableMetadata](config.maxEntries, config.tableMetadataTtlMs)
-  private val listingCache = new TtlCache[Seq[S3FileInfo]](config.maxEntries, config.s3ListingTtlMs)
+  private val metaCache = new TtlCache[CachedTableMetadata](
+    config.maxEntries, config.tableMetadataTtlMs, config.errorCacheTtlMs)
+  private val listingCache = new TtlCache[Seq[S3FileInfo]](
+    config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
 
   // ---------------------------------------------------------------- metadata
 

@@ -87,7 +87,14 @@ final case class CacheConfig(
     maxEntries: Int = 100,
     tableMetadataTtlMs: Long = 3600000L,
     s3ListingTtlMs: Long = 3600000L,
-    proxyAddress: Option[String] = None)
+    proxyAddress: Option[String] = None,
+    /** Negative-cache TTL for failed loads: queued/subsequent callers
+      * fail fast with the cached error instead of stampeding a down
+      * backend (reference keeps errors for the FULL entry TTL,
+      * src/glue-table-cache.ts:163-167; a short window is the safer
+      * default for a long-lived driver). 0 disables.
+      */
+    errorCacheTtlMs: Long = 30000L)
 
 object TableClassifier {
   /** Port of the reference classifier (src/util/glue.ts:13-19):

@@ -40,6 +40,35 @@ class CacheSpec extends AnyFunSuite {
     assert(loads.get() == 1)
   }
 
+  test("negative cache: concurrent getters share one failed load, expiry retries") {
+    val cache = new TtlCache[String](10, 60000, errorTtlMs = 150)
+    val loads = new AtomicInteger(0)
+    val errors = new AtomicInteger(0)
+    def failingGet(): Unit =
+      try { cache.get("k") { Thread.sleep(50); loads.incrementAndGet(); throw new RuntimeException("down") }; () }
+      catch { case e: RuntimeException if e.getMessage == "down" => errors.incrementAndGet() }
+    // N concurrent getters -> exactly one load attempt, all see the error
+    val threads = (1 to 8).map(_ => new Thread(() => failingGet()))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(loads.get() == 1 && errors.get() == 8)
+    // within the error TTL: fail fast from the cached error, no reload
+    failingGet()
+    assert(loads.get() == 1 && errors.get() == 9)
+    // after expiry: the load is retried (and can now succeed)
+    Thread.sleep(200)
+    val recovered = cache.get("k") { loads.incrementAndGet(); "ok" }
+    assert(recovered == "ok" && loads.get() == 2)
+  }
+
+  test("negative cache disabled (errorTtlMs=0): every get retries the loader") {
+    val cache = new TtlCache[String](10, 60000)
+    val loads = new AtomicInteger(0)
+    (1 to 3).foreach { _ =>
+      intercept[RuntimeException](cache.get("k") { loads.incrementAndGet(); throw new RuntimeException("x") }: Unit)
+    }
+    assert(loads.get() == 3)
+  }
+
   test("retry: 3 retries then propagate (4 calls total, reference policy)") {
     val calls = new AtomicInteger(0)
     val e = intercept[RuntimeException] {
