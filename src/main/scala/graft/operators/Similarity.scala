@@ -78,8 +78,9 @@ object Similarity {
       .select(col("label"), transform(col("dc"), s => s.getField("c")).as("centroid"))
     val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
     val probed = centroids.crossJoin(broadcast(q))
-      .select(col("label"), cosineFast(col("centroid").cast(s"array<float>"), col("qe")).as("sim"))
-      .orderBy(col("sim").desc).limit(nprobe)
+      .select(col("label"),
+        round(cosineFast(col("centroid").cast(s"array<float>"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("label")).limit(nprobe)
       .select("label")
     emb.join(broadcast(probed), Seq("label"))
       .filter(col("vec_id") =!= queryVecId)
@@ -104,8 +105,11 @@ object Similarity {
     val sv = seeds.join(
       emb.select(col("vec_id").as("seed_id"), col("embedding").as("se")), "seed_id")
     val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    // Probe ranking is rounded to 6dp (like the final cosine) BEFORE
+    // the ORDER BY ... LIMIT nprobe: a near-tie between two engines'
+    // float paths must not flip which partitions get probed.
     val probed = sv.crossJoin(broadcast(q))
-      .select(col("label"), cosineFast(col("se"), col("qe")).as("sim"))
+      .select(col("label"), round(cosineFast(col("se"), col("qe")), 6).as("sim"))
       .orderBy(col("sim").desc, col("label")).limit(nprobe)
       .select("label")
     emb.join(broadcast(probed), Seq("label"))
@@ -117,9 +121,8 @@ object Similarity {
   }
 
   /** ANN via LSH: candidates = vectors in the query's bucket; rank
-    * candidates by exact cosine, keep top-k. (Single-probe; multiprobe
-    * = also scan buckets at hamming distance 1 — left as the recall
-    * knob.)
+    * candidates by exact cosine, keep top-k. (Single-probe — the
+    * oracle query; [[lshTopKMultiprobe]] is the recall knob.)
     */
   def lshTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val withBucket = emb.withColumn("bucket", bucketId(col("embedding")))
@@ -127,6 +130,29 @@ object Similarity {
       .select(col("embedding").as("qe"), col("bucket"))
     withBucket.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multiprobe LSH (Lv et al., VLDB'07 shape): additionally scan the
+    * buckets at hamming distance 1 from the query's bucket — flip each
+    * plane bit once. A near neighbor that landed on the wrong side of
+    * ONE hyperplane is recovered, at the cost of probing 1+LshPlanes
+    * of the 2^LshPlanes buckets instead of one. At scale each probe is
+    * still a partition-local lookup on the bucket key; the probe list
+    * stays a broadcast of (1+LshPlanes) rows.
+    */
+  def lshTopKMultiprobe(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val withBucket = emb.withColumn("bucket", bucketId(col("embedding")))
+    val q = withBucket.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("bucket"))
+    val flips = array((lit(0L) +: (0 until LshPlanes).map(j => lit(1L << j))): _*)
+    val probes = q
+      .select(col("qe"), col("bucket"), explode(flips).as("flip"))
+      .select(col("qe"), col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    withBucket.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probes), Seq("bucket"))
       .select(col("vec_id"), round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

@@ -65,13 +65,21 @@ object TextAnalysis {
     "fr" -> Seq("ou", "le", "eau", "es"),
     "es" -> Seq("ll", "os", "ción", "ar"))
 
+  /** LITERAL occurrence count of `g` in a text column. Pattern.quote
+    * matters: Spark's split() takes a REGEX while the oracle's
+    * string_split is literal — an n-gram containing a metachar (e.g.
+    * "c.h") would silently change scoring semantics without it.
+    */
+  private[graft] def literalOccurrences(text: Column, g: String): Column =
+    size(split(text, java.util.regex.Pattern.quote(g))) - lit(1)
+
   /** Language ID: score = 10 * distinct-lexicon hits + total char
     * n-gram occurrences; argmax with a fixed precedence
     * (en > de > fr > es); all-zero -> 'und'.
     */
   def langid(docs: DataFrame): DataFrame = {
     val dt = distinctTokens(col("text"))
-    def ngramCount(g: String): Column = size(split(col("text"), g)) - lit(1)
+    def ngramCount(g: String): Column = literalOccurrences(col("text"), g)
     val scores = lexicons.map { case (lang, words) =>
       val wordScore = size(array_intersect(dt, typedLit(words))) * lit(10)
       val ngScore = charNgrams.toMap.apply(lang).map(ngramCount).reduce(_ + _)

@@ -587,7 +587,7 @@ object Queries {
          |sv AS (SELECT s.label, e.embedding AS se FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
          |probed AS (
          |  SELECT sv.label FROM sv, q
-         |  ORDER BY ${VectorFunctions.sqlDot("se", "qe")} / (${VectorFunctions.sqlNorm("se")} * ${VectorFunctions.sqlNorm("qe")}) DESC, sv.label
+         |  ORDER BY round(${VectorFunctions.sqlDot("se", "qe")} / (${VectorFunctions.sqlNorm("se")} * ${VectorFunctions.sqlNorm("qe")}), 6) DESC, sv.label
          |  LIMIT 2)
          |SELECT e.vec_id, round(${VectorFunctions.sqlDot("e.embedding", "qe")} / (${VectorFunctions.sqlNorm("e.embedding")} * ${VectorFunctions.sqlNorm("qe")}), 6) AS cos
          |FROM embeddings e JOIN probed USING (label), q

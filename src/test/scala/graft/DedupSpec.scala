@@ -73,6 +73,24 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("multiprobe LSH recall beats single-probe on the fixture embeddings") {
+    val k = 10
+    def recall(queryId: Long, f: (org.apache.spark.sql.DataFrame, Long, Int) => org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(emb, queryId, k).collect().map(_.getLong(0)).toSet
+      val got = f(emb, queryId, k).collect().map(_.getLong(0)).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val single = queries.map(recall(_, Similarity.lshTopK))
+    val multi = queries.map(recall(_, Similarity.lshTopKMultiprobe))
+    // multiprobe candidates are a superset per query, so recall never drops…
+    queries.indices.foreach(i =>
+      assert(multi(i) >= single(i), s"query ${queries(i)}: ${multi(i)} < ${single(i)}"))
+    // …and across the query set it strictly improves
+    assert(multi.sum > single.sum,
+      s"multiprobe recall ${multi.sum / queries.size} not above single-probe ${single.sum / queries.size}")
+  }
+
   test("IVF top-k recalls most of the brute-force top-k") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val ivf = Similarity.ivfTopK(emb, 0L, 10, nprobe = 4).collect().map(_.getLong(0)).toSet

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("n-gram occurrence counting is literal, not regex") {
+    import spark.implicits._
+    // "c.h" as a regex would also match "cxh"/"czh"; the langid scorer
+    // must count literal substring occurrences (string_split parity).
+    val df = Seq((1L, "c.h cxh czh c.h")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.literalOccurrences(col("text"), "c.h").as("n"))
+      .collect().head.getInt(0)
+    assert(n == 2)
+  }
+
+  test("langid picks planted language and falls back to 'und'") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is happy"), // en lexicon hits
+      (2L, "der hund und die katze ist da"), // de lexicon hits
+      (3L, "zzz qqq 12345")                  // nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langid(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
+  }
+}
