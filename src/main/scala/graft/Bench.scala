@@ -16,10 +16,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE fully on, including partition coalescing: the pair-join
+      // operators pin their own explicit partition counts (see
+      // Dedup.pinned), so the byte-based coalescer no longer needs a
+      // session-wide off switch.
       .config("spark.sql.adaptive.enabled", "true")
-      // see Verify: byte-based coalescing serializes compute-dense
-      // tiny-input pair joins
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,10 +48,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    // total sums only successful timings; failures (recorded -1.0 per
-    // query) are surfaced as a count instead of corrupting the metric
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // headline value is POISONED (-1) whenever any query failed: a
+    // crashing query must never read as a speedup to a consumer that
+    // ignores the 'failed' field. Per-query failures stay -1.0.
     val failed = results.count(_._2 < 0)
+    val total =
+      if (failed > 0) -1.0 else results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -12,10 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // AQE on, but no partition coalescing: the dedup/similarity pair
-      // joins shuffle a few KB yet fan out to millions of rows —
-      // byte-based coalescing would serialize them onto one core.
+      // AQE fully on; pair joins pin explicit partition counts
+      // internally (Dedup.pinned) so byte-based coalescing cannot
+      // serialize their KB-shuffle/high-fanout stages.
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,11 +37,29 @@ object Dedup {
         min("doc_id").as("first_doc"))
       .orderBy("source")
 
+  import org.apache.spark.sql.Column
+
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Pin an EXPLICIT partition count on the fan-out side of a pair
+    * join. AQE's byte-based partition coalescing sizes stages by
+    * shuffle BYTES, and these joins shuffle kilobytes of keys that fan
+    * out to millions of candidate rows — left to AQE they collapse
+    * onto one task (observed 107s vs 14s). A user-specified
+    * repartition (explicit numPartitions) is exempt from coalescing,
+    * so each pair join keeps its parallelism while the session leaves
+    * AQE — including coalescing for the ordinary SQL surface — fully
+    * on.
+    */
+  private def pinned(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(shufflePartitions(df), cols: _*)
+
   /** Spread a (often single-file) small-doc source across cores before
     * the per-row signature work.
     */
   private def spread(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+    pinned(docs.select(col("doc_id"), col("text")), col("doc_id"))
 
   /** Per-document minhash signature (as a comma-joined string for a
     * stable cross-engine representation).
@@ -110,27 +128,39 @@ object Dedup {
       .withColumn("nh", size(col("hs")))
     // prefix = |d| - ceil(t|d|) + 1 smallest hashes (exact AllPairs length)
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
-    val pref = base.select(col("doc_id"), col("nh"),
-      posexplode(slice(col("hs"), lit(1), plen)).as(Seq("p", "h")))
+    val pref = pinned(base.select(col("doc_id"), col("nh"),
+      posexplode(slice(col("hs"), lit(1), plen)).as(Seq("p", "h"))), col("h"))
     // Equi-join on the prefix hash via using-columns so the planner is
     // guaranteed a hash join; ordering and length filters are
     // post-filters (folding them into the join condition risks a
     // nested-loop plan).
-    val cand = pref
+    // SHUFFLE_MERGE hint: without it AQE sees ~20MB a side and
+    // "upgrades" the self-join to a broadcast join — a single-threaded
+    // driver-side build of a 750k-row hash relation (slow, GC-heavy,
+    // and the 100 TB version would OOM the driver). As a shuffle join
+    // the two sides are one ReusedExchange, so the signature subtree
+    // is computed once.
+    val matches = pref
       .select(col("h"), col("p").as("pa"), col("doc_id").as("a"), col("nh").as("na"))
-      .join(pref.select(col("h"), col("p").as("pb"), col("doc_id").as("b"), col("nh").as("nb")),
+      .join(pref.select(col("h"), col("p").as("pb"), col("doc_id").as("b"), col("nh").as("nb"))
+        .hint("SHUFFLE_MERGE"),
         Seq("h"))
       .filter(col("a") < col("b") &&
         greatest(col("na"), col("nb")) * lit(threshold) <= least(col("na"), col("nb")) + lit(1e-9))
+    // pinned before the per-pair aggregation so the agg runs wide (the
+    // partial-agg saving it forfeits is small: most pairs share ONE
+    // prefix hash, so map-side combine barely reduces the shuffle)
+    val cand = pinned(matches.select("a", "b", "na", "nb", "pa", "pb"), col("a"), col("b"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).as("c"), max(col("pa")).as("pa"), max(col("pb")).as("pb"))
       .filter(col("c") + least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >=
         ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select("a", "b", "na", "nb")
     val sh = base.select(col("doc_id"), col("hs"))
-    cand
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), "b")
+    val withA = pinned(cand, col("a"))
+      .join(pinned(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), col("a")), "a")
+    pinned(withA, col("b"))
+      .join(pinned(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), col("b")), "b")
       .withColumn("ov", size(array_intersect(col("ha"), col("hb"))).cast("double"))
       .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)
@@ -151,7 +181,9 @@ object Dedup {
       col("doc_id"),
       shinglesFast(col("text"), 3).as("sh"),
       minhashSigFast(col("text"), 3).as("sig"))
-    val banded = sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "v")))
+    val banded = pinned(
+      sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "v"))),
+      col("band"), col("v"))
     val cand = banded.withColumnRenamed("doc_id", "a")
       .join(banded.withColumnRenamed("doc_id", "b"), Seq("band", "v"))
       .filter(col("a") < col("b"))
@@ -187,7 +219,8 @@ object Dedup {
   def ngramJaccardPairsInverted(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val sh = spread(docs).select(col("doc_id"), shinglesFast(col("text"), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
-    val inv = sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+    val inv = pinned(
+      sh.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s")), col("s"))
     val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -214,16 +247,26 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < SimhashBands, "band LSH is exact only for dist < #bands")
     val sigs = spread(docs).select(col("doc_id"), simhashFast(col("text")).as("sim"))
-    val banded = sigs.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until SimhashBands).map { i =>
-        shiftright(col("sim"), i * SimhashBandBits).bitwiseAND(lit((1 << SimhashBandBits) - 1))
-      }: _*)).as(Seq("band", "v")))
+    val banded = pinned(
+      sigs.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until SimhashBands).map { i =>
+          shiftright(col("sim"), i * SimhashBandBits).bitwiseAND(lit((1 << SimhashBandBits) - 1))
+        }: _*)).as(Seq("band", "v"))),
+      col("band"), col("v"))
     val a = banded.select(col("band"), col("v"), col("doc_id").as("a"), col("sim").as("sa"))
     val b = banded.select(col("band"), col("v"), col("doc_id").as("b"), col("sim").as("sb"))
+    // A pair colliding in k bands would surface k times; instead of a
+    // dedup shuffle, keep only the row whose band is the FIRST band
+    // where the two signatures agree (computable per-row from sa/sb) —
+    // the classic LSH dedup trick: exact, and entirely shuffle-free.
+    def bandVal(c: org.apache.spark.sql.Column, i: Int) =
+      shiftright(c, i * SimhashBandBits).bitwiseAND(lit((1 << SimhashBandBits) - 1))
+    val firstMatch = (0 until SimhashBands).foldRight(lit(-1): org.apache.spark.sql.Column) {
+      (i, acc) => when(bandVal(col("sa"), i) === bandVal(col("sb"), i), lit(i)).otherwise(acc)
+    }
     a.join(b, Seq("band", "v"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sa", "sb")
-      .dropDuplicates("a", "b")
+      .filter(col("band") === firstMatch)
       .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
@@ -237,7 +280,8 @@ object Dedup {
     * from an ANN partitioner (see [[Similarity]]).
     */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val x = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val x = pinned(
+      emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea")), col("label"))
     val y = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
     x.join(y, Seq("label"))
       .filter(col("a") < col("b"))
