@@ -212,7 +212,14 @@ final class GlueTableEngine(
     meta.table.parameters.getOrElse("classification", "parquet").toLowerCase match {
       case "csv" =>
         val r = reader.option("header", "true")
-        (if (declared.isEmpty) r.option("inferSchema", "true") else r).csv(paths: _*)
+        // With a declared schema Spark binds CSV columns BY POSITION
+        // and ignores header names; enforceSchema=false makes every
+        // file's header get checked against the declared names at scan
+        // time (executor-side, so it scales), failing loudly instead
+        // of silently misassigning data when the catalog's column
+        // order drifts from the files'.
+        (if (declared.isEmpty) r.option("inferSchema", "true")
+         else r.option("enforceSchema", "false")).csv(paths: _*)
       case "json" => reader.json(paths: _*)
       case _      => reader.parquet(paths: _*)
     }
@@ -337,6 +344,33 @@ final class GlueTableEngine(
       val name = Naming.viewName(db, tbl)
       tableDF(db, tbl).createOrReplaceTempView(name)
       name
+    }
+
+  /** Reference-parity textual surface (≈ the rewritten-query half of
+    * `convertGlueTableQuery`, reference: src/glue-table-cache.ts:
+    * 242-251): the input SQL with every `glue.db.tbl` reference
+    * replaced by its `GLUE__db_tbl` view name. Callers that want to
+    * inspect or ship the rewritten SQL use this together with
+    * [[setupFor]] (which registers those views):
+    * `spark.sql(engine.rewrittenSql(q))` is then equivalent to
+    * `engine.query(q)` minus listing-level pruning (the views are
+    * unpruned by design, like the reference's).
+    *
+    * Refs are DISCOVERED by the parser ([[glueTableRefs]]) — only the
+    * textual substitution is regex-based, handling optional backtick
+    * quoting and the 2-part `glue.tbl` shorthand.
+    */
+  def rewrittenSql(sql: String): String =
+    glueTableRefs(sql).foldLeft(sql) { case (s, (db, tbl)) =>
+      val view = java.util.regex.Matcher.quoteReplacement(Naming.viewName(db, tbl))
+      val q = java.util.regex.Pattern.quote _
+      // 3-part first so `glue.db.tbl` never degrades to a partial
+      // 2-part match; 2-part only for the default database
+      val threePart = ("(?i)`?glue`?\\.`?" + q(db) + "`?\\.`?" + q(tbl) + "`?").r
+      val s1 = threePart.replaceAllIn(s, view)
+      if (db.equalsIgnoreCase("default"))
+        ("(?i)`?glue`?\\.`?" + q(tbl) + "`?").r.replaceAllIn(s1, view)
+      else s1
     }
 
   /** Register the listing DataFrame as `<db>_<tbl>_s3_listing` — the

@@ -312,6 +312,57 @@ class EngineSpec extends AnyFunSuite {
         .filter(col("l_returnflag") === "A").count())
   }
 
+  test("CSV declared schema is validated against file headers; partitioned CSV works") {
+    import spark.implicits._
+    // partitioned CSV with declared data columns: partition column is
+    // appended by discovery, not part of the declared schema
+    val loc = "/root/repo/target/fixtures/sf0_001/csv_part"
+    Seq((1L, "x", "F"), (2L, "y", "O"), (3L, "z", "F"))
+      .toDF("k", "name", "st")
+      .write.mode("overwrite").partitionBy("st").option("header", "true").csv(loc)
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "csv_part", Some(loc),
+      partitionKeys = Seq(ColumnDef("st")),
+      parameters = Map("classification" -> "csv"),
+      columns = Seq(ColumnDef("k", "bigint"), ColumnDef("name", "string"))))
+    // declared columns in the WRONG order: must fail loudly, not
+    // silently bind by position
+    cat.register(GlueTable("default", "csv_bad", Some(loc),
+      parameters = Map("classification" -> "csv"),
+      columns = Seq(ColumnDef("name", "string"), ColumnDef("k", "bigint"))))
+    val eng = new GlueTableEngine(spark, cat)
+
+    val got = eng.query("SELECT sum(k) AS s FROM glue.default.csv_part WHERE st = 'F'")
+      .collect().head.getLong(0)
+    assert(got == 4)
+
+    val e = intercept[Exception] {
+      eng.query("SELECT * FROM glue.default.csv_bad").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("CSV header does not conform") || m.contains("header")),
+      s"unexpected error: $e")
+  }
+
+  test("rewrittenSql replaces glue refs with view names (reference textual surface)") {
+    val sql = """SELECT l.l_returnflag, count(*) AS n
+                |FROM glue.default.lineitem_part l
+                |JOIN glue.orders_flat o ON l.l_orderkey = o.o_orderkey
+                |GROUP BY l.l_returnflag""".stripMargin
+    val rewritten = engine.rewrittenSql(sql)
+    assert(rewritten ==
+      """SELECT l.l_returnflag, count(*) AS n
+        |FROM GLUE__default_lineitem_part l
+        |JOIN GLUE__default_orders_flat o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY l.l_returnflag""".stripMargin)
+    // executable: setupFor registers the views, the rewritten text runs
+    engine.setupFor(sql)
+    val viaText = spark.sql(rewritten).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaPlan = engine.query(sql).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaText == viaPlan)
+  }
+
   test("files variable survives quotes in paths in every literal mode") {
     val dir = new java.io.File("/root/repo/target/fixtures/sf0_001/quote'dir")
     dir.mkdirs()
