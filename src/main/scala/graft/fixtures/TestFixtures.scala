@@ -132,7 +132,11 @@ object TestFixtures {
       val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id").as[Long](Encoders.scalaLong)
+        .repartition(32) // documents is one file; spread the encodes
         .mapPartitions { it =>
+          // no temp-file cache per image: ImageIO defaults to a disk
+          // cache stream per write, which dominates at 50k+ tiny images
+          javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
             val w = 16 + (id % 32).toInt
             val h = 8 + (id % 16).toInt
