@@ -40,8 +40,13 @@ final class HadoopFileLister(hadoopConf: Configuration) extends FileLister {
       val status = it.next()
       val p = status.getPath
       val name = p.getName
-      // Skip S3 folder markers (reference: src/util/s3.ts:51-53) and
-      // Spark/Hadoop metadata files (_SUCCESS, .crc, hidden).
+      // Skip S3 folder markers (reference: src/util/s3.ts:51-53) and —
+      // a deliberate DIVERGENCE beyond the reference's rule —
+      // Spark/Hadoop metadata files (`_SUCCESS`, `.crc`, hidden
+      // dotfiles) and zero-length objects. Spark-written directories
+      // always contain such files and feeding them to a reader fails
+      // or skews row counts; an exotic layout whose real data files
+      // are `_`/`.`-prefixed or empty would need a custom FileLister.
       val skip = name.endsWith("_$folder$") || name.startsWith("_") ||
         name.startsWith(".") || status.getLen == 0
       if (!skip) out += p.toString

@@ -190,6 +190,7 @@ class EngineSpec extends AnyFunSuite {
     }
     touch("data1.parquet"); touch("data2.parquet")
     touch("marker_$folder$"); touch("_SUCCESS", ""); touch(".hidden")
+    touch("empty.parquet", "") // zero-length: skipped (documented divergence)
     val lister = new graft.listing.HadoopFileLister(
       org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
     val files = lister.list(dir.getAbsolutePath, Nil).map(f => new java.io.File(f.path).getName)
