@@ -273,6 +273,93 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Connected components over an undirected pair list (columns
+    * `a`, `b`) — the step a real dedup pipeline runs AFTER pair
+    * generation: near-duplicate PAIRS become duplicate CLUSTERS, and
+    * one representative per cluster survives (see [[canonicalKeep]]).
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labelled with itself; each round every node takes the minimum of
+    * its own label and its neighbours' labels; fixpoint = each node
+    * carries the smallest node id in its component. Rounds needed =
+    * graph diameter, and near-duplicate components are near-cliques
+    * (diameter 1–3 in practice), so the loop converges in a handful of
+    * rounds. Each round is one shuffle join (edges x labels) + one
+    * min-aggregation; `localCheckpoint` truncates the growing lineage
+    * so round N's plan does not replay rounds 1..N-1. At 100 TB the
+    * same loop runs with reliable checkpointing; for adversarial
+    * long-path graphs the alternating large-star/small-star rounds of
+    * Kiveris et al. ("Connected Components in MapReduce and Beyond",
+    * SoCC'14) bound rounds by O(log^2 n) — not needed for dedup
+    * graphs, and each of its rounds costs the same join + agg as one
+    * of ours.
+    *
+    * The companion DuckDB oracle is a recursive CTE propagating labels
+    * downhill (`WHERE r.lbl < e.dst`): the component-minimum reaches
+    * every member along a path on which it is always the smaller
+    * endpoint, and the UNION-distinct semantics of recursive CTEs
+    * guarantee termination.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64 // diameter bound; dedup graphs converge in ~2-4
+    while (!converged && rounds < maxRounds) {
+      val viaNeighbours = und
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbours)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev"))
+      converged = changed.isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Duplicate clusters over the near-duplicate pair graph at exact
+    * Jaccard >= `threshold` ([[minhashPairs]]): each doc that appears
+    * in at least one pair, labelled with the smallest doc_id of its
+    * connected component.
+    */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    connectedComponents(minhashPairs(docs, threshold).select("a", "b"))
+      .orderBy("doc_id")
+
+  /** The dedup pipeline's keep decision: every document joins its
+    * duplicate cluster (singletons form their own), and the cluster's
+    * canonical survivor is the LONGEST document (ties to the smallest
+    * doc_id) — the usual "keep the most complete copy" policy. Output
+    * is one row per cluster: the survivor, the member count, and the
+    * survivor's length. One extra shuffle (by cluster) on top of
+    * [[duplicateClusters]]; the window never sees more rows per key
+    * than a cluster has members.
+    */
+  def canonicalKeep(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(minhashPairs(docs, threshold).select("a", "b"))
+    val lab = docs.select(col("doc_id"), length(col("text")).cast("int").as("len"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val byCluster = Window.partitionBy("cluster_id")
+    lab
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast("int"))
+      .withColumn("rn", row_number().over(byCluster.orderBy(col("len").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+        col("n_members"), col("len").as("max_len"))
+      .orderBy("cluster_id")
+  }
+
   /** Embedding near-duplicate pairs, blocked by `label` (the
     * pipeline's cluster/bucket column): pairs within a block with
     * cosine >= threshold. Blocking turns O(n^2) into

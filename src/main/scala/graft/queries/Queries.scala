@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -562,6 +562,63 @@ object Queries {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT a, b, round(jac, 6) AS jac FROM p WHERE jac >= 0.5 ORDER BY a, b""".stripMargin)),
 
+    // duplicate clusters = connected components over the d3 pair graph;
+    // the oracle re-derives the pairs quadratically, then propagates
+    // min-labels downhill with a recursive CTE (see
+    // Dedup.connectedComponents scaladoc for the termination argument)
+    "d8_dup_clusters" -> ((
+      (spark: SparkSession, sf: String) => Dedup.duplicateClusters(t(spark, sf, "documents"), 0.8),
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node WHERE r.lbl < e.dst)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // the keep decision: every doc (singletons included) joins its
+    // cluster; survivor = longest text, ties to smallest doc_id
+    "d9_keep_canonical" -> ((
+      (spark: SparkSession, sf: String) => Dedup.canonicalKeep(t(spark, sf, "documents"), 0.8),
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node WHERE r.lbl < e.dst),
+         |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |lab AS (
+         |  SELECT d.doc_id, CAST(len(d.text) AS INTEGER) AS len,
+         |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc USING (doc_id)),
+         |r AS (
+         |  SELECT cluster_id, doc_id, len,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS n_members
+         |  FROM lab)
+         |SELECT cluster_id, doc_id AS keep_doc, n_members, len AS max_len
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // content-hash deterministic sampling (audit shape: per-stratum counts)
+    "d10_sample_hash" -> ((
+      (spark: SparkSession, sf: String) => Sampling.sampleAudit(t(spark, sf, "documents"), 20),
+      Sampling.sqlSampleAudit(20))),
+
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -593,6 +650,12 @@ object Queries {
          |FROM embeddings e JOIN probed USING (label), q
          |WHERE e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // BM25 lexical top-k (bag-of-terms query over the corpus)
+    "s4_bm25" -> ((
+      (spark: SparkSession, sf: String) =>
+        Search.bm25TopK(t(spark, sf, "documents"), Seq("spark", "vector", "merge"), 10),
+      Search.sqlBm25TopK(Seq("spark", "vector", "merge"), 10))),
 
     "t1_token_stats" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),

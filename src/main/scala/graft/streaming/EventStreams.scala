@@ -63,6 +63,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on a key column: emits each key's first
+    * arrival and drops later copies, with state bounded by the
+    * watermark via `dropDuplicatesWithinWatermark` — a duplicate
+    * arriving within the watermark delay of the original is always
+    * dropped, and key state is evicted once the watermark passes it
+    * (unbounded-history dedup would need O(all keys ever) state). This
+    * is the streaming half of [[graft.operators.Dedup.exactStats]]:
+    * the ingest path dedups within the event-time horizon, the batch
+    * pass sweeps the long tail.
+    */
+  def dedupStream(events: DataFrame, keyCol: String, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded file source and return the final memory-sink contents
     * (used by tests and the batch-equivalence check).

@@ -103,4 +103,55 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getLong(0) == docs.count())
     assert(row.getLong(1) <= row.getLong(0))
   }
+
+  /** Reference union-find over a pair list. */
+  private def unionFind(pairs: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components: min label propagates beyond one hop") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3), triangle {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicate clusters equal union-find over brute-force pairs") {
+    val expected = unionFind(brutePairs(0.8))
+    val got = Dedup.duplicateClusters(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("canonical keep partitions the corpus and keeps the longest doc") {
+    val clusters = unionFind(brutePairs(0.8))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // expected: every doc joins its component (or itself), survivor =
+    // longest text with ties to the smallest doc_id
+    val byCluster = lens.keys.groupBy(id => clusters.getOrElse(id, id))
+    val expected = byCluster.map { case (cid, members) =>
+      val keep = members.minBy(id => (-lens(id), id))
+      cid -> ((keep, members.size, lens(keep)))
+    }
+    val got = Dedup.canonicalKeep(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got == expected)
+    // keep set covers every doc exactly once
+    assert(got.values.map(_._2).sum == docs.count())
+  }
 }

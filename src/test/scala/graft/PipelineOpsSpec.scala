@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Sampling, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval + sampling operator semantics. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val (k1, b) = (Search.K1, Search.B)
+    val n = 3.0
+    val avgdl = (3 + 2 + 3) / 3.0
+    def idf(df: Int) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Int, df: Int, dl: Int) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    // query {a, b}: df(a)=2 (docs 1,2), df(b)=2 (docs 1,3)
+    val expected = Map(
+      1L -> BigDecimal(term(2, 2, 3) + term(1, 2, 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      2L -> BigDecimal(term(1, 2, 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      3L -> BigDecimal(term(3, 2, 3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val got = Search.bm25TopK(tiny, Seq("a", "b"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
+  test("bm25 top-k on the fixture corpus is ranked and bounded") {
+    val rows = Search.bm25TopK(docs, Seq("spark", "vector", "merge"), 10).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(scores.forall(_ > 0))
+  }
+
+  test("hash sampling is invariant to repartitioning (content-addressed)") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.hashSample(df, col("text"), 20).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val base = ids(docs)
+    assert(ids(docs.repartition(7)) == base)
+    assert(base.nonEmpty && base.size < docs.count())
+  }
+
+  test("sample audit strata sum to the sampled row count") {
+    val audit = Sampling.sampleAudit(docs, 20).collect()
+    val kept = Sampling.hashSample(docs, col("text"), 20).count()
+    assert(audit.map(_.getLong(1)).sum == kept)
+  }
+}

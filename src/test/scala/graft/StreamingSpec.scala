@@ -55,4 +55,20 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n_sessions", "n_events").orderBy("user_id").collect()
     assert(got.toSeq == want.toSeq)
   }
+
+  test("streaming dedup keeps one row per key within the watermark horizon") {
+    val batchDf = spark.read.parquet(streamDir)
+    // duplicate the whole stream (same event_ids arrive twice in one
+    // batch) — dedup must restore the original cardinality per key
+    val dupDir = s"${TestFixtures.root(TestSpark.sfDir)}/events_stream_dup"
+    if (!new java.io.File(s"$dupDir/_SUCCESS").exists()) {
+      batchDf.union(batchDf).write.mode("overwrite").parquet(dupDir)
+    }
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dupDir)
+    val got = EventStreams.runToCompletion(
+      EventStreams.dedupStream(stream, "event_id"), "dedup_out", OutputMode.Append())
+    assert(got.count() == batchDf.select("event_id").distinct().count())
+    // emitted rows are a superset-free selection: distinct event_ids only
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
 }
