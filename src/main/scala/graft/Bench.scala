@@ -38,6 +38,12 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // clean-heap start per query: without this, a memory-heavy query
+      // leaves tens of GB of garbage whose collection lands in (and is
+      // billed to) whichever query runs next — observed q10 at 30s in
+      // the sf1 suite vs 0.6s in isolation. The GC runs between
+      // timings, so no query's own work is hidden.
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }

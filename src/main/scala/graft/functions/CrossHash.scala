@@ -110,6 +110,12 @@ object CrossHash {
   def fingerprintFast(text: Column, n: Int): Column =
     Shim.column(FingerprintExpr(Shim.expression(text), n))
 
+  /** |a ∩ b| of two ascending-sorted long-array columns (two-pointer,
+    * allocation-free — see [[HashOps.sortedOverlapData]]).
+    */
+  def sortedOverlapFast(a: Column, b: Column): Column =
+    Shim.column(SortedOverlapExpr(Shim.expression(a), Shim.expression(b)))
+
   // ------------------------------------------------------------ DuckDB side
   // SQL fragment builders parameterized by an (already bound) column
   // or expression name; used to assemble the oracle queries from the

@@ -172,6 +172,25 @@ object HashOps {
     new GenericArrayData(hs.map(Long.box))
   }
 
+  /** |a ∩ b| for two ascending-sorted long arrays, by two-pointer
+    * merge. The generic `array_intersect` builds a per-row hash set
+    * and materializes the intersection array; on the dedup verify
+    * path (hundreds of millions of candidate pairs) that allocation
+    * is pure GC pressure — this walks both arrays once and returns
+    * only the count.
+    */
+  def sortedOverlapData(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   def cosineData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -281,6 +300,19 @@ case class FingerprintExpr(child: Expression, n: Int)
   * sqlCosine (dot and both norms accumulated in index order in
   * double).
   */
+/** int: intersection size of two ascending-sorted long arrays. */
+case class SortedOverlapExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sortedOverlapData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.sortedOverlapData($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlapExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_overlap"
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType

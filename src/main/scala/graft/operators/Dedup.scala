@@ -61,6 +61,28 @@ object Dedup {
   private def spread(docs: DataFrame): DataFrame =
     pinned(docs.select(col("doc_id"), col("text")), col("doc_id"))
 
+  /** Partition multiplier for the CANDIDATE-side stages of the pair
+    * joins (the per-pair aggregate and the verification joins). Their
+    * input volume is O(candidate pairs) — quadratic in corpus size
+    * over a shared vocabulary — so a partition count sized for the
+    * corpus starves them: at sf1 (50k docs) the candidate aggregate
+    * holds ~40M distinct (a,b) keys per task on 32 partitions (≈2 GB
+    * of hash map per task, 32 concurrently = GC collapse; measured
+    * 446s, vs 242s with 8x the partitions). The multiplier therefore
+    * scales QUADRATICALLY with corpus rows (matching the candidate
+    * volume), clamped to [1, 32]; one metadata-only `count()` of the
+    * corpus pays for it. Overridable per session via
+    * `graft.pair.partitions.mult` (the corpus-side stages always keep
+    * the session's partitioning).
+    */
+  private def pairMult(df: DataFrame, nDocs: Long): Int =
+    df.sparkSession.conf.getOption("graft.pair.partitions.mult").map(_.toInt).getOrElse {
+      math.min(32, math.max(1, math.ceil(math.pow(nDocs / 20000.0, 2)).toInt))
+    }
+
+  private def pinnedWide(df: DataFrame, mult: Int, cols: Column*): DataFrame =
+    df.repartition(shufflePartitions(df) * mult, cols: _*)
+
   /** Per-document minhash signature (as a comma-joined string for a
     * stable cross-engine representation).
     */
@@ -122,6 +144,7 @@ object Dedup {
     * landing below only admits a candidate that verification rejects.
     */
   private[graft] def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val mult = pairMult(docs, docs.count())
     val base = spread(docs).select(
       col("doc_id"),
       sortedShingleHashes64Fast(col("text"), n).as("hs"))
@@ -150,18 +173,20 @@ object Dedup {
     // pinned before the per-pair aggregation so the agg runs wide (the
     // partial-agg saving it forfeits is small: most pairs share ONE
     // prefix hash, so map-side combine barely reduces the shuffle)
-    val cand = pinned(matches.select("a", "b", "na", "nb", "pa", "pb"), col("a"), col("b"))
+    val cand = pinnedWide(matches.select("a", "b", "na", "nb", "pa", "pb"), mult, col("a"), col("b"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).as("c"), max(col("pa")).as("pa"), max(col("pb")).as("pb"))
       .filter(col("c") + least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >=
         ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select("a", "b", "na", "nb")
     val sh = base.select(col("doc_id"), col("hs"))
-    val withA = pinned(cand, col("a"))
-      .join(pinned(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), col("a")), "a")
-    pinned(withA, col("b"))
-      .join(pinned(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), col("b")), "b")
-      .withColumn("ov", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+    val withA = pinnedWide(cand, mult, col("a"))
+      .join(pinnedWide(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
+    pinnedWide(withA, mult, col("b"))
+      .join(pinnedWide(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
+      // two-pointer merge over the sorted hash arrays: allocation-free,
+      // vs array_intersect's per-row hash set + materialized array
+      .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
       .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
