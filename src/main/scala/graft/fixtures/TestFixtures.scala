@@ -158,6 +158,115 @@ object TestFixtures {
     out
   }
 
+  /** Real RIFF/WAVE files, one per document: 16-bit little-endian PCM
+    * with doc_id-derived parameters (rate = 8000 + (id%4)*4000,
+    * channels = 1 + id%2, frames = 100 + id%50) and a planted peak
+    * sample of 1000 + id%29000 at position 0 (all other samples stay
+    * below 1000), so the m3 oracle recomputes every output from
+    * doc_id alone while the Spark side must parse the actual WAV
+    * chunks (Multimodal.decodeWavHeader).
+    */
+  def mediaAudio(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/media_audio"
+    ensure(sfDir, "media_audio") {
+      import org.apache.spark.sql.Encoders
+      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+        .repartition(32)
+        .mapPartitions { it =>
+          it.map { id =>
+            val rate = 8000 + (id % 4).toInt * 4000
+            val channels = 1 + (id % 2).toInt
+            val frames = 100 + (id % 50).toInt
+            val peak = 1000 + (id % 29000).toInt
+            val nSamples = frames * channels
+            val data = new Array[Byte](nSamples * 2)
+            var i = 0
+            while (i < nSamples) {
+              val v = if (i == 0) peak else ((i * 131 + id) % 997).toInt
+              data(2 * i) = (v & 0xff).toByte
+              data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            (id, wavBytes(rate, channels, data))
+          }
+        }(tupleEnc)
+        .toDF("doc_id", "wav")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Assemble a canonical 16-bit PCM WAV file: RIFF header, `fmt `
+    * chunk, `data` chunk.
+    */
+  def wavBytes(rate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** Real animated GIFs, one per document, written frame-by-frame
+    * with the JDK's ImageIO GIF sequence writer. Frame count and
+    * logical-screen dimensions derive from doc_id (frames = 2 + id%6,
+    * w = 10 + id%8, h = 8 + id%4) so the m2 oracle recomputes them
+    * while the Spark side must walk the actual GIF block structure
+    * (Multimodal.decodeGifFrames).
+    */
+  def mediaVideo(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/media_gif"
+    ensure(sfDir, "media_gif") {
+      import org.apache.spark.sql.Encoders
+      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+        .repartition(32)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 10 + (id % 8).toInt
+            val h = 8 + (id % 4).toInt
+            val nFrames = 2 + (id % 6).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, ((id * 31 + f * 13 + x * 7 + y) & 0xffffff).toInt); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+            writer.dispose()
+            ios.close()
+            (id, bos.toByteArray)
+          }
+        }(tupleEnc)
+        .toDF("doc_id", "gif")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** CSV copy of orders (reference declares CSV tables TODO; we
     * support them via the classification parameter).
     */

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — binary column, per-partition batch
   * iteration with a typed Encoder, stable output schema, narrow (no
-  * shuffle) execution — is shared by all three media kinds. Image
-  * metadata ([[imageMeta]]) does a REAL header parse (PNG IHDR / JPEG
-  * SOFn / GIF logical screen — dimensions sit at fixed offsets or in
-  * marker segments, no codec library needed). Frame sampling and
-  * audio metadata still stub the decode (the container ships no
-  * video/audio codecs); swapping in a real decoder changes only the
-  * per-record function — schema, partitioning and batching stay
-  * identical.
+  * shuffle) execution — is shared by all three media kinds, and all
+  * three decode REAL bytes with hand-rolled format parsers (no codec
+  * libraries): image metadata parses PNG IHDR / JPEG SOFn markers /
+  * GIF screen descriptors, frame sampling walks a GIF's block
+  * structure counting image descriptors, audio metadata walks RIFF
+  * chunks and scans 16-bit PCM samples. A production pipeline would
+  * swap in full decoders (pixel data, codec bitstreams) — that
+  * changes only the per-record function; schema, partitioning and
+  * batching stay identical.
   *
   * Scale note: mapPartitions keeps per-record overhead at
   * iterator-step cost and lets a real decoder amortize native-lib
@@ -92,78 +93,155 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  final case class FrameMeta(doc_id: Long, n_frames: Int, n_sampled: Int, head_hash: Long)
+  final case class FrameMeta(doc_id: Long, width: Int, height: Int, n_frames: Int, n_sampled: Int)
 
-  /** "Video" frame sampling over an opaque binary payload: fixed-size
-    * frames, every `stride`-th frame sampled, plus a fingerprint of
-    * the head frame. The frame math and byte-level hash are real; a
-    * production decoder would replace the byte-split with container
-    * parsing (same mapPartitions shape).
+  /** Walk a GIF's real block structure: logical screen descriptor for
+    * dimensions, then every block — extensions (0x21: label + length-
+    * prefixed sub-blocks), image descriptors (0x2C: 9-byte descriptor,
+    * optional local color table, LZW min-code byte, sub-blocks) — and
+    * count the image descriptors = animation frames. Corrupt bytes
+    * degrade to (0,0,0), never throw.
     */
-  def frameSample(docs: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
-    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  def decodeGifFrames(bytes: Array[Byte]): (Int, Int, Int) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 14 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return (0, 0, 0)
+    val w = le16(6); val h = le16(8)
+    val gctSize = if ((u8(10) & 0x80) != 0) 3 * (1 << ((u8(10) & 0x07) + 1)) else 0
+    var i = 13 + gctSize
+    var frames = 0
+    def skipSubBlocks(): Boolean = { // false on truncation
+      while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+      if (i < bytes.length) { i += 1; true } else false
+    }
+    var ok = true
+    while (ok && i < bytes.length && u8(i) != 0x3b) {
+      u8(i) match {
+        case 0x21 => // extension: introducer, label, sub-blocks
+          i += 2
+          ok = skipSubBlocks()
+        case 0x2c => // image descriptor
+          if (i + 10 > bytes.length) ok = false
+          else {
+            val lctSize = if ((u8(i + 9) & 0x80) != 0) 3 * (1 << ((u8(i + 9) & 0x07) + 1)) else 0
+            i += 10 + lctSize + 1 // descriptor + local table + LZW min-code
+            ok = skipSubBlocks()
+            if (ok) frames += 1
+          }
+        case _ => ok = false // unknown block: stop rather than misparse
+      }
+    }
+    (w, h, frames)
+  }
+
+  /** media(doc_id, gif: binary) -> frame-sampling metadata from a REAL
+    * container walk ([[decodeGifFrames]]): dimensions, frame count,
+    * and how many frames an every-`stride`-th sampler would keep.
+    * Narrow per-partition decode, no shuffle.
+    */
+  def frameSample(media: DataFrame, stride: Int = 2): DataFrame = {
     implicit val enc = Encoders.product[FrameMeta]
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    binary.as[(Long, Array[Byte])](tupleEnc)
+    media.select(col("doc_id"), col("gif"))
+      .as[(Long, Array[Byte])](tupleEnc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val nFrames = bytes.length / frameBytes
-          val nSampled = (nFrames + stride - 1) / stride
-          var h = 0L
-          val headLen = math.min(frameBytes, bytes.length)
-          var i = 0
-          while (i < headLen) { h = (h * 31 + (bytes(i) & 0xff)) % graft.functions.CrossHash.P; i += 1 }
-          FrameMeta(id, nFrames, nSampled, h)
+          val (w, h, n) = decodeGifFrames(bytes)
+          FrameMeta(id, w, h, n, (n + stride - 1) / stride)
         }
       }
       .toDF()
       .orderBy("doc_id")
   }
 
-  final case class AudioMeta(doc_id: Long, duration_ms: Long, channels: Int, peak: Int)
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      duration_ms: Long, peak: Int)
 
-  /** "Audio" metadata stub over an opaque binary payload: treats the
-    * bytes as 16 kHz 16-bit PCM (2 bytes/sample), derives duration,
-    * a fake channel count, and the peak byte value. Integer-exact
-    * math only, so the oracle matches without rounding concerns.
+  /** Parse a RIFF/WAVE file's chunk list: `fmt ` yields channels /
+    * sample rate / bits per sample, `data` yields the payload extent;
+    * duration = frames * 1000 / rate with frames = dataLen/blockAlign,
+    * and peak = the maximum absolute 16-bit little-endian sample.
+    * Corrupt bytes degrade to zeros, never throw.
     */
-  def audioMeta(docs: DataFrame): DataFrame = {
-    val binary = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  def decodeWavHeader(bytes: Array[Byte]): (Int, Int, Long, Int) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String) = bytes.length >= i + 4 &&
+      bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
+      bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return (0, 0, 0L, 0)
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val sz = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= bytes.length) {
+        channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+      } else if (tag(i, "data")) {
+        dataOff = i + 8; dataLen = math.min(sz, bytes.length - dataOff)
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return (0, 0, 0L, 0)
+    val blockAlign = channels * 2
+    val frames = dataLen / blockAlign
+    val durationMs = frames.toLong * 1000L / rate
+    var peak = 0
+    var j = dataOff
+    while (j + 1 < dataOff + dataLen) {
+      val v = (le16(j) << 16) >> 16 // sign-extend
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      j += 2
+    }
+    (rate, channels, durationMs, peak)
+  }
+
+  /** media(doc_id, wav: binary) -> audio metadata from a REAL RIFF
+    * chunk parse ([[decodeWavHeader]]). Narrow per-partition decode,
+    * no shuffle.
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[AudioMeta]
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
-    binary.as[(Long, Array[Byte])](tupleEnc)
+    media.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])](tupleEnc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val samples = bytes.length / 2
-          val durationMs = samples.toLong * 1000L / 16000L
-          val channels = 1 + (bytes.length % 2)
-          val peak = if (bytes.isEmpty) 0 else bytes.map(_ & 0xff).max
-          AudioMeta(id, durationMs, channels, peak)
+          val (rate, ch, dur, peak) = decodeWavHeader(bytes)
+          AudioMeta(id, rate, ch, dur, peak)
         }
       }
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** Oracle for [[audioMeta]] (ASCII payloads: peak byte = max char
-    * code).
+  /** Oracle for [[audioMeta]] over the WAV fixture
+    * (TestFixtures.mediaAudio): every parameter was derived from
+    * doc_id at generation time, so the oracle recomputes them while
+    * the Spark side must parse the actual RIFF chunks.
     */
   def sqlAudioMeta: String =
     """SELECT doc_id,
-      |  CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms,
-      |  CAST(1 + (octet_length(encode(text)) % 2) AS INTEGER) AS channels,
-      |  CAST(coalesce(list_max(list_transform(string_split(text, ''), c -> ord(c))), 0) AS INTEGER) AS peak
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST((100 + doc_id % 50) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+      |  CAST(1000 + doc_id % 29000 AS INTEGER) AS peak
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Oracle for [[frameSample]] (ASCII payloads: bytes == chars). */
-  def sqlFrameSample: String = {
-    val fold = graft.functions.CrossHash.sqlCharFold("substr(text, 1, 16)")
-    s"""SELECT doc_id,
-       |  CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames,
-       |  CAST((octet_length(encode(text)) // 16 + 3) // 4 AS INT) AS n_sampled,
-       |  $fold AS head_hash
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
+  /** Oracle for [[frameSample]] over the GIF fixture
+    * (TestFixtures.mediaVideo): frame count and screen dimensions
+    * derive from doc_id; stride is 2.
+    */
+  def sqlFrameSample: String =
+    """SELECT doc_id,
+      |  CAST(10 + doc_id % 8 AS INTEGER) AS width,
+      |  CAST(8 + doc_id % 4 AS INTEGER) AS height,
+      |  CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
+      |  CAST((2 + doc_id % 6 + 1) // 2 AS INTEGER) AS n_sampled
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Oracle for [[imageMeta]] over the media fixture
     * (TestFixtures.mediaImages): image dimensions were DERIVED from

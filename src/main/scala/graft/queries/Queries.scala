@@ -685,11 +685,13 @@ object Queries {
       Multimodal.sqlImageMeta)),
 
     "m2_frame_sample" -> ((
-      (spark: SparkSession, sf: String) => Multimodal.frameSample(t(spark, sf, "documents")),
+      (spark: SparkSession, sf: String) =>
+        Multimodal.frameSample(spark.read.parquet(TestFixtures.mediaVideo(spark, sf))),
       Multimodal.sqlFrameSample)),
 
     "m3_audio_meta" -> ((
-      (spark: SparkSession, sf: String) => Multimodal.audioMeta(t(spark, sf, "documents")),
+      (spark: SparkSession, sf: String) =>
+        Multimodal.audioMeta(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
       Multimodal.sqlAudioMeta))
   )
 

@@ -40,6 +40,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageHeader(png.take(16)) == ((0, 0, "unknown")))
   }
 
+  test("WAV chunk parse recovers rate/channels/duration/peak from real RIFF bytes") {
+    // 12 frames stereo at 8kHz, peak sample -3000 (abs wins over +2999)
+    val data = new Array[Byte](12 * 2 * 2)
+    def put16(i: Int, v: Int): Unit = { data(2 * i) = (v & 0xff).toByte; data(2 * i + 1) = ((v >> 8) & 0xff).toByte }
+    put16(0, -3000); put16(1, 2999)
+    val wav = graft.fixtures.TestFixtures.wavBytes(8000, 2, data)
+    assert(Multimodal.decodeWavHeader(wav) == ((8000, 2, 12L * 1000L / 8000L, 3000)))
+  }
+
+  test("WAV parse degrades to zeros on garbage, no throw") {
+    assert(Multimodal.decodeWavHeader(Array.empty[Byte]) == ((0, 0, 0L, 0)))
+    assert(Multimodal.decodeWavHeader("RIFFxxxxWAVE".getBytes) == ((0, 0, 0L, 0)))
+  }
+
+  test("GIF block walk counts the frames the sequence writer wrote") {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 5) {
+      val img = new java.awt.image.BufferedImage(21, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 9; x <- 0 until 21) img.setRGB(x, y, (f * 13 + x * 7 + y) & 0xffffff)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    assert(Multimodal.decodeGifFrames(bos.toByteArray) == ((21, 9, 5)))
+    assert(Multimodal.decodeGifFrames("GIF89a".getBytes) == ((0, 0, 0)))
+  }
+
   test("imageMeta recovers generation-time dimensions from media fixture bytes") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
