@@ -193,6 +193,63 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Incremental near-duplicate detection — the daily-ingest shape: a
+    * NEW batch arrives and must be checked against the existing corpus
+    * and against itself, WITHOUT re-joining the corpus against itself.
+    * Only fresh documents probe the shared prefix index, so candidate
+    * volume is O(|fresh| x collisions), independent of corpus-corpus
+    * pair counts — at 100 TB the corpus side contributes just its
+    * prefix index (rebuildable incrementally or cached), never a
+    * quadratic term. Emits every pair at exact Jaccard >= `threshold`
+    * (word `n`-gram shingles) with at least one fresh member, `a` <
+    * `b`. Same prefix-filter lemma and verification as
+    * [[prefixJaccardPairs]]; the positional filter is omitted (probe
+    * and index prefixes are asymmetric after the least/greatest
+    * normalization), a candidate-volume tradeoff, not an exactness
+    * one.
+    */
+  def incrementalPairs(corpus: DataFrame, fresh: DataFrame,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val mult = pairMult(corpus, corpus.count() + fresh.count())
+    def prep(df: DataFrame, side: String) =
+      spread(df).select(
+        col("doc_id"),
+        sortedShingleHashes64Fast(col("text"), n).as("hs"))
+        .withColumn("nh", size(col("hs")))
+        .withColumn("side", lit(side))
+    val f = prep(fresh, "f")
+    val all = prep(corpus, "c").unionByName(f)
+    def prefixed(df: DataFrame) = {
+      val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+      pinned(df.select(col("doc_id"), col("nh"), col("side"),
+        explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
+    }
+    val probe = prefixed(f).select(col("h"), col("doc_id").as("x"), col("nh").as("nx"))
+    val index = prefixed(all).select(col("h"), col("doc_id").as("y"), col("nh").as("ny"), col("side"))
+    val cand = pinnedWide(
+      probe.join(index.hint("SHUFFLE_MERGE"), Seq("h"))
+        // fresh-vs-corpus in any order; fresh-vs-fresh once (y < x)
+        .filter(col("side") === "c" || col("y") < col("x"))
+        .filter(greatest(col("nx"), col("ny")) * lit(threshold) <=
+          least(col("nx"), col("ny")) + lit(1e-9))
+        .select(
+          least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
+          when(col("x") < col("y"), col("nx")).otherwise(col("ny")).as("na"),
+          when(col("x") < col("y"), col("ny")).otherwise(col("nx")).as("nb")),
+      mult, col("a"), col("b"))
+      .distinct()
+    val sh = all.select(col("doc_id"), col("hs"))
+    val withA = pinnedWide(cand, mult, col("a"))
+      .join(pinnedWide(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
+    pinnedWide(withA, mult, col("b"))
+      .join(pinnedWide(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
+      .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
+      .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      .orderBy("a", "b")
+  }
+
   /** Near-duplicate pairs via classic MinHash band LSH (1-row bands):
     * docs sharing any of the K minhash values become candidates
     * (shuffle join on (band, value)), verified with exact Jaccard.

@@ -614,6 +614,25 @@ object Queries {
          |SELECT cluster_id, doc_id AS keep_doc, n_members, len AS max_len
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
+    // incremental (new-batch-vs-corpus) dedup: fresh = every 5th doc;
+    // the oracle is the quadratic join restricted to pairs with a
+    // fresh member
+    "d11_dedup_incremental" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        Dedup.incrementalPairs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0), 3, 0.8)
+      },
+      s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+         |SELECT a, b, round(jac, 6) AS jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin)),
+
     // content-hash deterministic sampling (audit shape: per-stratum counts)
     "d10_sample_hash" -> ((
       (spark: SparkSession, sf: String) => Sampling.sampleAudit(t(spark, sf, "documents"), 20),

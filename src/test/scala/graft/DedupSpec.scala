@@ -104,6 +104,18 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getLong(1) <= row.getLong(0))
   }
 
+  test("incremental pairs equal brute-force pairs having a fresh member") {
+    val expected = brutePairs(0.8).filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    val got = Dedup.incrementalPairs(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // and it found strictly fewer pairs than the full self-join would
+    assert(got.size < brutePairs(0.8).size)
+  }
+
   /** Reference union-find over a pair list. */
   private def unionFind(pairs: Iterable[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
