@@ -24,7 +24,10 @@ object ExplainAudit {
       "q4_region_balance",   // broadcast hints
       "g1_glue_prune",       // partition pruning via engine
       "d7_ngram_jaccard",    // inverted-index join shape
-      "s1_ann_brute")        // broadcast of query vector
+      "s1_ann_brute",        // broadcast of query vector
+      "s4_bm25",             // broadcast df/stats, single posting shuffle
+      "d10_sample_hash",     // filter pushes to the scan
+      "d11_dedup_incremental") // probe-vs-index prefix join
 
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

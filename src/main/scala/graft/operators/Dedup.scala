@@ -389,6 +389,12 @@ object Dedup {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // labels only ever decrease, so sum(lbl) is strictly monotone
+    // until the fixpoint: an unchanged sum IS convergence, checked
+    // with one aggregate instead of a join against the prior round
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("lbl")).collect().head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     val maxRounds = 64 // diameter bound; dedup graphs converge in ~2-4
@@ -399,9 +405,9 @@ object Dedup {
       val next = labels.union(viaNeighbours)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev"))
-      converged = changed.isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
