@@ -72,7 +72,10 @@ final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long, errorTtlMs: Long
           else
             try load
             catch {
-              case e: Throwable =>
+              // NonFatal only: an OOME or interrupt must propagate (and
+              // keep the interrupt status), not be replayed to every
+              // caller for the negative-TTL window
+              case scala.util.control.NonFatal(e) =>
                 FailedLoad(e, System.currentTimeMillis() + errorTtlMs)
             }
       })

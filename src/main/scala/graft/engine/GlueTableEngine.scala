@@ -102,10 +102,14 @@ final class GlueTableEngine(
     * out-of-root path carries no `key=value` segments to extract.
     */
   private def outOfRootPartitions(meta: CachedTableMetadata): Seq[(PartitionInfo, Map[String, String])] = {
-    val rootPrefix = normalizeDir(location(meta))
+    // compare canonicalized (scheme-insensitive) forms: catalog
+    // locations are free-form, and a raw-string compare would call
+    // 's3a://bucket/tbl/k=a' external to root 's3://bucket/tbl',
+    // listing that partition twice (root listing + external listing)
+    val rootPrefix = normalizeDir(canonPath(location(meta)))
     val keys = meta.partitionMetadata.map(_.keys).getOrElse(Nil)
     meta.partitionMetadata.map(_.values).getOrElse(Nil)
-      .filter(_.location.exists(l => !normalizeDir(l).startsWith(rootPrefix)))
+      .filter(_.location.exists(l => !normalizeDir(canonPath(l)).startsWith(rootPrefix)))
       .map(pi => pi -> keys.zip(pi.values).toMap)
   }
 
@@ -365,11 +369,17 @@ final class GlueTableEngine(
       val view = java.util.regex.Matcher.quoteReplacement(Naming.viewName(db, tbl))
       val q = java.util.regex.Pattern.quote _
       // 3-part first so `glue.db.tbl` never degrades to a partial
-      // 2-part match; 2-part only for the default database
-      val threePart = ("(?i)`?glue`?\\.`?" + q(db) + "`?\\.`?" + q(tbl) + "`?").r
+      // 2-part match; 2-part only for the default database. Both ends
+      // are identifier-bounded: without the right boundary a ref whose
+      // table is a PREFIX of another identifier (glue.orders vs
+      // glue.orders_flat) would be rewritten mid-identifier, leaving a
+      // corrupted name / stray backtick.
+      val bL = "(?<![\\w`])"
+      val bR = "(?![\\w`])"
+      val threePart = ("(?i)" + bL + "`?glue`?\\.`?" + q(db) + "`?\\.`?" + q(tbl) + "`?" + bR).r
       val s1 = threePart.replaceAllIn(s, view)
       if (db.equalsIgnoreCase("default"))
-        ("(?i)`?glue`?\\.`?" + q(tbl) + "`?").r.replaceAllIn(s1, view)
+        ("(?i)" + bL + "`?glue`?\\.`?" + q(tbl) + "`?" + bR).r.replaceAllIn(s1, view)
       else s1
     }
 

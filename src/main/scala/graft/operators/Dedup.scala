@@ -179,13 +179,20 @@ object Dedup {
       .filter(col("c") + least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >=
         ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select("a", "b", "na", "nb")
-    val sh = base.select(col("doc_id"), col("hs"))
+    verifyPairs(cand, base.select(col("doc_id"), col("hs")), mult, threshold)
+  }
+
+  /** Exact-Jaccard verification shared by the self-join and
+    * incremental paths: join each candidate side's sorted hash set,
+    * count the overlap with a two-pointer merge (allocation-free, vs
+    * array_intersect's per-row hash set + materialized array), and
+    * keep pairs at `threshold`. `cand` columns: a, b, na, nb.
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, mult: Int, threshold: Double): DataFrame = {
     val withA = pinnedWide(cand, mult, col("a"))
       .join(pinnedWide(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
     pinnedWide(withA, mult, col("b"))
       .join(pinnedWide(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
-      // two-pointer merge over the sorted hash arrays: allocation-free,
-      // vs array_intersect's per-row hash set + materialized array
       .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
       .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)
@@ -228,7 +235,11 @@ object Dedup {
     val index = prefixed(all).select(col("h"), col("doc_id").as("y"), col("nh").as("ny"), col("side"))
     val cand = pinnedWide(
       probe.join(index.hint("SHUFFLE_MERGE"), Seq("h"))
-        // fresh-vs-corpus in any order; fresh-vs-fresh once (y < x)
+        // fresh-vs-corpus in any order; fresh-vs-fresh once (y < x).
+        // x != y guards a re-ingested id present on BOTH sides from
+        // surfacing as a degenerate (a, a) self-pair; doc_ids are
+        // expected unique within corpus + fresh
+        .filter(col("x") =!= col("y"))
         .filter(col("side") === "c" || col("y") < col("x"))
         .filter(greatest(col("nx"), col("ny")) * lit(threshold) <=
           least(col("nx"), col("ny")) + lit(1e-9))
@@ -238,16 +249,7 @@ object Dedup {
           when(col("x") < col("y"), col("ny")).otherwise(col("nx")).as("nb")),
       mult, col("a"), col("b"))
       .distinct()
-    val sh = all.select(col("doc_id"), col("hs"))
-    val withA = pinnedWide(cand, mult, col("a"))
-      .join(pinnedWide(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
-    pinnedWide(withA, mult, col("b"))
-      .join(pinnedWide(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
-      .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
-      .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
-      .filter(col("jac") >= threshold)
-      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
-      .orderBy("a", "b")
+    verifyPairs(cand, all.select(col("doc_id"), col("hs")), mult, threshold)
   }
 
   /** Near-duplicate pairs via classic MinHash band LSH (1-row bands):
@@ -391,9 +393,14 @@ object Dedup {
       .localCheckpoint()
     // labels only ever decrease, so sum(lbl) is strictly monotone
     // until the fixpoint: an unchanged sum IS convergence, checked
-    // with one aggregate instead of a join against the prior round
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("lbl")).collect().head.getLong(0)
+    // with one aggregate instead of a join against the prior round.
+    // Decimal(38) sum: ids may be arbitrary 64-bit values (content
+    // hashes), where a LongType sum could wrap and collide. The
+    // empty-graph sum is null -> ZERO, so a pair-free corpus
+    // converges immediately instead of NPE-ing.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect().head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -406,7 +413,7 @@ object Dedup {
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
       rounds += 1

@@ -175,14 +175,20 @@ object Multimodal {
     var i = 12
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (i + 8 <= bytes.length) {
-      val sz = le32(i + 4)
+    var walking = true
+    while (walking && i + 8 <= bytes.length) {
+      // RIFF sizes are unsigned 32-bit; widen before any arithmetic so
+      // a corrupt/huge size can neither wrap the cursor backwards
+      // (infinite loop) nor overflow it past the array (AIOOBE) — the
+      // walk just stops, honoring the degrade-don't-throw contract
+      val sz = le32(i + 4).toLong & 0xffffffffL
       if (tag(i, "fmt ") && i + 24 <= bytes.length) {
         channels = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
       } else if (tag(i, "data")) {
-        dataOff = i + 8; dataLen = math.min(sz, bytes.length - dataOff)
+        dataOff = i + 8; dataLen = math.min(sz, (bytes.length - dataOff).toLong).toInt
       }
-      i += 8 + sz + (sz & 1) // chunks are word-aligned
+      val next = i.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+      if (next <= i || next > Int.MaxValue) walking = false else i = next.toInt
     }
     if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return (0, 0, 0L, 0)
     val blockAlign = channels * 2

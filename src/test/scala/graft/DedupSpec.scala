@@ -130,6 +130,18 @@ class DedupSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("connected components of an empty pair list are empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+    // huge 64-bit ids: the decimal convergence sum must not wrap
+    val big = Seq((Long.MaxValue - 1, Long.MaxValue), (Long.MaxValue - 2, Long.MaxValue - 1))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(big)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet == Set(Long.MaxValue - 2))
+  }
+
   test("connected components: min label propagates beyond one hop") {
     import spark.implicits._
     // path 1-2-3-4 (diameter 3), triangle {10,11,12}, pair {20,21}

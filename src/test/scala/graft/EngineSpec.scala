@@ -364,6 +364,14 @@ class EngineSpec extends AnyFunSuite {
     assert(viaText == viaPlan)
   }
 
+  test("rewrittenSql is identifier-bounded: a prefix table name never clobbers a longer one") {
+    val sql = "SELECT * FROM `glue`.`default`.`orders_flat` o " +
+      "JOIN glue.default.orders x ON o.o_orderkey = x.o_orderkey"
+    val rw = engine.rewrittenSql(sql)
+    assert(rw == "SELECT * FROM GLUE__default_orders_flat o " +
+      "JOIN GLUE__default_orders x ON o.o_orderkey = x.o_orderkey", rw)
+  }
+
   test("files variable survives quotes in paths in every literal mode") {
     val dir = new java.io.File("/root/repo/target/fixtures/sf0_001/quote'dir")
     dir.mkdirs()

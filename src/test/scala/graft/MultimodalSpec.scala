@@ -52,6 +52,15 @@ class MultimodalSpec extends AnyFunSuite {
   test("WAV parse degrades to zeros on garbage, no throw") {
     assert(Multimodal.decodeWavHeader(Array.empty[Byte]) == ((0, 0, 0L, 0)))
     assert(Multimodal.decodeWavHeader("RIFFxxxxWAVE".getBytes) == ((0, 0, 0L, 0)))
+    // corrupt chunk sizes must neither loop forever nor throw:
+    // negative size (cursor would wrap backwards) ...
+    val neg = graft.fixtures.TestFixtures.wavBytes(8000, 1, new Array[Byte](8))
+    neg(16) = 0xf8.toByte; neg(17) = 0xff.toByte; neg(18) = 0xff.toByte; neg(19) = 0xff.toByte
+    assert(Multimodal.decodeWavHeader(neg) == ((0, 0, 0L, 0)))
+    // ... and a size far past the buffer (cursor would overflow)
+    val huge = graft.fixtures.TestFixtures.wavBytes(8000, 1, new Array[Byte](8))
+    huge(16) = 0xff.toByte; huge(17) = 0xff.toByte; huge(18) = 0xff.toByte; huge(19) = 0x7f.toByte
+    assert(Multimodal.decodeWavHeader(huge) == ((0, 0, 0L, 0)))
   }
 
   test("GIF block walk counts the frames the sequence writer wrote") {
