@@ -116,6 +116,47 @@ object TextAnalysis {
        |FROM tok ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact token-count quantiles of the corpus — the standard length-
+    * distribution report a curation pipeline runs before filtering.
+    *
+    * Quantiles are expressed as rationals (num/den) and resolved with
+    * INTEGER arithmetic over the cumulative distribution of DISTINCT
+    * lengths: p(q) = min len whose cumulative count `cum` satisfies
+    * `cum * den >= n * num` (exactly ceil(q*n) without ever touching
+    * floats — 0.9*500 in doubles is 450.0000...03, whose ceil is off
+    * by one). Scale shape: the only global-order window runs over
+    * DISTINCT length values (bounded small regardless of corpus
+    * rows); everything row-scale is a groupBy count. This is how an
+    * EXACT quantile stays feasible at 100 TB — approx_percentile
+    * trades that exactness away and could never hash-match an oracle.
+    */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[(Int, Int)] = Seq(50 -> 100, 90 -> 100, 99 -> 100)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(size(tokens(col("text"))).as("len"))
+    val freq = lens.groupBy("len").agg(count(lit(1)).as("c"))
+    val cum = freq.withColumn("cum",
+      sum("c").over(Window.orderBy("len").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = lens.agg(count(lit(1)).as("n"))
+    val withN = cum.crossJoin(broadcast(total))
+    qs.map { case (num, den) =>
+      withN.filter(col("cum") * den >= col("n") * num)
+        .agg(min("len").as("len"))
+        .select(lit(s"p$num").as("q"), col("len"))
+    }.reduce(_ unionByName _).orderBy("q")
+  }
+
+  /** DuckDB oracle for [[lengthQuantiles]]. */
+  def sqlLengthQuantiles(qs: Seq[(Int, Int)] = Seq(50 -> 100, 90 -> 100, 99 -> 100)): String = {
+    val arms = qs.map { case (num, den) =>
+      s"SELECT 'p$num' AS q, min(len) AS len FROM cum, t WHERE cum * $den >= n * $num"
+    }.mkString("\n|", "\n|UNION ALL\n|", "\n|")
+    s"""WITH lens AS (SELECT CAST(len(${sqlTokens("text")}) AS INTEGER) AS len FROM documents),
+       |freq AS (SELECT len, count(*) AS c FROM lens GROUP BY len),
+       |cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cum FROM freq),
+       |t AS (SELECT count(*) AS n FROM lens)$arms ORDER BY q""".stripMargin
+  }
+
   def sqlLangid: String = {
     val dt = sqlDistinctTokens("text")
     def score(lang: String, words: Seq[String]) = {

@@ -698,6 +698,12 @@ object Queries {
          |SELECT doc_id, coalesce(list_min(list_transform(s, w -> ${sqlCharFold("w")})), -1) AS fp
          |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // exact corpus length quantiles (integer-rank arithmetic over the
+    // distinct-length cumulative distribution; no float ceil)
+    "t5_length_quantiles" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.lengthQuantiles(t(spark, sf, "documents")),
+      TextAnalysis.sqlLengthQuantiles())),
+
     "m1_media_meta" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.imageMeta(spark.read.parquet(TestFixtures.mediaImages(spark, sf))),

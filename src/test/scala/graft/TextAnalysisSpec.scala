@@ -27,4 +27,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got = TextAnalysis.langid(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
   }
+
+  test("length quantiles use exact integer ranks (no float ceil drift)") {
+    import spark.implicits._
+    // doc k has k tokens, k = 1..10: p50 -> 5, p90 -> 9, p99 -> 10
+    val docs = (1 to 10).map(k => (k.toLong, Seq.fill(k)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthQuantiles(docs)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("p50" -> 5, "p90" -> 9, "p99" -> 10))
+  }
 }
