@@ -146,6 +146,24 @@ object TextAnalysis {
     }.reduce(_ unionByName _).orderBy("q")
   }
 
+  /** Top-k vocabulary terms by document frequency — the corpus
+    * report behind stopword discovery and the df-ascending token
+    * order that similarity prefix filters use on Zipf corpora. One
+    * shuffle keyed by term (map-side combine collapses each
+    * partition's postings first); top-k via TakeOrderedAndProject.
+    */
+  def vocabStats(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(distinctTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
+  /** DuckDB oracle for [[vocabStats]]. */
+  def sqlVocabStats(k: Int = 20): String =
+    s"""SELECT term, count(*) AS df
+       |FROM (SELECT doc_id, unnest(${sqlDistinctTokens("text")}) AS term FROM documents)
+       |GROUP BY term ORDER BY df DESC, term LIMIT $k""".stripMargin
+
   /** DuckDB oracle for [[lengthQuantiles]]. */
   def sqlLengthQuantiles(qs: Seq[(Int, Int)] = Seq(50 -> 100, 90 -> 100, 99 -> 100)): String = {
     val arms = qs.map { case (num, den) =>

@@ -704,6 +704,11 @@ object Queries {
       (spark: SparkSession, sf: String) => TextAnalysis.lengthQuantiles(t(spark, sf, "documents")),
       TextAnalysis.sqlLengthQuantiles())),
 
+    // top-k vocabulary by document frequency
+    "t6_vocab_df" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.vocabStats(t(spark, sf, "documents")),
+      TextAnalysis.sqlVocabStats())),
+
     "m1_media_meta" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.imageMeta(spark.read.parquet(TestFixtures.mediaImages(spark, sf))),

@@ -28,6 +28,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "und")
   }
 
+  test("vocab stats count document frequency, not term frequency") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabStats(df, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L), ("c", 1L))) // 'a a' counts once for doc 1
+  }
+
   test("length quantiles use exact integer ranks (no float ceil drift)") {
     import spark.implicits._
     // doc k has k tokens, k = 1..10: p50 -> 5, p90 -> 9, p99 -> 10
