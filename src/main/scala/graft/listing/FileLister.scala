@@ -34,7 +34,7 @@ final class HadoopFileLister(hadoopConf: Configuration) extends FileLister {
     val root = new Path(loc)
     val fs = root.getFileSystem(hadoopConf)
     if (!fs.exists(root)) return Nil
-    val out = ArrayBuffer.empty[String]
+    val out = ArrayBuffer.empty[(String, Long, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val status = it.next()
@@ -49,10 +49,12 @@ final class HadoopFileLister(hadoopConf: Configuration) extends FileLister {
       // are `_`/`.`-prefixed or empty would need a custom FileLister.
       val skip = name.endsWith("_$folder$") || name.startsWith("_") ||
         name.startsWith(".") || status.getLen == 0
-      if (!skip) out += p.toString
+      if (!skip) out += ((p.toString, status.getLen, status.getModificationTime))
     }
-    val sorted = out.toSeq.sorted // deterministic order
-    sorted.map(p => S3FileInfo(p, PartitionValues.extract(p, partitionKeys)))
+    val sorted = out.toSeq.sortBy(_._1) // deterministic order
+    sorted.map { case (p, len, mod) =>
+      S3FileInfo(p, PartitionValues.extract(p, partitionKeys), len, mod)
+    }
   }
 }
 

@@ -31,7 +31,14 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   private val mapper = new ObjectMapper()
 
   /** @return data file paths of the selected snapshot (sorted). */
-  def dataFiles(location: String, versionOffset: Int = 0): Seq[String] = {
+  def dataFiles(location: String, versionOffset: Int = 0): Seq[String] =
+    dataFilesWithSize(location, versionOffset).map(_._1)
+
+  /** Data file (path, size-in-bytes) pairs of the selected snapshot —
+    * manifests carry `data_file.file_size_in_bytes`, so the read path
+    * can build `FileStatus`es without touching the filesystem again.
+    */
+  def dataFilesWithSize(location: String, versionOffset: Int = 0): Seq[(String, Long)] = {
     val loc = location.stripSuffix("/")
     val metaDir = new Path(s"$loc/metadata")
     val fs = metaDir.getFileSystem(hadoopConf)
@@ -67,14 +74,17 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         // 3. manifest-list avro → manifest_path rows
         //    (reference: src/util/iceberg.ts:30-31).
         val manifestPaths = readAvroField(ml, r => r.get("manifest_path").toString)
-        // 4. each manifest avro → data_file.file_path rows
-        //    (reference: src/util/iceberg.ts:32-33).
+        // 4. each manifest avro → data_file.{file_path, file_size_in_bytes}
+        //    rows (reference: src/util/iceberg.ts:32-33).
         val files = manifestPaths.flatMap { mp =>
           readAvroField(mp, { r =>
-            r.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+            val df = r.get("data_file").asInstanceOf[GenericRecord]
+            val size = Option(df.get("file_size_in_bytes"))
+              .collect { case l: java.lang.Long => l.longValue() }.getOrElse(0L)
+            (df.get("file_path").toString, size)
           })
         }
-        files.distinct.sorted
+        files.distinct.sortBy(_._1)
     }
   }
 
@@ -82,7 +92,7 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     * file. Copies to a local temp file first so the plain Avro
     * DataFileReader works against any Hadoop FileSystem.
     */
-  private def readAvroField(path: String, f: GenericRecord => String): Seq[String] = {
+  private def readAvroField[T](path: String, f: GenericRecord => T): Seq[T] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
     val local = java.io.File.createTempFile("graft-manifest", ".avro")
@@ -95,7 +105,7 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       } finally { in.close(); out.close() }
       val reader = new DataFileReader[GenericRecord](local, new GenericDatumReader[GenericRecord]())
-      val rows = ArrayBuffer.empty[String]
+      val rows = ArrayBuffer.empty[T]
       try while (reader.hasNext) rows += f(reader.next())
       finally reader.close()
       rows.toSeq

@@ -74,9 +74,17 @@ final case class CachedTableMetadata(
     projectionPatterns: Option[Map[String, ProjectionPattern]] = None)
 
 /** A single data file + the partition values extracted from its path
-  * (reference: src/types.ts:13-16).
+  * (reference: src/types.ts:13-16). `size`/`modTime` carry the
+  * filesystem metadata captured at listing time so the read path can
+  * build `FileStatus`es without a second round of per-file metadata
+  * calls (at 10M files that second round is millions of S3 HEADs per
+  * query).
   */
-final case class S3FileInfo(path: String, partitionValues: Map[String, String])
+final case class S3FileInfo(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long = 0L,
+    modTime: Long = 0L)
 
 /** Engine configuration (reference: src/types.ts:42-49 — defaults
   * maxEntries=100, both TTLs 3600000 ms). `proxyAddress` replicates
