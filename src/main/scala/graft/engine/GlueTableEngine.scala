@@ -125,7 +125,11 @@ final class GlueTableEngine(
       Retry.withRetry() {
         meta.tableType match {
           case TableType.Iceberg =>
-            iceberg.dataFiles(location(meta), versionOffset).map(p => S3FileInfo(p, Map.empty))
+            // Sizes come from the manifests themselves (spec field
+            // `data_file.file_size_in_bytes`) — zero extra metadata
+            // calls. Iceberg manifests carry no mtime; 0 = unknown.
+            iceberg.dataFilesWithSize(location(meta), versionOffset)
+              .map { case (p, sz) => S3FileInfo(p, Map.empty, sz, modTime = 0L) }
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
             val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>

@@ -301,7 +301,9 @@ object TestFixtures {
   private val manifestListSchema: Schema = SchemaBuilder.record("manifest_file").fields()
     .requiredString("manifest_path").endRecord()
   private val dataFileSchema: Schema = SchemaBuilder.record("r2").fields()
-    .requiredString("file_path").endRecord()
+    .requiredString("file_path")
+    .requiredLong("file_size_in_bytes") // spec-required; real manifests always carry it
+    .endRecord()
   private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
     .name("data_file").`type`(dataFileSchema).noDefault().endRecord()
 
@@ -317,7 +319,9 @@ object TestFixtures {
     */
   def icebergLineitem(spark: SparkSession, sfDir: String): String = {
     val out = s"${root(sfDir)}/iceberg_lineitem"
-    ensure(sfDir, "iceberg_lineitem") {
+    // v2 marker: manifests gained file_size_in_bytes; stale cached
+    // fixtures (pre-size schema) must regenerate.
+    ensure(sfDir, "iceberg_lineitem_v2") {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/data_even")
@@ -334,6 +338,7 @@ object TestFixtures {
       def manifestRow(path: String): GenericRecord = {
         val df = new GenericData.Record(dataFileSchema)
         df.put("file_path", path)
+        df.put("file_size_in_bytes", new File(path).length())
         val e = new GenericData.Record(manifestEntrySchema)
         e.put("data_file", df)
         e

@@ -75,16 +75,42 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         //    (reference: src/util/iceberg.ts:30-31).
         val manifestPaths = readAvroField(ml, r => r.get("manifest_path").toString)
         // 4. each manifest avro → data_file.{file_path, file_size_in_bytes}
-        //    rows (reference: src/util/iceberg.ts:32-33).
+        //    rows (reference: src/util/iceberg.ts:32-33). NOTE:
+        //    GenericRecord.get(String) THROWS on a field the writer
+        //    schema lacks, so probe the schema first.
         val files = manifestPaths.flatMap { mp =>
           readAvroField(mp, { r =>
             val df = r.get("data_file").asInstanceOf[GenericRecord]
-            val size = Option(df.get("file_size_in_bytes"))
-              .collect { case l: java.lang.Long => l.longValue() }.getOrElse(0L)
+            val sizeField = Option(df.getSchema.getField("file_size_in_bytes"))
+            val size: Long = sizeField match {
+              case Some(f) => df.get(f.pos()) match {
+                // spec-required long; a present-but-wrong-typed value
+                // means a malformed manifest — fail loudly, a silent 0
+                // would poison planner statistics downstream.
+                case l: java.lang.Long    => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+                case other => throw new IllegalStateException(
+                  s"malformed Iceberg manifest $mp: file_size_in_bytes is " +
+                    s"${if (other == null) "null" else other.getClass.getName}, expected long")
+              }
+              // Pre-spec / simplified manifests (e.g. older fixtures):
+              // mark unknown; the caller stats the file once at listing
+              // time, so the size invariant still holds downstream.
+              case None => -1L
+            }
             (df.get("file_path").toString, size)
           })
         }
-        files.distinct.sortBy(_._1)
+        // Resolve any unknown sizes with one driver-side stat per
+        // file. Real manifests always carry the field (required by
+        // the Iceberg spec), so at scale this branch never runs.
+        val resolved = files.distinct.map {
+          case (p, -1L) =>
+            val hp = new Path(p)
+            (p, hp.getFileSystem(hadoopConf).getFileStatus(hp).getLen)
+          case ok => ok
+        }
+        resolved.sortBy(_._1)
     }
   }
 

@@ -78,13 +78,17 @@ final case class CachedTableMetadata(
   * filesystem metadata captured at listing time so the read path can
   * build `FileStatus`es without a second round of per-file metadata
   * calls (at 10M files that second round is millions of S3 HEADs per
-  * query).
+  * query). No default args: every listing source must supply real
+  * values — `size` feeds planner statistics (broadcast decisions)
+  * and scan split planning, so a silent 0 is a correctness hazard at
+  * scale. `modTime = 0` means "source records no mtime" (Iceberg
+  * manifests); it only surfaces via the `_metadata` column.
   */
 final case class S3FileInfo(
     path: String,
     partitionValues: Map[String, String],
-    size: Long = 0L,
-    modTime: Long = 0L)
+    size: Long,
+    modTime: Long)
 
 /** Engine configuration (reference: src/types.ts:42-49 — defaults
   * maxEntries=100, both TTLs 3600000 ms). `proxyAddress` replicates
