@@ -5,12 +5,15 @@ import graft.catalog.CatalogProvider
 import graft.listing.{FileLister, HadoopFileLister, IcebergSnapshotResolver}
 import graft.model._
 import graft.prune.Extractors
+import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graft.{PreListedFileIndex, Shim}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** The engine facade — Spark-native re-expression of the reference's
   * `GlueTableCache` public surface (reference:
@@ -51,6 +54,10 @@ final class GlueTableEngine(
   private val metaCache = new TtlCache[CachedTableMetadata](
     config.maxEntries, config.tableMetadataTtlMs, config.errorCacheTtlMs)
   private val listingCache = new TtlCache[Seq[S3FileInfo]](
+    config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
+  // Derived from listingCache entries (typed partition values per
+  // file, see [[typedListing]]); same TTL, invalidated together.
+  private val typedCache = new TtlCache[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])](
     config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
 
   // ---------------------------------------------------------------- metadata
@@ -155,6 +162,16 @@ final class GlueTableEngine(
     val sp = Shim.classic(spark)
     import sp.implicits._
     val base = fs.map(f => (f.path, f.partitionValues)).toList.toDF("path", "pv")
+    attachKeyColumns(meta, base).drop("pv")
+  }
+
+  /** Attach one extracted partition-value column per key to a frame
+    * with `path` (+ `pv`, the listing-time catalog values map)
+    * columns. Shared by [[listingDF]] and the read path's
+    * [[typedListing]] so pruning and reading can never disagree on a
+    * partition value.
+    */
+  private def attachKeyColumns(meta: CachedTableMetadata, base: DataFrame): DataFrame =
     meta.table.partitionKeys.foldLeft(base) { (df, key) =>
       val extracted = Extractors.forKey(meta, key.name)(col("path"))
       // Out-of-root Hive partition files have no key=value path
@@ -169,8 +186,7 @@ final class GlueTableEngine(
           when(length(raw) > 0, extracted).otherwise(element_at(col("pv"), key.name))
         } else extracted
       df.withColumn(key.name, value)
-    }.drop("pv")
-  }
+    }
 
   /** Pruned path list (≈ the reference's `SET VARIABLE db_tbl_files`
     * statement, src/glue-table-cache.ts:323-333), with the optional
@@ -194,110 +210,157 @@ final class GlueTableEngine(
     * (src/sql-transformer.ts:322).
     */
   def tableDF(database: String, table: String, versionOffset: Int = 0): DataFrame =
-    readFiles(tableMetadata(database, table),
-      files(database, table, versionOffset).map(_.path))
+    readTable(database, table, versionOffset, keep = None, proxied = false)
 
-  /** Format dispatch: the Glue `classification` table parameter
-    * selects the reader. The reference declares JSON/CSV tables
-    * "not supported yet" (reference README.md:22-23); supporting them
-    * here is a deliberate extension — same listing/pruning machinery,
-    * different leaf reader.
+  // -------- schema resolution
+
+  private def classification(meta: CachedTableMetadata): String =
+    meta.table.parameters.getOrElse("classification", "parquet").toLowerCase
+
+  /** Partition-column type in the read plan: pattern-implied for
+    * projection keys (integer projection yields ints; date/enum
+    * extract strings), catalog-declared otherwise.
     */
-  private def readPaths(meta: CachedTableMetadata, basePath: Option[String],
-      paths: Seq[String]): DataFrame = {
-    val reader0 = spark.read
-    val reader1 = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
-    // Catalog-declared columns (Glue StorageDescriptor.Columns) make
-    // the read schema-first: no CSV/JSON inference scan, no parquet
-    // footer merge — mandatory at scale, where an inference pass over
-    // the data would read the whole table once before the query.
+  private def partitionType(meta: CachedTableMetadata, key: String): DataType =
+    meta.tableType match {
+      case TableType.GlueProjected =>
+        val ptype = meta.projectionPatterns.flatMap(_.get(key)).map(_.ptype)
+        if (ptype.contains("integer")) IntegerType else StringType
+      case _ =>
+        meta.table.partitionKeys.find(_.name == key)
+          .map(c => DataType.fromDDL(c.dataType)).getOrElse(StringType)
+    }
+
+  private def partitionSchemaOf(meta: CachedTableMetadata): StructType =
+    StructType(meta.table.partitionKeys.map(k =>
+      StructField(k.name, partitionType(meta, k.name), nullable = true)))
+
+  /** Data (non-partition) schema. Catalog-declared columns (Glue
+    * StorageDescriptor.Columns) make the read schema-first: no
+    * CSV/JSON inference scan, no parquet footer merge — mandatory at
+    * scale, where an inference pass would read the whole table once
+    * before the query. Without declared columns, infer from a SINGLE
+    * file (Spark's own non-mergeSchema parquet read is equally
+    * single-footer). Keyed by that file's path — data files are
+    * immutable, so a changed listing re-infers.
+    */
+  private val inferredSchemas = scala.collection.concurrent.TrieMap.empty[String, StructType]
+  private def dataSchemaOf(meta: CachedTableMetadata, fmt: String, firstPath: String): StructType = {
     val declared = Option(meta.table.columns).filter(_.nonEmpty).map { cols =>
-      org.apache.spark.sql.types.StructType(cols.map(c =>
-        org.apache.spark.sql.types.StructField(c.name,
-          org.apache.spark.sql.types.DataType.fromDDL(c.dataType))))
+      StructType(cols.map(c => StructField(c.name, DataType.fromDDL(c.dataType))))
     }
-    val reader = declared.fold(reader1)(reader1.schema)
-    meta.table.parameters.getOrElse("classification", "parquet").toLowerCase match {
-      case "csv" =>
-        val r = reader.option("header", "true")
-        // With a declared schema Spark binds CSV columns BY POSITION
-        // and ignores header names; enforceSchema=false makes every
-        // file's header get checked against the declared names at scan
-        // time (executor-side, so it scales), failing loudly instead
-        // of silently misassigning data when the catalog's column
-        // order drifts from the files'.
-        (if (declared.isEmpty) r.option("inferSchema", "true")
-         else r.option("enforceSchema", "false")).csv(paths: _*)
-      case "json" => reader.json(paths: _*)
-      case _      => reader.parquet(paths: _*)
-    }
+    val raw = declared.getOrElse(inferredSchemas.getOrElseUpdate(firstPath, fmt match {
+      case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(firstPath).schema
+      case "json" => spark.read.json(firstPath).schema
+      case _      => spark.read.parquet(firstPath).schema
+    }))
+    // Partition keys live in the partition schema, never the data
+    // schema (a `partitionBy` writer never writes them into files).
+    val keyNames = meta.table.partitionKeys.map(_.name.toLowerCase).toSet
+    StructType(raw.filterNot(f => keyNames.contains(f.name.toLowerCase)))
   }
 
-  /** Read a set of files of a table, attaching partition columns. */
-  private def readFiles(meta: CachedTableMetadata, paths: Seq[String]): DataFrame = {
-    if (paths.isEmpty)
-      return spark.range(0).select(lit(null).cast("string").as("null"))
-    meta.tableType match {
-      case TableType.Hive =>
-        val external = outOfRootPartitions(meta)
-        val byPartition = external
-          .map { case (pi, vals) =>
-            val prefix = normalizeDir(canonPath(pi.location.get))
-            (vals, paths.filter(p => canonPath(p).startsWith(prefix)))
-          }
-          .filter(_._2.nonEmpty)
-        val externalPaths = byPartition.flatMap(_._2).toSet
-        val inRoot = paths.filterNot(externalPaths)
-        if (byPartition.isEmpty)
-          // basePath read → Spark discovers `key=value` partition
-          // dirs, keeps them as columns, and prunes them natively
-          // from any filter above (PruneFileSourcePartitions) —
-          // per-relation and sound, unlike the reference's global
-          // top-level-WHERE rule.
-          readPaths(meta, Some(location(meta)), paths)
-        else {
-          // Out-of-root partition files can't share the basePath read
-          // (Spark requires every file under basePath). Read each
-          // external partition separately with catalog-tagged literal
-          // partition columns; in-root files get theirs via the path
-          // extractor — both string-typed, so the branches union
-          // cleanly and downstream filters prune either way.
-          val keys = meta.partitionMetadata.map(_.keys)
-            .getOrElse(meta.table.partitionKeys.map(_.name))
-          val inDF =
-            if (inRoot.isEmpty) None
-            else Some(keys.foldLeft(readPaths(meta, None, inRoot)) { (df, k) =>
-              df.withColumn(k, Extractors.forKey(meta, k)(input_file_name()))
-            })
-          val outDFs = byPartition.map { case (vals, ps) =>
-            keys.foldLeft(readPaths(meta, None, ps)) { (df, k) =>
-              df.withColumn(k, lit(vals.getOrElse(k, null: String)))
-            }
-          }
-          (inDF.toSeq ++ outDFs).reduce(_.unionByName(_))
-        }
-      case TableType.GlueProjected =>
-        // Projection layouts aren't `key=value`, so Spark can't
-        // discover them; attach partition values by running the same
-        // extractor on each row's source file path (constant per
-        // file, so parquet still vectorizes; the extract itself is
-        // codegen'd).
-        val base = readPaths(meta, None, paths)
-        meta.table.partitionKeys.foldLeft(base) { (df, key) =>
-          df.withColumn(key.name, Extractors.forKey(meta, key.name)(input_file_name()))
-        }
-      case _ =>
-        readPaths(meta, None, paths)
+  // -------- typed listing
+
+  /** The full listing of one table version as collected local rows
+    * `(path, size, modTime, key1…keyN)`, partition values typed per
+    * [[partitionType]] — the driver-side seed of the
+    * [[PreListedFileIndex]]. Values are computed by the SAME
+    * extractor columns as [[listingDF]] (shared
+    * [[attachKeyColumns]]), so pruning and reading can never disagree
+    * on a partition value. Cached with the listing TTL: the
+    * evaluation is one local job over O(#files) rows, driver-side
+    * metadata only — same cost class as the listing itself.
+    */
+  private def typedListing(database: String, table: String,
+      versionOffset: Int): (StructType, Seq[Row]) =
+    typedCache.get(s"$database.$table#typed#v$versionOffset") {
+      val meta = tableMetadata(database, table)
+      val infos = files(database, table, versionOffset)
+      val pSchema = partitionSchemaOf(meta)
+      val sp = Shim.classic(spark)
+      import sp.implicits._
+      val base = infos.map(f => (f.path, f.size, f.modTime, f.partitionValues))
+        .toList.toDF("path", "size", "modTime", "pv")
+      val typed = meta.table.partitionKeys.foldLeft(attachKeyColumns(meta, base)) {
+        (df, k) => df.withColumn(k.name, col(k.name).cast(pSchema(k.name).dataType))
+      }
+      (pSchema, typed.drop("pv").collect().toSeq)
     }
+
+  // -------- the read
+
+  /** Read a table (optionally a kept subset of its files) through a
+    * [[PreListedFileIndex]]: the scan plans over the `FileStatus`es
+    * captured at listing time — sizes for split planning and
+    * broadcast statistics, partition values as REAL partition
+    * columns. Spark's `FileSourceStrategy` then pushes the query's
+    * partition conjuncts into the index natively — per-relation,
+    * correctly typed/unescaped, and sound under OR/CTE/joins. One
+    * uniform path replaces the previous per-layout branches
+    * (basePath discovery / `input_file_name()` extractors /
+    * out-of-root unions), because the index attaches values itself.
+    *
+    * The reference declares JSON/CSV tables "not supported yet"
+    * (reference README.md:22-23); supporting them here is a
+    * deliberate extension — same listing machinery, different
+    * `FileFormat` leaf.
+    */
+  private def readTable(database: String, table: String, versionOffset: Int,
+      keep: Option[Set[String]], proxied: Boolean): DataFrame = {
+    val meta = tableMetadata(database, table)
+    val (pSchema, allRows) = typedListing(database, table, versionOffset)
+    val rows = keep.fold(allRows)(k => allRows.filter(r => k(r.getString(0))))
+    if (rows.isEmpty)
+      return spark.range(0).select(lit(null).cast("string").as("null"))
+    val fmt = classification(meta)
+    // Reads of a pruned selection go through the optional HTTP cache
+    // proxy, like the reference's files-variable scan (reference:
+    // src/glue-table-cache.ts:54-65, 235-239); full-table reads don't.
+    val rewrite: String => String =
+      if (proxied) p => config.proxyAddress.fold(p)(proxy => p.replaceFirst("^s3://", proxy))
+      else identity
+    val nFixed = 3 // path, size, modTime
+    val converter = CatalystTypeConverters.createToCatalystConverter(pSchema)
+    val partitions = rows
+      .groupBy(r => Row.fromSeq((nFixed until nFixed + pSchema.length).map(r.get)))
+      .toSeq.sortBy(_._1.toString) // deterministic partition order
+      .map { case (kv, rs) =>
+        val ir = converter(kv).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val statuses = rs.map(r => new FileStatus(r.getLong(1), false, 1,
+          128L * 1024 * 1024, r.getLong(2), new HadoopPath(rewrite(r.getString(0)))))
+        (ir, statuses)
+      }
+    val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0))
+    val options: Map[String, String] = fmt match {
+      // With a declared schema Spark binds CSV columns BY POSITION
+      // and ignores header names; enforceSchema=false makes every
+      // file's header get checked against the declared names at scan
+      // time (executor-side, so it scales), failing loudly instead
+      // of silently misassigning data when the catalog's column
+      // order drifts from the files'.
+      case "csv" if meta.table.columns.nonEmpty =>
+        Map("header" -> "true", "enforceSchema" -> "false")
+      case "csv" => Map("header" -> "true")
+      case _     => Map.empty
+    }
+    PreListedFileIndex.dataFrame(spark, PreListedFileIndex.formatFor(fmt), options,
+      dataSchema, pSchema, partitions, Seq(new HadoopPath(location(meta))))
   }
 
   /** Pruned read: filter the listing on partition predicates first,
-    * then read only surviving files.
+    * then read only surviving files. With [[readTable]]'s native
+    * partition pruning this listing-level step is a (still sound)
+    * double-prune; it remains the impl of the reference's
+    * files-variable read surface.
     */
   def prunedTableDF(database: String, table: String, predicates: Seq[Column]): DataFrame = {
     val meta = tableMetadata(database, table)
-    val all = files(database, table).map(_.path)
-    val kept = if (predicates.isEmpty) all else prunedFiles(database, table, predicates)
+    if (predicates.isEmpty)
+      return readTable(database, table, 0, keep = None, proxied = false)
+    val all = files(database, table)
+    val kept = predicates.foldLeft(listingDF(database, table))(_.filter(_))
+      .select("path").collect().map(_.getString(0)).toSet
     if (kept.isEmpty && all.nonEmpty) {
       meta.tableType match {
         // A Hive listing can prune to empty spuriously (URI-escaped
@@ -305,10 +368,10 @@ final class GlueTableEngine(
         // to the full file set — Spark's own partition filters, which
         // unescape properly, still prune at planning, so a genuinely
         // empty selection stays cheap.
-        case TableType.Hive => readFiles(meta, all)
-        case _              => readFiles(meta, all).limit(0)
+        case TableType.Hive => readTable(database, table, 0, None, proxied = false)
+        case _              => readTable(database, table, 0, None, proxied = false).limit(0)
       }
-    } else readFiles(meta, kept)
+    } else readTable(database, table, 0, Some(kept), proxied = true)
   }
 
   // ---------------------------------------------------------------- SQL path
@@ -583,7 +646,9 @@ final class GlueTableEngine(
   // ---------------------------------------------------------------- cache mgmt
 
   /** ≈ reference `clearCache` (src/glue-table-cache.ts:124-127). */
-  def clearCache(): Unit = { metaCache.invalidateAll(); listingCache.invalidateAll() }
+  def clearCache(): Unit = {
+    metaCache.invalidateAll(); listingCache.invalidateAll(); typedCache.invalidateAll()
+  }
 
   /** ≈ reference `invalidateTable` (src/glue-table-cache.ts:206-215):
     * drop the metadata key and every listing key containing
@@ -592,6 +657,7 @@ final class GlueTableEngine(
   def invalidateTable(database: String, table: String): Unit = {
     metaCache.invalidate(s"$database.$table")
     listingCache.invalidateMatching(s"$database.$table")
+    typedCache.invalidateMatching(s"$database.$table")
   }
 
   /** ≈ reference `close` (drops caches; the SparkSession is shared
