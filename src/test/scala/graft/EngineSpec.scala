@@ -197,6 +197,105 @@ class EngineSpec extends AnyFunSuite {
     assert(files.sorted == Seq("data1.parquet", "data2.parquet"))
   }
 
+  test("lister captures real file sizes and mtimes at listing time") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "listersize").toFile
+    val f = new java.io.File(dir, "sized.parquet")
+    java.nio.file.Files.write(f.toPath, ("x" * 1234).getBytes)
+    val lister = new graft.listing.HadoopFileLister(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val listed = lister.list(dir.getAbsolutePath, Nil)
+    assert(listed.size == 1)
+    assert(listed.head.size == 1234L)
+    assert(listed.head.modTime == f.lastModified())
+  }
+
+  test("iceberg manifest sizes flow into the listing (file_size_in_bytes)") {
+    val infos = engine.files("default", "iceberg_lineitem")
+    assert(infos.nonEmpty)
+    infos.foreach { f =>
+      val onDisk = new java.io.File(f.path).length()
+      assert(f.size == onDisk && f.size > 0, s"${f.path}: listed ${f.size}, on disk $onDisk")
+    }
+  }
+
+  test("manifest without file_size_in_bytes falls back to a filesystem stat") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "iceoldmanifest").toFile
+    new java.io.File(root, "metadata").mkdirs()
+    val data = new java.io.File(root, "part-0.parquet")
+    java.nio.file.Files.write(data.toPath, ("y" * 777).getBytes)
+
+    def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path)); try rows.foreach(w.append) finally w.close()
+    }
+    // pre-size manifest schema: data_file carries file_path only
+    val dfSchema = SchemaBuilder.record("r2").fields().requiredString("file_path").endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .name("data_file").`type`(dfSchema).noDefault().endRecord()
+    val mlSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").endRecord()
+    val df = new GenericData.Record(dfSchema); df.put("file_path", data.getAbsolutePath)
+    val entry = new GenericData.Record(entrySchema); entry.put("data_file", df)
+    writeAvro(s"$root/metadata/manifest.avro", entrySchema, Seq(entry))
+    val ml = new GenericData.Record(mlSchema); ml.put("manifest_path", s"$root/metadata/manifest.avro")
+    writeAvro(s"$root/metadata/ml.avro", mlSchema, Seq(ml))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"last-sequence-number": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "$root/metadata/ml.avro"}]}"""
+        .getBytes)
+
+    val resolver = new graft.listing.IcebergSnapshotResolver(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val files = resolver.dataFilesWithSize(root.getAbsolutePath)
+    assert(files == Seq((data.getAbsolutePath, 777L)))
+  }
+
+  test("manifest with a mistyped file_size_in_bytes fails fast") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "icebadmanifest").toFile
+    new java.io.File(root, "metadata").mkdirs()
+    // size field present but string-typed: a malformed manifest
+    val dfSchema = SchemaBuilder.record("r2").fields()
+      .requiredString("file_path").requiredString("file_size_in_bytes").endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .name("data_file").`type`(dfSchema).noDefault().endRecord()
+    val mlSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").endRecord()
+    val df = new GenericData.Record(dfSchema)
+    df.put("file_path", "/nope.parquet"); df.put("file_size_in_bytes", "big")
+    val entry = new GenericData.Record(entrySchema); entry.put("data_file", df)
+    def writeAvro(path: String, schema: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path)); try rows.foreach(w.append) finally w.close()
+    }
+    writeAvro(s"$root/metadata/manifest.avro", entrySchema, Seq(entry))
+    val ml = new GenericData.Record(mlSchema); ml.put("manifest_path", s"$root/metadata/manifest.avro")
+    writeAvro(s"$root/metadata/ml.avro", mlSchema, Seq(ml))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"last-sequence-number": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "$root/metadata/ml.avro"}]}"""
+        .getBytes)
+    val resolver = new graft.listing.IcebergSnapshotResolver(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException](resolver.dataFilesWithSize(root.getAbsolutePath))
+    assert(e.getMessage.contains("file_size_in_bytes"))
+  }
+
+  test("query plans scan through PreListedFileIndex with native partition filters") {
+    val df = engine.query(
+      "SELECT count(*) AS n FROM glue.default.lineitem_part WHERE l_returnflag = 'A'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PreListedFileIndex"))
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*l_returnflag[^\\]]* = A.*"))
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
   test("integer-projection extractor yields typed partition column") {
     val listing = engine.listingDF("default", "events_by_month")
     assert(listing.schema("m").dataType == org.apache.spark.sql.types.IntegerType)
