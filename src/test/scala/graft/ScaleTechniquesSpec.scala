@@ -1,5 +1,6 @@
 package graft
 
+import graft.fixtures.TestFixtures
 import graft.operators.SkewUtils
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -10,6 +11,36 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ScaleTechniquesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  test("dynamic partition pruning reaches the pre-listed scan") {
+    // At 100 TB the common shape is fact-partition-col = dim-col with
+    // a selective dim filter: the partition filter only exists at
+    // RUNTIME (after the dim broadcast), so planner-time pruning can't
+    // help. Spark's DPP inserts a dynamicpruning#N expression into the
+    // scan's PartitionFilters; FileSourceScanExec then evaluates it
+    // against the PartitionDirectory values our PreListedFileIndex
+    // returns — no re-listing, partitions dropped before any file read.
+    val engine = TestFixtures.engineFor(spark, TestSpark.sfDir)
+    val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+    import sp.implicits._
+    val fact = engine.tableDF("default", "lineitem_part")
+    // the dim must be a SOURCE with a live selective Filter above it —
+    // a pre-filtered LocalRelation constant-folds the filter away and
+    // the PartitionPruning rule sees nothing selective to exploit
+    val dimPath = "/root/repo/target/dpp_dim"
+    Seq(("A", "accepted"), ("N", "unused"), ("R", "unused")).toDF("flag", "note")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("note") === "accepted")
+    val joined = fact.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("flag").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+    assert(plan.contains("PreListedFileIndex"))
+    val n = joined.collect().head.getLong(1)
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .filter(col("l_returnflag") === "A").count()
+    assert(n == want)
+  }
 
   test("salted join returns exactly the plain join's rows") {
     val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
