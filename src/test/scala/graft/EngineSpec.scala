@@ -287,6 +287,19 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("file_size_in_bytes"))
   }
 
+  test("_metadata columns serve size/path from the listing (no re-stat)") {
+    val meta = engine.tableDF("default", "orders_flat")
+      .select(col("_metadata.file_path").as("p"), col("_metadata.file_size").as("sz"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val listed = engine.files("default", "orders_flat")
+    assert(listed.nonEmpty && meta.size == listed.size)
+    listed.foreach { f =>
+      val key = meta.keys.find(_.endsWith(new java.io.File(f.path).getName))
+      assert(key.isDefined, s"missing _metadata row for ${f.path}")
+      assert(meta(key.get) == f.size)
+    }
+  }
+
   test("query plans scan through PreListedFileIndex with native partition filters") {
     val df = engine.query(
       "SELECT count(*) AS n FROM glue.default.lineitem_part WHERE l_returnflag = 'A'")
