@@ -623,6 +623,33 @@ final class GlueTableEngine(
     t
   }
 
+  /** Small-file compaction — the maintenance operation every
+    * long-running ingest pipeline needs (streaming/incremental
+    * writers leave thousands of KB-scale files per partition; at
+    * 100 TB that means listing storms and task-per-tiny-file
+    * overhead). Rewrites `database.table` as `outTable` at
+    * `outLocation` with file count sized from the REAL listed bytes
+    * (the size metadata the listing already carries — no extra
+    * stat pass): `ceil(totalBytes / targetFileBytes)` output files,
+    * hash-distributed by the partition keys so each Hive partition
+    * dir collapses to a bounded file set while the write stays one
+    * shuffle. The reference is read-only; this is the write-side
+    * counterpart of its "list once, plan many" philosophy.
+    */
+  def compactTable(database: String, table: String, outTable: String,
+      outLocation: String, targetFileBytes: Long = 128L * 1024 * 1024): GlueTable = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val meta = tableMetadata(database, table)
+    val totalBytes = files(database, table).map(_.size).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val keys = meta.table.partitionKeys.map(_.name)
+    val df = tableDF(database, table)
+    val repart =
+      if (keys.nonEmpty) df.repartition(nFiles, keys.map(col): _*)
+      else df.repartition(nFiles)
+    writeTable(repart, database, outTable, outLocation, partitionBy = keys)
+  }
+
   /** S3 credential configuration (≈ reference `setCredentials` /
     * `CREATE SECRET`, src/glue-table-cache.ts:98-122): maps onto the
     * Hadoop S3A configuration the executors use for s3a:// locations.

@@ -287,6 +287,28 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("file_size_in_bytes"))
   }
 
+  test("compactTable collapses small files, preserves rows and pruning") {
+    // fragment first: 8 shuffle partitions × partition dirs ≈ dozens
+    // of small files, the streaming-ingest pathology compaction fixes
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    engine.writeTable(li.repartition(8), "default", "li_frag",
+      "/root/repo/target/li_frag", Seq("l_returnflag"))
+    val before = engine.files("default", "li_frag")
+    val compacted = engine.compactTable("default", "li_frag",
+      "li_frag_compacted", "/root/repo/target/li_frag_compacted",
+      targetFileBytes = 1L << 30) // one fat target → minimal file count
+    assert(compacted.partitionKeys.map(_.name) == Seq("l_returnflag"))
+    val after = engine.files("default", "li_frag_compacted")
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    // same rows, and the compacted table prunes like the original
+    val a = engine.query(
+      "SELECT count(*) AS n FROM glue.default.li_frag_compacted WHERE l_returnflag = 'A'")
+      .collect().head.getLong(0)
+    assert(a == li.filter(col("l_returnflag") === "A").count())
+    assert(engine.tableDF("default", "li_frag_compacted").count() == li.count())
+  }
+
   test("_metadata columns serve size/path from the listing (no re-stat)") {
     val meta = engine.tableDF("default", "orders_flat")
       .select(col("_metadata.file_path").as("p"), col("_metadata.file_size").as("sz"))
