@@ -252,6 +252,7 @@ final class GlueTableEngine(
     val raw = declared.getOrElse(inferredSchemas.getOrElseUpdate(firstPath, fmt match {
       case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(firstPath).schema
       case "json" => spark.read.json(firstPath).schema
+      case "orc"  => spark.read.orc(firstPath).schema
       case _      => spark.read.parquet(firstPath).schema
     }))
     // Partition keys live in the partition schema, never the data

@@ -280,6 +280,18 @@ object TestFixtures {
     out
   }
 
+  /** ORC copy of orders — same rows, different columnar format, so
+    * the oracle can read the parquet original.
+    */
+  def ordersOrc(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/orders_orc"
+    ensure(sfDir, "orders_orc") {
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .repartition(2).write.mode("overwrite").orc(out)
+    }
+    out
+  }
+
   /** JSON-lines copy of nation. */
   def nationJson(spark: SparkSession, sfDir: String): String = {
     val out = s"${root(sfDir)}/nation_json"
@@ -405,6 +417,8 @@ object TestFixtures {
       parameters = Map("classification" -> "csv"),
       columns = Seq(ColumnDef("o_orderkey", "bigint"), ColumnDef("o_custkey", "bigint"),
         ColumnDef("o_orderstatus", "string"), ColumnDef("o_totalprice", "double"))))
+    cat.register(GlueTable("default", "orders_orc", Some(ordersOrc(spark, sfDir)),
+      parameters = Map("classification" -> "orc")))
     cat.register(GlueTable("default", "nation_json", Some(nationJson(spark, sfDir)),
       parameters = Map("classification" -> "json"),
       columns = Seq(ColumnDef("n_nationkey", "bigint"), ColumnDef("n_name", "string"),

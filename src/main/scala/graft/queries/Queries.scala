@@ -455,6 +455,17 @@ object Queries {
       """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ORC source (same listing/pruning machinery, OrcFileFormat leaf;
+    // the oracle reads the parquet original of the same rows)
+    "g15_orc_source" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            |FROM glue.default.orders_orc GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     "g12_json_source" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(

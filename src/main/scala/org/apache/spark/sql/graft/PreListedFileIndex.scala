@@ -90,6 +90,7 @@ object PreListedFileIndex {
   def formatFor(classification: String): FileFormat = classification match {
     case "csv"  => new org.apache.spark.sql.execution.datasources.csv.CSVFileFormat()
     case "json" => new org.apache.spark.sql.execution.datasources.json.JsonFileFormat()
+    case "orc"  => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
     case _      => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
   }
 
