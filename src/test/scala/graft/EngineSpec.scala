@@ -355,6 +355,29 @@ class EngineSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.forall(_.contains("o_orderstatus=F")))
   }
 
+  test("declared catalog schema reconciles heterogeneous parquet files (schema evolution)") {
+    import spark.implicits._
+    // ingest evolves: old files lack column c, new files carry it; the
+    // catalog declares the superset — reads must reconcile per file
+    // (old rows read c as null) instead of failing or silently picking
+    // one footer's shape
+    val loc = "/root/repo/target/fixtures/sf0_001/evolve_tbl"
+    Seq((1L, "old")).toDF("a", "b")
+      .write.mode("overwrite").parquet(s"$loc/batch1")
+    Seq((2L, "new", 2.5)).toDF("a", "b", "c")
+      .write.mode("overwrite").parquet(s"$loc/batch2")
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "evolve", Some(loc),
+      columns = Seq(ColumnDef("a", "bigint"), ColumnDef("b", "string"),
+        ColumnDef("c", "double"))))
+    val eng = new GlueTableEngine(spark, cat)
+    val rows = eng.tableDF("default", "evolve")
+      .orderBy("a").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2)) // pre-evolution file: c absent → null
+    assert(rows(1).getLong(0) == 2L && rows(1).getDouble(2) == 2.5)
+  }
+
   test("out-of-root catalog partition locations are listed, tagged, and pruned") {
     import spark.implicits._
     // Glue allows a partition's location to live outside the table
