@@ -132,11 +132,14 @@ final class GlueTableEngine(
       Retry.withRetry() {
         meta.tableType match {
           case TableType.Iceberg =>
-            // Sizes come from the manifests themselves (spec field
-            // `data_file.file_size_in_bytes`) — zero extra metadata
-            // calls. Iceberg manifests carry no mtime; 0 = unknown.
-            iceberg.dataFilesWithSize(location(meta), versionOffset)
-              .map { case (p, sz) => S3FileInfo(p, Map.empty, sz, modTime = 0L) }
+            // Sizes AND identity-partition values come from the
+            // manifests themselves (spec fields
+            // `data_file.file_size_in_bytes` / `data_file.partition`)
+            // — zero extra metadata calls, and partitioned Iceberg
+            // tables prune like Hive ones (the reference never prunes
+            // Iceberg). Manifests carry no mtime; 0 = unknown.
+            iceberg.dataFilesDetailed(location(meta), versionOffset)
+              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L))
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
             val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>
@@ -179,12 +182,18 @@ final class GlueTableEngine(
       // back to the catalog map attached at listing time. Keying on
       // the RAW match keeps __HIVE_DEFAULT_PARTITION__ mapped to null
       // rather than resurrected from the raw listing values.
-      val value =
-        if (meta.tableType == TableType.Hive) {
+      val value = meta.tableType match {
+        case TableType.Hive =>
           val raw = regexp_extract(col("path"),
             java.util.regex.Pattern.quote(key.name) + "=([^/]+)", 1)
           when(length(raw) > 0, extracted).otherwise(element_at(col("pv"), key.name))
-        } else extracted
+        // Iceberg: the manifest's partition record is authoritative
+        // (paths need not encode values); fall back to the path
+        // extractor only for manifests without partition data.
+        case TableType.Iceberg =>
+          coalesce(element_at(col("pv"), key.name), extracted)
+        case _ => extracted
+      }
       df.withColumn(key.name, value)
     }
 

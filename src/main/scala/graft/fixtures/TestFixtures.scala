@@ -380,6 +380,51 @@ object TestFixtures {
     out
   }
 
+  /** Identity-partitioned Iceberg layout over events: one data file
+    * per `event_type`, manifests carrying the spec's
+    * `data_file.partition{event_type}` record plus sizes — listing,
+    * partition pruning, and read planning all run off manifests
+    * alone. (`ts` is left out: the Iceberg fixture exercises
+    * partition semantics, not the ns-timestamp shim.)
+    */
+  def icebergEvents(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/iceberg_events"
+    ensure(sfDir, "iceberg_events") {
+      val ev = events(spark, sfDir).select("event_id", "user_id", "event_type", "value")
+      val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+      types.foreach { t =>
+        ev.filter(col("event_type") === t).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/data_$t")
+      }
+      new File(s"$out/metadata").mkdirs()
+      val partSchema = SchemaBuilder.record("partition").fields()
+        .requiredString("event_type").endRecord()
+      val dfS = SchemaBuilder.record("r2").fields()
+        .requiredString("file_path").requiredLong("file_size_in_bytes")
+        .name("partition").`type`(partSchema).noDefault().endRecord()
+      val entryS = SchemaBuilder.record("manifest_entry").fields()
+        .name("data_file").`type`(dfS).noDefault().endRecord()
+      def row(t: String): GenericRecord = {
+        val file = new File(s"$out/data_$t").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val p = new GenericData.Record(partSchema); p.put("event_type", t)
+        val d = new GenericData.Record(dfS)
+        d.put("file_path", file.getAbsolutePath)
+        d.put("file_size_in_bytes", file.length())
+        d.put("partition", p)
+        val e = new GenericData.Record(entryS); e.put("data_file", d); e
+      }
+      writeAvro(s"$out/metadata/manifest1.avro", entryS, types.toSeq.map(row))
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", s"$out/metadata/manifest1.avro")
+      writeAvro(s"$out/metadata/ml1.avro", manifestListSchema, Seq(ml))
+      Files.write(Paths.get(s"$out/metadata/v1.metadata.json"),
+        s"""{"format-version": 2, "last-sequence-number": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "$out/metadata/ml1.avro"}]}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    out
+  }
+
   // ------------------------------------------------------------ catalog
 
   /** The fixture catalog for one scale factor — every layout the
@@ -410,6 +455,9 @@ object TestFixtures {
         "projection.lang.type" -> "enum",
         "projection.lang.values" -> "de,en,es,fr,zh")))
     cat.register(GlueTable("default", "iceberg_lineitem", Some(icebergLineitem(spark, sfDir)),
+      parameters = Map("table_type" -> "ICEBERG")))
+    cat.register(GlueTable("default", "iceberg_events", Some(icebergEvents(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("event_type")),
       parameters = Map("table_type" -> "ICEBERG")))
     // declared columns (same types CSV/JSON inference yields, so
     // results are identical) — the reader skips the inference scan

@@ -7,6 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 /** Iceberg snapshot → data-file resolution, without an Iceberg
   * runtime.
@@ -34,11 +35,25 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   def dataFiles(location: String, versionOffset: Int = 0): Seq[String] =
     dataFilesWithSize(location, versionOffset).map(_._1)
 
-  /** Data file (path, size-in-bytes) pairs of the selected snapshot —
-    * manifests carry `data_file.file_size_in_bytes`, so the read path
-    * can build `FileStatus`es without touching the filesystem again.
+  /** (path, size) pairs; see [[dataFilesDetailed]]. */
+  def dataFilesWithSize(location: String, versionOffset: Int = 0): Seq[(String, Long)] =
+    dataFilesDetailed(location, versionOffset).map(f => (f.path, f.size))
+
+  /** One resolved data file: path, size, and the manifest's
+    * `data_file.partition` record rendered as name→string values
+    * (identity-transform partition columns; empty when the table is
+    * unpartitioned or the manifest omits the field).
     */
-  def dataFilesWithSize(location: String, versionOffset: Int = 0): Seq[(String, Long)] = {
+  final case class IcebergDataFile(path: String, size: Long, partition: Map[String, String])
+
+  /** Data files of the selected snapshot — manifests carry
+    * `data_file.file_size_in_bytes` and `data_file.partition`, so the
+    * read path can build `FileStatus`es AND prune identity partitions
+    * without touching the filesystem again. At 100 TB this is the
+    * difference between planning from KB-scale manifests and a
+    * million-object LIST+HEAD storm.
+    */
+  def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[IcebergDataFile] = {
     val loc = location.stripSuffix("/")
     val metaDir = new Path(s"$loc/metadata")
     val fs = metaDir.getFileSystem(hadoopConf)
@@ -98,19 +113,33 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
               // time, so the size invariant still holds downstream.
               case None => -1L
             }
-            (df.get("file_path").toString, size)
+            // identity-transform partition values ride along in the
+            // spec-required `partition` record; field names are the
+            // partition column names. Values stringify (the engine's
+            // typed listing casts them to the catalog-declared type).
+            val partition: Map[String, String] =
+              Option(df.getSchema.getField("partition")).map { f =>
+                df.get(f.pos()) match {
+                  case r: GenericRecord =>
+                    r.getSchema.getFields.asScala.flatMap { pf =>
+                      Option(r.get(pf.pos())).map(v => pf.name() -> v.toString)
+                    }.toMap
+                  case _ => Map.empty[String, String]
+                }
+              }.getOrElse(Map.empty)
+            IcebergDataFile(df.get("file_path").toString, size, partition)
           })
         }
         // Resolve any unknown sizes with one driver-side stat per
         // file. Real manifests always carry the field (required by
         // the Iceberg spec), so at scale this branch never runs.
         val resolved = files.distinct.map {
-          case (p, -1L) =>
-            val hp = new Path(p)
-            (p, hp.getFileSystem(hadoopConf).getFileStatus(hp).getLen)
+          case f if f.size == -1L =>
+            val hp = new Path(f.path)
+            f.copy(size = hp.getFileSystem(hadoopConf).getFileStatus(hp).getLen)
           case ok => ok
         }
-        resolved.sortBy(_._1)
+        resolved.sortBy(_.path)
     }
   }
 

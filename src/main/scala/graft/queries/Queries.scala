@@ -428,6 +428,19 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // identity-partitioned Iceberg: partition values come from the
+    // manifests' data_file.partition records, so the filter prunes to
+    // one data file without touching the filesystem (the reference
+    // never prunes Iceberg)
+    "g16_iceberg_prune" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+            |FROM glue.default.iceberg_events WHERE event_type = 'click'""".stripMargin)
+      },
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events WHERE event_type = 'click'""".stripMargin)),
+
     "g8_glue_empty" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(

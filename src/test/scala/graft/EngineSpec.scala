@@ -124,6 +124,24 @@ class EngineSpec extends AnyFunSuite {
     assert(latest.forall(p => p.endsWith(".parquet") && !p.contains("metadata")))
   }
 
+  test("iceberg identity partitions prune from manifest partition records") {
+    val infos = engine.files("default", "iceberg_events")
+    assert(infos.size == 5) // one data file per event_type
+    assert(infos.forall(_.partitionValues.keySet == Set("event_type")))
+    // listing-level pruning sees the manifest values
+    val pruned = engine.prunedFiles("default", "iceberg_events",
+      Seq(col("event_type") === "click"))
+    assert(pruned.size == 1 && pruned.head.contains("data_click"))
+    // the planner prunes natively through the pre-listed index too
+    val df = engine.query(
+      "SELECT count(*) AS n FROM glue.default.iceberg_events WHERE event_type = 'click'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]* = click.*"), plan.take(1500))
+    val want = TestFixtures.events(spark, TestSpark.sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(df.collect().head.getLong(0) == want)
+  }
+
   test("a CTE literally named 'glue' is not treated as a glue ref") {
     val n = engine.query("WITH glue AS (SELECT 1 AS x) SELECT count(*) AS n FROM glue")
       .collect().head.getLong(0)
