@@ -330,6 +330,21 @@ final class GlueTableEngine(
     val rewrite: String => String =
       if (proxied) p => config.proxyAddress.fold(p)(proxy => p.replaceFirst("^s3://", proxy))
       else identity
+    if (fmt == "avro") {
+      // No spark-avro in the offline jars → the mapPartitions-tier
+      // AvroSource (one task per file, schema from catalog columns or
+      // one file's writer schema). Partition-column attachment needs
+      // the FileIndex machinery, so partitioned Avro stays out of
+      // scope — fail loudly rather than silently dropping columns.
+      if (meta.table.partitionKeys.nonEmpty)
+        throw new UnsupportedOperationException(
+          "partitioned Avro tables not supported by the offline Avro source")
+      val schema = Option(meta.table.columns).filter(_.nonEmpty)
+        .map(cols => StructType(cols.map(c => StructField(c.name, DataType.fromDDL(c.dataType)))))
+        .getOrElse(graft.sources.AvroSource.inferSchema(hadoopConf, rows.head.getString(0)))
+      return graft.sources.AvroSource.read(spark,
+        rows.map(r => rewrite(r.getString(0))), schema)
+    }
     val nFixed = 3 // path, size, modTime
     val converter = CatalystTypeConverters.createToCatalystConverter(pSchema)
     val partitions = rows

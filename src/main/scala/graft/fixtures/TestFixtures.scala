@@ -292,6 +292,32 @@ object TestFixtures {
     out
   }
 
+  /** Avro copy of orders (plain org.apache.avro writer — no
+    * spark-avro offline), 2 files for read parallelism.
+    */
+  def ordersAvro(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/orders_avro"
+    ensure(sfDir, "orders_avro") {
+      new File(out).mkdirs()
+      val schema = SchemaBuilder.record("orders").fields()
+        .requiredLong("o_orderkey").requiredLong("o_custkey")
+        .requiredString("o_orderstatus").requiredDouble("o_totalprice")
+        .endRecord()
+      val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .collect()
+      rows.grouped(math.max(1, rows.length / 2 + 1)).zipWithIndex.foreach { case (chunk, i) =>
+        writeAvro(s"$out/part-$i.avro", schema, chunk.toSeq.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("o_orderkey", r.getLong(0)); rec.put("o_custkey", r.getLong(1))
+          rec.put("o_orderstatus", r.getString(2)); rec.put("o_totalprice", r.getDouble(3))
+          rec
+        })
+      }
+    }
+    out
+  }
+
   /** JSON-lines copy of nation. */
   def nationJson(spark: SparkSession, sfDir: String): String = {
     val out = s"${root(sfDir)}/nation_json"
@@ -467,6 +493,9 @@ object TestFixtures {
         ColumnDef("o_orderstatus", "string"), ColumnDef("o_totalprice", "double"))))
     cat.register(GlueTable("default", "orders_orc", Some(ordersOrc(spark, sfDir)),
       parameters = Map("classification" -> "orc")))
+    // no declared columns: exercises writer-schema inference
+    cat.register(GlueTable("default", "orders_avro", Some(ordersAvro(spark, sfDir)),
+      parameters = Map("classification" -> "avro")))
     cat.register(GlueTable("default", "nation_json", Some(nationJson(spark, sfDir)),
       parameters = Map("classification" -> "json"),
       columns = Seq(ColumnDef("n_nationkey", "bigint"), ColumnDef("n_name", "string"),

@@ -479,6 +479,18 @@ object Queries {
       """SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Avro source — the reference reads Avro only for Iceberg
+    // manifests (via DuckDB's read_avro); here classification=avro
+    // data tables work too, schema from the writer schema
+    "g17_avro_source" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            |FROM glue.default.orders_avro GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "g12_json_source" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(

@@ -142,6 +142,25 @@ class EngineSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == want)
   }
 
+  test("avro source reads distributed via writer-schema inference; partitioned avro fails loudly") {
+    val n = engine.query("SELECT count(*) AS n FROM glue.default.orders_avro")
+      .collect().head.getLong(0)
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet").count()
+    assert(n == want)
+    // typed columns survive the avro→row conversion
+    val schema = engine.tableDF("default", "orders_avro").schema
+    assert(schema("o_orderkey").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema("o_totalprice").dataType == org.apache.spark.sql.types.DoubleType)
+    // the unsupported boundary is an error, not silent column loss
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "avro_part",
+      Some(TestFixtures.ordersAvro(spark, TestSpark.sfDir)),
+      partitionKeys = Seq(ColumnDef("k")),
+      parameters = Map("classification" -> "avro")))
+    intercept[UnsupportedOperationException](
+      new GlueTableEngine(spark, cat).tableDF("default", "avro_part"))
+  }
+
   test("a CTE literally named 'glue' is not treated as a glue ref") {
     val n = engine.query("WITH glue AS (SELECT 1 AS x) SELECT count(*) AS n FROM glue")
       .collect().head.getLong(0)
