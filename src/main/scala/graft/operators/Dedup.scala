@@ -153,6 +153,53 @@ object Dedup {
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     val pref = pinned(base.select(col("doc_id"), col("nh"),
       posexplode(slice(col("hs"), lit(1), plen)).as(Seq("p", "h"))), col("h"))
+    verifiedPairsFromPrefix(pref, base.select(col("doc_id"), col("hs")), mult, threshold)
+  }
+
+  /** [[prefixJaccardPairs]] with the AllPairs df-ascending prefix
+    * order (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 §3.1):
+    * each doc's shingles order by (document frequency ASC, hash), so
+    * prefixes carry the RAREST tokens of each doc. Candidate volume
+    * for a prefix hash h is df_prefix(h)^2; under a Zipf vocabulary
+    * rare-first prefixes make that sum near-linear in corpus size,
+    * where the default hash order's random-token prefixes can leave
+    * it quadratic. (On flat tiny vocabularies — ARCHITECTURE.md's d7
+    * note — no order helps, which is why the default path keeps the
+    * cheaper no-extra-shuffle hash order.) Costs one extra
+    * shuffle pair (df groupBy + join back) and a per-doc window; the
+    * PPJoin positional bound stays valid because it only needs the
+    * two sides to agree on ONE shared total order — (df, h) is one.
+    * Verification still runs on the hash-sorted arrays.
+    */
+  def ngramJaccardPairsDfOrdered(docs: DataFrame, n: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mult = pairMult(docs, docs.count())
+    val base = spread(docs).select(
+      col("doc_id"),
+      sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val exploded = base.select(col("doc_id"), col("nh"), explode(col("hs")).as("h"))
+    val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val pref = pinned(
+      exploded.join(dfCounts, "h") // shuffle join: df table is corpus-sized, never broadcast
+        .withColumn("p", row_number().over(w) - lit(1))
+        .filter(col("p") < plen)
+        .select("doc_id", "nh", "p", "h"),
+      col("h"))
+    verifiedPairsFromPrefix(pref, base.select(col("doc_id"), col("hs")), mult, threshold)
+  }
+
+  /** Candidate generation + PPJoin positional filter + exact
+    * verification over a prefix frame `(doc_id, nh, p, h)` where `p`
+    * is the 0-based position of hash `h` in SOME global order of the
+    * doc's distinct shingles shared by both join sides — the hash
+    * order and the (df, hash) order both qualify.
+    */
+  private def verifiedPairsFromPrefix(pref: DataFrame, sh: DataFrame,
+      mult: Int, threshold: Double): DataFrame = {
     // Equi-join on the prefix hash via using-columns so the planner is
     // guaranteed a hash join; ordering and length filters are
     // post-filters (folding them into the join condition risks a
@@ -179,7 +226,7 @@ object Dedup {
       .filter(col("c") + least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >=
         ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select("a", "b", "na", "nb")
-    verifyPairs(cand, base.select(col("doc_id"), col("hs")), mult, threshold)
+    verifyPairs(cand, sh, mult, threshold)
   }
 
   /** Exact-Jaccard verification shared by the self-join and

@@ -61,6 +61,19 @@ class DedupSpec extends AnyFunSuite {
     assert(inv == pref && pref.nonEmpty)
   }
 
+  test("df-ordered prefix (AllPairs rare-first) yields identical pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the PPJoin bound holds under any shared total order; the
+    // (df, hash) order must produce exactly the hash order's result
+    val dfo = pairs(Dedup.ngramJaccardPairsDfOrdered(docs, 2, 0.5))
+    val pref = pairs(Dedup.ngramJaccardPairs(docs, 2, 0.5))
+    assert(dfo == pref && pref.nonEmpty)
+    val dfo3 = pairs(Dedup.ngramJaccardPairsDfOrdered(docs, 3, 0.8))
+    val pref3 = pairs(Dedup.ngramJaccardPairs(docs, 3, 0.8))
+    assert(dfo3 == pref3)
+  }
+
   test("LSH ANN results carry exact cosines, ranked descending") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 499).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
