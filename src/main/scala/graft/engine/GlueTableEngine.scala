@@ -226,6 +226,12 @@ final class GlueTableEngine(
   private def classification(meta: CachedTableMetadata): String =
     meta.table.parameters.getOrElse("classification", "parquet").toLowerCase
 
+  /** XML record element name — Glue crawlers store it as the `rowTag`
+    * table parameter.
+    */
+  private def xmlRowTag(meta: CachedTableMetadata): String =
+    meta.table.parameters.getOrElse("rowTag", "row")
+
   /** Partition-column type in the read plan: pattern-implied for
     * projection keys (integer projection yields ints; date/enum
     * extract strings), catalog-declared otherwise.
@@ -262,6 +268,7 @@ final class GlueTableEngine(
       case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(firstPath).schema
       case "json" => spark.read.json(firstPath).schema
       case "orc"  => spark.read.orc(firstPath).schema
+      case "xml"  => spark.read.option("rowTag", xmlRowTag(meta)).xml(firstPath).schema
       case _      => spark.read.parquet(firstPath).schema
     }))
     // Partition keys live in the partition schema, never the data
@@ -367,6 +374,7 @@ final class GlueTableEngine(
       case "csv" if meta.table.columns.nonEmpty =>
         Map("header" -> "true", "enforceSchema" -> "false")
       case "csv" => Map("header" -> "true")
+      case "xml" => Map("rowTag" -> xmlRowTag(meta))
       case _     => Map.empty
     }
     PreListedFileIndex.dataFrame(spark, PreListedFileIndex.formatFor(fmt), options,

@@ -328,6 +328,17 @@ object TestFixtures {
     out
   }
 
+  /** XML copy of nation (Spark 4 native XML source). */
+  def nationXml(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/nation_xml"
+    ensure(sfDir, "nation_xml") {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").option("rootTag", "nations").xml(out)
+    }
+    out
+  }
+
   def emptyTable(sfDir: String): String = {
     val out = s"${root(sfDir)}/empty_tbl"
     new File(out).mkdirs()
@@ -498,6 +509,10 @@ object TestFixtures {
       parameters = Map("classification" -> "avro")))
     cat.register(GlueTable("default", "nation_json", Some(nationJson(spark, sfDir)),
       parameters = Map("classification" -> "json"),
+      columns = Seq(ColumnDef("n_nationkey", "bigint"), ColumnDef("n_name", "string"),
+        ColumnDef("n_regionkey", "bigint"))))
+    cat.register(GlueTable("default", "nation_xml", Some(nationXml(spark, sfDir)),
+      parameters = Map("classification" -> "xml", "rowTag" -> "nation"),
       columns = Seq(ColumnDef("n_nationkey", "bigint"), ColumnDef("n_name", "string"),
         ColumnDef("n_regionkey", "bigint"))))
     cat.register(GlueTable("default", "empty_tbl", Some(emptyTable(sfDir))))

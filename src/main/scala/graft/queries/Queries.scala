@@ -500,6 +500,16 @@ object Queries {
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    // XML source (Spark 4 native XML; rowTag from the Glue parameter)
+    "g18_xml_source" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT n_regionkey, count(*) AS n FROM glue.default.nation_xml
+            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      },
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
     "g13_cte_glue" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(

@@ -91,6 +91,7 @@ object PreListedFileIndex {
     case "csv"  => new org.apache.spark.sql.execution.datasources.csv.CSVFileFormat()
     case "json" => new org.apache.spark.sql.execution.datasources.json.JsonFileFormat()
     case "orc"  => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+    case "xml"  => new org.apache.spark.sql.execution.datasources.xml.XmlFileFormat()
     case _      => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
   }
 
