@@ -328,9 +328,15 @@ final class GlueTableEngine(
     val meta = tableMetadata(database, table)
     val (pSchema, allRows) = typedListing(database, table, versionOffset)
     val rows = keep.fold(allRows)(k => allRows.filter(r => k(r.getString(0))))
+    val fmt = classification(meta)
+    // Unsupported-configuration guard BEFORE the empty-listing early
+    // return, so a partitioned Avro table is rejected deterministically
+    // rather than only once data lands in it.
+    if (fmt == "avro" && meta.table.partitionKeys.nonEmpty)
+      throw new UnsupportedOperationException(
+        "partitioned Avro tables not supported by the offline Avro source")
     if (rows.isEmpty)
       return spark.range(0).select(lit(null).cast("string").as("null"))
-    val fmt = classification(meta)
     // Reads of a pruned selection go through the optional HTTP cache
     // proxy, like the reference's files-variable scan (reference:
     // src/glue-table-cache.ts:54-65, 235-239); full-table reads don't.
@@ -342,10 +348,7 @@ final class GlueTableEngine(
       // AvroSource (one task per file, schema from catalog columns or
       // one file's writer schema). Partition-column attachment needs
       // the FileIndex machinery, so partitioned Avro stays out of
-      // scope — fail loudly rather than silently dropping columns.
-      if (meta.table.partitionKeys.nonEmpty)
-        throw new UnsupportedOperationException(
-          "partitioned Avro tables not supported by the offline Avro source")
+      // scope — rejected above, before the empty-listing early return.
       val schema = Option(meta.table.columns).filter(_.nonEmpty)
         .map(cols => StructType(cols.map(c => StructField(c.name, DataType.fromDDL(c.dataType)))))
         .getOrElse(graft.sources.AvroSource.inferSchema(hadoopConf, rows.head.getString(0)))

@@ -74,23 +74,42 @@ object AvroSource {
       s"Avro type $other not supported by the offline Avro source")
   }
 
-  /** Lazily stream one file's records as rows; the reader closes when
-    * the iterator drains.
+  /** Lazily stream one file's records as rows. The reader closes when
+    * the iterator drains AND on task completion (a `LIMIT`-style
+    * early abort or task failure otherwise leaks the `FsInput` fd /
+    * S3 stream until GC in a long-lived executor).
+    *
+    * Requested columns resolve against the file's WRITER schema by
+    * position, once per file: a catalog-declared column absent from a
+    * file yields null for that file's rows — `GenericRecord
+    * .get(String)` would instead throw `AvroRuntimeException` on the
+    * first row (the round-5 Iceberg-manifest bug class).
     */
   private def readFile(conf: Configuration, path: String, schema: StructType): Iterator[Row] = {
     val reader = new DataFileReader[GenericRecord](
       new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
+    val writerSchema = reader.getSchema
+    require(writerSchema.getType == Schema.Type.RECORD,
+      s"$path: expected an Avro record writer schema, got ${writerSchema.getType}")
+    val fieldPos: Array[Int] =
+      schema.fields.map(f => Option(writerSchema.getField(f.name)).map(_.pos).getOrElse(-1))
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; reader.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
     new Iterator[Row] {
-      private var closed = false
       override def hasNext: Boolean = {
         if (closed) return false
         val h = reader.hasNext
-        if (!h) { reader.close(); closed = true }
+        if (!h) close()
         h
       }
       override def next(): Row = {
         val rec = reader.next()
-        Row.fromSeq(schema.fields.toSeq.map(f => convert(rec.get(f.name), f.dataType)))
+        Row.fromSeq(schema.fields.indices.map { i =>
+          if (fieldPos(i) < 0) null
+          else convert(rec.get(fieldPos(i)), schema.fields(i).dataType)
+        })
       }
     }
   }

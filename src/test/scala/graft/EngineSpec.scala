@@ -159,6 +159,31 @@ class EngineSpec extends AnyFunSuite {
       parameters = Map("classification" -> "avro")))
     intercept[UnsupportedOperationException](
       new GlueTableEngine(spark, cat).tableDF("default", "avro_part"))
+    // ... and deterministically, even while the table is still EMPTY
+    val emptyDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "avroempty").toString
+    cat.register(GlueTable("default", "avro_part_empty", Some(emptyDir),
+      partitionKeys = Seq(ColumnDef("k")),
+      parameters = Map("classification" -> "avro")))
+    intercept[UnsupportedOperationException](
+      new GlueTableEngine(spark, cat).tableDF("default", "avro_part_empty"))
+  }
+
+  test("avro: catalog column absent from the writer schema reads as null, not a throw") {
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "avro_evolved",
+      Some(TestFixtures.ordersAvro(spark, TestSpark.sfDir)),
+      parameters = Map("classification" -> "avro"),
+      columns = Seq(ColumnDef("o_orderkey", "bigint"), ColumnDef("o_totalprice", "double"),
+        ColumnDef("o_comment", "string")))) // declared, never written
+    val eng = new GlueTableEngine(spark, cat)
+    val df = eng.tableDF("default", "avro_evolved")
+    val rows = df.filter(col("o_comment").isNull).count()
+    assert(rows == df.count() && rows > 0)
+    // early-abort read path (LIMIT): the task-completion listener owns
+    // the reader close, so this must neither throw nor hang
+    assert(eng.query("SELECT o_orderkey FROM glue.default.avro_evolved LIMIT 1")
+      .collect().length == 1)
   }
 
   test("a CTE literally named 'glue' is not treated as a glue ref") {
