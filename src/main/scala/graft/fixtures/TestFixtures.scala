@@ -462,6 +462,57 @@ object TestFixtures {
     out
   }
 
+  /** Date-identity-partitioned Iceberg layout over orders: one data
+    * file per order-month, the manifest's `partition.d` field stored
+    * the way the Iceberg spec stores date identity values — Avro int
+    * days since epoch with the `date` logical type — NOT a string.
+    * Exercises the logical-type decode in the snapshot resolver; a
+    * raw stringify would render "19723"-style values that cast to
+    * null against the catalog-declared `date` key and silently prune
+    * everything.
+    */
+  def icebergOrdersByMonth(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/iceberg_orders_m"
+    ensure(sfDir, "iceberg_orders_m") {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("d", to_date(date_trunc("month", col("o_orderdate"))))
+      val dates = o.select("d").distinct().orderBy("d").limit(3)
+        .collect().map(_.getDate(0))
+      val dateType = org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+      val partSchema = SchemaBuilder.record("partition").fields()
+        .name("d").`type`(dateType).noDefault().endRecord()
+      val dfS = SchemaBuilder.record("r2").fields()
+        .requiredString("file_path").requiredLong("file_size_in_bytes")
+        .name("partition").`type`(partSchema).noDefault().endRecord()
+      val entryS = SchemaBuilder.record("manifest_entry").fields()
+        .name("data_file").`type`(dfS).noDefault().endRecord()
+      val rows = dates.map { d =>
+        val sub = s"data_$d"
+        o.filter(col("d") === lit(d)).drop("d").coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$sub")
+        val file = new File(s"$out/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val p = new GenericData.Record(partSchema)
+        p.put("d", java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt))
+        val df = new GenericData.Record(dfS)
+        df.put("file_path", file.getAbsolutePath)
+        df.put("file_size_in_bytes", file.length())
+        df.put("partition", p)
+        val e = new GenericData.Record(entryS); e.put("data_file", df); e
+      }
+      new File(s"$out/metadata").mkdirs()
+      writeAvro(s"$out/metadata/manifest1.avro", entryS, rows.toSeq)
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", s"$out/metadata/manifest1.avro")
+      writeAvro(s"$out/metadata/ml1.avro", manifestListSchema, Seq(ml))
+      Files.write(Paths.get(s"$out/metadata/v1.metadata.json"),
+        s"""{"format-version": 2, "last-sequence-number": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "$out/metadata/ml1.avro"}]}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    out
+  }
+
   // ------------------------------------------------------------ catalog
 
   /** The fixture catalog for one scale factor — every layout the
@@ -495,6 +546,9 @@ object TestFixtures {
       parameters = Map("table_type" -> "ICEBERG")))
     cat.register(GlueTable("default", "iceberg_events", Some(icebergEvents(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("event_type")),
+      parameters = Map("table_type" -> "ICEBERG")))
+    cat.register(GlueTable("default", "iceberg_orders_m", Some(icebergOrdersByMonth(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("d", "date")),
       parameters = Map("table_type" -> "ICEBERG")))
     // declared columns (same types CSV/JSON inference yields, so
     // results are identical) — the reader skips the inference scan

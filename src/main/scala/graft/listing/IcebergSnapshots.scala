@@ -122,7 +122,8 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
                 df.get(f.pos()) match {
                   case r: GenericRecord =>
                     r.getSchema.getFields.asScala.flatMap { pf =>
-                      Option(r.get(pf.pos())).map(v => pf.name() -> v.toString)
+                      Option(r.get(pf.pos())).map(v =>
+                        pf.name() -> decodePartitionValue(mp, pf.name(), pf.schema(), v))
                     }.toMap
                   case _ => Map.empty[String, String]
                 }
@@ -140,6 +141,58 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
           case ok => ok
         }
         resolved.sortBy(_.path)
+    }
+  }
+
+  /** Render one `data_file.partition` field as the string the typed
+    * listing will cast to the catalog-declared partition type.
+    *
+    * Per the Iceberg spec, identity partition values are stored in
+    * their Avro PHYSICAL form — date as int days since epoch,
+    * timestamp as long micros/millis, decimal as big-endian unscaled
+    * bytes — so raw `toString` yields e.g. `"19700"` for a date,
+    * which the engine's cast-to-declared-type then turns into null
+    * and an equality filter silently prunes EVERY file. Decode by the
+    * field's Avro logical type instead; physical types with no
+    * logical annotation stringify only when that string round-trips
+    * through a Spark cast (string/int/long/boolean/float/double),
+    * and anything else fails loudly like the mistyped-size path —
+    * a wrong partition value must never become a silent
+    * prune-everything.
+    */
+  private def decodePartitionValue(manifest: String, field: String,
+      fieldSchema: org.apache.avro.Schema, v: AnyRef): String = {
+    import org.apache.avro.{LogicalTypes, Schema}
+    // identity partitions on nullable columns arrive as union(null, T)
+    val s = if (fieldSchema.getType == Schema.Type.UNION)
+      fieldSchema.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(fieldSchema)
+    else fieldSchema
+    def micros(us: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    def decimal(unscaled: Array[Byte], scale: Int): String =
+      new java.math.BigDecimal(new java.math.BigInteger(unscaled), scale).toPlainString
+    def bad(what: String): Nothing = throw new IllegalStateException(
+      s"malformed Iceberg manifest $manifest: partition field $field has $what " +
+        "— cannot render a partition value the engine could cast correctly")
+    (s.getLogicalType, v) match {
+      case (_: LogicalTypes.Date, i: java.lang.Integer) =>
+        java.time.LocalDate.ofEpochDay(i.longValue()).toString
+      case (_: LogicalTypes.TimestampMicros, l: java.lang.Long) => micros(l.longValue())
+      case (_: LogicalTypes.TimestampMillis, l: java.lang.Long) => micros(l.longValue() * 1000L)
+      case (d: LogicalTypes.Decimal, bb: java.nio.ByteBuffer) =>
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+        decimal(arr, d.getScale)
+      case (d: LogicalTypes.Decimal, fx: org.apache.avro.generic.GenericFixed) =>
+        decimal(fx.bytes(), d.getScale)
+      case (null, _) => s.getType match {
+        case Schema.Type.STRING | Schema.Type.INT | Schema.Type.LONG |
+             Schema.Type.BOOLEAN | Schema.Type.FLOAT | Schema.Type.DOUBLE => v.toString
+        case other => bad(s"unsupported Avro type $other")
+      }
+      case (lt, _) => bad(s"unsupported Avro logical type $lt over ${s.getType}")
     }
   }
 

@@ -349,6 +349,80 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("file_size_in_bytes"))
   }
 
+  test("iceberg date-identity partitions decode per logical type and prune correctly") {
+    // manifest stores d as Avro int days-since-epoch (logical `date`);
+    // the listing must carry ISO strings, not "19723"
+    val infos = engine.files("default", "iceberg_orders_m")
+    assert(infos.size == 3)
+    infos.foreach { f =>
+      val d = f.partitionValues("d")
+      assert(d.matches("\\d{4}-\\d{2}-\\d{2}"), s"undecoded partition value: $d")
+    }
+    val first = infos.map(_.partitionValues("d")).min
+    val df = engine.query(
+      s"SELECT count(*) AS n FROM glue.default.iceberg_orders_m WHERE d = DATE '$first'")
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .filter(date_trunc("month", col("o_orderdate")).cast("date") === lit(first)).count()
+    assert(want > 0 && df.collect().head.getLong(0) == want)
+  }
+
+  test("manifest partition logical types decode; undecodable types fail fast") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path)); try rows.foreach(w.append) finally w.close()
+    }
+    val mlSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").endRecord()
+    def layout(partSchema: Schema, fill: GenericData.Record => Unit): String = {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/root/repo/target"), "icelogical").toFile
+      new java.io.File(root, "metadata").mkdirs()
+      val dfSchema = SchemaBuilder.record("r2").fields()
+        .requiredString("file_path").requiredLong("file_size_in_bytes")
+        .name("partition").`type`(partSchema).noDefault().endRecord()
+      val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+        .name("data_file").`type`(dfSchema).noDefault().endRecord()
+      val p = new GenericData.Record(partSchema); fill(p)
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", "/x.parquet"); df.put("file_size_in_bytes", 1L); df.put("partition", p)
+      val entry = new GenericData.Record(entrySchema); entry.put("data_file", df)
+      writeAvro(s"$root/metadata/manifest.avro", entrySchema, Seq(entry))
+      val ml = new GenericData.Record(mlSchema)
+      ml.put("manifest_path", s"$root/metadata/manifest.avro")
+      writeAvro(s"$root/metadata/ml.avro", mlSchema, Seq(ml))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+        s"""{"last-sequence-number": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "$root/metadata/ml.avro"}]}"""
+          .getBytes)
+      root.getAbsolutePath
+    }
+    val resolver = new graft.listing.IcebergSnapshotResolver(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    // date + timestamp-micros + decimal, all in their spec physical forms
+    val okPart = SchemaBuilder.record("partition").fields()
+      .name("d").`type`(LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))).noDefault()
+      .name("ts").`type`(LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+      .name("price").`type`(LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES))).noDefault()
+      .endRecord()
+    val ok = layout(okPart, { p =>
+      p.put("d", java.lang.Integer.valueOf(19723)) // 2024-01-01
+      p.put("ts", java.lang.Long.valueOf(1704067200123456L))
+      p.put("price", java.nio.ByteBuffer.wrap(java.math.BigDecimal.valueOf(1234, 2).unscaledValue().toByteArray))
+    })
+    val pv = resolver.dataFilesDetailed(ok).head.partition
+    assert(pv("d") == "2024-01-01", pv)
+    assert(pv("ts") == "2024-01-01 00:00:00.123456", pv)
+    assert(pv("price") == "12.34", pv)
+    // a partition field the engine cannot render castably fails loudly
+    val badPart = SchemaBuilder.record("partition").fields()
+      .name("blob").`type`(Schema.create(Schema.Type.BYTES)).noDefault().endRecord()
+    val bad = layout(badPart, _.put("blob", java.nio.ByteBuffer.wrap(Array[Byte](1, 2))))
+    val e = intercept[IllegalStateException](resolver.dataFilesDetailed(bad))
+    assert(e.getMessage.contains("blob"), e.getMessage)
+  }
+
   test("compactTable collapses small files, preserves rows and pruning") {
     // fragment first: 8 shuffle partitions × partition dirs ≈ dozens
     // of small files, the streaming-ingest pathology compaction fixes
