@@ -124,10 +124,13 @@ object TextAnalysis {
     * lengths: p(q) = min len whose cumulative count `cum` satisfies
     * `cum * den >= n * num` (exactly ceil(q*n) without ever touching
     * floats — 0.9*500 in doubles is 450.0000...03, whose ceil is off
-    * by one). Scale shape: the only global-order window runs over
-    * DISTINCT length values (bounded small regardless of corpus
-    * rows); everything row-scale is a groupBy count. This is how an
-    * EXACT quantile stays feasible at 100 TB — approx_percentile
+    * by one). Scale shape: everything row-scale is a groupBy count;
+    * the cumulative distribution over DISTINCT lengths builds
+    * two-level — per-range-bucket totals, cross-bucket prefix sums
+    * via a (tiny) inequality join, then a PARTITIONED running-sum
+    * window within each bucket — so no stage ever funnels through a
+    * single task the way a global ORDER BY window would. This is how
+    * an EXACT quantile stays feasible at 100 TB — approx_percentile
     * trades that exactness away and could never hash-match an oracle.
     */
   def lengthQuantiles(docs: DataFrame,
@@ -135,8 +138,22 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val lens = docs.select(size(tokens(col("text"))).as("len"))
     val freq = lens.groupBy("len").agg(count(lit(1)).as("c"))
-    val cum = freq.withColumn("cum",
-      sum("c").over(Window.orderBy("len").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // level 1: range buckets of 1024 adjacent lengths; totals per bucket
+    val bucketed = freq.withColumn("bucket", (col("len") / lit(1024)).cast("long"))
+    val bTotals = bucketed.groupBy("bucket").agg(sum("c").as("bc"))
+    // level 2: prefix sum ACROSS buckets — an inequality join over the
+    // bucket-totals frame (|buckets| = |distinct lens|/1024, metadata
+    // scale), distributed instead of a global-order window
+    val bPrefix = bTotals.as("x")
+      .join(bTotals.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(coalesce(sum(col("y.bc")), lit(0L)).as("pre"))
+    // level 3: running sum WITHIN each bucket (partitioned window)
+    val inBucket = Window.partitionBy("bucket").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.withColumn("inb", sum("c").over(inBucket))
+      .join(bPrefix, "bucket")
+      .withColumn("cum", col("pre") + col("inb"))
     val total = lens.agg(count(lit(1)).as("n"))
     val withN = cum.crossJoin(broadcast(total))
     qs.map { case (num, den) =>

@@ -41,8 +41,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc k has k tokens, k = 1..10: p50 -> 5, p90 -> 9, p99 -> 10
     val docs = (1 to 10).map(k => (k.toLong, Seq.fill(k)("w").mkString(" ")))
       .toDF("doc_id", "text")
-    val got = TextAnalysis.lengthQuantiles(docs)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val df = TextAnalysis.lengthQuantiles(docs)
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got == Map("p50" -> 5, "p90" -> 9, "p99" -> 10))
+    // the cumulative distribution must never plan a GLOBAL-order
+    // window (single-partition funnel); every window is partitioned
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      df.queryExecution.sparkPlan.toString.take(2000))
   }
 }
