@@ -61,6 +61,12 @@ final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long, errorTtlMs: Long
     .expireAfterWrite(ttlMs, TimeUnit.MILLISECONDS)
     .build[String, AnyRef]()
 
+  // Serializes the expired-negative-entry invalidation (see get):
+  // without it two callers can both observe the expired failure, both
+  // invalidate, and run DUPLICATE loads — the second invalidate
+  // discards the first caller's in-flight loading entry.
+  private val expiryStripes = com.google.common.util.concurrent.Striped.lock(64)
+
   /** Single-flight get-or-load. Loader exceptions are unwrapped so
     * callers see the original error surface, not Guava's wrapper.
     */
@@ -88,8 +94,19 @@ final class TtlCache[V <: AnyRef](maxEntries: Int, ttlMs: Long, errorTtlMs: Long
     entry match {
       case FailedLoad(err, deadline) =>
         if (System.currentTimeMillis() >= deadline) {
-          underlying.invalidate(key)
-          get(key)(load) // negative entry expired: retry the load
+          // Negative entry expired: retry the load. Invalidate under a
+          // per-key stripe lock, re-checking first — a concurrent
+          // caller may already have invalidated and started the fresh
+          // load (getIfPresent returns null while it's in flight), and
+          // a second invalidate here would discard that loading entry
+          // and duplicate the load instead of joining it.
+          val lock = expiryStripes.get(key)
+          lock.lock()
+          try underlying.getIfPresent(key) match {
+            case FailedLoad(_, d) if System.currentTimeMillis() >= d => underlying.invalidate(key)
+            case _ => ()
+          } finally lock.unlock()
+          get(key)(load)
         } else throw err
       case v => v.asInstanceOf[V]
     }

@@ -67,7 +67,7 @@ final class GlueTableEngine(
     */
   def tableMetadata(database: String, table: String): CachedTableMetadata =
     metaCache.get(s"$database.$table") {
-      Retry.withRetry() {
+      val meta = Retry.withRetry() {
         val t = catalog.getTable(database, table)
         val ttype = TableClassifier.classify(t)
         val projections =
@@ -81,6 +81,17 @@ final class GlueTableEngine(
           } else None
         CachedTableMetadata(System.currentTimeMillis(), ttype, t, partMeta, projections)
       }
+      // Outside the retry (a definition error never heals): the
+      // listing frames expose fixed columns (path, size, modTime, pv)
+      // that partition-key withColumns would silently REPLACE,
+      // corrupting positional row layout downstream — a partition
+      // value would be read back as the file path.
+      val clash = meta.table.partitionKeys.map(_.name)
+        .filter(k => GlueTableEngine.ReservedListingColumns.contains(k.toLowerCase))
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"partition key(s) ${clash.mkString(", ")} of $database.$table collide with " +
+          "the listing's reserved columns (path, size, modTime, pv)")
+      meta
     }
 
   private def location(meta: CachedTableMetadata): String =
@@ -728,4 +739,12 @@ final class GlueTableEngine(
     * alone).
     */
   def close(): Unit = clearCache()
+}
+
+object GlueTableEngine {
+  /** Column names the listing frames own (lower-cased): partition
+    * keys may not shadow them — see the validation in
+    * `tableMetadata`.
+    */
+  private[engine] val ReservedListingColumns = Set("path", "size", "modtime", "pv")
 }

@@ -487,7 +487,7 @@ object Dedup {
     * endpoint, and the UNION-distinct semantics of recursive CTEs
     * guarantee termination.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
@@ -507,7 +507,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    val maxRounds = 64 // diameter bound; dedup graphs converge in ~2-4
+    // maxRounds is a diameter bound; dedup graphs converge in ~2-4
+    // rounds. Min-label propagation needs at most graph-diameter
+    // rounds, so hitting the bound without converging means a
+    // pathological chain — returning the partial labels would be
+    // WRONG clusters, so fail (checked after the loop).
     while (!converged && rounds < maxRounds) {
       val viaNeighbours = und
         .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
@@ -521,6 +525,10 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "graph diameter exceeds the bound; raise maxRounds or pre-contract the graph " +
+        "(returning partial labels would silently split clusters)")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

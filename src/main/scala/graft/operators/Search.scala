@@ -67,7 +67,9 @@ object Search {
     */
   def sqlBm25TopK(terms: Seq[String], k: Int,
                   k1: Double = K1, b: Double = B): String = {
-    val in = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-escape: a term carrying a quote must not break (or inject
+    // into) the oracle statement
+    val in = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
        |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -60,6 +60,26 @@ class CacheSpec extends AnyFunSuite {
     assert(recovered == "ok" && loads.get() == 2)
   }
 
+  test("expired negative entry: concurrent retriers run exactly one load") {
+    val cache = new TtlCache[String](10, 60000, errorTtlMs = 50)
+    val loads = new AtomicInteger(0)
+    intercept[RuntimeException](cache.get("k") { throw new RuntimeException("down") }: Unit)
+    Thread.sleep(80) // let the negative entry expire
+    // every caller observes the SAME expired failure, then races to
+    // invalidate-and-reload; the stripe lock must collapse that to one
+    // slow load the rest join (pre-fix: each invalidate discarded the
+    // previous caller's in-flight loading entry => duplicate loads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      start.await()
+      results.add(cache.get("k") { Thread.sleep(200); loads.incrementAndGet(); "ok" })
+    }))
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(loads.get() == 1, s"expected one recovery load, got ${loads.get()}")
+    assert(results.size == 8 && results.toArray.forall(_ == "ok"))
+  }
+
   test("negative cache disabled (errorTtlMs=0): every get retries the loader") {
     val cache = new TtlCache[String](10, 60000)
     val loads = new AtomicInteger(0)

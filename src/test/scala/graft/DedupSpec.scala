@@ -168,6 +168,19 @@ class DedupSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("connected components fail loudly when the diameter exceeds maxRounds") {
+    import spark.implicits._
+    // a 12-node path needs ~11 propagation rounds: with maxRounds=4
+    // the far end never learns the min label — partial labels would be
+    // silently wrong clusters, so the operator must throw instead
+    val path = (0L until 12L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(path, maxRounds = 4))
+    assert(e.getMessage.contains("converge"))
+    // the same graph converges fine with an adequate bound
+    val labels = Dedup.connectedComponents(path).collect()
+    assert(labels.length == 12 && labels.forall(_.getLong(1) == 0L))
+  }
+
   test("connected components of an empty pair list are empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -36,6 +36,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0))
   }
 
+  test("bm25 oracle SQL escapes quote-bearing terms") {
+    val sql = Search.sqlBm25TopK(Seq("it's", "o'brien"), 5)
+    assert(sql.contains("'it''s'") && sql.contains("'o''brien'"))
+    // still one well-formed statement: balanced single quotes
+    assert(sql.count(_ == '\'') % 2 == 0)
+  }
+
   test("hash sampling is invariant to repartitioning (content-addressed)") {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       Sampling.hashSample(df, col("text"), 20).select("doc_id")
