@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Per-query performance trend gate between two bench artifacts.
+
+Usage:
+    python3 tools/trend_gate.py OLD.json NEW.json [--ratio 1.5]
+    python3 tools/trend_gate.py                  # two newest bench_history/sf1_*.json
+
+Compares the per-query seconds of two `graft.Bench` JSON artifacts
+(same shape as BENCH_sf1.json) and FAILS (exit 1) when any query
+shared by both runs slowed by more than --ratio, or when the total
+did. Queries faster than --floor seconds in the NEW run are ignored —
+sub-second timings are scheduling noise, and a 0.2s -> 0.4s "2x
+regression" would page on nothing. Superlinear regressions in the
+pair-join queries (d7 first) are exactly what this catches; a human
+reading raw JSON will not.
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d:
+        sys.exit(f"{path}: not a bench artifact (no 'queries' key)")
+    return d
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", nargs="?")
+    ap.add_argument("new", nargs="?")
+    ap.add_argument("--ratio", type=float, default=1.5,
+                    help="max allowed per-query slowdown (default 1.5x)")
+    ap.add_argument("--total-ratio", type=float, default=1.3,
+                    help="max allowed total slowdown (default 1.3x)")
+    ap.add_argument("--floor", type=float, default=1.0,
+                    help="ignore queries under this many seconds in the new run")
+    args = ap.parse_args()
+
+    if args.old and args.new:
+        old_path, new_path = args.old, args.new
+    else:
+        hist = sorted(glob.glob(os.path.join(
+            os.path.dirname(__file__), "..", "bench_history", "sf1_*.json")))
+        if len(hist) < 2:
+            sys.exit("need two artifacts: pass OLD NEW or keep >=2 bench_history/sf1_*.json")
+        old_path, new_path = hist[-2], hist[-1]
+
+    old, new = load(old_path), load(new_path)
+    print(f"old: {old_path} total={old['value']}s ({len(old['queries'])} queries)")
+    print(f"new: {new_path} total={new['value']}s ({len(new['queries'])} queries)")
+
+    failures = []
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    for q in shared:
+        o, n = old["queries"][q], new["queries"][q]
+        if n < args.floor or o <= 0:
+            continue
+        r = n / o
+        flag = "REGRESSED" if r > args.ratio else ""
+        if r > args.ratio:
+            failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
+        if r > args.ratio or r < 1 / args.ratio:
+            print(f"  {q:>24s}  {o:8.2f}s -> {n:8.2f}s  {r:5.2f}x  {flag}")
+
+    # totals over the SHARED set only, so suite growth is not a "regression"
+    o_tot = sum(old["queries"][q] for q in shared)
+    n_tot = sum(new["queries"][q] for q in shared)
+    if o_tot > 0:
+        r_tot = n_tot / o_tot
+        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
+        if r_tot > args.total_ratio:
+            failures.append(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
+
+    dropped = set(old["queries"]) - set(new["queries"])
+    if dropped:
+        print(f"note: queries dropped from the suite: {sorted(dropped)}")
+
+    if failures:
+        print("\nTREND GATE FAILED:")
+        for f in failures:
+            print(f"  {f}")
+        sys.exit(1)
+    print("trend gate OK")
+
+if __name__ == "__main__":
+    main()
