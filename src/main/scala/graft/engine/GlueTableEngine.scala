@@ -478,6 +478,17 @@ final class GlueTableEngine(
     * textual substitution is regex-based, handling optional backtick
     * quoting and the 2-part `glue.tbl` shorthand.
     */
+  /** One-call textual conversion — the `convertGlueTableQuery`
+    * equivalent (reference: src/glue-table-cache.ts:242-251, which
+    * returns setup SQL ++ transformed query as one string): registers
+    * the `GLUE__db_tbl` views ([[setupFor]]) and returns the
+    * rewritten statement with the view names they now resolve to.
+    * `spark.sql(result.sql)` is runnable immediately;
+    * `result.toString` is the shippable combined artifact.
+    */
+  def convertGlueTableQuery(sql: String): GlueTableEngine.ConvertedQuery =
+    GlueTableEngine.ConvertedQuery(setupFor(sql), rewrittenSql(sql))
+
   def rewrittenSql(sql: String): String =
     glueTableRefs(sql).foldLeft(sql) { case (s, (db, tbl)) =>
       val view = java.util.regex.Matcher.quoteReplacement(Naming.viewName(db, tbl))
@@ -747,4 +758,14 @@ object GlueTableEngine {
     * `tableMetadata`.
     */
   private[engine] val ReservedListingColumns = Set("path", "size", "modtime", "pv")
+
+  /** Result of `convertGlueTableQuery`: the temp views registered for
+    * the query's glue refs, and the statement rewritten to use them.
+    * `toString` renders the reference-style single artifact (setup
+    * comment header + SQL).
+    */
+  final case class ConvertedQuery(setupViews: Seq[String], sql: String) {
+    override def toString: String =
+      setupViews.map(v => s"-- registered temp view: $v\n").mkString + sql
+  }
 }

@@ -162,14 +162,15 @@ object Dedup {
     * prefixes carry the RAREST tokens of each doc. Candidate volume
     * for a prefix hash h is df_prefix(h)^2; under a Zipf vocabulary
     * rare-first prefixes make that sum near-linear in corpus size,
-    * where the default hash order's random-token prefixes can leave
-    * it quadratic. (On flat tiny vocabularies — ARCHITECTURE.md's d7
-    * note — no order helps, which is why the default path keeps the
-    * cheaper no-extra-shuffle hash order.) Costs one extra
-    * shuffle pair (df groupBy + join back) and a per-doc window; the
-    * PPJoin positional bound stays valid because it only needs the
-    * two sides to agree on ONE shared total order — (df, h) is one.
-    * Verification still runs on the hash-sorted arrays.
+    * where the hash order's random-token prefixes can leave it
+    * quadratic — and even on the flat synthetic fixture the
+    * concentration effect measured faster at every SF (see
+    * [[ngramJaccardPairs]]), which is why this IS the default path.
+    * Costs one extra shuffle pair (df groupBy + join back) and a
+    * per-doc window; the PPJoin positional bound stays valid because
+    * it only needs the two sides to agree on ONE shared total order —
+    * (df, h) is one. Verification still runs on the hash-sorted
+    * arrays.
     */
   def ngramJaccardPairsDfOrdered(docs: DataFrame, n: Int = 2,
       threshold: Double = 0.5): DataFrame = {
@@ -481,70 +482,23 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Vocabulary-skew statistic driving the prefix-order choice in
-    * [[ngramJaccardPairs]]: `D * sum(df^2) / T^2` over the shingle
-    * document frequencies (D = distinct shingles, T = total
-    * postings). A perfectly flat vocabulary scores 1 (uniform df =
-    * T/D makes the ratio collapse); Zipf-distributed text scores an
-    * order of magnitude higher because the head terms dominate
-    * sum(df^2) while the hapax tail inflates D (measured: the flat
-    * synthetic fixture scores 1.04-1.06 at every SF, a Zipf corpus
-    * with the same doc lengths scores ~19). Estimated on a
-    * deterministic 1/16 doc-id-hash sample once the corpus exceeds
-    * 50k docs — the statistic is invariant under uniform document
-    * sampling (every df shrinks by the same factor and D is carried
-    * by the head+mid vocabulary), so the probe stays one cheap
-    * scan+shuffle regardless of corpus size.
+  /** Exact n-gram Jaccard pairs: the AllPairs df-ascending
+    * (rare-first) prefix join ([[ngramJaccardPairsDfOrdered]]).
+    * Finds every pair at Jaccard >= `threshold` — identical results
+    * to the quadratic oracle and to the hash-order prefix path
+    * (DedupSpec proves pair-identity), so the order is purely a
+    * performance choice, and it is MEASURED, not assumed: on the
+    * adversarial flat-vocabulary fixture (ARCHITECTURE.md's d7 note
+    * predicted "no order helps") rare-first still won 302s vs 476s at
+    * sf1 (50k docs) and 5.5s vs 6.4s at sf0.1, and under real Zipf
+    * vocabularies it is asymptotically better (near-linear vs
+    * quadratic candidate volume). The hash order's only advantage —
+    * two fewer shuffles — matters exactly when the corpus is small
+    * enough that both paths are fast, so there is no regime worth a
+    * runtime probe to detect.
     */
-  private[graft] def vocabularySkew(docs: DataFrame, n: Int, nDocs: Long): Double = {
-    val sample =
-      if (nDocs >= 50000) docs.where(pmod(xxhash64(col("doc_id")), lit(16)) === lit(0))
-      else docs
-    val dfc = spread(sample)
-      .select(explode(sortedShingleHashes64Fast(col("text"), n)).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val r = dfc.agg(
-      count(lit(1)).cast("double"),
-      sum(col("df")).cast("double"),
-      sum(col("df") * col("df")).cast("double")).head()
-    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 1.0
-    else r.getDouble(0) * r.getDouble(2) / (r.getDouble(1) * r.getDouble(1))
-  }
-
-  /** [[vocabularySkew]] cutover above which [[ngramJaccardPairs]]
-    * switches to the df-ascending prefix order: rare-first prefixes
-    * pay one extra shuffle pair (df groupBy + join back) and buy a
-    * near-linear candidate volume under skewed vocabularies, while on
-    * flat vocabularies no order helps (candidate volume is
-    * Θ(n²/|V|) whatever the prefix carries — ARCHITECTURE.md's d7
-    * note) so the cheaper no-extra-shuffle hash order wins. Measured
-    * scores: flat fixture ~1.05 at every SF; a 410-doc Zipf corpus
-    * 4.3 (df capped at nDocs flattens the head at tiny scale); a
-    * 1.5k-doc Zipf corpus 19. The cutover sits low (3x the flat
-    * score) because the costs are asymmetric: a wrong df-order pick
-    * costs one extra shuffle pair, a wrong hash-order pick costs a
-    * quadratic candidate stage.
-    */
-  private[graft] val DfOrderSkewCutover = 3.0
-
-  /** Exact n-gram Jaccard pairs via an inverted shingle index:
-    * explode (doc, shingle), self-join on shingle, count shared
-    * shingles per pair, jaccard = shared/(|A|+|B|-shared). Finds every
-    * pair with jaccard > 0 (shared >= 1), so thresholding is exact —
-    * same result as the quadratic oracle, at inverted-index cost.
-    *
-    * Prefix order auto-selects on [[vocabularySkew]]: skewed (real)
-    * vocabularies take [[ngramJaccardPairsDfOrdered]]'s rare-first
-    * order, flat ones keep the hash order. Both orders are proven
-    * pair-identical (DedupSpec), so the choice is purely a
-    * performance dial.
-    */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val nDocs = docs.count()
-    if (vocabularySkew(docs, n, nDocs) >= DfOrderSkewCutover)
-      ngramJaccardPairsDfOrdered(docs, n, threshold)
-    else prefixJaccardPairs(docs, n, threshold)
-  }
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsDfOrdered(docs, n, threshold)
 
   /** n-gram Jaccard via the full inverted index (every shingle is a
     * join key, shared counts by groupBy). Exact, but candidate volume

@@ -655,6 +655,15 @@ class EngineSpec extends AnyFunSuite {
     val viaText = spark.sql(rewritten).collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val viaPlan = engine.query(sql).collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(viaText == viaPlan)
+    // the one-call combined artifact (reference convertGlueTableQuery)
+    val converted = engine.convertGlueTableQuery(sql)
+    assert(converted.sql == rewritten)
+    assert(converted.setupViews.toSet ==
+      Set("GLUE__default_lineitem_part", "GLUE__default_orders_flat"))
+    assert(converted.toString.startsWith("-- registered temp view: GLUE__default_"))
+    val viaConverted = spark.sql(converted.sql)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaConverted == viaPlan)
   }
 
   test("rewrittenSql is identifier-bounded: a prefix table name never clobbers a longer one") {
