@@ -684,8 +684,15 @@ object Queries {
         val docs = t(spark, sf, "documents")
         // daily-ingest shape: the corpus side comes from the PERSISTED
         // prefix index (built once per corpus, reused across batches);
-        // only the fresh batch is shingled here
-        val idx = s"/root/repo/target/corpus_index/${new java.io.File(sf).getName.replace(".", "_")}_n3_t080"
+        // only the fresh batch is shingled here. The path carries a
+        // size+mtime stamp of the source parquet, so a regenerated
+        // fixture can never silently probe a stale index.
+        val src = new java.io.File(s"$sf/documents.parquet")
+        val leaves = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+        val stamp = java.lang.Long.toHexString(
+          leaves.map(f => f.length() * 1315423911L ^ f.lastModified()).sum)
+        val idx = "/root/repo/target/corpus_index/" +
+          s"${new java.io.File(sf).getName.replace(".", "_")}_${stamp}_n3_t080"
         Dedup.ensureCorpusIndex(docs.filter(col("doc_id") % 5 =!= 0), idx, 3, 0.8)
         Dedup.incrementalPairsIndexed(spark, idx, docs.filter(col("doc_id") % 5 === 0))
       },
