@@ -113,7 +113,9 @@ object Dedup {
     * O(#docs * (1-t)|d|) longs.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    prefixJaccardPairs(docs, 3, threshold)
+    // rare-first prefix order, same reasoning and measurements as
+    // [[ngramJaccardPairs]] (trigrams t=0.8 at sf1: 7.1s vs 8.8s)
+    ngramJaccardPairsDfOrdered(docs, 3, threshold)
 
   /** Prefix-filter Jaccard join with the PPJoin positional filter
     * (Xiao et al. WWW'08) — see [[minhashPairs]] for the prefix lemma.
