@@ -280,6 +280,7 @@ final class GlueTableEngine(
       case "json" => spark.read.json(firstPath).schema
       case "orc"  => spark.read.orc(firstPath).schema
       case "xml"  => spark.read.option("rowTag", xmlRowTag(meta)).xml(firstPath).schema
+      case "avro" => graft.sources.AvroSource.inferSchema(hadoopConf, firstPath)
       case _      => spark.read.parquet(firstPath).schema
     }))
     // Partition keys live in the partition schema, never the data
@@ -340,12 +341,6 @@ final class GlueTableEngine(
     val (pSchema, allRows) = typedListing(database, table, versionOffset)
     val rows = keep.fold(allRows)(k => allRows.filter(r => k(r.getString(0))))
     val fmt = classification(meta)
-    // Unsupported-configuration guard BEFORE the empty-listing early
-    // return, so a partitioned Avro table is rejected deterministically
-    // rather than only once data lands in it.
-    if (fmt == "avro" && meta.table.partitionKeys.nonEmpty)
-      throw new UnsupportedOperationException(
-        "partitioned Avro tables not supported by the offline Avro source")
     if (rows.isEmpty)
       return spark.range(0).select(lit(null).cast("string").as("null"))
     // Reads of a pruned selection go through the optional HTTP cache
@@ -354,18 +349,6 @@ final class GlueTableEngine(
     val rewrite: String => String =
       if (proxied) p => config.proxyAddress.fold(p)(proxy => p.replaceFirst("^s3://", proxy))
       else identity
-    if (fmt == "avro") {
-      // No spark-avro in the offline jars → the mapPartitions-tier
-      // AvroSource (one task per file, schema from catalog columns or
-      // one file's writer schema). Partition-column attachment needs
-      // the FileIndex machinery, so partitioned Avro stays out of
-      // scope — rejected above, before the empty-listing early return.
-      val schema = Option(meta.table.columns).filter(_.nonEmpty)
-        .map(cols => StructType(cols.map(c => StructField(c.name, DataType.fromDDL(c.dataType)))))
-        .getOrElse(graft.sources.AvroSource.inferSchema(hadoopConf, rows.head.getString(0)))
-      return graft.sources.AvroSource.read(spark,
-        rows.map(r => rewrite(r.getString(0))), schema)
-    }
     val nFixed = 3 // path, size, modTime
     val converter = CatalystTypeConverters.createToCatalystConverter(pSchema)
     val partitions = rows

@@ -356,10 +356,37 @@ object TestFixtures {
   private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
     .name("data_file").`type`(dataFileSchema).noDefault().endRecord()
 
-  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
+  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord],
+      syncInterval: Int = 0): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    if (syncInterval > 0) w.setSyncInterval(syncInterval) // small → many blocks → splittable
     w.create(schema, new File(path))
     try rows.foreach(w.append) finally w.close()
+  }
+
+  /** Hive-partitioned Avro copy of orders (`st=<o_orderstatus>/...`),
+    * written with a tiny sync interval so each file carries many
+    * blocks — exercises the split-by-sync-marker read path.
+    */
+  def ordersAvroPartitioned(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/orders_avro_part"
+    ensure(sfDir, "orders_avro_part") {
+      val schema = SchemaBuilder.record("orders").fields()
+        .requiredLong("o_orderkey").requiredDouble("o_totalprice")
+        .endRecord()
+      val rows = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+      rows.groupBy(_.getString(1)).foreach { case (st, chunk) =>
+        new File(s"$out/st=$st").mkdirs()
+        writeAvro(s"$out/st=$st/part-0.avro", schema, chunk.toSeq.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("o_orderkey", r.getLong(0)); rec.put("o_totalprice", r.getDouble(2))
+          rec
+        }, syncInterval = 256)
+      }
+    }
+    out
   }
 
   /** Two-snapshot Iceberg layout over lineitem: snapshot 1 holds the
@@ -560,6 +587,10 @@ object TestFixtures {
       parameters = Map("classification" -> "orc")))
     // no declared columns: exercises writer-schema inference
     cat.register(GlueTable("default", "orders_avro", Some(ordersAvro(spark, sfDir)),
+      parameters = Map("classification" -> "avro")))
+    cat.register(GlueTable("default", "orders_avro_part",
+      Some(ordersAvroPartitioned(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("st")),
       parameters = Map("classification" -> "avro")))
     cat.register(GlueTable("default", "nation_json", Some(nationJson(spark, sfDir)),
       parameters = Map("classification" -> "json"),

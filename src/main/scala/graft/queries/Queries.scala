@@ -491,6 +491,18 @@ object Queries {
       """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Hive-partitioned Avro through the FileFormat read path: the
+    // partition key is a REAL typed column and the st='F' conjunct
+    // prunes the listing to one partition's files before any read.
+    "g19_avro_partitioned" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT st, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            |FROM glue.default.orders_avro_part WHERE st = 'F' GROUP BY st""".stripMargin)
+      },
+      """SELECT o_orderstatus AS st, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin)),
+
     "g12_json_source" -> ((
       (spark: SparkSession, sf: String) => {
         TestFixtures.engineFor(spark, sf).query(

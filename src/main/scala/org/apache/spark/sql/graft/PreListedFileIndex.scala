@@ -92,6 +92,7 @@ object PreListedFileIndex {
     case "json" => new org.apache.spark.sql.execution.datasources.json.JsonFileFormat()
     case "orc"  => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
     case "xml"  => new org.apache.spark.sql.execution.datasources.xml.XmlFileFormat()
+    case "avro" => new GraftAvroFileFormat()
     case _      => new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
   }
 

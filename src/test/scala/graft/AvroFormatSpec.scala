@@ -1,0 +1,36 @@
+package graft
+
+import graft.catalog.FixtureCatalog
+import graft.engine.GlueTableEngine
+import graft.fixtures.TestFixtures
+import graft.model.{ColumnDef, GlueTable}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Split semantics of the offline Avro `FileFormat`: Avro's 16-byte
+  * sync markers make files splittable, so a scan planned with a small
+  * `maxPartitionBytes` must fan one file out across MANY tasks and
+  * still read every record exactly once (an off-by-one in the
+  * `sync`/`pastSync` window double-reads or drops a block).
+  */
+class AvroFormatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("one avro file fans out into many splits and reads exactly once") {
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "avro_split",
+      Some(TestFixtures.ordersAvroPartitioned(spark, TestSpark.sfDir)),
+      partitionKeys = Seq(ColumnDef("st")),
+      parameters = Map("classification" -> "avro")))
+    val eng = new GlueTableEngine(spark, cat)
+    val want = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try {
+      val df = eng.query("SELECT o_orderkey FROM glue.default.avro_split")
+      assert(df.rdd.getNumPartitions > 3, s"expected many splits, got ${df.rdd.getNumPartitions}")
+      val got = df.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want) // no dropped or double-read blocks
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+}

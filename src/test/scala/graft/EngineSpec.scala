@@ -142,7 +142,7 @@ class EngineSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == want)
   }
 
-  test("avro source reads distributed via writer-schema inference; partitioned avro fails loudly") {
+  test("avro source reads via the FileFormat with writer-schema inference") {
     val n = engine.query("SELECT count(*) AS n FROM glue.default.orders_avro")
       .collect().head.getLong(0)
     val want = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet").count()
@@ -151,22 +151,45 @@ class EngineSpec extends AnyFunSuite {
     val schema = engine.tableDF("default", "orders_avro").schema
     assert(schema("o_orderkey").dataType == org.apache.spark.sql.types.LongType)
     assert(schema("o_totalprice").dataType == org.apache.spark.sql.types.DoubleType)
-    // the unsupported boundary is an error, not silent column loss
+    // the scan plans over the pre-listed index like every other format
+    assert(engine.tableDF("default", "orders_avro")
+      .queryExecution.executedPlan.toString.contains("PreListedFileIndex"))
+  }
+
+  test("partitioned avro reads typed partition columns and prunes to the matching files") {
     val cat = new FixtureCatalog()
     cat.register(GlueTable("default", "avro_part",
-      Some(TestFixtures.ordersAvro(spark, TestSpark.sfDir)),
-      partitionKeys = Seq(ColumnDef("k")),
+      Some(TestFixtures.ordersAvroPartitioned(spark, TestSpark.sfDir)),
+      partitionKeys = Seq(ColumnDef("st")),
       parameters = Map("classification" -> "avro")))
-    intercept[UnsupportedOperationException](
-      new GlueTableEngine(spark, cat).tableDF("default", "avro_part"))
-    // ... and deterministically, even while the table is still EMPTY
+    val eng = new GlueTableEngine(spark, cat)
+    val oracle = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = eng.query(
+      "SELECT st, count(*) AS n FROM glue.default.avro_part GROUP BY st")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == oracle)
+    // a partition-key filter prunes the scan to that partition's file
+    // (plan-shape assert on the pre-AQE sparkPlan, like the DPP test)
+    val filtered = eng.query(
+      "SELECT o_orderkey FROM glue.default.avro_part WHERE st = 'O'")
+    val scan = filtered.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "st")))
+    val survivors = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(survivors.size == 1 && survivors.head.contains("st=O"), survivors)
+    assert(filtered.count() == oracle("O"))
+    // an EMPTY partitioned avro table is an empty frame, not an error
     val emptyDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "avroempty").toString
     cat.register(GlueTable("default", "avro_part_empty", Some(emptyDir),
       partitionKeys = Seq(ColumnDef("k")),
       parameters = Map("classification" -> "avro")))
-    intercept[UnsupportedOperationException](
-      new GlueTableEngine(spark, cat).tableDF("default", "avro_part_empty"))
+    assert(eng.tableDF("default", "avro_part_empty").count() == 0)
   }
 
   test("avro: catalog column absent from the writer schema reads as null, not a throw") {
