@@ -116,6 +116,11 @@ object CrossHash {
   def sortedOverlapFast(a: Column, b: Column): Column =
     Shim.column(SortedOverlapExpr(Shim.expression(a), Shim.expression(b)))
 
+  /** boolean |a ∩ b| >= need with early exit (join-condition form). */
+  def sortedOverlapAtLeastFast(a: Column, b: Column, need: Column): Column =
+    Shim.column(SortedOverlapAtLeastExpr(
+      Shim.expression(a), Shim.expression(b), Shim.expression(need)))
+
   // ------------------------------------------------------------ DuckDB side
   // SQL fragment builders parameterized by an (already bound) column
   // or expression name; used to assemble the oracle queries from the

@@ -191,6 +191,26 @@ object HashOps {
     c
   }
 
+  /** Does the sorted-array overlap reach `need`? Early-exits as soon
+    * as the remaining shorter side can no longer close the gap — on
+    * mostly-disjoint pairs (the common case in an all-pairs loop)
+    * that cuts the merge to ~2*(min(na,nb)-need) steps instead of
+    * na+nb.
+    */
+  def sortedOverlapAtLeast(a: ArrayData, b: ArrayData, need: Int): Boolean = {
+    if (need <= 0) return true
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < need) return false
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c >= need
+  }
+
   def cosineData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
@@ -311,6 +331,24 @@ case class SortedOverlapExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlapExpr =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_overlap"
+}
+
+/** boolean: does the overlap of two ascending-sorted long arrays
+  * reach `need`? Early-exit variant of [[SortedOverlapExpr]] for use
+  * inside join conditions, where most pairs fail fast.
+  */
+case class SortedOverlapAtLeastExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    HashOps.sortedOverlapAtLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) => s"graft.functions.HashOps.sortedOverlapAtLeast($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SortedOverlapAtLeastExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sorted_overlap_at_least"
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)

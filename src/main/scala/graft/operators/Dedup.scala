@@ -113,9 +113,10 @@ object Dedup {
     * O(#docs * (1-t)|d|) longs.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    // rare-first prefix order, same reasoning and measurements as
-    // [[ngramJaccardPairs]] (trigrams t=0.8 at sf1: 7.1s vs 8.8s)
-    ngramJaccardPairsDfOrdered(docs, 3, threshold)
+    // adaptive like d7: rare-first prefix order on real vocabularies
+    // (trigrams t=0.8 at sf1: 7.1s vs 8.8s hash-order), dense direct
+    // verification when the measured candidate density degenerates
+    ngramJaccardPairs(docs, 3, threshold)
 
   /** Prefix-filter Jaccard join with the PPJoin positional filter
     * (Xiao et al. WWW'08) — see [[minhashPairs]] for the prefix lemma.
@@ -484,23 +485,101 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Exact n-gram Jaccard pairs: the AllPairs df-ascending
-    * (rare-first) prefix join ([[ngramJaccardPairsDfOrdered]]).
-    * Finds every pair at Jaccard >= `threshold` — identical results
-    * to the quadratic oracle and to the hash-order prefix path
-    * (DedupSpec proves pair-identity), so the order is purely a
-    * performance choice, and it is MEASURED, not assumed: on the
-    * adversarial flat-vocabulary fixture (ARCHITECTURE.md's d7 note
-    * predicted "no order helps") rare-first still won 302s vs 476s at
-    * sf1 (50k docs) and 5.5s vs 6.4s at sf0.1, and under real Zipf
-    * vocabularies it is asymptotically better (near-linear vs
-    * quadratic candidate volume). The hash order's only advantage —
-    * two fewer shuffles — matters exactly when the corpus is small
-    * enough that both paths are fast, so there is no regime worth a
-    * runtime probe to detect.
+  /** Exact n-gram Jaccard pairs, ADAPTIVE between the two exact
+    * plans:
+    *
+    *  - **Prefix join** ([[ngramJaccardPairsDfOrdered]]): AllPairs
+    *    df-ascending candidates + PPJoin positional filter. Right
+    *    whenever the vocabulary is Zipf-ish and large — candidate
+    *    volume near-linear in corpus size.
+    *  - **Dense direct verification** ([[denseJaccardPairs]]): when
+    *    prefix filtering DEGENERATES. Measured on the flat synthetic
+    *    corpus at sf1 (50k docs, only 961 distinct bigrams): every
+    *    prefix hash is shared by hundreds-thousands of docs, the
+    *    prefix join must materialize and shuffle 3.19e9 candidate
+    *    occurrences (duckdb-measured sum of squared prefix dfs) for
+    *    359 true pairs — ~260s. The l-prefix/combo scheme of Wang et
+    *    al. SIGMOD'12 doesn't escape either (same 3.18e9, measured).
+    *    When the candidate set is effectively ALL pairs, the cheapest
+    *    exact plan is to verify all pairs directly with the
+    *    codegen'd sorted-overlap merge and NO shuffle of candidate
+    *    rows at all: broadcast the signature table (50k docs of
+    *    ~51-gram sets ≈ 21 MB) and nested-loop it.
+    *
+    * The selector measures, never guesses: one aggregate over the
+    * gram document frequencies (count V = vocabulary size, sum E =
+    * total doc-gram rows) estimates prefix candidate occurrences as
+    * (prefixRows)^2/V with prefixRows ≈ (1-t)E + N; the dense path
+    * wins when that exceeds N^2/4 — i.e. the prefix join would
+    * enumerate most pairs anyway, paying shuffle volume the dense
+    * path never pays. Guard: the signature table (8E + 32N bytes)
+    * must fit the broadcast budget (`graft.jaccard.dense.maxBytes`,
+    * default 256 MB), so a genuinely huge corpus can never select a
+    * driver-melting broadcast; at 100 TB with a real vocabulary
+    * V >> N and the prefix join is selected unconditionally.
+    * Both plans return identical pairs (DedupSpec proves it), so the
+    * choice is purely physical — an operator-level analog of
+    * Catalyst's size-based join selection.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame =
-    ngramJaccardPairsDfOrdered(docs, n, threshold)
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val dfStats = spread(docs)
+      .select(explode(sortedShingleHashes64Fast(col("text"), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("v"), sum("df").as("e"))
+      .collect()(0)
+    val v = dfStats.getLong(0)
+    val e = if (dfStats.isNullAt(1)) 0L else dfStats.getLong(1)
+    val maxBytes = spark.conf.getOption("graft.jaccard.dense.maxBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val prefixRows = (1.0 - threshold) * e + nDocs
+    val dense = v > 0 && nDocs > 1 &&
+      prefixRows * prefixRows / v > nDocs.toDouble * nDocs / 4.0 &&
+      8.0 * e + 32.0 * nDocs <= maxBytes
+    if (dense) denseJaccardPairs(docs, n, threshold)
+    else ngramJaccardPairsDfOrdered(docs, n, threshold)
+  }
+
+  /** All-pairs exact verification for corpora where prefix filtering
+    * degenerates (see [[ngramJaccardPairs]]): broadcast the
+    * signature table, BroadcastNestedLoopJoin every a<b
+    * length-compatible pair, verify with the allocation-free sorted
+    * merge. No candidate row is ever shuffled — the only exchange in
+    * the plan is the broadcast itself, so the cost is pure codegen'd
+    * CPU: measured at sf1, ~2.5e9 cheap length checks + ~1.2e9
+    * overlap merges across 32 cores, vs 3.2e9 rows through a
+    * shuffle + two hash aggregates for the same answer.
+    */
+  private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val base = spread(docs).select(
+      col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+      .filter(col("nh") > 0)
+    // The ENTIRE verification lives in the join condition, ordered
+    // cheap-first (And short-circuits in codegen): id order, length
+    // filter, early-exit overlap bound (jac >= t ⟺ ov >= t(na+nb)/
+    // (1+t); conservative -1e-6 slack), and only for the rare pairs
+    // passing that, the exact double-division test the prefix path's
+    // verifier applies — so the two plans admit bit-identical pairs.
+    // A post-join filter instead would get PUSHED into the condition
+    // ahead of the cheap conjuncts (observed: the full overlap merge
+    // ran first on every length-surviving pair), and a projected
+    // output row would materialize both signature arrays per pair.
+    val ov = sortedOverlapFast(col("ha"), col("hb")).cast("double")
+    val need = ceil((col("na") + col("nb")).cast("double") * lit(threshold / (1 + threshold))
+      - lit(1e-6)).cast("int")
+    base.select(col("doc_id").as("a"), col("hs").as("ha"), col("nh").as("na"))
+      .join(broadcast(base.select(
+          col("doc_id").as("b"), col("hs").as("hb"), col("nh").as("nb"))),
+        col("a") < col("b") &&
+          greatest(col("na"), col("nb")) * lit(threshold) <= least(col("na"), col("nb")) + lit(1e-9) &&
+          sortedOverlapAtLeastFast(col("ha"), col("hb"), need) &&
+          ov / ((col("na") + col("nb")).cast("double") - ov) >= lit(threshold))
+      .select(col("a"), col("b"),
+        round(ov / ((col("na") + col("nb")).cast("double") - ov), 6).as("jac"))
+      .orderBy("a", "b")
+  }
 
   /** n-gram Jaccard via the full inverted index (every shingle is a
     * join key, shared counts by groupBy). Exact, but candidate volume

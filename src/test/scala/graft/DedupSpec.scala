@@ -74,6 +74,23 @@ class DedupSpec extends AnyFunSuite {
     assert(dfo3 == pref3)
   }
 
+  test("dense direct verification equals the prefix join (both exact plans)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dense = pairs(Dedup.denseJaccardPairs(docs, 2, 0.5))
+    val pref = pairs(Dedup.ngramJaccardPairsDfOrdered(docs, 2, 0.5))
+    assert(dense == pref && dense.nonEmpty)
+    val dense3 = pairs(Dedup.denseJaccardPairs(docs, 3, 0.8))
+    val pref3 = pairs(Dedup.ngramJaccardPairsDfOrdered(docs, 3, 0.8))
+    assert(dense3 == pref3)
+    // the measured selector picks dense on this flat-vocabulary
+    // fixture: no candidate row is shuffled — the pair loop is a
+    // broadcast nested-loop join over the signature table
+    val auto = Dedup.ngramJaccardPairs(docs, 2, 0.5)
+    val plan = auto.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("default (df-ordered) path matches inverted truth on a Zipf corpus") {
     import spark.implicits._
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
@@ -89,7 +106,11 @@ class DedupSpec extends AnyFunSuite {
       (400L + i, t.replaceFirst("\\w+", "mutated"))
     }
     val zipfDocs = (originals ++ nearDups).toDF("doc_id", "text")
-    val auto = pairs(Dedup.ngramJaccardPairs(zipfDocs, 2, 0.5))
+    val autoDf = Dedup.ngramJaccardPairs(zipfDocs, 2, 0.5)
+    // a Zipf vocabulary keeps candidate density low, so the measured
+    // selector stays on the prefix join (no broadcast nested loop)
+    assert(!autoDf.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val auto = pairs(autoDf)
     val inv = pairs(Dedup.ngramJaccardPairsInverted(zipfDocs, 2, 0.5))
     assert(auto == inv && auto.nonEmpty)
   }
