@@ -524,13 +524,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     val nDocs = docs.count()
+    // One NARROW pass for the decision statistics: total doc-gram
+    // rows E exactly, vocabulary size V via HyperLogLog (deterministic
+    // for fixed data; the decision needs V to an order of magnitude,
+    // not a digit). No groupBy shuffle — the exact-df aggregate the
+    // prefix path builds is not duplicated here.
     val dfStats = spread(docs)
       .select(explode(sortedShingleHashes64Fast(col("text"), n)).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .agg(count(lit(1)).as("v"), sum("df").as("e"))
+      .agg(count(lit(1)).as("e"), approx_count_distinct("h").as("v"))
       .collect()(0)
-    val v = dfStats.getLong(0)
-    val e = if (dfStats.isNullAt(1)) 0L else dfStats.getLong(1)
+    val e = dfStats.getLong(0)
+    val v = dfStats.getLong(1)
     val maxBytes = spark.conf.getOption("graft.jaccard.dense.maxBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
     val prefixRows = (1.0 - threshold) * e + nDocs
