@@ -585,6 +585,29 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Benchmark decontamination: flag corpus documents that contain
+    * any word n-gram occurring in an evaluation set — the standard
+    * eval-leakage check a training-data pipeline runs before
+    * releasing a corpus. Returns `(doc_id, n_hits)` for contaminated
+    * docs (n_hits = distinct leaked n-grams), ordered by doc_id.
+    *
+    * Scale shape: eval sets are small (thousands of docs), so their
+    * distinct-gram set BROADCASTS; the corpus side is one narrow
+    * shingle pass + a broadcast hash join + a single groupBy(doc_id)
+    * shuffle of only the matching rows. The 100 TB corpus is never
+    * shuffled unfiltered.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shinglesFast(col("text"), n)).as("g")).distinct()
+    spread(corpus)
+      .select(col("doc_id"), explode(shinglesFast(col("text"), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      // per-doc shingles are already distinct, so count = distinct hits
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard via the full inverted index (every shingle is a
     * join key, shared counts by groupBy). Exact, but candidate volume
     * is sum(df^2) over shingle document frequencies — common shingles

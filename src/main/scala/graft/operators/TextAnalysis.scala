@@ -192,6 +192,34 @@ object TextAnalysis {
        |t AS (SELECT count(*) AS n FROM lens)$arms ORDER BY q""".stripMargin
   }
 
+  /** Per-document n-gram repetition (boilerplate) signal: the share
+    * of n-gram OCCURRENCES that are repeats of an earlier n-gram in
+    * the same document — Gopher-style "repetitive text" quality rule.
+    * Narrow and codegen'd (one pass per doc, no shuffle but the final
+    * presentation sort); at 100 TB this is a pure map stage.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      greatest(size(tokens(col("text"))) - lit(n - 1), lit(0)).as("n_ngrams"),
+      size(shinglesFast(col("text"), n)).as("n_uniq"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_ngrams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[repetitionStats]] (n=3). */
+  def sqlRepetitionStats: String =
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(greatest(len(t) - 2, 0) AS INTEGER) AS n_ngrams,
+       |  CAST(len(${sqlShinglesOf("t", 3)}) AS INTEGER) AS n_uniq FROM tok)
+       |SELECT doc_id, n_ngrams, n_uniq,
+       |  CASE WHEN n_ngrams > 0
+       |       THEN round(1 - n_uniq::DOUBLE / n_ngrams, 6) ELSE 0.0 END AS rep_ratio
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def sqlLangid: String = {
     val dt = sqlDistinctTokens("text")
     def score(lang: String, words: Seq[String]) = {

@@ -717,6 +717,32 @@ object Queries {
          |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
          |SELECT a, b, round(jac, 6) AS jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin)),
 
+    // benchmark decontamination: corpus docs leaking eval-set 5-grams.
+    // The "benchmark" is a deterministic slice (doc_id % 37 = 3) so
+    // both engines derive it identically; the eval gram set broadcasts
+    // (real eval sets are tiny next to a training corpus).
+    "d12_decontaminate" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") % 37 =!= 3),
+          docs.filter(col("doc_id") % 37 === 3), 5)
+      },
+      s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 5)} AS s FROM tok),
+         |eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 3),
+         |hits AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 3)
+         |  WHERE g IN (SELECT g FROM eg))
+         |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // per-doc n-gram repetition ratio (boilerplate / repetitive-text
+    // quality rule)
+    "t7_repetition" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.repetitionStats(t(spark, sf, "documents"), 3),
+      TextAnalysis.sqlRepetitionStats)),
+
     // content-hash deterministic sampling (audit shape: per-stratum counts)
     "d10_sample_hash" -> ((
       (spark: SparkSession, sf: String) => Sampling.sampleAudit(t(spark, sf, "documents"), 20),
