@@ -39,4 +39,35 @@ object Sampling {
     s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept
        |FROM documents WHERE ${CrossHash.sqlCharFold("text")} % $m = 0
        |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Exact-n stratified sample: the `n` documents per stratum with
+    * the smallest content hash (ties broken by doc_id) — a balanced
+    * evaluation split that is a pure function of content, so every
+    * engine and every rerun selects the same rows.
+    *
+    * Scale shape: the rank is a `Window.partitionBy(stratum)` — each
+    * stratum sorts independently in parallel (never a global
+    * single-partition window). The per-stratum sort is the cost; at
+    * 100 TB with huge strata, pre-filter by an approximate hash
+    * threshold (≈ n/|stratum| quantile of charFold) to shrink the
+    * sort input — the rank step is unchanged, so the result stays
+    * exact as long as the threshold keeps ≥ n rows per stratum.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String = "lang", n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratum)).orderBy(col("__h"), col("doc_id"))
+    docs.select(col(stratum), col("doc_id"), CrossHash.charFold(col("text")).as("__h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col(stratum), col("doc_id"), col("rk"))
+      .orderBy(col(stratum), col("rk"))
+  }
+
+  /** DuckDB oracle for [[stratifiedSample]]. */
+  def sqlStratifiedSample(stratum: String = "lang", n: Int = 50): String =
+    s"""WITH r AS (SELECT $stratum, doc_id,
+       |  row_number() OVER (PARTITION BY $stratum
+       |    ORDER BY ${CrossHash.sqlCharFold("text")}, doc_id)::BIGINT AS rk
+       |  FROM documents)
+       |SELECT $stratum, doc_id, rk FROM r WHERE rk <= $n ORDER BY $stratum, rk""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Search, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Pii, Sampling, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -742,6 +742,36 @@ object Queries {
     "t7_repetition" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.repetitionStats(t(spark, sf, "documents"), 3),
       TextAnalysis.sqlRepetitionStats)),
+
+    // sequence packing: global token prefix sum (two-level
+    // distributed), docs laid out into 512-token training sequences
+    "p1_pack_sequences" -> ((
+      (spark: SparkSession, sf: String) => Packing.packSequences(t(spark, sf, "documents"), 512),
+      Packing.sqlPackSequences(512))),
+
+    // PII scrub pass. The synthetic corpus carries no PII, so the
+    // query derives a deterministic contact line on every third doc
+    // (same derivation in both engines) — counts are then 0/1 per
+    // class and the redacted fingerprint differs iff something was
+    // scrubbed.
+    "t8_pii" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents").withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" reach user"), col("doc_id"),
+              lit("@example.com ip 10.0."), pmod(col("doc_id"), lit(256)),
+              lit(".7 tel 555-123-"),
+              format_string("%04d", pmod(col("doc_id"), lit(10000)))))
+            .otherwise(col("text")))
+        Pii.piiStats(docs)
+      },
+      Pii.sqlPiiStats(
+        "(CASE WHEN doc_id % 3 = 0 THEN text || ' reach user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) || '.7 tel 555-123-' || printf('%04d', doc_id % 10000) ELSE text END)"))),
+
+    // exact-n per-language stratified sample by content hash
+    "d13_stratified" -> ((
+      (spark: SparkSession, sf: String) => Sampling.stratifiedSample(t(spark, sf, "documents"), "lang", 50),
+      Sampling.sqlStratifiedSample("lang", 50))),
 
     // content-hash deterministic sampling (audit shape: per-stratum counts)
     "d10_sample_hash" -> ((
