@@ -209,6 +209,60 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
 
+  /** Pipeline retention funnel: how many documents survive each
+    * successive filter stage of a C4-style cleaning pass —
+    *   1. `n_total`    all documents;
+    *   2. `n_len`      + token count in [20, 1000];
+    *   3. `n_quality`  + type/token ratio >= 0.3 (t7's repetition
+    *                     rule inverted: mostly-repeated docs drop);
+    *   4. `n_canonical`+ the doc is its exact-hash group's canonical
+    *                     keeper (min doc_id per charFold) — the
+    *                     post-exact-dedup survivor count.
+    * One narrow pass computes the flags, the canonical test is a
+    * window partitioned by content hash (parallel per group), and the
+    * funnel is a single global aggregate of partial sums — no stage
+    * shuffles the corpus more than once at any scale.
+    */
+  def retentionFunnel(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val flagged = docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq"),
+      charFold(col("text")).as("h"))
+      .withColumn("len_ok", col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+      .withColumn("qual_ok",
+        col("len_ok") && col("n_uniq") >= col("n_tokens") * lit(0.3))
+      .withColumn("canon_ok",
+        col("qual_ok") &&
+          col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+    flagged.agg(
+      count(lit(1)).as("n_total"),
+      sum(col("len_ok").cast("long")).as("n_len"),
+      sum(col("qual_ok").cast("long")).as("n_quality"),
+      sum(col("canon_ok").cast("long")).as("n_canonical"))
+  }
+
+  /** DuckDB oracle for [[retentionFunnel]]. */
+  def sqlRetentionFunnel: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(${sqlTokens("text")}) AS n_tokens,
+       |    len(${sqlDistinctTokens("text")}) AS n_uniq,
+       |    ${sqlCharFold("text")} AS h
+       |  FROM documents),
+       |g AS (SELECT *,
+       |  (n_tokens >= 20 AND n_tokens <= 1000) AS len_ok,
+       |  (n_tokens >= 20 AND n_tokens <= 1000 AND n_uniq >= n_tokens * 0.3) AS qual_ok,
+       |  (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_canon
+       |  FROM f)
+       |SELECT count(*)::BIGINT AS n_total,
+       |  sum(len_ok::BIGINT)::BIGINT AS n_len,
+       |  sum(qual_ok::BIGINT)::BIGINT AS n_quality,
+       |  sum((qual_ok AND is_canon)::BIGINT)::BIGINT AS n_canonical
+       |FROM g""".stripMargin
+
   /** DuckDB oracle for [[repetitionStats]] (n=3). */
   def sqlRepetitionStats: String =
     s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),

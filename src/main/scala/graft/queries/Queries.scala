@@ -743,6 +743,12 @@ object Queries {
       (spark: SparkSession, sf: String) => TextAnalysis.repetitionStats(t(spark, sf, "documents"), 3),
       TextAnalysis.sqlRepetitionStats)),
 
+    // C4-style cleaning-pass retention funnel (length -> repetition
+    // quality -> exact-dedup canonical survivor counts)
+    "t9_retention_funnel" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.retentionFunnel(t(spark, sf, "documents")),
+      TextAnalysis.sqlRetentionFunnel)),
+
     // sequence packing: global token prefix sum (two-level
     // distributed), docs laid out into 512-token training sequences
     "p1_pack_sequences" -> ((
