@@ -600,7 +600,11 @@ object Dedup {
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(shinglesFast(col("text"), n)).as("g")).distinct()
-    spread(corpus)
+    // No spread(): the shingle + broadcast probe pipelines inside the
+    // corpus scan (parallelism = input splits), and only the MATCHED
+    // (doc_id, gram) rows — sparse when contamination is rare — reach
+    // the groupBy shuffle.
+    corpus
       .select(col("doc_id"), explode(shinglesFast(col("text"), n)).as("g"))
       .join(broadcast(evalGrams), "g")
       // per-doc shingles are already distinct, so count = distinct hits
