@@ -59,6 +59,10 @@ final class GlueTableEngine(
   // file, see [[typedListing]]); same TTL, invalidated together.
   private val typedCache = new TtlCache[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])](
     config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
+  // Per-file column ranges for data skipping (see [[readTable]]);
+  // derived from the listing like typedCache, same TTL/invalidation.
+  private val statsCache = new TtlCache[Map[String, Map[String, graft.listing.ColRange]]](
+    config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
 
   // ---------------------------------------------------------------- metadata
 
@@ -361,6 +365,19 @@ final class GlueTableEngine(
         (ir, statuses)
       }
     val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0))
+    // File-level data skipping (Delta/Iceberg-style): per-file column
+    // ranges from parquet footers, read once per listing TTL on the
+    // driver and capped — beyond the cap (or for non-parquet formats)
+    // the map stays empty and skipping degrades to a no-op.
+    val statsByPath: Map[String, Map[String, graft.listing.ColRange]] =
+      if (fmt == "parquet" && allRows.size <= config.footerStatsMaxFiles &&
+          config.footerStatsMaxFiles > 0) {
+        val cached = statsCache.get(s"$database.$table#stats#v$versionOffset") {
+          allRows.map(r => r.getString(0) ->
+            graft.listing.FooterStats.read(hadoopConf, r.getString(0))).toMap
+        }
+        if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached
+      } else Map.empty
     val options: Map[String, String] = fmt match {
       // With a declared schema Spark binds CSV columns BY POSITION
       // and ignores header names; enforceSchema=false makes every
@@ -375,7 +392,7 @@ final class GlueTableEngine(
       case _     => Map.empty
     }
     PreListedFileIndex.dataFrame(spark, PreListedFileIndex.formatFor(fmt), options,
-      dataSchema, pSchema, partitions, Seq(new HadoopPath(location(meta))))
+      dataSchema, pSchema, partitions, Seq(new HadoopPath(location(meta))), statsByPath)
   }
 
   /** Pruned read: filter the listing on partition predicates first,
@@ -716,6 +733,7 @@ final class GlueTableEngine(
   /** ≈ reference `clearCache` (src/glue-table-cache.ts:124-127). */
   def clearCache(): Unit = {
     metaCache.invalidateAll(); listingCache.invalidateAll(); typedCache.invalidateAll()
+    statsCache.invalidateAll()
   }
 
   /** ≈ reference `invalidateTable` (src/glue-table-cache.ts:206-215):
@@ -726,6 +744,7 @@ final class GlueTableEngine(
     metaCache.invalidate(s"$database.$table")
     listingCache.invalidateMatching(s"$database.$table")
     typedCache.invalidateMatching(s"$database.$table")
+    statsCache.invalidateMatching(s"$database.$table")
   }
 
   /** ≈ reference `close` (drops caches; the SparkSession is shared

@@ -1,0 +1,134 @@
+package graft.listing
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** Per-file column min/max ranges for planner-time FILE skipping —
+  * the data-skipping design Delta Lake / Iceberg popularized (stats
+  * in table metadata prune files before any task launches), applied
+  * to the engine's pre-listed index. Spark's parquet reader already
+  * prunes ROW GROUPS inside a task; file-level skipping is the tier
+  * above it: at 10^6 files a selective predicate on a
+  * sorted/clustered column drops the tasks themselves, which no
+  * executor-side filter can do.
+  *
+  * Values are stored in CATALYST internal form (Int days for dates,
+  * Long micros for timestamps, UTF8String for strings) so they
+  * compare directly against the `Literal`s Spark pushes in
+  * `dataFilters` — no per-evaluation conversion.
+  */
+final case class ColRange(min: Any, max: Any, allNulls: Boolean)
+
+object FooterStats {
+
+  /** Read one parquet file's footer (driver-side, KB-scale I/O) into
+    * per-column ranges. Columns with absent/unusable statistics are
+    * simply omitted — absence always means "cannot skip", never
+    * wrong results. Unreadable footers yield an empty map.
+    */
+  def read(conf: Configuration, path: String): Map[String, ColRange] =
+    Try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      try collect(reader.getFooter.getBlocks.asScala.toSeq)
+      finally reader.close()
+    }.getOrElse(Map.empty)
+
+  private def collect(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]): Map[String, ColRange] = {
+    val perCol = blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
+    perCol.flatMap { case (name, chunks) =>
+      // Per chunk, exactly one of: (a) usable min/max; (b) provably
+      // all-null (numNulls == valueCount); (c) unknown. Any unknown
+      // chunk makes the whole column range unknown -> no skipping.
+      // parquet-mr already suppresses stats it knows are unreliable
+      // (PARQUET-251 corrupt binary stats), which lands in (c).
+      val tpe = chunks.head.getPrimitiveType
+      sealed trait Chunk
+      case class Range(min: Any, max: Any) extends Chunk
+      case object AllNull extends Chunk
+      val parsed: Seq[Option[Chunk]] = chunks.map { c =>
+        val s = c.getStatistics
+        if (s == null) None
+        else if (s.hasNonNullValue)
+          for (mn <- toCatalyst(tpe, s.genericGetMin.asInstanceOf[AnyRef]);
+               mx <- toCatalyst(tpe, s.genericGetMax.asInstanceOf[AnyRef]))
+            yield Range(mn, mx)
+        else if (s.isNumNullsSet && s.getNumNulls == c.getValueCount) Some(AllNull)
+        else None
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        val ranges = parsed.flatten.collect { case r: Range => r }
+        if (ranges.isEmpty) Some(name -> ColRange(null, null, allNulls = true))
+        else Some(name -> ColRange(
+          ranges.map(_.min).min(ord), ranges.map(_.max).max(ord), allNulls = false))
+      }
+    }
+  }
+
+  /** Convert a parquet statistics value to the Catalyst internal form
+    * of the Spark type that parquet physical+logical type maps to.
+    * Returns None for combinations where the mapping is ambiguous or
+    * the comparison semantics differ (decimals, millis timestamps,
+    * int96, NaN floats) — never guess.
+    */
+  private def toCatalyst(tpe: org.apache.parquet.schema.PrimitiveType, v: AnyRef): Option[Any] = {
+    val logical = tpe.getLogicalTypeAnnotation
+    (tpe.getPrimitiveTypeName, logical) match {
+      case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
+      case (INT32, null | _: DateLogicalTypeAnnotation) => Some(v.asInstanceOf[Integer].intValue)
+      case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.getBitWidth == 32 =>
+        Some(v.asInstanceOf[Integer].intValue)
+      case (INT64, null) => Some(v.asInstanceOf[java.lang.Long].longValue)
+      case (INT64, t: TimestampLogicalTypeAnnotation)
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+        Some(v.asInstanceOf[java.lang.Long].longValue) // Catalyst timestamps are micros
+      case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.getBitWidth == 64 =>
+        Some(v.asInstanceOf[java.lang.Long].longValue)
+      case (FLOAT, null) =>
+        val f = v.asInstanceOf[java.lang.Float].floatValue
+        if (f.isNaN) None else Some(f)
+      case (DOUBLE, null) =>
+        val d = v.asInstanceOf[java.lang.Double].doubleValue
+        if (d.isNaN) None else Some(d)
+      case (BINARY, _: StringLogicalTypeAnnotation) =>
+        Some(UTF8String.fromBytes(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+      case _ => None
+    }
+  }
+
+  /** Total order matching Catalyst comparison semantics for the
+    * internal forms above. ±0.0 compare equal (SQL `=` semantics);
+    * NaN never reaches here (filtered in [[toCatalyst]]).
+    */
+  val ord: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = cmp(a, b).getOrElse(
+      throw new IllegalArgumentException(s"incomparable stats values: $a vs $b"))
+  }
+
+  /** None = not comparable (type mismatch) — callers must treat that
+    * as "cannot prove anything".
+    */
+  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Int, y: Int)       => Some(Integer.compare(x, y))
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: Float, y: Float)   =>
+      if (x.isNaN || y.isNaN) None
+      else if (x == 0f && y == 0f) Some(0)
+      else Some(java.lang.Float.compare(x, y))
+    case (x: Double, y: Double) =>
+      if (x.isNaN || y.isNaN) None
+      else if (x == 0d && y == 0d) Some(0)
+      else Some(java.lang.Double.compare(x, y))
+    case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+    case _ => None
+  }
+}

@@ -106,7 +106,16 @@ final case class CacheConfig(
       * src/glue-table-cache.ts:163-167; a short window is the safer
       * default for a long-lived driver). 0 disables.
       */
-    errorCacheTtlMs: Long = 30000L)
+    errorCacheTtlMs: Long = 30000L,
+    /** Parquet tables with at most this many files get driver-side
+      * footer min/max stats for planner-time FILE skipping (cached
+      * with the listing TTL). Footer reads are one KB-scale GET per
+      * file, so the cap bounds planning latency; beyond it, skipping
+      * quietly degrades to partition pruning only. 0 disables. For
+      * catalogs that carry stats in metadata (Iceberg manifests) the
+      * bounds come from the manifest read instead — no per-file I/O.
+      */
+    footerStatsMaxFiles: Int = 4096)
 
 object TableClassifier {
   /** Port of the reference classifier (src/util/glue.ts:13-19):

@@ -37,7 +37,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class PreListedFileIndex(
     override val partitionSchema: StructType,
     partitions: Seq[(InternalRow, Seq[FileStatus])],
-    roots: Seq[Path])
+    roots: Seq[Path],
+    statsByPath: Map[String, Map[String, graft.listing.ColRange]] = Map.empty)
   extends FileIndex {
 
   private val dirs: Seq[PartitionDirectory] =
@@ -48,6 +49,10 @@ final class PreListedFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    skipByStats(pruneByPartition(partitionFilters), dataFilters)
+  }
+
+  private def pruneByPartition(partitionFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     if (partitionSchema.isEmpty) return dirs
     val resolver = SQLConf.get.resolver
     // Bind by name against the partition schema. A filter that can't
@@ -67,6 +72,30 @@ final class PreListedFileIndex(
     val predicate = Predicate.createInterpreted(bound)
     predicate.initialize(0)
     dirs.filter(d => predicate.eval(d.values))
+  }
+
+  /** File-level data skipping: drop a file when some pushed data
+    * filter is provably false on its column ranges (footer/manifest
+    * min-max — the Delta/Iceberg data-skipping design). A file with
+    * no stats, or a filter shape the prover doesn't know, is always
+    * kept; the filter still runs in the scan above.
+    */
+  private def skipByStats(selected: Seq[PartitionDirectory],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    if (statsByPath.isEmpty || dataFilters.isEmpty) return selected
+    val resolver = SQLConf.get.resolver
+    val usable = dataFilters.filter(f => f.deterministic && !SubqueryExpression.hasSubquery(f))
+    if (usable.isEmpty) return selected
+    selected.map { d =>
+      val kept = d.files.filter { f =>
+        statsByPath.get(f.getPath.toString) match {
+          case Some(stats) if stats.nonEmpty =>
+            !usable.exists(e => graft.listing.StatsPruning.proveFalse(e, stats, resolver))
+          case _ => true
+        }
+      }
+      if (kept.length == d.files.length) d else PartitionDirectory(d.values, kept)
+    }
   }
 
   override def inputFiles: Array[String] =
@@ -108,8 +137,9 @@ object PreListedFileIndex {
       dataSchema: StructType,
       partitionSchema: StructType,
       partitions: Seq[(InternalRow, Seq[FileStatus])],
-      roots: Seq[Path]): DataFrame = {
-    val index = new PreListedFileIndex(partitionSchema, partitions, roots)
+      roots: Seq[Path],
+      statsByPath: Map[String, Map[String, graft.listing.ColRange]] = Map.empty): DataFrame = {
+    val index = new PreListedFileIndex(partitionSchema, partitions, roots, statsByPath)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema,

@@ -1,0 +1,124 @@
+package graft
+
+import graft.catalog.FixtureCatalog
+import graft.engine.GlueTableEngine
+import graft.listing.{ColRange, FooterStats, StatsPruning}
+import graft.model.GlueTable
+import org.apache.spark.sql.catalyst.dsl.expressions._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level data skipping: parquet footer min/max ranges prune
+  * whole files at planning time (the Delta/Iceberg data-skipping
+  * design applied to the pre-listed index).
+  */
+class FileSkipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def u(s: String) = UTF8String.fromString(s)
+  private val id = AttributeReference("id", org.apache.spark.sql.types.LongType)()
+  private val name = AttributeReference("name", org.apache.spark.sql.types.StringType)()
+  private val resolver: (String, String) => Boolean = (a, b) => a.equalsIgnoreCase(b)
+  private val stats = Map(
+    "id" -> ColRange(10L, 20L, allNulls = false),
+    "name" -> ColRange(u("bob"), u("eve"), allNulls = false))
+
+  private def prove(e: Expression) = StatsPruning.proveFalse(e, stats, resolver)
+
+  test("prover: equality and range shapes") {
+    assert(prove(EqualTo(id, Literal(5L))))            // below range
+    assert(prove(EqualTo(Literal(25L), id)))           // above range
+    assert(!prove(EqualTo(id, Literal(15L))))          // inside
+    assert(prove(GreaterThan(id, Literal(20L))))       // max <= v
+    assert(!prove(GreaterThan(id, Literal(19L))))
+    assert(prove(GreaterThanOrEqual(id, Literal(21L))))
+    assert(prove(LessThan(id, Literal(10L))))
+    assert(!prove(LessThan(id, Literal(11L))))
+    assert(prove(LessThanOrEqual(id, Literal(9L))))
+    assert(prove(LessThan(Literal(20L), id)))          // 20 < id, max=20
+    assert(!prove(LessThan(Literal(19L), id)))
+  }
+
+  test("prover: IN, AND/OR, strings, unknown shapes keep the file") {
+    assert(prove(In(id, Seq(Literal(1L), Literal(5L)))))
+    assert(!prove(In(id, Seq(Literal(1L), Literal(12L)))))
+    // AND: one false conjunct suffices; OR needs both
+    assert(prove(And(EqualTo(id, Literal(5L)), EqualTo(name, Literal(u("carol"))))))
+    assert(!prove(Or(EqualTo(id, Literal(5L)), EqualTo(name, Literal(u("carol"))))))
+    assert(prove(Or(EqualTo(id, Literal(5L)), EqualTo(name, Literal(u("zed"))))))
+    assert(prove(EqualTo(name, Literal(u("adam")))))
+    assert(prove(StartsWith(name, Literal(u("z")))))
+    assert(!prove(StartsWith(name, Literal(u("d")))))
+    // type mismatch (int literal vs long stats) must NOT prove
+    assert(!prove(EqualTo(id, Literal(5))))
+    // unknown column / shapes
+    assert(!prove(EqualTo(AttributeReference("other", org.apache.spark.sql.types.LongType)(), Literal(5L))))
+    assert(!prove(IsNull(id)))
+  }
+
+  test("prover: null semantics") {
+    val nullStats = Map("id" -> ColRange(null, null, allNulls = true))
+    assert(StatsPruning.proveFalse(IsNotNull(id), nullStats, resolver))
+    assert(StatsPruning.proveFalse(EqualTo(id, Literal(15L)), nullStats, resolver))
+    assert(!prove(IsNotNull(id))) // has values -> keep
+  }
+
+  test("footer stats: ranges read from real parquet files") {
+    val dir = "/root/repo/target/fskip_footer"
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val st = FooterStats.read(spark.sparkContext.hadoopConfiguration, file.getAbsolutePath)
+    assert(st("id") == ColRange(0L, 99L, allNulls = false))
+    assert(st("name").min == u("n0") && st("name").max == u("n99"))
+  }
+
+  test("selective scan reads only the files whose range matches") {
+    val dir = "/root/repo/target/fskip_tbl"
+    import spark.implicits._
+    // 4 files with disjoint id ranges
+    (0L until 1000L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val cat = new FixtureCatalog().register(GlueTable("d", "skiptbl", Some(dir)))
+    val eng = new GlueTableEngine(spark, cat)
+    // AQE off so executedPlan exposes the scan node's metrics directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query("SELECT id, v FROM glue.d.skiptbl WHERE id = 42")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L))
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"expected 1 file scanned, got ${scans.head.metrics("numFiles").value}")
+      // a non-selective query still sees everything
+      assert(eng.query("SELECT count(*) AS n FROM glue.d.skiptbl").collect().head.getLong(0) == 1000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("skipping never changes results (range + IN + string predicates)") {
+    val dir = "/root/repo/target/fskip_tbl2"
+    import spark.implicits._
+    (0L until 500L).map(i => (i, f"k$i%03d")).toDF("id", "k")
+      .repartitionByRange(5, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val cat = new FixtureCatalog().register(GlueTable("d", "skiptbl2", Some(dir)))
+    val eng = new GlueTableEngine(spark, cat)
+    def q(sql: String) = eng.query(sql).collect().map(_.toString).sorted.toSeq
+    val direct = spark.read.parquet(dir)
+    direct.createOrReplaceTempView("direct_tbl")
+    def o(sql: String) = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    assert(q("SELECT * FROM glue.d.skiptbl2 WHERE id BETWEEN 90 AND 110") ==
+      o("SELECT * FROM direct_tbl WHERE id BETWEEN 90 AND 110"))
+    assert(q("SELECT * FROM glue.d.skiptbl2 WHERE id IN (1, 250, 499)") ==
+      o("SELECT * FROM direct_tbl WHERE id IN (1, 250, 499)"))
+    assert(q("SELECT * FROM glue.d.skiptbl2 WHERE k = 'k123'") ==
+      o("SELECT * FROM direct_tbl WHERE k = 'k123'"))
+    assert(q("SELECT * FROM glue.d.skiptbl2 WHERE k LIKE 'k49%'") ==
+      o("SELECT * FROM direct_tbl WHERE k LIKE 'k49%'"))
+  }
+}
