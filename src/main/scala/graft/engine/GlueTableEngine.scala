@@ -366,18 +366,30 @@ final class GlueTableEngine(
       }
     val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0))
     // File-level data skipping (Delta/Iceberg-style): per-file column
-    // ranges from parquet footers, read once per listing TTL on the
-    // driver and capped — beyond the cap (or for non-parquet formats)
+    // ranges, preferred source first —
+    //  1. Iceberg manifests' lower/upper_bounds: free with the
+    //     manifest read, no per-file I/O, so no cap — this is the
+    //     10M-file path;
+    //  2. parquet footers, read once per listing TTL on the driver
+    //     and capped by footerStatsMaxFiles (KB-scale GET per file).
+    // Beyond the cap / for non-parquet formats / bound-less manifests
     // the map stays empty and skipping degrades to a no-op.
-    val statsByPath: Map[String, Map[String, graft.listing.ColRange]] =
-      if (fmt == "parquet" && allRows.size <= config.footerStatsMaxFiles &&
-          config.footerStatsMaxFiles > 0) {
-        val cached = statsCache.get(s"$database.$table#stats#v$versionOffset") {
+    val statsByPath: Map[String, Map[String, graft.listing.ColRange]] = {
+      val cached = statsCache.get(s"$database.$table#stats#v$versionOffset") {
+        val fromManifests =
+          if (meta.tableType == TableType.Iceberg)
+            iceberg.dataFilesDetailed(location(meta), versionOffset)
+              .filter(_.bounds.nonEmpty).map(f => f.path -> f.bounds).toMap
+          else Map.empty[String, Map[String, graft.listing.ColRange]]
+        if (fromManifests.nonEmpty) fromManifests
+        else if (fmt == "parquet" && allRows.size <= config.footerStatsMaxFiles &&
+            config.footerStatsMaxFiles > 0)
           allRows.map(r => r.getString(0) ->
             graft.listing.FooterStats.read(hadoopConf, r.getString(0))).toMap
-        }
-        if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached
-      } else Map.empty
+        else Map.empty[String, Map[String, graft.listing.ColRange]]
+      }
+      if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached
+    }
     val options: Map[String, String] = fmt match {
       // With a declared schema Spark binds CSV columns BY POSITION
       // and ignores header names; enforceSchema=false makes every

@@ -349,9 +349,15 @@ object TestFixtures {
 
   private val manifestListSchema: Schema = SchemaBuilder.record("manifest_file").fields()
     .requiredString("manifest_path").endRecord()
+  // Iceberg serializes the map<int field-id, binary> bounds fields as
+  // arrays of key/value records in Avro (non-string map keys).
+  private val boundKvSchema: Schema = SchemaBuilder.record("k_v").fields()
+    .requiredInt("key").requiredBytes("value").endRecord()
   private val dataFileSchema: Schema = SchemaBuilder.record("r2").fields()
     .requiredString("file_path")
     .requiredLong("file_size_in_bytes") // spec-required; real manifests always carry it
+    .name("lower_bounds").`type`().array().items(boundKvSchema).noDefault()
+    .name("upper_bounds").`type`().array().items(boundKvSchema).noDefault()
     .endRecord()
   private val manifestEntrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
     .name("data_file").`type`(dataFileSchema).noDefault().endRecord()
@@ -395,9 +401,10 @@ object TestFixtures {
     */
   def icebergLineitem(spark: SparkSession, sfDir: String): String = {
     val out = s"${root(sfDir)}/iceberg_lineitem"
-    // v2 marker: manifests gained file_size_in_bytes; stale cached
-    // fixtures (pre-size schema) must regenerate.
-    ensure(sfDir, "iceberg_lineitem_v2") {
+    // v3 marker: manifests gained spec Appendix-D lower/upper_bounds
+    // (field-id → little-endian bytes); stale cached fixtures must
+    // regenerate.
+    ensure(sfDir, "iceberg_lineitem_v3") {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$out/data_even")
@@ -411,10 +418,31 @@ object TestFixtures {
       val oddFile = dataFile("data_odd")
       new File(s"$out/metadata").mkdirs()
 
+      // real per-file l_orderkey bounds (field id 1), little-endian
+      // per Iceberg spec Appendix D
+      def keyRange(sub: String): (Long, Long) = {
+        val r = spark.read.parquet(s"$out/$sub")
+          .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+            org.apache.spark.sql.functions.max("l_orderkey")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val rangeByFile = Map(evenFile -> keyRange("data_even"), oddFile -> keyRange("data_odd"))
+      def leLong(v: Long): java.nio.ByteBuffer =
+        java.nio.ByteBuffer.wrap(java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+      def kv(id: Int, v: Long): GenericRecord = {
+        val r = new GenericData.Record(boundKvSchema)
+        r.put("key", id); r.put("value", leLong(v))
+        r
+      }
+
       def manifestRow(path: String): GenericRecord = {
         val df = new GenericData.Record(dataFileSchema)
         df.put("file_path", path)
         df.put("file_size_in_bytes", new File(path).length())
+        val (lo, hi) = rangeByFile(path)
+        df.put("lower_bounds", java.util.List.of(kv(1, lo)))
+        df.put("upper_bounds", java.util.List.of(kv(1, hi)))
         val e = new GenericData.Record(manifestEntrySchema)
         e.put("data_file", df)
         e
@@ -434,7 +462,11 @@ object TestFixtures {
         val snaps = mls.zipWithIndex.map { case (ml, i) =>
           s"""{"snapshot-id": ${i + 1}, "manifest-list": "$ml"}"""
         }.mkString("[", ", ", "]")
-        s"""{"format-version": 2, "last-sequence-number": $lsn, "snapshots": $snaps}"""
+        s"""{"format-version": 2, "last-sequence-number": $lsn,
+           |"current-schema-id": 0,
+           |"schemas": [{"schema-id": 0, "fields": [
+           |  {"id": 1, "name": "l_orderkey", "type": "long"}]}],
+           |"snapshots": $snaps}""".stripMargin
       }
       Files.write(Paths.get(s"$out/metadata/v1.metadata.json"),
         metaJson(1, Seq(s"$out/metadata/ml1.avro")).getBytes(StandardCharsets.UTF_8))

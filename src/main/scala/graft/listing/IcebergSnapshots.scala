@@ -39,12 +39,16 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   def dataFilesWithSize(location: String, versionOffset: Int = 0): Seq[(String, Long)] =
     dataFilesDetailed(location, versionOffset).map(f => (f.path, f.size))
 
-  /** One resolved data file: path, size, and the manifest's
+  /** One resolved data file: path, size, the manifest's
     * `data_file.partition` record rendered as name→string values
     * (identity-transform partition columns; empty when the table is
-    * unpartitioned or the manifest omits the field).
+    * unpartitioned or the manifest omits the field), and per-column
+    * min/max ranges decoded from `lower_bounds`/`upper_bounds` —
+    * Iceberg's own data-skipping metadata, free with the manifest
+    * read (empty when the manifest omits them).
     */
-  final case class IcebergDataFile(path: String, size: Long, partition: Map[String, String])
+  final case class IcebergDataFile(path: String, size: Long,
+      partition: Map[String, String], bounds: Map[String, ColRange])
 
   /** Data files of the selected snapshot — manifests carry
     * `data_file.file_size_in_bytes` and `data_file.partition`, so the
@@ -73,6 +77,29 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     }
     if (versionOffset >= ordered.size) return Nil
     val (meta, _) = ordered(versionOffset)
+
+    // field-id → (name, primitive type) from the current schema — the
+    // key space of the manifests' lower_bounds/upper_bounds maps.
+    // Nested/complex types have non-textual type nodes and are skipped
+    // (Iceberg only tracks bounds for primitives anyway).
+    val fieldById: Map[Int, (String, String)] = {
+      val schemaNode = Option(meta.get("schemas")).flatMap { arr =>
+        val elems = arr.elements().asScala.toSeq
+        Option(meta.get("current-schema-id")).map(_.asInt()) match {
+          case Some(id) => elems.find(e => Option(e.get("schema-id")).exists(_.asInt() == id))
+          case None => elems.headOption
+        }
+      }.orElse(Option(meta.get("schema")))
+      schemaNode.flatMap(s => Option(s.get("fields"))).map { fs =>
+        fs.elements().asScala.flatMap { f =>
+          for {
+            id <- Option(f.get("id")).map(_.asInt())
+            nm <- Option(f.get("name")).map(_.asText())
+            tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
+          } yield id -> (nm, tp)
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
 
     // 2. snapshots[len(snapshots)]['manifest-list']
     //    (reference: src/util/iceberg.ts:28-29 — last element).
@@ -128,7 +155,15 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
                   case _ => Map.empty[String, String]
                 }
               }.getOrElse(Map.empty)
-            IcebergDataFile(df.get("file_path").toString, size, partition)
+            val lower = boundsBytes(df, "lower_bounds")
+            val upper = boundsBytes(df, "upper_bounds")
+            val bounds = lower.keySet.intersect(upper.keySet).flatMap { id =>
+              fieldById.get(id).flatMap { case (nm, tp) =>
+                for (lo <- decodeBound(tp, lower(id)); hi <- decodeBound(tp, upper(id)))
+                  yield nm -> ColRange(lo, hi, allNulls = false)
+              }
+            }.toMap
+            IcebergDataFile(df.get("file_path").toString, size, partition, bounds)
           })
         }
         // Resolve any unknown sizes with one driver-side stat per
@@ -193,6 +228,63 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         case other => bad(s"unsupported Avro type $other")
       }
       case (lt, _) => bad(s"unsupported Avro logical type $lt over ${s.getType}")
+    }
+  }
+
+  /** Extract a `lower_bounds`/`upper_bounds` field-id→bytes map from
+    * a `data_file` record. Iceberg serializes these `map<int, binary>`
+    * fields in Avro as an array of key/value records (non-string map
+    * keys); a plain Avro map with stringified integer keys is
+    * tolerated too. Anything unparseable is simply absent — bounds
+    * only ever ADD skipping, never correctness.
+    */
+  private def boundsBytes(df: GenericRecord, fieldName: String): Map[Int, Array[Byte]] = {
+    def bytesOf(v: Any): Option[Array[Byte]] = v match {
+      case bb: java.nio.ByteBuffer =>
+        val d = bb.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); Some(a)
+      case ab: Array[Byte] => Some(ab)
+      case fx: org.apache.avro.generic.GenericFixed => Some(fx.bytes())
+      case _ => None
+    }
+    Option(df.getSchema.getField(fieldName)).map(f => df.get(f.pos())).map {
+      case arr: java.util.Collection[_] =>
+        arr.asScala.flatMap {
+          case kv: GenericRecord =>
+            (Option(kv.getSchema.getField("key")).map(f => kv.get(f.pos())),
+             Option(kv.getSchema.getField("value")).map(f => kv.get(f.pos()))) match {
+              case (Some(k: java.lang.Integer), Some(v)) => bytesOf(v).map(k.intValue -> _)
+              case _ => None
+            }
+          case _ => None
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        m.asScala.flatMap { case (k, v) =>
+          for (ki <- scala.util.Try(k.toString.toInt).toOption; vb <- bytesOf(v))
+            yield ki -> vb
+        }.toMap
+      case _ => Map.empty[Int, Array[Byte]]
+    }.getOrElse(Map.empty)
+  }
+
+  /** Decode an Iceberg single-value binary bound (spec Appendix D:
+    * little-endian for numerics, UTF-8 for strings) into the Catalyst
+    * internal form [[FooterStats]] comparisons use. Types whose
+    * Catalyst comparison semantics don't line up byte-for-byte
+    * (decimals, uuid, fixed, binary, nanosecond timestamps) return
+    * None — no bound beats a wrong bound.
+    */
+  private def decodeBound(icebergType: String, bytes: Array[Byte]): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    icebergType match {
+      case "int" | "date" if bytes.length == 4 => Some(le.getInt)
+      case "long" | "timestamp" | "timestamptz" if bytes.length == 8 => Some(le.getLong)
+      case "float" if bytes.length == 4 =>
+        val f = le.getFloat; if (f.isNaN) None else Some(f)
+      case "double" if bytes.length == 8 =>
+        val d = le.getDouble; if (d.isNaN) None else Some(d)
+      case "string" => Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+      case _ => None
     }
   }
 

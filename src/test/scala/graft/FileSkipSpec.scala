@@ -100,6 +100,35 @@ class FileSkipSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("Iceberg manifest bounds skip files with footer reads disabled") {
+    import graft.fixtures.TestFixtures
+    import graft.model.CacheConfig
+    val dir = TestFixtures.icebergLineitem(spark, TestSpark.sfDir)
+    val cat = new FixtureCatalog().register(
+      GlueTable("d", "ice", Some(dir), parameters = Map("table_type" -> "ICEBERG")))
+    // footerStatsMaxFiles = 0: any skipping MUST come from the
+    // manifests' lower/upper_bounds, not parquet footers
+    val eng = new GlueTableEngine(spark, cat, CacheConfig(footerStatsMaxFiles = 0))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the even/odd files' key ranges overlap except at the extremes;
+      // the global max key lives in exactly one file, and the other
+      // file's manifest upper bound excludes it
+      val maxKey = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.max("l_orderkey")).head.getLong(0)
+      val df = eng.query(s"SELECT l_orderkey FROM glue.d.ice WHERE l_orderkey = $maxKey")
+      val rows = df.collect()
+      assert(rows.nonEmpty && rows.forall(_.getLong(0) == maxKey))
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"expected manifest bounds to prune to 1 file, got ${scans.head.metrics("numFiles").value}")
+      // full scan unaffected
+      val total = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet").count()
+      assert(eng.query("SELECT count(*) AS n FROM glue.d.ice").collect().head.getLong(0) == total)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("skipping never changes results (range + IN + string predicates)") {
     val dir = "/root/repo/target/fskip_tbl2"
     import spark.implicits._
