@@ -705,9 +705,18 @@ final class GlueTableEngine(
     * dir collapses to a bounded file set while the write stays one
     * shuffle. The reference is read-only; this is the write-side
     * counterpart of its "list once, plan many" philosophy.
+    *
+    * `clusterBy`: range-partition and sort the rewrite by these
+    * columns instead of hash-distributing — each output file then
+    * covers a narrow value range, which is what makes planner-time
+    * FILE skipping (footer min/max stats, [[graft.listing
+    * .FooterStats]]) selective on later reads. Compact-then-cluster
+    * is the standard layout-maintenance pair (the 1-D case of Delta
+    * `OPTIMIZE ... ZORDER BY`).
     */
   def compactTable(database: String, table: String, outTable: String,
-      outLocation: String, targetFileBytes: Long = 128L * 1024 * 1024): GlueTable = {
+      outLocation: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): GlueTable = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val meta = tableMetadata(database, table)
     val totalBytes = files(database, table).map(_.size).sum
@@ -715,7 +724,10 @@ final class GlueTableEngine(
     val keys = meta.table.partitionKeys.map(_.name)
     val df = tableDF(database, table)
     val repart =
-      if (keys.nonEmpty) df.repartition(nFiles, keys.map(col): _*)
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (keys.nonEmpty) df.repartition(nFiles, keys.map(col): _*)
       else df.repartition(nFiles)
     writeTable(repart, database, outTable, outLocation, partitionBy = keys)
   }

@@ -129,6 +129,34 @@ class FileSkipSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("clustered compaction turns overlapping-range scans into 1-file scans") {
+    import graft.model.CacheConfig
+    val dir = "/root/repo/target/fskip_messy"
+    import spark.implicits._
+    // hash-distributed: every file spans the whole id range, so
+    // min/max skipping can't drop anything
+    (0L until 1000L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartition(4, col("id")).write.mode("overwrite").parquet(dir)
+    val cat = new FixtureCatalog().register(GlueTable("d", "messy", Some(dir)))
+    val eng = new GlueTableEngine(spark, cat, CacheConfig())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def numFiles(sql: String): Long = {
+        val df = eng.query(sql)
+        df.collect()
+        df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+          .head.metrics("numFiles").value
+      }
+      assert(numFiles("SELECT * FROM glue.d.messy WHERE id = 42") == 4)
+      eng.compactTable("d", "messy", "tidy", "/root/repo/target/fskip_tidy",
+        targetFileBytes = 4096, clusterBy = Seq("id"))
+      assert(eng.files("d", "tidy").size > 1, "compaction should write multiple files")
+      assert(numFiles("SELECT * FROM glue.d.tidy WHERE id = 42") == 1)
+      assert(eng.query("SELECT * FROM glue.d.tidy WHERE id = 42")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 0L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("skipping never changes results (range + IN + string predicates)") {
     val dir = "/root/repo/target/fskip_tbl2"
     import spark.implicits._
