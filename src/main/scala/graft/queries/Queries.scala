@@ -556,6 +556,25 @@ object Queries {
       """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // clustered (range-sorted) compaction: rewrite orders clustered
+    // by o_orderkey, then answer a selective range query through the
+    // glue path — proves the clustered rewrite preserves rows while
+    // giving the data-skipping layout (file-count assertions live in
+    // FileSkipSpec; the oracle checks values)
+    "g20_compact_clustered" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        eng.compactTable("default", "orders_flat", "orders_clustered_q",
+          s"${TestFixtures.root(sf)}/orders_clustered_q",
+          targetFileBytes = 16384, clusterBy = Seq("o_orderkey"))
+        eng.query(
+          """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+            |FROM glue.default.orders_clustered_q
+            |WHERE o_orderkey BETWEEN 100 AND 120 ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 120 ORDER BY o_orderkey""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)
