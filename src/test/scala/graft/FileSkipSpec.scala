@@ -157,6 +157,33 @@ class FileSkipSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("skipping is sound under adversarial values (nulls, NaN, ±0.0)") {
+    val dir = "/root/repo/target/fskip_adversarial"
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "aa", 1.5), (2L, null, Double.NaN), (3L, "ab", -0.0), (4L, "b", 0.0),
+      (10L, "ba", null), (11L, "bb", 2.5), (null, "bz", Double.NaN), (13L, "c", -1.0))
+    rows.toDF("id", "k", "d")
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val cat = new FixtureCatalog().register(GlueTable("d", "adv", Some(dir)))
+    val eng = new GlueTableEngine(spark, cat)
+    spark.read.parquet(dir).createOrReplaceTempView("adv_direct")
+    val predicates = Seq(
+      "id = 2", "id = 99", "id < 3", "id >= 10", "id IN (1, 13, 99)",
+      "id IS NOT NULL", "id IS NULL",
+      "k = 'aa'", "k = 'zz'", "k LIKE 'b%'", "k LIKE 'a%' OR id = 13",
+      "d = 0.0", "d = -0.0", "d < 0.0", "d >= 2.5", "d != d", // d != d is the NaN probe
+      "isnan(d)", "id > 1 AND k < 'c'", "id = 1 OR d = 2.5")
+    predicates.foreach { p =>
+      val got = eng.query(s"SELECT * FROM glue.d.adv WHERE $p")
+        .collect().map(_.toString).sorted.toSeq
+      val want = spark.sql(s"SELECT * FROM adv_direct WHERE $p")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"predicate [$p]: skipped=$got expected=$want")
+    }
+  }
+
   test("skipping never changes results (range + IN + string predicates)") {
     val dir = "/root/repo/target/fskip_tbl2"
     import spark.implicits._
