@@ -88,4 +88,52 @@ object EventStreams {
     try { q.processAllAvailable() } finally q.stop()
     spark.table(name)
   }
+
+  /** Streaming NEAR-duplicate ingest filter — the ingest-path
+    * counterpart of the batch incremental dedup (d11): each
+    * micro-batch of documents `(doc_id, text)` is probed against the
+    * PERSISTED corpus prefix index ([[graft.operators.Dedup
+    * .incrementalPairsIndexed]] — the corpus is never re-shingled),
+    * matching docs are dropped, survivors are appended to `outPath`
+    * AND to the index so later batches dedup against them.
+    *
+    * Drop policy (greedy, min-id-keeps): a fresh doc goes if it
+    * matches anything already indexed, or an earlier (smaller-id)
+    * doc of its own batch — the same canonical-keep direction as the
+    * batch operator, without retroactively unpublishing corpus docs.
+    *
+    * Scale: per batch this is the d11 plan — fresh-side shingling
+    * only, (bucket, hash) equi-join that DPP prunes to the touched
+    * index buckets — plus one anti-join; state lives in the index
+    * directory, not in streaming state, so there is nothing for the
+    * watermark to bound.
+    */
+  def nearDupIngest(docs: DataFrame, indexPath: String, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      if (!batch.isEmpty) {
+        val pairs = Dedup.incrementalPairsIndexed(batch.sparkSession, indexPath, batch.toDF())
+          .select("a", "b").persist()
+        try {
+          val fresh = batch.select(col("doc_id")).distinct().withColumn("f", lit(true))
+          // pairs have a < b and at least one fresh side: drop b when
+          // both sides are fresh, else drop whichever side is fresh
+          val drops = pairs
+            .join(fresh.withColumnRenamed("doc_id", "a").withColumnRenamed("f", "fa"), Seq("a"), "left")
+            .join(fresh.withColumnRenamed("doc_id", "b").withColumnRenamed("f", "fb"), Seq("b"), "left")
+            .select(
+              when(coalesce(col("fa"), lit(false)) && coalesce(col("fb"), lit(false)), col("b"))
+                .when(coalesce(col("fa"), lit(false)), col("a"))
+                .otherwise(col("b")).as("doc_id"))
+            .distinct()
+          val survivors = batch.join(drops, Seq("doc_id"), "left_anti").persist()
+          try {
+            survivors.write.mode("append").parquet(outPath)
+            Dedup.appendCorpusIndex(survivors.toDF(), indexPath)
+          } finally survivors.unpersist()
+        } finally pairs.unpersist()
+      }
+    }.start()
+  }
 }

@@ -25,6 +25,33 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming near-dup ingest drops corpus dups and in-batch dups") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = s"/root/repo/target/stream_ndi_idx_${System.nanoTime()}"
+    val out = s"/root/repo/target/stream_ndi_out_${System.nanoTime()}"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeCorpusIndex(corpus, idx, n = 3, threshold = 0.8, buckets = 16)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupIngest(mem.toDF().toDF("doc_id", "text"), idx, out)
+    try {
+      // batch 1: an exact dup of corpus doc 1, and a novel doc
+      mem.addData((10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "seven eight nine ten eleven twelve"))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1's novel survivor, an in-batch dup
+      // pair, and a novel doc
+      mem.addData((20L, "seven eight nine ten eleven twelve"),
+        (21L, "red green blue cyan magenta yellow"),
+        (22L, "red green blue cyan magenta yellow"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 21L), s"got $kept")
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val batchDf = spark.read.parquet(streamDir)
     val stream = spark.readStream.schema(batchDf.schema).parquet(streamDir)
