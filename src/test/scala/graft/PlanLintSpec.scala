@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated scale-antipattern lint over EVERY registered query's
+  * physical plan: the mistakes that are invisible at test SF and
+  * fatal at 100 TB must not re-enter the suite silently.
+  *
+  *  - An unpartitioned WindowExec drags the whole input through ONE
+  *    partition (the t5 bug class, fixed round 7 — this pins it).
+  *  - CartesianProduct / BroadcastNestedLoopJoin are quadratic; the
+  *    few places that use them deliberately (bounded brute-force
+  *    baselines, the density-probed dense verification path) are
+  *    whitelisted BY NAME so a new one fails review here first.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // deliberate quadratic plans, each bounded by design:
+  //  - s1: brute-force ANN baseline (1-row query side)
+  //  - s2/s3: LSH/IVF probe joins a 1-row query vector by broadcast
+  //  - d7/d3-family: the adaptive DENSE path verifies all pairs via
+  //    BNLJ only when the density probe says the prefix filter would
+  //    degenerate anyway (sf0.001's flat vocabulary triggers it)
+  //  - q16: recursive-CTE loop internals (driver-bounded recursion)
+  //  - t5: its BNLJ sides are groupBy(bucket) aggregates over the
+  //    token-LENGTH domain (≤ distinct lengths / bucket width rows),
+  //    bounded by the value domain, not the corpus — the two-level
+  //    cumulative-distribution design
+  private val mayNestedLoop = Set(
+    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "q16_recursive_cte",
+    "t5_length_quantiles",
+    "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical")
+
+  /** A nested-loop join whose BROADCAST side is a grand aggregate
+    * (no grouping keys → provably ≤ 1 row) is linear, not quadratic:
+    * the scalar-subquery / corpus-stats / totals-row shape. Allowed
+    * structurally, so the allowance can never stretch to a real
+    * quadratic join.
+    */
+  private def boundIsOneRow(j: BroadcastNestedLoopJoinExec): Boolean = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val build = j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
+    build.exists {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.groupingExpressions.isEmpty
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        s.groupingExpressions.isEmpty
+      case _ => false
+    }
+  }
+
+  test("no registered query plans an unpartitioned window or stray quadratic join") {
+    val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, (fn, _)) =>
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan
+      val unpartitionedWindows = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      val cartesian = plan.collect { case c: CartesianProductExec => c }
+      val bnlj = plan.collect {
+        case j: BroadcastNestedLoopJoinExec if !boundIsOneRow(j) => j
+      }
+      val problems =
+        (if (unpartitionedWindows.nonEmpty) Seq(s"$name: unpartitioned WindowExec") else Nil) ++
+        (if (cartesian.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (bnlj.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+      problems
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
