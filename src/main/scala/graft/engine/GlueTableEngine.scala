@@ -382,11 +382,13 @@ final class GlueTableEngine(
               .filter(_.bounds.nonEmpty).map(f => f.path -> f.bounds).toMap
           else Map.empty[String, Map[String, graft.listing.ColRange]]
         if (fromManifests.nonEmpty) fromManifests
-        else if (fmt == "parquet" && allRows.size <= config.footerStatsMaxFiles &&
-            config.footerStatsMaxFiles > 0)
-          allRows.map(r => r.getString(0) ->
-            graft.listing.FooterStats.read(hadoopConf, r.getString(0))).toMap
-        else Map.empty[String, Map[String, graft.listing.ColRange]]
+        else if ((fmt == "parquet" || fmt == "orc") &&
+            allRows.size <= config.footerStatsMaxFiles && config.footerStatsMaxFiles > 0) {
+          val read: String => Map[String, graft.listing.ColRange] =
+            if (fmt == "orc") graft.listing.FooterStats.readOrc(hadoopConf, _)
+            else graft.listing.FooterStats.read(hadoopConf, _)
+          allRows.map(r => r.getString(0) -> read(r.getString(0))).toMap
+        } else Map.empty[String, Map[String, graft.listing.ColRange]]
       }
       if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached
     }

@@ -114,6 +114,67 @@ object FooterStats {
       throw new IllegalArgumentException(s"incomparable stats values: $a vs $b"))
   }
 
+  /** ORC file footers carry the same per-column statistics; read
+    * them into the same [[ColRange]] form so the skipping tier is
+    * format-general. ORC integer stats are Longs regardless of the
+    * declared width, so `int`-typed columns narrow to Int to match
+    * the Catalyst literals Spark pushes; types whose stats don't map
+    * cleanly (dates, timestamps, decimals, booleans) are omitted.
+    */
+  def readOrc(conf: Configuration, path: String): Map[String, ColRange] =
+    Try {
+      import org.apache.orc.{OrcFile, TypeDescription}
+      val reader = OrcFile.createReader(new Path(path), OrcFile.readerOptions(conf))
+      try {
+        val schema = reader.getSchema
+        if (schema.getCategory != TypeDescription.Category.STRUCT) Map.empty[String, ColRange]
+        else {
+          val names = schema.getFieldNames.asScala.toSeq
+          val kids = schema.getChildren.asScala.toSeq
+          val stats = reader.getStatistics // index 0 = root struct, then preorder
+          val totalRows = reader.getNumberOfRows
+          names.zip(kids).zipWithIndex.flatMap { case ((name, kid), i) =>
+            // top-level column i's stats sit at its type id (preorder)
+            val s = stats(kid.getId)
+            if (s.getNumberOfValues == 0 && totalRows > 0)
+              Some(name -> ColRange(null, null, allNulls = true))
+            else orcRange(kid, s).map(name -> _)
+          }.toMap
+        }
+      } finally reader.close()
+    }.getOrElse(Map.empty)
+
+  private def orcRange(tpe: org.apache.orc.TypeDescription,
+      s: org.apache.orc.ColumnStatistics): Option[ColRange] = {
+    import org.apache.orc.TypeDescription.Category
+    s match {
+      case i: org.apache.orc.IntegerColumnStatistics if i.getNumberOfValues > 0 =>
+        tpe.getCategory match {
+          case Category.INT =>
+            if (i.getMinimum >= Int.MinValue && i.getMaximum <= Int.MaxValue)
+              Some(ColRange(i.getMinimum.toInt, i.getMaximum.toInt, allNulls = false))
+            else None
+          case Category.LONG =>
+            Some(ColRange(i.getMinimum, i.getMaximum, allNulls = false))
+          case _ => None // byte/short literals won't compare as Int
+        }
+      case d: org.apache.orc.DoubleColumnStatistics
+          if !d.getMinimum.isNaN && !d.getMaximum.isNaN &&
+            d.getMinimum <= d.getMaximum =>
+        tpe.getCategory match {
+          case Category.DOUBLE => Some(ColRange(d.getMinimum, d.getMaximum, allNulls = false))
+          case Category.FLOAT =>
+            Some(ColRange(d.getMinimum.toFloat, d.getMaximum.toFloat, allNulls = false))
+          case _ => None
+        }
+      case st: org.apache.orc.StringColumnStatistics
+          if st.getMinimum != null && st.getMaximum != null =>
+        Some(ColRange(UTF8String.fromString(st.getMinimum),
+          UTF8String.fromString(st.getMaximum), allNulls = false))
+      case _ => None
+    }
+  }
+
   /** None = not comparable (type mismatch) — callers must treat that
     * as "cannot prove anything".
     */

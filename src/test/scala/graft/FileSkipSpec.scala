@@ -157,6 +157,28 @@ class FileSkipSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ORC tables skip files from ORC footer statistics") {
+    val dir = "/root/repo/target/fskip_orc"
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, s"v${i % 3}")).toDF("id", "tag")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").orc(dir)
+    val cat = new FixtureCatalog().register(
+      GlueTable("d", "orcskip", Some(dir), parameters = Map("classification" -> "orc")))
+    val eng = new GlueTableEngine(spark, cat)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query("SELECT id, tag FROM glue.d.orcskip WHERE id = 777")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(777L))
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"expected ORC stats to prune to 1 file, got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("skipping is sound under adversarial values (nulls, NaN, ±0.0)") {
     val dir = "/root/repo/target/fskip_adversarial"
     import spark.implicits._
