@@ -564,9 +564,13 @@ object Queries {
     "g20_compact_clustered" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)
+        // 2 MB target: a handful of clustered files at any test SF
+        // (sf0.01 orders ≈ 0.3 MB, sf1 ≈ 21 MB; a KB-scale target
+        // at sf1 exploded into thousands of files — the file-count
+        // behavior itself is covered in FileSkipSpec)
         eng.compactTable("default", "orders_flat", "orders_clustered_q",
           s"${TestFixtures.root(sf)}/orders_clustered_q",
-          targetFileBytes = 16384, clusterBy = Seq("o_orderkey"))
+          targetFileBytes = 2L * 1024 * 1024, clusterBy = Seq("o_orderkey"))
         eng.query(
           """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
             |FROM glue.default.orders_clustered_q
