@@ -157,4 +157,38 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the
+    * standard 4× memory cut before ANN serving (each vector scaled by
+    * its own max-abs into [-127, 127]). Narrow per-row transform; at
+    * 100 TB this is a pure map stage over the embedding table.
+    *
+    * Cross-engine exactness: the scale and products are computed in
+    * DOUBLE on both engines (identical IEEE operations on identical
+    * float inputs) and quantized by TRUNCATION toward zero — unlike
+    * `round()`, truncation has no tie-breaking rule to drift between
+    * engines. All-zero vectors quantize to zeros (scale guard).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = col("embedding")
+    val scale = array_max(transform(x, v => abs(v.cast("double"))))
+    emb.select(
+      col("vec_id"),
+      round(scale, 6).as("scale"),
+      when(scale === 0d, transform(x, _ => lit(0)))
+        .otherwise(transform(x, v => (v.cast("double") * lit(127.0) / scale).cast("int")))
+        .as("q"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[quantizeInt8]]. */
+  def sqlQuantizeInt8: String =
+    """WITH s AS (SELECT vec_id,
+      |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+      |  embedding FROM embeddings)
+      |SELECT vec_id, round(sc, 6) AS scale,
+      |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+      |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+      |  END AS q
+      |FROM s ORDER BY vec_id""".stripMargin
 }

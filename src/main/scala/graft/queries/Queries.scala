@@ -807,6 +807,12 @@ object Queries {
       (spark: SparkSession, sf: String) => Sampling.sampleAudit(t(spark, sf, "documents"), 20),
       Sampling.sqlSampleAudit(20))),
 
+    // symmetric int8 embedding quantization (truncation-exact in
+    // both engines; see Similarity.quantizeInt8)
+    "s5_quantize_int8" -> ((
+      (spark: SparkSession, sf: String) => Similarity.quantizeInt8(t(spark, sf, "embeddings")),
+      Similarity.sqlQuantizeInt8)),
+
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
