@@ -181,6 +181,46 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Brute-force top-k over the int8-quantized vectors, scored by the
+    * INTEGER dot product of quantized codes — how a quantized ANN
+    * serving tier actually ranks (no dequantization in the hot loop;
+    * the scale factors cancel only approximately, which IS the
+    * accepted quantization error). Integer arithmetic makes the
+    * oracle exact by construction — no float fold-order or rounding
+    * caveats at all. Same scale shape as [[bruteForceTopK]]: 1-row
+    * query side broadcast, TakeOrdered top-k.
+    */
+  def quantizedTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = quantizeInt8(emb)
+    val qv = q.filter(col("vec_id") === queryVecId).select(col("q").as("qq"))
+    val dotInt = {
+      val prods = zip_with(col("q"), col("qq"), (a, b) => a.cast("long") * b.cast("long"))
+      aggregate(prods, lit(0L), (acc, v) => acc + v)
+    }
+    q.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), dotInt.as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[quantizedTopK]]. */
+  def sqlQuantizedTopK(queryVecId: Long, k: Int): String =
+    s"""WITH s AS (SELECT vec_id,
+       |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+       |  embedding FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+       |  END AS q FROM s),
+       |qv AS (SELECT q AS qq FROM qz WHERE vec_id = $queryVecId)
+       |SELECT vec_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    [q[i]::BIGINT * qq[i]::BIGINT for i in range(1, len(q) + 1)]),
+       |    (s, v) -> s + v) AS score
+       |FROM qz, qv WHERE vec_id <> $queryVecId
+       |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+
   /** DuckDB oracle for [[quantizeInt8]]. */
   def sqlQuantizeInt8: String =
     """WITH s AS (SELECT vec_id,

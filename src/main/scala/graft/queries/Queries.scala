@@ -813,6 +813,12 @@ object Queries {
       (spark: SparkSession, sf: String) => Similarity.quantizeInt8(t(spark, sf, "embeddings")),
       Similarity.sqlQuantizeInt8)),
 
+    // quantized ANN serving: top-k by INTEGER dot product of int8
+    // codes (exact oracle by construction)
+    "s6_ann_quantized" -> ((
+      (spark: SparkSession, sf: String) => Similarity.quantizedTopK(t(spark, sf, "embeddings"), 0L, 10),
+      Similarity.sqlQuantizedTopK(0L, 10))),
+
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

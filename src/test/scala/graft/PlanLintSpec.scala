@@ -31,7 +31,7 @@ class PlanLintSpec extends AnyFunSuite {
   //    bounded by the value domain, not the corpus — the two-level
   //    cumulative-distribution design
   private val mayNestedLoop = Set(
-    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "q16_recursive_cte",
+    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s6_ann_quantized", "q16_recursive_cte",
     "t5_length_quantiles",
     "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical")
 
