@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Pii, Sampling, Search, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Pii, Sampling, Search, Similarity, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -806,6 +806,19 @@ object Queries {
     "d10_sample_hash" -> ((
       (spark: SparkSession, sf: String) => Sampling.sampleAudit(t(spark, sf, "documents"), 20),
       Sampling.sqlSampleAudit(20))),
+
+    // skyline / Pareto front (EDBT'23 Spark-SQL skyline integration;
+    // two-phase local-front + bounded global merge — the quadratic
+    // NOT EXISTS form is oracle-only): parts where nothing is both
+    // cheaper and bigger
+    "q21_skyline" -> ((
+      (spark: SparkSession, sf: String) =>
+        Skyline.skyline(t(spark, sf, "part"), "p_partkey",
+          Seq("p_retailprice" -> false, "p_size" -> true))
+          .select("p_partkey", "p_retailprice", "p_size"),
+      Skyline.sqlSkyline("part", "p_partkey",
+        Seq("p_retailprice" -> false, "p_size" -> true),
+        Seq("p_partkey", "p_retailprice", "p_size")))),
 
     // symmetric int8 embedding quantization (truncation-exact in
     // both engines; see Similarity.quantizeInt8)
