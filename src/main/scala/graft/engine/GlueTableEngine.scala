@@ -154,7 +154,7 @@ final class GlueTableEngine(
             // tables prune like Hive ones (the reference never prunes
             // Iceberg). Manifests carry no mtime; 0 = unknown.
             iceberg.dataFilesDetailed(location(meta), versionOffset)
-              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L))
+              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L, bounds = f.bounds))
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
             val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>
@@ -367,27 +367,39 @@ final class GlueTableEngine(
     val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0))
     // File-level data skipping (Delta/Iceberg-style): per-file column
     // ranges, preferred source first —
-    //  1. Iceberg manifests' lower/upper_bounds: free with the
-    //     manifest read, no per-file I/O, so no cap — this is the
-    //     10M-file path;
-    //  2. parquet footers, read once per listing TTL on the driver
-    //     and capped by footerStatsMaxFiles (KB-scale GET per file).
-    // Beyond the cap / for non-parquet formats / bound-less manifests
-    // the map stays empty and skipping degrades to a no-op.
+    //  1. Iceberg manifests' lower/upper_bounds: already decoded into
+    //     the cached listing (S3FileInfo.bounds) — zero extra I/O and
+    //     no cap — this is the 10M-file path;
+    //  2. parquet/ORC footers, read once per listing TTL on the
+    //     driver (parallel KB-scale GETs) and capped by
+    //     footerStatsMaxFiles.
+    // Beyond the cap / for other formats / bound-less manifests the
+    // map stays empty and skipping degrades to a no-op.
     val statsByPath: Map[String, Map[String, graft.listing.ColRange]] = {
       val cached = statsCache.get(s"$database.$table#stats#v$versionOffset") {
-        val fromManifests =
-          if (meta.tableType == TableType.Iceberg)
-            iceberg.dataFilesDetailed(location(meta), versionOffset)
-              .filter(_.bounds.nonEmpty).map(f => f.path -> f.bounds).toMap
-          else Map.empty[String, Map[String, graft.listing.ColRange]]
-        if (fromManifests.nonEmpty) fromManifests
+        val fromListing = files(database, table, versionOffset)
+          .filter(_.bounds.nonEmpty).map(f => f.path -> f.bounds).toMap
+        if (fromListing.nonEmpty) fromListing
         else if ((fmt == "parquet" || fmt == "orc") &&
             allRows.size <= config.footerStatsMaxFiles && config.footerStatsMaxFiles > 0) {
           val read: String => Map[String, graft.listing.ColRange] =
             if (fmt == "orc") graft.listing.FooterStats.readOrc(hadoopConf, _)
             else graft.listing.FooterStats.read(hadoopConf, _)
-          allRows.map(r => r.getString(0) -> read(r.getString(0))).toMap
+          // parallel driver-side fetch: serial footer GETs over S3
+          // (~tens of ms each) would stall first-query planning by
+          // minutes at the cap
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, math.max(1, allRows.size)))
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = allRows.map { r =>
+              val p = r.getString(0)
+              new java.util.concurrent.Callable[(String, Map[String, graft.listing.ColRange])] {
+                override def call() = p -> read(p)
+              }
+            }
+            pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+          } finally pool.shutdown()
         } else Map.empty[String, Map[String, graft.listing.ColRange]]
       }
       if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached

@@ -74,31 +74,44 @@ object FooterStats {
     }
   }
 
+  /** First day/instant on which the Julian-hybrid and proleptic
+    * Gregorian calendars agree (1582-10-15). Legacy writers (Spark
+    * 2.x, or 3.x in LEGACY rebase mode) store Julian-hybrid day/µs
+    * numbers that Spark rebases on read — the two schemes diverge
+    * only BEFORE this cutoff, so stats at or after it are safe to
+    * compare against rebased literals, and earlier ones are dropped.
+    */
+  private val GregorianCutoverDays = -141427
+  private val GregorianCutoverMicros = -12219292800000000L
+
   /** Convert a parquet statistics value to the Catalyst internal form
     * of the Spark type that parquet physical+logical type maps to.
     * Returns None for combinations where the mapping is ambiguous or
-    * the comparison semantics differ (decimals, millis timestamps,
-    * int96, NaN floats) — never guess.
+    * the comparison semantics differ — never guess:
+    *  - decimals, int96, millis timestamps: representation mismatch;
+    *  - FLOAT/DOUBLE entirely: the parquet spec leaves NaN handling
+    *    in stats writer-defined (parquet-mr propagates NaN, Arrow
+    *    skips it), and a NaN row excluded from max wrongly skips
+    *    under Spark's NaN-is-largest comparison semantics;
+    *  - pre-Gregorian dates/timestamps: legacy-rebase ambiguity.
     */
   private def toCatalyst(tpe: org.apache.parquet.schema.PrimitiveType, v: AnyRef): Option[Any] = {
     val logical = tpe.getLogicalTypeAnnotation
     (tpe.getPrimitiveTypeName, logical) match {
       case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
-      case (INT32, null | _: DateLogicalTypeAnnotation) => Some(v.asInstanceOf[Integer].intValue)
+      case (INT32, _: DateLogicalTypeAnnotation) =>
+        val d = v.asInstanceOf[Integer].intValue
+        if (d >= GregorianCutoverDays) Some(d) else None
+      case (INT32, null) => Some(v.asInstanceOf[Integer].intValue)
       case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.getBitWidth == 32 =>
         Some(v.asInstanceOf[Integer].intValue)
       case (INT64, null) => Some(v.asInstanceOf[java.lang.Long].longValue)
       case (INT64, t: TimestampLogicalTypeAnnotation)
           if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
-        Some(v.asInstanceOf[java.lang.Long].longValue) // Catalyst timestamps are micros
+        val us = v.asInstanceOf[java.lang.Long].longValue // Catalyst micros
+        if (us >= GregorianCutoverMicros) Some(us) else None
       case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.getBitWidth == 64 =>
         Some(v.asInstanceOf[java.lang.Long].longValue)
-      case (FLOAT, null) =>
-        val f = v.asInstanceOf[java.lang.Float].floatValue
-        if (f.isNaN) None else Some(f)
-      case (DOUBLE, null) =>
-        val d = v.asInstanceOf[java.lang.Double].doubleValue
-        if (d.isNaN) None else Some(d)
       case (BINARY, _: StringLogicalTypeAnnotation) =>
         Some(UTF8String.fromBytes(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
       case _ => None
@@ -158,15 +171,11 @@ object FooterStats {
             Some(ColRange(i.getMinimum, i.getMaximum, allNulls = false))
           case _ => None // byte/short literals won't compare as Int
         }
-      case d: org.apache.orc.DoubleColumnStatistics
-          if !d.getMinimum.isNaN && !d.getMaximum.isNaN &&
-            d.getMinimum <= d.getMaximum =>
-        tpe.getCategory match {
-          case Category.DOUBLE => Some(ColRange(d.getMinimum, d.getMaximum, allNulls = false))
-          case Category.FLOAT =>
-            Some(ColRange(d.getMinimum.toFloat, d.getMaximum.toFloat, allNulls = false))
-          case _ => None
-        }
+      // FLOAT/DOUBLE deliberately unsupported: ORC's stats writer
+      // skips NaN when updating min/max (unless NaN arrives first),
+      // so a clean-looking range can hide NaN rows that Spark's
+      // NaN-is-largest comparisons WOULD match — skipping on such a
+      // range silently drops rows.
       case st: org.apache.orc.StringColumnStatistics
           if st.getMinimum != null && st.getMaximum != null =>
         Some(ColRange(UTF8String.fromString(st.getMinimum),

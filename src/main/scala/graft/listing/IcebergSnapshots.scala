@@ -270,8 +270,14 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     * little-endian for numerics, UTF-8 for strings) into the Catalyst
     * internal form [[FooterStats]] comparisons use. Types whose
     * Catalyst comparison semantics don't line up byte-for-byte
-    * (decimals, uuid, fixed, binary, nanosecond timestamps) return
-    * None — no bound beats a wrong bound.
+    * return None — no bound beats a wrong bound:
+    *  - decimals, uuid, fixed, binary, nanosecond timestamps:
+    *    representation mismatch;
+    *  - float/double entirely: the Iceberg spec EXCLUDES NaN from
+    *    lower/upper_bounds (tracked in nan_value_counts, which this
+    *    walk doesn't read), and Spark's NaN-is-largest comparison
+    *    means a file whose NaN rows are invisible in its bounds
+    *    would be wrongly skipped for predicates NaN satisfies.
     */
   private def decodeBound(icebergType: String, bytes: Array[Byte]): Option[Any] = {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -279,10 +285,6 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     icebergType match {
       case "int" | "date" if bytes.length == 4 => Some(le.getInt)
       case "long" | "timestamp" | "timestamptz" if bytes.length == 8 => Some(le.getLong)
-      case "float" if bytes.length == 4 =>
-        val f = le.getFloat; if (f.isNaN) None else Some(f)
-      case "double" if bytes.length == 8 =>
-        val d = le.getDouble; if (d.isNaN) None else Some(d)
       case "string" => Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
       case _ => None
     }

@@ -88,7 +88,14 @@ final case class S3FileInfo(
     path: String,
     partitionValues: Map[String, String],
     size: Long,
-    modTime: Long)
+    modTime: Long,
+    /** Per-column min/max ranges for file skipping when the listing
+      * source carries them for free (Iceberg manifest bounds); empty
+      * when it doesn't — the read path then falls back to capped
+      * footer reads. Explicit at every construction site, like
+      * `size`.
+      */
+    bounds: Map[String, graft.listing.ColRange])
 
 /** Engine configuration (reference: src/types.ts:42-49 — defaults
   * maxEntries=100, both TTLs 3600000 ms). `proxyAddress` replicates

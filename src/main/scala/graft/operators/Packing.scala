@@ -42,9 +42,14 @@ object Packing {
     */
   def packSequences(docs: DataFrame, budget: Int = 512, buckets: Int = 64): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    // localCheckpoint materializes the tiny (doc_id, n_tokens)
+    // projection ONCE: tokenization — the dominant CPU cost at scale
+    // — would otherwise rerun for each of the three jobs below
+    // (maxId, bucket totals, final layout).
     val toks = docs.select(
       col("doc_id"),
       size(CrossHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
 
     // Deterministic id-range bucketing over the observed span.
     val maxId = Option(toks.agg(max("doc_id")).head.get(0))

@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Ids of the skyline rows of `df` under `dims`:
-    * `(column, maximize)` criteria, nulls excluded. `idCol` must be
-    * unique and long-typed.
+    * `(column, maximize)` criteria; null and NaN criteria rows are
+    * excluded (NaN compares differently in every engine — Spark
+    * primitive comparisons never match it, DuckDB sorts it greatest —
+    * so dominance over NaN is not portable). `idCol` must be unique
+    * and long-typed.
     */
   def skylineIds(df: DataFrame, idCol: String, dims: Seq[(String, Boolean)]): DataFrame = {
     require(dims.nonEmpty, "skyline needs at least one criterion")
@@ -39,11 +42,17 @@ object Skyline {
       if (maximize) -d else d
     }: _*)
     val pts = df
-      .filter(dims.map { case (c, _) => col(c).isNotNull }.reduce(_ && _))
+      .filter(dims.map { case (c, _) =>
+        col(c).isNotNull && !isnan(col(c).cast("double"))
+      }.reduce(_ && _))
       .select(col(idCol).cast("long"), key).as[(Long, Seq[Double])]
       .map { case (id, k) => (id, k.toArray) }
     val local = pts.mapPartitions(blockSkyline)
-    val global = local.coalesce(1).mapPartitions(blockSkyline)
+    // repartition (a real shuffle), NOT coalesce: coalesce(1) is a
+    // narrow dependency that would pull phase 1 into the same single
+    // task, serializing the whole scan. The shuffle moves only the
+    // small local fronts.
+    val global = local.repartition(1).mapPartitions(blockSkyline)
     global.map(_._1).toDF(idCol)
   }
 
@@ -96,11 +105,13 @@ object Skyline {
     val strict = dims.map { case (c, maximize) =>
       if (maximize) s"u.$c > t.$c" else s"u.$c < t.$c"
     }.mkString(" OR ")
-    val notNull = dims.map { case (c, _) => s"t.$c IS NOT NULL" }.mkString(" AND ")
+    def usable(a: String) =
+      dims.map { case (c, _) => s"$a.$c IS NOT NULL AND NOT isnan($a.$c::DOUBLE)" }
+        .mkString(" AND ")
     s"""SELECT ${select.map(s => s"t.$s").mkString(", ")} FROM $table t
-       |WHERE $notNull AND NOT EXISTS (
+       |WHERE ${usable("t")} AND NOT EXISTS (
        |  SELECT 1 FROM $table u
-       |  WHERE ${dims.map { case (c, _) => s"u.$c IS NOT NULL" }.mkString(" AND ")}
+       |  WHERE ${usable("u")}
        |    AND $dom AND ($strict))
        |ORDER BY t.$idCol""".stripMargin
   }

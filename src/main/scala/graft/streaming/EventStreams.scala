@@ -107,11 +107,19 @@ object EventStreams {
     * index buckets — plus one anti-join; state lives in the index
     * directory, not in streaming state, so there is nothing for the
     * watermark to bound.
+    *
+    * Failure semantics: survivors land under `outPath/batch=<id>`
+    * with overwrite, so a replayed batch (restart between the two
+    * appends) rewrites its own directory instead of duplicating
+    * rows. The index append is at-least-once — replay can leave
+    * duplicate postings there, which costs duplicate CANDIDATES
+    * (deduped by the prober's `.distinct()` before verification),
+    * never missed or phantom survivors.
     */
   def nearDupIngest(docs: DataFrame, indexPath: String, outPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       if (!batch.isEmpty) {
         val pairs = Dedup.incrementalPairsIndexed(batch.sparkSession, indexPath, batch.toDF())
           .select("a", "b").persist()
@@ -129,7 +137,7 @@ object EventStreams {
             .distinct()
           val survivors = batch.join(drops, Seq("doc_id"), "left_anti").persist()
           try {
-            survivors.write.mode("append").parquet(outPath)
+            survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
             Dedup.appendCorpusIndex(survivors.toDF(), indexPath)
           } finally survivors.unpersist()
         } finally pairs.unpersist()

@@ -37,14 +37,27 @@ class PlanLintSpec extends AnyFunSuite {
 
   /** A nested-loop join whose BROADCAST side is a grand aggregate
     * (no grouping keys → provably ≤ 1 row) is linear, not quadratic:
-    * the scalar-subquery / corpus-stats / totals-row shape. Allowed
-    * structurally, so the allowance can never stretch to a real
-    * quadratic join.
+    * the scalar-subquery / corpus-stats / totals-row shape. The walk
+    * descends ONLY through row-preserving unary nodes to the first
+    * structural node and requires THAT to be the groupless aggregate
+    * — `plan.exists` over the whole subtree would let a grand
+    * aggregate buried under a join whitelist an arbitrarily large
+    * build side.
     */
   private def boundIsOneRow(j: BroadcastNestedLoopJoinExec): Boolean = {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution._
+    @scala.annotation.tailrec
+    def descend(p: SparkPlan): SparkPlan = p match {
+      case n @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                _: WholeStageCodegenExec | _: InputAdapter |
+                _: exchange.BroadcastExchangeExec | _: exchange.ShuffleExchangeExec |
+                _: exchange.ReusedExchangeExec) =>
+        n.children.headOption match { case Some(c) => descend(c); case None => n }
+      case other => other
+    }
     val build = j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
-    build.exists {
+    descend(build) match {
       case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
         h.groupingExpressions.isEmpty
       case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
