@@ -179,6 +179,32 @@ class FileSkipSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("float/double stats never prune (NaN-in-bounds is writer-defined)") {
+    val dir = "/root/repo/target/fskip_float"
+    import spark.implicits._
+    (0L until 400L).map(i => (i, i.toDouble)).toDF("id", "d")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    val cat = new FixtureCatalog().register(GlueTable("d", "fl", Some(dir)))
+    val eng = new GlueTableEngine(spark, cat)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // id (long) prunes; d (double) must NOT — parquet/ORC/Iceberg
+      // writers exclude NaN from float stats in writer-defined ways,
+      // and Spark's NaN-is-largest comparisons would match rows the
+      // bounds hide
+      def files(pred: String): Long = {
+        val df = eng.query(s"SELECT id FROM glue.d.fl WHERE $pred")
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }.head.metrics("numFiles").value
+      }
+      assert(files("id = 42") == 1)
+      assert(files("d = 42.0") == 4, "double predicate must not prune files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("skipping is sound under adversarial values (nulls, NaN, ±0.0)") {
     val dir = "/root/repo/target/fskip_adversarial"
     import spark.implicits._
