@@ -20,6 +20,16 @@ import json
 import os
 import sys
 
+# Justified regressions: query -> (max allowed ratio, recorded reason).
+# Use sparingly — every entry must name the commit-level tradeoff.
+ALLOW = {
+    # r7 rewrote t5 from a single-partition global window (the 100 TB
+    # anti-pattern) to a two-level cumulative-distribution aggregate;
+    # the extra shuffle costs ~0.5s at sf1 and is the accepted price
+    # of the scale-correct plan (verdict r6 task #3).
+    "t5_length_quantiles": (2.5, "two-level rewrite, no global window (r7)"),
+}
+
 def load(path):
     with open(path) as f:
         d = json.load(f)
@@ -59,8 +69,10 @@ def main():
         if n < args.floor or o <= 0:
             continue
         r = n / o
-        flag = "REGRESSED" if r > args.ratio else ""
-        if r > args.ratio:
+        limit, reason = ALLOW.get(q, (args.ratio, None))
+        flag = "REGRESSED" if r > limit else (
+            f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else "")
+        if r > limit:
             failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
         if r > args.ratio or r < 1 / args.ratio:
             print(f"  {q:>24s}  {o:8.2f}s -> {n:8.2f}s  {r:5.2f}x  {flag}")
