@@ -26,7 +26,11 @@ import scala.util.Try
   * compare directly against the `Literal`s Spark pushes in
   * `dataFilters` — no per-evaluation conversion.
   */
-final case class ColRange(min: Any, max: Any, allNulls: Boolean)
+/** `noNulls` defaults to false — the safe direction (it only ever
+  * ENABLES `IS NULL` pruning, so an absent null count merely skips
+  * less).
+  */
+final case class ColRange(min: Any, max: Any, allNulls: Boolean, noNulls: Boolean = false)
 
 object FooterStats {
 
@@ -66,10 +70,17 @@ object FooterStats {
       }
       if (parsed.exists(_.isEmpty)) None
       else {
+        // IS NULL pruning: provable only when EVERY chunk records a
+        // null count and they sum to zero
+        val noNulls = chunks.forall { c =>
+          val s = c.getStatistics
+          s != null && s.isNumNullsSet && s.getNumNulls == 0
+        }
         val ranges = parsed.flatten.collect { case r: Range => r }
         if (ranges.isEmpty) Some(name -> ColRange(null, null, allNulls = true))
         else Some(name -> ColRange(
-          ranges.map(_.min).min(ord), ranges.map(_.max).max(ord), allNulls = false))
+          ranges.map(_.min).min(ord), ranges.map(_.max).max(ord),
+          allNulls = false, noNulls = noNulls))
       }
     }
   }
@@ -162,13 +173,15 @@ object FooterStats {
     import org.apache.orc.TypeDescription.Category
     s match {
       case i: org.apache.orc.IntegerColumnStatistics if i.getNumberOfValues > 0 =>
+        val noNulls = !i.hasNull
         tpe.getCategory match {
           case Category.INT =>
             if (i.getMinimum >= Int.MinValue && i.getMaximum <= Int.MaxValue)
-              Some(ColRange(i.getMinimum.toInt, i.getMaximum.toInt, allNulls = false))
+              Some(ColRange(i.getMinimum.toInt, i.getMaximum.toInt,
+                allNulls = false, noNulls = noNulls))
             else None
           case Category.LONG =>
-            Some(ColRange(i.getMinimum, i.getMaximum, allNulls = false))
+            Some(ColRange(i.getMinimum, i.getMaximum, allNulls = false, noNulls = noNulls))
           case _ => None // byte/short literals won't compare as Int
         }
       // FLOAT/DOUBLE deliberately unsupported: ORC's stats writer
@@ -179,7 +192,8 @@ object FooterStats {
       case st: org.apache.orc.StringColumnStatistics
           if st.getMinimum != null && st.getMaximum != null =>
         Some(ColRange(UTF8String.fromString(st.getMinimum),
-          UTF8String.fromString(st.getMaximum), allNulls = false))
+          UTF8String.fromString(st.getMaximum),
+          allNulls = false, noNulls = !st.hasNull))
       case _ => None
     }
   }

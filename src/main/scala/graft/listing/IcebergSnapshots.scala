@@ -157,10 +157,17 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
               }.getOrElse(Map.empty)
             val lower = boundsBytes(df, "lower_bounds")
             val upper = boundsBytes(df, "upper_bounds")
+            val nulls = countsMap(df, "null_value_counts")
+            val nans = countsMap(df, "nan_value_counts")
             val bounds = lower.keySet.intersect(upper.keySet).flatMap { id =>
               fieldById.get(id).flatMap { case (nm, tp) =>
-                for (lo <- decodeBound(tp, lower(id)); hi <- decodeBound(tp, upper(id)))
-                  yield nm -> ColRange(lo, hi, allNulls = false)
+                // float/double bounds EXCLUDE NaN per spec — usable
+                // only when nan_value_counts proves the file NaN-free
+                val floaty = tp == "float" || tp == "double"
+                if (floaty && !nans.get(id).contains(0L)) None
+                else for (lo <- decodeBound(tp, lower(id)); hi <- decodeBound(tp, upper(id)))
+                  yield nm -> ColRange(lo, hi, allNulls = false,
+                    noNulls = nulls.get(id).contains(0L))
               }
             }.toMap
             IcebergDataFile(df.get("file_path").toString, size, partition, bounds)
@@ -266,18 +273,44 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     }.getOrElse(Map.empty)
   }
 
+  /** Extract a `null_value_counts`/`nan_value_counts` field-id→count
+    * map (same two Avro encodings as [[boundsBytes]]).
+    */
+  private def countsMap(df: GenericRecord, fieldName: String): Map[Int, Long] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case _ => None
+    }
+    Option(df.getSchema.getField(fieldName)).map(f => df.get(f.pos())).map {
+      case arr: java.util.Collection[_] =>
+        arr.asScala.flatMap {
+          case kv: GenericRecord =>
+            (Option(kv.getSchema.getField("key")).map(f => kv.get(f.pos())),
+             Option(kv.getSchema.getField("value")).map(f => kv.get(f.pos()))) match {
+              case (Some(k: java.lang.Integer), Some(v)) => longOf(v).map(k.intValue -> _)
+              case _ => None
+            }
+          case _ => None
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        m.asScala.flatMap { case (k, v) =>
+          for (ki <- scala.util.Try(k.toString.toInt).toOption; vl <- longOf(v))
+            yield ki -> vl
+        }.toMap
+      case _ => Map.empty[Int, Long]
+    }.getOrElse(Map.empty)
+  }
+
   /** Decode an Iceberg single-value binary bound (spec Appendix D:
     * little-endian for numerics, UTF-8 for strings) into the Catalyst
     * internal form [[FooterStats]] comparisons use. Types whose
     * Catalyst comparison semantics don't line up byte-for-byte
-    * return None — no bound beats a wrong bound:
-    *  - decimals, uuid, fixed, binary, nanosecond timestamps:
-    *    representation mismatch;
-    *  - float/double entirely: the Iceberg spec EXCLUDES NaN from
-    *    lower/upper_bounds (tracked in nan_value_counts, which this
-    *    walk doesn't read), and Spark's NaN-is-largest comparison
-    *    means a file whose NaN rows are invisible in its bounds
-    *    would be wrongly skipped for predicates NaN satisfies.
+    * (decimals, uuid, fixed, binary, nanosecond timestamps) return
+    * None — no bound beats a wrong bound. float/double are decoded
+    * here but the CALLER must gate them on `nan_value_counts == 0`:
+    * the spec excludes NaN from bounds, and Spark's NaN-is-largest
+    * comparisons would match rows a NaN-hiding range conceals.
     */
   private def decodeBound(icebergType: String, bytes: Array[Byte]): Option[Any] = {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -285,6 +318,10 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     icebergType match {
       case "int" | "date" if bytes.length == 4 => Some(le.getInt)
       case "long" | "timestamp" | "timestamptz" if bytes.length == 8 => Some(le.getLong)
+      case "float" if bytes.length == 4 =>
+        val f = le.getFloat; if (f.isNaN) None else Some(f)
+      case "double" if bytes.length == 8 =>
+        val d = le.getDouble; if (d.isNaN) None else Some(d)
       case "string" => Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
       case _ => None
     }

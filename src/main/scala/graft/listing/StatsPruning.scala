@@ -71,6 +71,8 @@ object StatsPruning {
 
       case IsNotNull(a: Attribute) =>
         stats.collectFirst { case (n, r) if resolver(n, a.name) => r }.exists(_.allNulls)
+      case IsNull(a: Attribute) =>
+        stats.collectFirst { case (n, r) if resolver(n, a.name) => r }.exists(_.noNulls)
 
       case _ => false
     }

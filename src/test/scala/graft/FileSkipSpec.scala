@@ -64,6 +64,10 @@ class FileSkipSpec extends AnyFunSuite {
     assert(StatsPruning.proveFalse(IsNotNull(id), nullStats, resolver))
     assert(StatsPruning.proveFalse(EqualTo(id, Literal(15L)), nullStats, resolver))
     assert(!prove(IsNotNull(id))) // has values -> keep
+    // IS NULL prunes only with a proven zero null count
+    assert(!prove(IsNull(id)))
+    val noNullStats = Map("id" -> ColRange(10L, 20L, allNulls = false, noNulls = true))
+    assert(StatsPruning.proveFalse(IsNull(id), noNullStats, resolver))
   }
 
   test("footer stats: ranges read from real parquet files") {
@@ -73,7 +77,7 @@ class FileSkipSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(dir)
     val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
     val st = FooterStats.read(spark.sparkContext.hadoopConfiguration, file.getAbsolutePath)
-    assert(st("id") == ColRange(0L, 99L, allNulls = false))
+    assert(st("id") == ColRange(0L, 99L, allNulls = false, noNulls = true))
     assert(st("name").min == u("n0") && st("name").max == u("n99"))
   }
 
