@@ -172,13 +172,15 @@ object Similarity {
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val x = col("embedding")
     val scale = array_max(transform(x, v => abs(v.cast("double"))))
+    // No ordering here: this is a pure map stage. Presentation order
+    // belongs to callers (the s5 registration sorts; s6's top-k
+    // pipeline must NOT inherit a full-table sort before its filter).
     emb.select(
       col("vec_id"),
       round(scale, 6).as("scale"),
       when(scale === 0d, transform(x, _ => lit(0)))
         .otherwise(transform(x, v => (v.cast("double") * lit(127.0) / scale).cast("int")))
         .as("q"))
-      .orderBy("vec_id")
   }
 
   /** Brute-force top-k over the int8-quantized vectors, scored by the
@@ -221,14 +223,18 @@ object Similarity {
        |FROM qz, qv WHERE vec_id <> $queryVecId
        |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
 
-  /** DuckDB oracle for [[quantizeInt8]]. */
+  /** DuckDB oracle for [[quantizeInt8]] — the code list is projected
+    * through to_json (same `[1,2,3]` text both engines) because the
+    * driver's pandas comparator sorts result frames before hashing
+    * and raw array cells are unhashable there.
+    */
   def sqlQuantizeInt8: String =
     """WITH s AS (SELECT vec_id,
       |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
       |  embedding FROM embeddings)
       |SELECT vec_id, round(sc, 6) AS scale,
-      |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+      |  to_json(CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
-      |  END AS q
+      |  END)::VARCHAR AS q
       |FROM s ORDER BY vec_id""".stripMargin
 }

@@ -821,9 +821,15 @@ object Queries {
         Seq("p_partkey", "p_retailprice", "p_size")))),
 
     // symmetric int8 embedding quantization (truncation-exact in
-    // both engines; see Similarity.quantizeInt8)
+    // both engines; see Similarity.quantizeInt8). Presentation only
+    // here: the code array rides through to_json so the driver's
+    // pandas comparator can sort it, and the vec_id sort lives in the
+    // registration, not the operator (s6 reuses the operator sortless).
     "s5_quantize_int8" -> ((
-      (spark: SparkSession, sf: String) => Similarity.quantizeInt8(t(spark, sf, "embeddings")),
+      (spark: SparkSession, sf: String) =>
+        Similarity.quantizeInt8(t(spark, sf, "embeddings"))
+          .select(col("vec_id"), col("scale"), to_json(col("q")).as("q"))
+          .orderBy("vec_id"),
       Similarity.sqlQuantizeInt8)),
 
     // quantized ANN serving: top-k by INTEGER dot product of int8

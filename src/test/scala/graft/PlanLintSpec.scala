@@ -66,6 +66,45 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  /** Global SortExec nodes NOT on the root "presentation spine": a
+    * global sort mid-plan is a full range-shuffle + sort that no
+    * downstream operator asked for (the s6 bug class, round 8 — an
+    * operator's cosmetic orderBy inherited by a pipeline that
+    * immediately re-shuffles). The spine walk descends from the root
+    * through row-preserving wrappers and limits; sorts found there
+    * order the final output and are fine.
+    */
+  private def interiorGlobalSorts(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SortExec] = {
+    import org.apache.spark.sql.execution._
+    def spine(p: SparkPlan, acc: Set[SortExec]): Set[SortExec] = p match {
+      case s: SortExec if s.global => spine(s.child, acc + s)
+      case n @ (_: ProjectExec | _: FilterExec | _: WholeStageCodegenExec |
+                _: InputAdapter | _: CollectLimitExec | _: GlobalLimitExec |
+                _: LocalLimitExec | _: exchange.ShuffleExchangeExec) =>
+        n.children.headOption.map(spine(_, acc)).getOrElse(acc)
+      case _ => acc
+    }
+    val allowed = spine(plan, Set.empty)
+    plan.collect { case s: SortExec if s.global && !allowed(s) => s }
+  }
+
+  test("interior-sort detector fires on the s6 bug shape and not on presentation sorts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1 to 10).toDF("x")
+    // interior: a global sort feeding a downstream stage (the old
+    // quantizeInt8 orderBy inherited by s6's pipeline). The aggregate
+    // is order-SENSITIVE so EliminateSorts must keep the sort — for
+    // order-insensitive consumers the optimizer already deletes it,
+    // which is fine: either way no interior sort survives to physical.
+    val bad = base.orderBy("x").groupBy(($"x" % 2).as("p")).agg(collect_list($"x").as("s"))
+    assert(interiorGlobalSorts(bad.queryExecution.sparkPlan).nonEmpty)
+    // presentation: final orderBy (possibly under a projection) is fine
+    val good = base.groupBy(($"x" % 2).as("p")).agg(sum($"x").as("s")).orderBy("p").select($"s")
+    assert(interiorGlobalSorts(good.queryExecution.sparkPlan).isEmpty)
+  }
+
   test("no registered query plans an unpartitioned window or stray quadratic join") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, (fn, _)) =>
       val plan = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan
@@ -76,10 +115,12 @@ class PlanLintSpec extends AnyFunSuite {
       val bnlj = plan.collect {
         case j: BroadcastNestedLoopJoinExec if !boundIsOneRow(j) => j
       }
+      val interiorSorts = interiorGlobalSorts(plan)
       val problems =
         (if (unpartitionedWindows.nonEmpty) Seq(s"$name: unpartitioned WindowExec") else Nil) ++
         (if (cartesian.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: CartesianProduct") else Nil) ++
-        (if (bnlj.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+        (if (bnlj.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+        (if (interiorSorts.nonEmpty) Seq(s"$name: interior global Sort (${interiorSorts.head.sortOrder.mkString(",")})") else Nil)
       problems
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
