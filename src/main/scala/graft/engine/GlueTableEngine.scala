@@ -402,7 +402,13 @@ final class GlueTableEngine(
           } finally pool.shutdown()
         } else Map.empty[String, Map[String, graft.listing.ColRange]]
       }
-      if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached
+      val visible = if (proxied) cached.map { case (p, s) => rewrite(p) -> s } else cached
+      // Key by Hadoop Path canonical form: listFiles looks ranges up
+      // via FileStatus.getPath.toString, which normalizes the raw
+      // listing string (duplicate slashes in S3 keys, trailing
+      // slashes). A key/lookup mismatch is safe but silently turns
+      // skipping off for that file.
+      visible.map { case (p, s) => new HadoopPath(p).toString -> s }
     }
     val options: Map[String, String] = fmt match {
       // With a declared schema Spark binds CSV columns BY POSITION

@@ -209,11 +209,28 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     val s = if (fieldSchema.getType == Schema.Type.UNION)
       fieldSchema.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(fieldSchema)
     else fieldSchema
-    def micros(us: Long): String =
-      java.time.LocalDateTime.ofEpochSecond(
-        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC)
+    // The rendered string is later cast to the declared type in the
+    // SPARK SESSION timezone. Iceberg stores timestamptz
+    // (adjust-to-utc=true) as an instant — format it in the session
+    // zone so the cast round-trips the same instant in any session;
+    // plain timestamp (adjust-to-utc absent/false) is a wall-clock
+    // value with no zone, rendered as-is.
+    def micros(us: Long, adjustToUtc: Boolean): String = {
+      val zone =
+        if (!adjustToUtc) java.time.ZoneOffset.UTC
+        else java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      java.time.Instant
+        .ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        .atZone(zone)
+        .toLocalDateTime
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    }
+    def adjustToUtc(sch: Schema): Boolean =
+      Option(sch.getObjectProp("adjust-to-utc")).exists {
+        case b: java.lang.Boolean => b.booleanValue()
+        case other                => other.toString == "true"
+      }
     def decimal(unscaled: Array[Byte], scale: Int): String =
       new java.math.BigDecimal(new java.math.BigInteger(unscaled), scale).toPlainString
     def bad(what: String): Nothing = throw new IllegalStateException(
@@ -222,8 +239,10 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     (s.getLogicalType, v) match {
       case (_: LogicalTypes.Date, i: java.lang.Integer) =>
         java.time.LocalDate.ofEpochDay(i.longValue()).toString
-      case (_: LogicalTypes.TimestampMicros, l: java.lang.Long) => micros(l.longValue())
-      case (_: LogicalTypes.TimestampMillis, l: java.lang.Long) => micros(l.longValue() * 1000L)
+      case (_: LogicalTypes.TimestampMicros, l: java.lang.Long) =>
+        micros(l.longValue(), adjustToUtc(s))
+      case (_: LogicalTypes.TimestampMillis, l: java.lang.Long) =>
+        micros(l.longValue() * 1000L, adjustToUtc(s))
       case (d: LogicalTypes.Decimal, bb: java.nio.ByteBuffer) =>
         val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
         decimal(arr, d.getScale)

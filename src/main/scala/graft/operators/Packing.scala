@@ -55,7 +55,10 @@ object Packing {
     val maxId = Option(toks.agg(max("doc_id")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val width = math.max(1L, maxId / buckets + 1)
-    val bucketed = toks.withColumn("bucket", (col("doc_id") / width).cast("long"))
+    // `div` (integer division), never `/`: Spark's `/` on longs is
+    // DOUBLE division, which silently loses exactness past 2^53 —
+    // fatal for an operator whose whole contract is an exact layout.
+    val bucketed = toks.withColumn("bucket", expr(s"doc_id div ${width}L"))
 
     // O(buckets) rows: per-bucket totals -> exclusive prefix offsets.
     val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("tot"))
@@ -75,10 +78,10 @@ object Packing {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        floor(col("cum0") / b).cast("long").as("seq_id"),
+        expr(s"cum0 div ${b}L").as("seq_id"),
         pmod(col("cum0"), lit(b)).as("seq_off"),
         when(col("n_tokens") > 0,
-          floor((col("cum0") + col("n_tokens") - 1) / b) - floor(col("cum0") / b) + 1)
+          expr(s"((cum0 + n_tokens - 1) div ${b}L) - (cum0 div ${b}L) + 1"))
           .otherwise(lit(1L)).cast("long").as("n_seqs"))
       .orderBy("doc_id")
   }

@@ -722,12 +722,19 @@ object Queries {
         // only the fresh batch is shingled here. The path carries a
         // size+mtime stamp of the source parquet, so a regenerated
         // fixture can never silently probe a stale index.
-        val src = new java.io.File(s"$sf/documents.parquet")
-        val leaves = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+        val srcPath = new org.apache.hadoop.fs.Path(s"$sf/documents.parquet")
+        val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val leaves =
+          if (fs.getFileStatus(srcPath).isDirectory) fs.listStatus(srcPath).toSeq
+          else Seq(fs.getFileStatus(srcPath))
         val stamp = java.lang.Long.toHexString(
-          leaves.map(f => f.length() * 1315423911L ^ f.lastModified()).sum)
-        val idx = "/root/repo/target/corpus_index/" +
-          s"${new java.io.File(sf).getName.replace(".", "_")}_${stamp}_n3_t080"
+          leaves.map(st => st.getLen * 1315423911L ^ st.getModificationTime).sum)
+        // index root is configurable (graft.index.root), defaulting to
+        // the JVM temp dir — never a checkout-layout absolute path
+        val root = sys.props.getOrElse("graft.index.root",
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_corpus_index").getPath)
+        val idx = s"$root/" +
+          s"${new org.apache.hadoop.fs.Path(sf).getName.replace(".", "_")}_${stamp}_n3_t080"
         Dedup.ensureCorpusIndex(docs.filter(col("doc_id") % 5 =!= 0), idx, 3, 0.8)
         Dedup.incrementalPairsIndexed(spark, idx, docs.filter(col("doc_id") % 5 === 0))
       },
