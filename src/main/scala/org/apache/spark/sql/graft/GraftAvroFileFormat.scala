@@ -119,7 +119,7 @@ final class GraftAvroFileFormat extends FileFormat with Serializable {
       val fieldPos: Array[Int] =
         requiredSchema.fields.map(f => Option(projected.getField(f.name)).map(_.pos).getOrElse(-1))
       val converters: Array[AnyRef => Any] =
-        requiredSchema.fields.map(f => toInternal(f.dataType))
+        requiredSchema.fields.map(f => converterFor(f.name, f.dataType, file.toPath.toString))
       reader.sync(file.start)
       val end = file.start + file.length
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => close()))
@@ -145,6 +145,25 @@ final class GraftAvroFileFormat extends FileFormat with Serializable {
         }
       }
     } catch { case t: Throwable => close(); throw t }
+  }
+
+  /** [[toInternal]] with the mismatch case named: a writer whose
+    * physical type disagrees with the catalog (e.g. long where the
+    * catalog says int) must fail with the column and file in hand,
+    * not a bare scala.MatchError three stack frames into a task.
+    * try/catch costs nothing on the no-throw path, so this wraps the
+    * per-value converter directly.
+    */
+  private def converterFor(colName: String, dt: DataType, filePath: String): AnyRef => Any = {
+    val base = toInternal(dt)
+    v =>
+      try base(v)
+      catch {
+        case _: MatchError => throw new IllegalStateException(
+          s"$filePath: column '$colName' is declared $dt in the catalog but this file's " +
+            s"Avro writer stored a ${v.getClass.getName} ('$v') — writer/catalog schema " +
+            "mismatch (only int->long and float->double widenings are supported)")
+      }
   }
 
   /** Avro generic datum → Catalyst internal value for one column.

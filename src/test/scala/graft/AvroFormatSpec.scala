@@ -33,4 +33,35 @@ class AvroFormatSpec extends AnyFunSuite {
       assert(got == want) // no dropped or double-read blocks
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
+
+  test("writer/catalog physical-type mismatch fails with column and file named") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = new java.io.File("target/fixtures/avro_mismatch")
+    dir.mkdirs()
+    val schema = SchemaBuilder.record("r").fields().requiredLong("k").endRecord()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-0.avro"))
+    try {
+      val rec = new GenericData.Record(schema); rec.put("k", 7L); w.append(rec)
+    } finally w.close()
+
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "avro_mismatch", Some(dir.getAbsolutePath),
+      columns = Seq(ColumnDef("k", "int")), // catalog lies: writer stored long
+      parameters = Map("classification" -> "avro")))
+    val eng = new GlueTableEngine(spark, cat)
+    val e = intercept[Exception] {
+      eng.query("SELECT k FROM glue.default.avro_mismatch").collect()
+    }
+    // the task failure must surface the named IllegalStateException,
+    // not a bare scala.MatchError
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(msgs.contains("column 'k'"), msgs)
+    assert(msgs.contains("part-0.avro"), msgs)
+    assert(msgs.contains("mismatch"), msgs)
+    assert(!msgs.contains("scala.MatchError"), msgs)
+  }
 }
