@@ -29,8 +29,22 @@ import scala.util.Try
 /** `noNulls` defaults to false — the safe direction (it only ever
   * ENABLES `IS NULL` pruning, so an absent null count merely skips
   * less).
+  *
+  * `mayHideNaN`: set on float/double ranges from sources that carry
+  * no NaN evidence (parquet/ORC footers — parquet-format 1.16 has no
+  * nan_count field; verified against the jars). Per the parquet
+  * spec's stats compatibility rule, a FINITE min/max still bounds
+  * every non-NaN row for all known writer behaviors (NaN-propagating
+  * writers produce a NaN bound, which is rejected outright), but NaN
+  * rows may hide behind the finite bounds. Under Spark's
+  * NaN-is-largest semantics that breaks only the UPPER bound — every
+  * row, NaN included, still satisfies `row >= min` — so the prover
+  * keeps min-side and equality proofs and refuses max-side ones.
+  * Iceberg ranges gated on `nan_value_counts == 0` are NaN-free and
+  * leave this false (full two-sided pruning).
   */
-final case class ColRange(min: Any, max: Any, allNulls: Boolean, noNulls: Boolean = false)
+final case class ColRange(min: Any, max: Any, allNulls: Boolean, noNulls: Boolean = false,
+    mayHideNaN: Boolean = false)
 
 object FooterStats {
 
@@ -76,11 +90,14 @@ object FooterStats {
           val s = c.getStatistics
           s != null && s.isNumNullsSet && s.getNumNulls == 0
         }
+        // footers carry no NaN counts (parquet-format 1.16): finite
+        // float/double bounds may hide NaN rows -> one-sided range
+        val floaty = tpe.getPrimitiveTypeName == FLOAT || tpe.getPrimitiveTypeName == DOUBLE
         val ranges = parsed.flatten.collect { case r: Range => r }
         if (ranges.isEmpty) Some(name -> ColRange(null, null, allNulls = true))
         else Some(name -> ColRange(
           ranges.map(_.min).min(ord), ranges.map(_.max).max(ord),
-          allNulls = false, noNulls = noNulls))
+          allNulls = false, noNulls = noNulls, mayHideNaN = floaty))
       }
     }
   }
@@ -100,10 +117,13 @@ object FooterStats {
     * Returns None for combinations where the mapping is ambiguous or
     * the comparison semantics differ — never guess:
     *  - decimals, int96, millis timestamps: representation mismatch;
-    *  - FLOAT/DOUBLE entirely: the parquet spec leaves NaN handling
-    *    in stats writer-defined (parquet-mr propagates NaN, Arrow
-    *    skips it), and a NaN row excluded from max wrongly skips
-    *    under Spark's NaN-is-largest comparison semantics;
+    *  - FLOAT/DOUBLE with a NaN bound: per the parquet spec's stats
+    *    compatibility rule a NaN min/max must be ignored (that is the
+    *    NaN-PROPAGATING writer fingerprint). Finite float bounds are
+    *    admitted, but [[collect]] marks them `mayHideNaN` because the
+    *    spec also allows writers to SKIP NaN when computing bounds —
+    *    the prover then refuses max-side proofs (Spark treats NaN as
+    *    largest, so a hidden NaN row breaks only the upper bound);
     *  - pre-Gregorian dates/timestamps: legacy-rebase ambiguity.
     */
   private def toCatalyst(tpe: org.apache.parquet.schema.PrimitiveType, v: AnyRef): Option[Any] = {
@@ -123,6 +143,12 @@ object FooterStats {
         if (us >= GregorianCutoverMicros) Some(us) else None
       case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.getBitWidth == 64 =>
         Some(v.asInstanceOf[java.lang.Long].longValue)
+      case (FLOAT, null) =>
+        val f = v.asInstanceOf[java.lang.Float].floatValue
+        if (f.isNaN) None else Some(f)
+      case (DOUBLE, null) =>
+        val d = v.asInstanceOf[java.lang.Double].doubleValue
+        if (d.isNaN) None else Some(d)
       case (BINARY, _: StringLogicalTypeAnnotation) =>
         Some(UTF8String.fromBytes(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
       case _ => None
@@ -184,11 +210,22 @@ object FooterStats {
             Some(ColRange(i.getMinimum, i.getMaximum, allNulls = false, noNulls = noNulls))
           case _ => None // byte/short literals won't compare as Int
         }
-      // FLOAT/DOUBLE deliberately unsupported: ORC's stats writer
-      // skips NaN when updating min/max (unless NaN arrives first),
-      // so a clean-looking range can hide NaN rows that Spark's
-      // NaN-is-largest comparisons WOULD match — skipping on such a
-      // range silently drops rows.
+      // FLOAT/DOUBLE: ORC's stats writer skips NaN when updating
+      // min/max (unless NaN arrives first, which leaves a NaN bound
+      // — rejected here), so a finite range can hide NaN rows. Same
+      // contract as parquet footers: admit the range as mayHideNaN
+      // and let the prover refuse max-side proofs.
+      case d: org.apache.orc.DoubleColumnStatistics
+          if d.getNumberOfValues > 0 && !d.getMinimum.isNaN && !d.getMaximum.isNaN =>
+        tpe.getCategory match {
+          case Category.FLOAT => // float→double stat conversion is exact; narrow back
+            Some(ColRange(d.getMinimum.toFloat, d.getMaximum.toFloat,
+              allNulls = false, noNulls = !d.hasNull, mayHideNaN = true))
+          case Category.DOUBLE =>
+            Some(ColRange(d.getMinimum, d.getMaximum,
+              allNulls = false, noNulls = !d.hasNull, mayHideNaN = true))
+          case _ => None
+        }
       case st: org.apache.orc.StringColumnStatistics
           if st.getMinimum != null && st.getMaximum != null =>
         Some(ColRange(UTF8String.fromString(st.getMinimum),

@@ -43,14 +43,21 @@ object StatsPruning {
       case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => outside(a, v, sk)
       case EqualNullSafe(Literal(v, _), a: Attribute) if v != null => outside(a, v, sk)
 
-      case GreaterThan(a: Attribute, Literal(v, _))        => sk(a, v)(r => cmp(r.max, v).exists(_ <= 0))
+      // Max-side proofs ("no row can exceed max") are refused on
+      // mayHideNaN ranges: a NaN row hidden behind finite footer
+      // bounds satisfies `a > v` / `v < a` under Spark's
+      // NaN-is-largest comparisons. Min-side proofs stay — every row
+      // including NaN still satisfies `row >= min` — as do the
+      // equality/IN shapes in [[outside]] (NaN equals only NaN, and a
+      // NaN literal is incomparable in cmp, so it never proves).
+      case GreaterThan(a: Attribute, Literal(v, _))        => sk(a, v)(r => !r.mayHideNaN && cmp(r.max, v).exists(_ <= 0))
       case GreaterThan(Literal(v, _), a: Attribute)        => sk(a, v)(r => cmp(r.min, v).exists(_ >= 0))
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => sk(a, v)(r => cmp(r.max, v).exists(_ < 0))
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => sk(a, v)(r => !r.mayHideNaN && cmp(r.max, v).exists(_ < 0))
       case GreaterThanOrEqual(Literal(v, _), a: Attribute) => sk(a, v)(r => cmp(r.min, v).exists(_ > 0))
       case LessThan(a: Attribute, Literal(v, _))           => sk(a, v)(r => cmp(r.min, v).exists(_ >= 0))
-      case LessThan(Literal(v, _), a: Attribute)           => sk(a, v)(r => cmp(r.max, v).exists(_ <= 0))
+      case LessThan(Literal(v, _), a: Attribute)           => sk(a, v)(r => !r.mayHideNaN && cmp(r.max, v).exists(_ <= 0))
       case LessThanOrEqual(a: Attribute, Literal(v, _))    => sk(a, v)(r => cmp(r.min, v).exists(_ > 0))
-      case LessThanOrEqual(Literal(v, _), a: Attribute)    => sk(a, v)(r => cmp(r.max, v).exists(_ < 0))
+      case LessThanOrEqual(Literal(v, _), a: Attribute)    => sk(a, v)(r => !r.mayHideNaN && cmp(r.max, v).exists(_ < 0))
 
       case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.map(_.asInstanceOf[Literal].value).forall(v => outside(a, v, sk))

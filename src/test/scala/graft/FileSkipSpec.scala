@@ -70,6 +70,24 @@ class FileSkipSpec extends AnyFunSuite {
     assert(StatsPruning.proveFalse(IsNull(id), noNullStats, resolver))
   }
 
+  test("prover: mayHideNaN ranges allow min-side/equality, refuse max-side") {
+    val d = AttributeReference("d", org.apache.spark.sql.types.DoubleType)()
+    val hide = Map("d" -> ColRange(1.0, 10.0, allNulls = false, mayHideNaN = true))
+    def p(e: Expression) = StatsPruning.proveFalse(e, hide, resolver)
+    assert(p(EqualTo(d, Literal(42.0))))           // equality: NaN-immune
+    assert(p(In(d, Seq(Literal(0.25), Literal(42.0)))))
+    assert(p(LessThan(d, Literal(0.5))))           // min-side: NaN >= min always
+    assert(p(GreaterThan(Literal(0.5), d)))        // 0.5 > d, min-side
+    assert(!p(GreaterThan(d, Literal(42.0))))      // max-side: hidden NaN would match
+    assert(!p(GreaterThanOrEqual(d, Literal(42.0))))
+    assert(!p(LessThan(Literal(42.0), d)))         // 42 < d: hidden NaN would match
+    assert(!p(LessThanOrEqual(Literal(42.0), d)))
+    assert(!p(EqualTo(d, Literal(Double.NaN))))    // NaN literal never proves
+    // NaN-free source (Iceberg nan_value_counts == 0): both sides prune
+    val clean = Map("d" -> ColRange(1.0, 10.0, allNulls = false))
+    assert(StatsPruning.proveFalse(GreaterThan(d, Literal(42.0)), clean, resolver))
+  }
+
   test("footer stats: ranges read from real parquet files") {
     val dir = "/root/repo/target/fskip_footer"
     import spark.implicits._
@@ -183,7 +201,7 @@ class FileSkipSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("float/double stats never prune (NaN-in-bounds is writer-defined)") {
+  test("float/double stats: NaN-immune shapes prune, max-side proofs refuse") {
     val dir = "/root/repo/target/fskip_float"
     import spark.implicits._
     (0L until 400L).map(i => (i, i.toDouble)).toDF("id", "d")
@@ -193,10 +211,10 @@ class FileSkipSpec extends AnyFunSuite {
     val eng = new GlueTableEngine(spark, cat)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // id (long) prunes; d (double) must NOT — parquet/ORC/Iceberg
-      // writers exclude NaN from float stats in writer-defined ways,
-      // and Spark's NaN-is-largest comparisons would match rows the
-      // bounds hide
+      // Footers carry no NaN counts, so finite double bounds may hide
+      // NaN rows. NaN satisfies no equality/< against a finite
+      // literal (NaN-immune shapes -> prune), but DOES satisfy `>`
+      // under Spark's NaN-is-largest comparisons (max-side -> keep).
       def files(pred: String): Long = {
         val df = eng.query(s"SELECT id FROM glue.d.fl WHERE $pred")
         df.collect()
@@ -205,7 +223,45 @@ class FileSkipSpec extends AnyFunSuite {
         }.head.metrics("numFiles").value
       }
       assert(files("id = 42") == 1)
-      assert(files("d = 42.0") == 4, "double predicate must not prune files")
+      assert(files("d = 42.0") == 1, "equality is NaN-immune: must prune")
+      assert(files("d < 100.0") == 1, "min-side proof is NaN-safe: must prune")
+      assert(files("d > 300.0") == 4, "max-side proof must refuse: bounds may hide NaN")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("a hidden NaN row survives max-side predicates (why the refusal exists)") {
+    val dir = "/root/repo/target/fskip_float_nan"
+    import spark.implicits._
+    // file A: clean [0..10]; file B: [500..600] plus one NaN row.
+    Seq.tabulate(11)(i => (i.toLong, i.toDouble)).toDF("id", "d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    (Seq.tabulate(5)(i => (100L + i, 500.0 + i)) :+ ((999L, Double.NaN)))
+      .toDF("id", "d").coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    val merged = "/root/repo/target/fskip_float_nan_tbl"
+    val md = new java.io.File(merged); md.mkdirs()
+    md.listFiles().foreach(_.delete())
+    Seq("a", "b").foreach { sub =>
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, new java.io.File(md, s"$sub.parquet").toPath)
+    }
+    val cat = new FixtureCatalog().register(GlueTable("d", "flnan", Some(merged)))
+    val eng = new GlueTableEngine(spark, cat)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // NaN > 5000 is TRUE in Spark (NaN is largest): the NaN row
+      // must come back even though every finite value is far below —
+      // pruning file A on its max would be wrong-in-kind, and file
+      // B's NaN max already voids its stats.
+      val df = eng.query("SELECT id FROM glue.d.flnan WHERE d > 5000.0")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(999L))
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.head.metrics("numFiles").value == 2, "no file may be skipped for a max-side proof")
+      // the NaN-immune shapes still prune file A out of an equality probe
+      val eq = eng.query("SELECT id FROM glue.d.flnan WHERE d = 502.0")
+      assert(eq.collect().map(_.getLong(0)).toSeq == Seq(102L))
+      assert(eq.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .head.metrics("numFiles").value == 1, "clean file A's range excludes 502.0")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
