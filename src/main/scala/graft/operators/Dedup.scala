@@ -328,39 +328,97 @@ object Dedup {
     */
   def writeCorpusIndex(corpus: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.8, buckets: Int = 256): Unit = {
-    spread(corpus)
+    val docs = spread(corpus)
       .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
-      .write.mode("overwrite").parquet(s"$path/docs")
+    docs.write.mode("overwrite").parquet(s"$path/docs/batch=$BaseBatch")
     writeIndexMeta(corpus.sparkSession, path, n, threshold, buckets)
     appendPrefix(corpus.sparkSession, path,
-      corpus.sparkSession.read.parquet(s"$path/docs"), threshold, buckets, overwrite = true)
+      corpus.sparkSession.read.parquet(s"$path/docs/batch=$BaseBatch"),
+      threshold, buckets, BaseBatch)
   }
+
+  /** Every docs/prefix write lands under its own `batch=<token>`
+    * partition directory. That makes appends IDEMPOTENT per token: a
+    * replayed streaming batch overwrites its own directory instead of
+    * duplicating rows (duplicate doc rows would multiply pairs
+    * through the verification join, not just candidates).
+    */
+  private val BaseBatch = "base"
 
   /** Extend an existing index with an ACCEPTED batch (call after
     * [[incrementalPairsIndexed]] admitted it): one shingle pass over
-    * the batch, appended to both tables with the index's pinned
-    * parameters.
+    * the batch, written to both tables under `batch=<batchToken>`
+    * with the index's pinned parameters. Re-calling with the SAME
+    * token (streaming replay) overwrites rather than duplicates;
+    * the default random token gives plain at-least-once appends.
+    *
+    * After the append, batch directories beyond `maxAppendBatches`
+    * are tier-compacted: the accumulated append batches (never the
+    * base corpus) merge into one directory, so file count stays
+    * O(maxAppendBatches + buckets) however many batches arrive.
     */
-  def appendCorpusIndex(fresh: DataFrame, path: String): Unit = {
+  def appendCorpusIndex(fresh: DataFrame, path: String,
+      batchToken: String = java.util.UUID.randomUUID().toString,
+      maxAppendBatches: Int = 8): Unit = {
+    require(batchToken.nonEmpty && batchToken != BaseBatch &&
+      !batchToken.startsWith("compact-"), s"reserved batch token: $batchToken")
     val spark = fresh.sparkSession
     val (n, threshold, buckets) = readIndexMeta(spark, path)
     val docs = spread(fresh)
       .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
-    docs.write.mode("append").parquet(s"$path/docs")
-    appendPrefix(spark, path, docs, threshold, buckets, overwrite = false)
+    docs.write.mode("overwrite").parquet(s"$path/docs/batch=$batchToken")
+    appendPrefix(spark, path, docs, threshold, buckets, batchToken)
+    compactAppendedBatches(spark, path, threshold, buckets, maxAppendBatches)
   }
 
   private def appendPrefix(spark: org.apache.spark.sql.SparkSession, path: String,
-      docs: DataFrame, threshold: Double, buckets: Int, overwrite: Boolean): Unit = {
+      docs: DataFrame, threshold: Double, buckets: Int, batchToken: String): Unit = {
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     docs.select(col("doc_id"), col("nh"),
         explode(slice(col("hs"), lit(1), plen)).as("h"))
       .withColumn("b", pmod(col("h"), lit(buckets)))
       .repartition(buckets, col("b")) // cluster: ~one file per bucket dir
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("b").parquet(s"$path/prefix")
+      .write.mode("overwrite")
+      .partitionBy("b").parquet(s"$path/prefix/batch=$batchToken")
+  }
+
+  /** Tiered compaction of the index's APPENDED batches: once more
+    * than `maxAppendBatches` batch dirs exist (base excluded), merge
+    * them into a single `batch=compact-<t>` dir and rebuild its
+    * prefix postings from the stored hash arrays (no text
+    * re-shingle). The base corpus is never rewritten, so each
+    * compaction costs what arrived since the last one — the shape
+    * that survives a 100 TB base with small daily batches.
+    *
+    * Crash ordering: the merged replacement is written BEFORE the old
+    * dirs are deleted — a crash in between leaves duplicate rows
+    * (healed by the next compaction's dropDuplicates), never lost
+    * docs.
+    */
+  private def compactAppendedBatches(spark: org.apache.spark.sql.SparkSession,
+      path: String, threshold: Double, buckets: Int, maxAppendBatches: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(sessionHadoopConf(spark))
+    def appendDirs(sub: String): Seq[org.apache.hadoop.fs.Path] = {
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$BaseBatch")
+    }
+    val docDirs = appendDirs("docs")
+    if (docDirs.size <= maxAppendBatches) return
+    val prefixDirs = appendDirs("prefix")
+    // the token must not collide with a dir being merged: the merge
+    // read is lazy, so writing into an input dir would corrupt it
+    var token = s"compact-${System.currentTimeMillis()}"
+    while (docDirs.exists(_.getName == s"batch=$token")) token += "x"
+    val merged = spark.read.parquet(docDirs.map(_.toString): _*)
+      .select("doc_id", "hs", "nh").dropDuplicates("doc_id")
+    merged.write.mode("overwrite").parquet(s"$path/docs/batch=$token")
+    appendPrefix(spark, path,
+      spark.read.parquet(s"$path/docs/batch=$token"), threshold, buckets, token)
+    (docDirs ++ prefixDirs).foreach(p => fs.delete(p, true))
   }
 
   /** [[incrementalPairs]] against a PERSISTED corpus index: same

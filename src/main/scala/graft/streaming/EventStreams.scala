@@ -109,12 +109,13 @@ object EventStreams {
     * watermark to bound.
     *
     * Failure semantics: survivors land under `outPath/batch=<id>`
-    * with overwrite, so a replayed batch (restart between the two
-    * appends) rewrites its own directory instead of duplicating
-    * rows. The index append is at-least-once — replay can leave
-    * duplicate postings there, which costs duplicate CANDIDATES
-    * (deduped by the prober's `.distinct()` before verification),
-    * never missed or phantom survivors.
+    * with overwrite, and the index append carries the SAME batch id
+    * as its token, so a replayed batch rewrites both its output and
+    * its index directories instead of duplicating rows — exactly-once
+    * index contents per batch id. Old appended batch dirs are
+    * tier-compacted by [[graft.operators.Dedup.appendCorpusIndex]],
+    * keeping the index's file count bounded however many micro-
+    * batches arrive.
     */
   def nearDupIngest(docs: DataFrame, indexPath: String, outPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -138,7 +139,7 @@ object EventStreams {
           val survivors = batch.join(drops, Seq("doc_id"), "left_anti").persist()
           try {
             survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-            Dedup.appendCorpusIndex(survivors.toDF(), indexPath)
+            Dedup.appendCorpusIndex(survivors.toDF(), indexPath, batchToken = s"s$batchId")
           } finally survivors.unpersist()
         } finally pairs.unpersist()
       }

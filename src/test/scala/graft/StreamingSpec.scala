@@ -52,6 +52,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(11L, 21L), s"got $kept")
   }
 
+  test("index stays bounded and idempotent across many small ingest batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = s"/root/repo/target/stream_ndi_cmp_${System.nanoTime()}"
+    val out = s"/root/repo/target/stream_ndi_cmp_out_${System.nanoTime()}"
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeCorpusIndex(corpus, idx, n = 3, threshold = 0.8, buckets = 4)
+    def batchDirs(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$idx/$sub")
+      d.listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSeq
+    }
+    def parquetFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/$sub")).count(_.getName.endsWith(".parquet"))
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupIngest(mem.toDF().toDF("doc_id", "text"), idx, out)
+    val nBatches = 12
+    try {
+      (0 until nBatches).foreach { i =>
+        // each batch: one novel doc (distinct vocab per batch)
+        mem.addData((100L + i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // tier compaction (maxAppendBatches = 8) must keep the batch-dir
+    // count bounded — 12 appends may NOT mean 12 dirs
+    val docDirs = batchDirs("docs")
+    assert(docDirs.size <= 10, s"docs batch dirs grew unbounded: $docDirs")
+    assert(batchDirs("prefix").size <= 10, "prefix batch dirs grew unbounded")
+    assert(parquetFiles("docs") < nBatches * 4, "docs file count must not grow per-batch unbounded")
+    // every accepted doc still probes as a dup after compaction, and
+    // doc rows stay unique (replay/compaction never duplicates)
+    val docsTbl = spark.read.parquet(s"$idx/docs")
+    assert(docsTbl.count() == docsTbl.select("doc_id").distinct().count(), "duplicate doc rows in index")
+    assert(docsTbl.count() == 1 + nBatches)
+    val redup = graft.operators.Dedup.incrementalPairsIndexed(spark, idx,
+      Seq((999L, "w3a w3b w3c w3d w3e w3f")).toDF("doc_id", "text"))
+    assert(redup.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((103L, 999L)), "compacted index must still surface its docs as dup partners")
+    // idempotent re-append with the same token: same row count after
+    graft.operators.Dedup.appendCorpusIndex(
+      Seq((100L, "w0a w0b w0c w0d w0e w0f")).toDF("doc_id", "text"), idx, batchToken = "replay-t")
+    val n1 = spark.read.parquet(s"$idx/docs").count()
+    graft.operators.Dedup.appendCorpusIndex(
+      Seq((100L, "w0a w0b w0c w0d w0e w0f")).toDF("doc_id", "text"), idx, batchToken = "replay-t")
+    assert(spark.read.parquet(s"$idx/docs").count() == n1, "same-token append must overwrite, not duplicate")
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val batchDf = spark.read.parquet(streamDir)
     val stream = spark.readStream.schema(batchDf.schema).parquet(streamDir)
