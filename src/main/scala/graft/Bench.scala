@@ -31,7 +31,14 @@ object Bench {
     // that measures write throughput, and folding a full-table rewrite
     // into a query-latency total misstates both.
     val writeOps = Set("g14_compact")
+    // Optional subset filter (comma-separated names): lets a drift
+    // bisect run an older round's exact query set in one session, so
+    // per-session effects (warm-pass size, JVM/codegen state) are
+    // held at that round's shape instead of today's.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchQueries = SparkEntry.queries.filterNot { case (k, _) => writeOps(k) }
+      .filter { case (k, _) => subset.forall(_.contains(k)) }
 
     // one-time fixture generation + engine warm-up, outside timing
     TestFixtures.engineFor(spark, sfDir)

@@ -33,6 +33,13 @@ ALLOW = {
 def load(path):
     with open(path) as f:
         d = json.load(f)
+    if "queries" not in d and "tail" in d:
+        # driver-shaped artifact (BENCH_r{N}.json): the bench JSON line
+        # is embedded in the captured process tail
+        import re
+        m = re.search(r'\{"metric".*\}', d["tail"])
+        if m:
+            d = json.loads(m.group(0))
     if "queries" not in d:
         sys.exit(f"{path}: not a bench artifact (no 'queries' key)")
     return d
