@@ -171,16 +171,28 @@ object Similarity {
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val x = col("embedding")
-    val scale = array_max(transform(x, v => abs(v.cast("double"))))
     // No ordering here: this is a pure map stage. Presentation order
     // belongs to callers (the s5 registration sorts; s6's top-k
     // pipeline must NOT inherit a full-table sort before its filter).
     emb.select(
       col("vec_id"),
-      round(scale, 6).as("scale"),
-      when(scale === 0d, transform(x, _ => lit(0)))
-        .otherwise(transform(x, v => (v.cast("double") * lit(127.0) / scale).cast("int")))
-        .as("q"))
+      round(qScaleCol(x), 6).as("scale"),
+      qCodesCol(x).as("q"))
+  }
+
+  /** Max-abs scale of a vector column, in DOUBLE. */
+  private def qScaleCol(x: org.apache.spark.sql.Column) =
+    array_max(transform(x, v => abs(v.cast("double"))))
+
+  /** Int8 code list of a vector column: truncation toward zero,
+    * all-zero vectors to zeros (shared by [[quantizeInt8]] and the
+    * index writer so stored codes can never drift from the ad-hoc
+    * quantization path).
+    */
+  private def qCodesCol(x: org.apache.spark.sql.Column) = {
+    val scale = qScaleCol(x)
+    when(scale === 0d, transform(x, _ => lit(0)))
+      .otherwise(transform(x, v => (v.cast("double") * lit(127.0) / scale).cast("int")))
   }
 
   /** Brute-force top-k over the int8-quantized vectors, scored by the
@@ -237,4 +249,136 @@ object Similarity {
       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
       |  END)::VARCHAR AS q
       |FROM s ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------- persisted ANN index
+
+  /** Persisted ANN index — the serving-shaped layout s1–s3 lack
+    * (those recompute their quantizer with a full scan per query; at
+    * 100 TB that is a corpus scan per lookup). The IVF "inverted
+    * list" layout: `<path>/lists` holds `(vec_id, scale, q)` int8
+    * codes DIRECTORY-PARTITIONED by the LSH `bucket` id
+    * ([[bucketId]] — deterministic integer hyperplanes, so the
+    * bucketing is exactly replicable by the oracle and by driver-side
+    * query prep). A probe filters on the partition column, so Spark's
+    * static partition pruning reads ONLY the probed lists —
+    * nprobe/2^planes of the index, independent of corpus size — and
+    * ranks int8 codes (4× less IO than raw floats) by integer dot.
+    * `<path>/_graft_ann_meta.json` pins the plane count; probing an
+    * index built with different planes is rejected rather than
+    * silently routed wrong. Valid for an immutable corpus — rebuild
+    * on corpus rewrite, the same contract as [[Dedup.writeCorpusIndex]].
+    */
+  def writeAnnIndex(emb: DataFrame, path: String): Unit = {
+    emb.select(
+        col("vec_id"),
+        round(qScaleCol(col("embedding")), 6).as("scale"),
+        qCodesCol(col("embedding")).as("q"),
+        bucketId(col("embedding")).as("bucket"))
+      // hash-cluster by bucket so each bucket directory gets ~one
+      // file (a fragmented list defeats the probe's point-read shape)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
+    val out = p.getFileSystem(
+      org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
+        .sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(
+      s"""{"planes": $LshPlanes, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Build the ANN index iff its meta marker is absent (the
+    * rebuild-if-missing entry point query wiring uses).
+    */
+  def ensureAnnIndex(emb: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
+        .sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) writeAnnIndex(emb, path)
+  }
+
+  private def readAnnMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"planes":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"malformed ANN index meta at $p: $txt"))
+  }
+
+  /** Driver-side replica of [[bucketId]] for ONE query vector: the
+    * same IEEE double multiply-adds in the same (array-order) fold,
+    * so the computed bucket is bit-identical to what the index writer
+    * computed in Spark for the same vector.
+    */
+  def bucketOf(vec: Seq[Float]): Long =
+    (0 until LshPlanes).map { j =>
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i).toDouble * planeWeight(j, i + 1).toDouble; i += 1 }
+      if (s > 0) 1L << j else 0L
+    }.sum
+
+  /** Driver-side replica of [[quantizeInt8]]'s code list for one
+    * query vector (max-abs DOUBLE scale, truncation toward zero —
+    * exactly the operations the stored codes went through).
+    */
+  def quantizeVec(vec: Seq[Float]): Array[Int] = {
+    val scale = vec.foldLeft(0.0)((m, v) => math.max(m, math.abs(v.toDouble)))
+    if (scale == 0.0) Array.fill(vec.length)(0)
+    else vec.map(v => (v.toDouble * 127.0 / scale).toInt).toArray
+  }
+
+  /** Probe the persisted index: quantize + bucket the query VECTOR on
+    * the driver (pure arithmetic, no corpus access), then rank ONLY
+    * the probed bucket lists by integer dot product. `multiprobe`
+    * additionally probes the hamming-1 buckets (the recall knob, as
+    * in [[lshTopKMultiprobe]] — still 1+planes of 2^planes lists).
+    * The plan this produces is the one a serving tier wants: a
+    * partition-pruned scan of pre-quantized codes, a codegen'd map,
+    * and a TakeOrdered(k) — no join, no shuffle, no full-table read.
+    */
+  def queryAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      vec: Seq[Float], k: Int, multiprobe: Boolean = false,
+      excludeVecId: Long = Long.MinValue): DataFrame = {
+    val planes = readAnnMeta(spark, path)
+    require(planes == LshPlanes,
+      s"index at $path was built with $planes planes; this library computes $LshPlanes")
+    val qb = bucketOf(vec)
+    val buckets: Seq[Long] =
+      if (multiprobe) qb +: (0 until LshPlanes).map(j => qb ^ (1L << j)) else Seq(qb)
+    val qq = quantizeVec(vec).toSeq
+    val dotInt = aggregate(
+      zip_with(col("q"), typedLit(qq), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    spark.read.parquet(s"$path/lists")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), dotInt.as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for a single-probe [[queryAnnIndex]] whose query
+    * vector is row `queryVecId` of the embeddings table: quantize
+    * everything, keep the query's bucket, rank by integer dot.
+    */
+  def sqlAnnIndexed(queryVecId: Long, k: Int): String =
+    s"""WITH s AS (SELECT vec_id,
+       |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+       |  embedding FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+       |  END AS q,
+       |  ${sqlBucketId("embedding")} AS bucket FROM s),
+       |qv AS (SELECT q AS qq, bucket AS qb FROM qz WHERE vec_id = $queryVecId)
+       |SELECT vec_id, list_reduce(list_prepend(0::BIGINT,
+       |    [q[i]::BIGINT * qq[i]::BIGINT for i in range(1, len(q) + 1)]),
+       |    (s, v) -> s + v) AS score
+       |FROM qz, qv WHERE bucket = qb AND vec_id <> $queryVecId
+       |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
 }

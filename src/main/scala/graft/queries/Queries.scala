@@ -21,6 +21,28 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Location for a persisted index derived from `$sfDir/$table
+    * .parquet`. The path carries a size+mtime stamp of the source
+    * parquet, so a regenerated fixture can never silently probe a
+    * stale index; the root is configurable (graft.index.root),
+    * defaulting to the JVM temp dir — never a checkout-layout
+    * absolute path.
+    */
+  private def stampedIndexPath(spark: SparkSession, sfDir: String,
+      table: String, suffix: String): String = {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves =
+      if (fs.getFileStatus(srcPath).isDirectory) fs.listStatus(srcPath).toSeq
+      else Seq(fs.getFileStatus(srcPath))
+    val stamp = java.lang.Long.toHexString(
+      leaves.map(st => st.getLen * 1315423911L ^ st.getModificationTime).sum)
+    val root = sys.props.getOrElse("graft.index.root",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_corpus_index").getPath)
+    s"$root/${new org.apache.hadoop.fs.Path(sfDir).getName.replace(".", "_")}" +
+      s"_${table}_${stamp}_$suffix"
+  }
+
   private def dec2(c: String) = col(c).cast("decimal(18,2)")
 
   // ================================================================ core SQL
@@ -719,22 +741,8 @@ object Queries {
         val docs = t(spark, sf, "documents")
         // daily-ingest shape: the corpus side comes from the PERSISTED
         // prefix index (built once per corpus, reused across batches);
-        // only the fresh batch is shingled here. The path carries a
-        // size+mtime stamp of the source parquet, so a regenerated
-        // fixture can never silently probe a stale index.
-        val srcPath = new org.apache.hadoop.fs.Path(s"$sf/documents.parquet")
-        val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val leaves =
-          if (fs.getFileStatus(srcPath).isDirectory) fs.listStatus(srcPath).toSeq
-          else Seq(fs.getFileStatus(srcPath))
-        val stamp = java.lang.Long.toHexString(
-          leaves.map(st => st.getLen * 1315423911L ^ st.getModificationTime).sum)
-        // index root is configurable (graft.index.root), defaulting to
-        // the JVM temp dir — never a checkout-layout absolute path
-        val root = sys.props.getOrElse("graft.index.root",
-          new java.io.File(sys.props("java.io.tmpdir"), "graft_corpus_index").getPath)
-        val idx = s"$root/" +
-          s"${new org.apache.hadoop.fs.Path(sf).getName.replace(".", "_")}_${stamp}_n3_t080"
+        // only the fresh batch is shingled here.
+        val idx = stampedIndexPath(spark, sf, "documents", "n3_t080")
         Dedup.ensureCorpusIndex(docs.filter(col("doc_id") % 5 =!= 0), idx, 3, 0.8)
         Dedup.incrementalPairsIndexed(spark, idx, docs.filter(col("doc_id") % 5 === 0))
       },
@@ -844,6 +852,23 @@ object Queries {
     "s6_ann_quantized" -> ((
       (spark: SparkSession, sf: String) => Similarity.quantizedTopK(t(spark, sf, "embeddings"), 0L, 10),
       Similarity.sqlQuantizedTopK(0L, 10))),
+
+    // ANN against the PERSISTED index (built once per corpus, like
+    // d11's prefix index): the query vector is fetched by id, then
+    // quantized + bucketed driver-side, and the probe reads only the
+    // query's bucket partition of the pre-quantized lists — the
+    // serving shape, no per-query corpus scan (vs s1–s3/s6 which
+    // quantize or bucket the whole table per query)
+    "s7_ann_indexed" -> ((
+      (spark: SparkSession, sf: String) => {
+        val emb = t(spark, sf, "embeddings")
+        val idx = stampedIndexPath(spark, sf, "embeddings", "ann_p4_int8")
+        Similarity.ensureAnnIndex(emb, idx)
+        val qvec = emb.filter(col("vec_id") === 0L)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.queryAnnIndex(spark, idx, qvec, 10, excludeVecId = 0L)
+      },
+      Similarity.sqlAnnIndexed(0L, 10))),
 
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),

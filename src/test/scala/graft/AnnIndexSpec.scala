@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted ANN index: probe correctness against the ad-hoc
+  * quantized ranking, the only-probed-buckets-read guarantee, and
+  * build-once semantics.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  private def freshPath(tag: String) =
+    s"/root/repo/target/ann_index_${tag}_${System.nanoTime()}"
+
+  test("probe equals the single-probe quantized ranking computed ad hoc") {
+    val path = freshPath("eq")
+    Similarity.writeAnnIndex(emb, path)
+    val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val got = Similarity.queryAnnIndex(spark, path, qvec, 10, excludeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // expected: quantize everything in-engine, keep the query's
+    // bucket, rank by the same integer dot
+    val q = Similarity.quantizeInt8(emb)
+      .join(emb.select(col("vec_id"), Similarity.bucketId(col("embedding")).as("bucket")), "vec_id")
+    val qq = Similarity.quantizeVec(qvec).toSeq
+    val qb = Similarity.bucketOf(qvec)
+    val dotInt = aggregate(
+      zip_with(col("q"), typedLit(qq), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val want = q.filter(col("bucket") === qb && col("vec_id") =!= 0L)
+      .select(col("vec_id"), dotInt.as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("driver-side bucket and codes match the Spark-computed index rows") {
+    val path = freshPath("drv")
+    Similarity.writeAnnIndex(emb, path)
+    val stored = spark.read.parquet(s"$path/lists")
+      .select("vec_id", "q", "bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getAs[Number](2).longValue()))).toMap
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    raw.foreach { case (id, vec) =>
+      val (qStored, bStored) = stored(id)
+      assert(Similarity.bucketOf(vec) == bStored, s"bucket mismatch for vec $id")
+      assert(Similarity.quantizeVec(vec).toSeq == qStored, s"codes mismatch for vec $id")
+    }
+  }
+
+  test("probe reads only the probed bucket partitions") {
+    val path = freshPath("prune")
+    Similarity.writeAnnIndex(emb, path)
+    def files(dir: java.io.File): Seq[java.io.File] =
+      if (dir.isDirectory) dir.listFiles().toSeq.flatMap(files)
+      else if (dir.getName.endsWith(".parquet")) Seq(dir) else Nil
+    val totalFiles = files(new java.io.File(s"$path/lists")).size
+    assert(totalFiles > 1, s"fixture degenerate: all vectors in one bucket ($totalFiles files)")
+
+    val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val qb = Similarity.bucketOf(qvec)
+    val probedFiles = files(new java.io.File(s"$path/lists/bucket=$qb")).size
+
+    // AQE off so executedPlan exposes the scan node's metrics directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Similarity.queryAnnIndex(spark, path, qvec, 10, excludeVecId = 0L)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      val n = scans.head.metrics("numFiles").value
+      assert(n == probedFiles && n < totalFiles,
+        s"expected only the $probedFiles probed-bucket file(s) of $totalFiles, scanned $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("multiprobe widens to the hamming-1 buckets and keeps single-probe results") {
+    val path = freshPath("mp")
+    Similarity.writeAnnIndex(emb, path)
+    val qvec = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0)
+    val single = Similarity.queryAnnIndex(spark, path, qvec, 500, excludeVecId = 7L)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.queryAnnIndex(spark, path, qvec, 500, multiprobe = true,
+      excludeVecId = 7L).collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+  }
+
+  test("ensureAnnIndex builds once; a planes mismatch is rejected") {
+    val path = freshPath("meta")
+    Similarity.ensureAnnIndex(emb, path)
+    val marker = new java.io.File(s"$path/_graft_ann_meta.json")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    Similarity.ensureAnnIndex(emb, path) // must be a no-op
+    assert(marker.lastModified() == mtime, "ensure rebuilt an existing index")
+
+    // foreign meta (different plane count) must be rejected at probe.
+    // Written through the Hadoop FS (not raw java.io) so the local
+    // filesystem's .crc sidecar stays consistent.
+    val hp = new org.apache.hadoop.fs.Path(marker.getPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    try out.write("""{"planes": 8, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
+    finally out.close()
+    val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.queryAnnIndex(spark, path, qvec, 10)
+    }
+    assert(ex.getMessage.contains("planes"))
+  }
+}
