@@ -43,6 +43,15 @@ object TestFixtures {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Total bytes of the data files under a local fixture dir. */
+  private def dirBytes(dir: String): Long = {
+    def walk(f: File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0L
+      else f.length()
+    walk(new File(dir))
+  }
+
   private def ensure(sfDir: String, flag: String)(build: => Unit): Unit = lock.synchronized {
     val marker = Paths.get(s"${root(sfDir)}/.done_$flag")
     if (!Files.exists(marker)) {
@@ -582,6 +591,20 @@ object TestFixtures {
     cat.register(GlueTable("default", "lineitem_part", Some(hiveLineitem(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("l_returnflag"), ColumnDef("l_linestatus"))))
     cat.register(GlueTable("default", "orders_flat", Some(flatOrders(spark, sfDir))))
+    // Clustered (range-sorted) compaction of orders, built ONCE via
+    // the engine's own compactTable — the write-side layout that makes
+    // the read-side footer-stats file skipping selective (g21 reads
+    // it and asserts the skip). Target sized from the real source
+    // bytes so every SF gets a multi-file layout (~8 range files).
+    val clusteredOut = s"${root(sfDir)}/orders_clustered_skip"
+    ensure(sfDir, "orders_clustered_skip") {
+      val srcBytes = dirBytes(s"${root(sfDir)}/orders_flat")
+      new graft.engine.GlueTableEngine(spark, cat).compactTable(
+        "default", "orders_flat", "orders_clustered_skip", clusteredOut,
+        targetFileBytes = math.max(32L * 1024, srcBytes / 8),
+        clusterBy = Seq("o_orderkey"))
+    }
+    cat.register(GlueTable("default", "orders_clustered_skip", Some(clusteredOut)))
     cat.register(GlueTable("default", "events_by_day", Some(eventsByDay(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("dt")),
       parameters = Map(

@@ -601,6 +601,45 @@ object Queries {
       """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 120 ORDER BY o_orderkey""".stripMargin)),
 
+    // the READ side of clustered compaction: a selective range query
+    // over the once-built clustered orders layout (fixture
+    // orders_clustered_skip). The fn also PROVES the skip every run:
+    // it executes a probe with AQE off and requires the scan's
+    // numFiles metric to be below the table's file count — planner-
+    // time footer-range skipping regressing would fail the query, not
+    // just slow it. The ratio is printed for the bench log.
+    "g21_skip_clustered" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val sql =
+          """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+            |FROM glue.default.orders_clustered_skip
+            |WHERE o_orderkey BETWEEN 3000 AND 3500 ORDER BY o_orderkey""".stripMargin
+        val dir = new java.io.File(s"${TestFixtures.root(sf)}/orders_clustered_skip")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+          else Seq(f)
+        val total = walk(dir).count(_.getName.endsWith(".parquet"))
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val probe = eng.query(sql)
+          // collect() (not count()) — count plans a separate query and
+          // would leave THIS plan's metrics untouched
+          probe.collect()
+          val scans = probe.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+          }
+          val scanned = scans.head.metrics("numFiles").value
+          require(total <= 1 || scanned < total,
+            s"file skipping regressed on the clustered layout: scanned $scanned of $total files")
+          println(s"[g21] scanned $scanned of $total clustered files")
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        eng.query(sql)
+      },
+      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+        |FROM orders WHERE o_orderkey BETWEEN 3000 AND 3500 ORDER BY o_orderkey""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)
