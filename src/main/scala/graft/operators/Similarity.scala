@@ -269,6 +269,25 @@ object Similarity {
     * on corpus rewrite, the same contract as [[Dedup.writeCorpusIndex]].
     */
   def writeAnnIndex(emb: DataFrame, path: String): Unit = {
+    writeAnnBatch(emb, path, AnnBaseBatch)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
+    val out = p.getFileSystem(
+      org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
+        .sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(
+      s"""{"planes": $LshPlanes, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Like the corpus index, every lists write lands under its own
+    * `batch=<token>` directory, making appends idempotent per token
+    * (see [[appendAnnIndex]]). Both `batch` and `bucket` are
+    * discovered partition columns, so a probe's bucket filter prunes
+    * directories across ALL batches.
+    */
+  private val AnnBaseBatch = "base"
+
+  private def writeAnnBatch(emb: DataFrame, path: String, token: String): Unit =
     emb.select(
         col("vec_id"),
         round(qScaleCol(col("embedding")), 6).as("scale"),
@@ -277,14 +296,52 @@ object Similarity {
       // hash-cluster by bucket so each bucket directory gets ~one
       // file (a fragmented list defeats the probe's point-read shape)
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/lists")
-    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
-    val out = p.getFileSystem(
-      org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
-        .sparkContext.hadoopConfiguration).create(p, true)
-    try out.write(
-      s"""{"planes": $LshPlanes, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
-    finally out.close()
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/lists/batch=$token")
+
+  /** Extend the index with a fresh vector batch: one quantize+bucket
+    * pass over the batch, written under `batch=<batchToken>`.
+    * Re-calling with the SAME token (streaming replay) overwrites
+    * rather than duplicates; the default random token gives plain
+    * at-least-once appends. Beyond `maxAppendBatches` appended dirs,
+    * batches tier-compact into one (the base corpus is never
+    * rewritten — each compaction costs what arrived since the last
+    * one, the shape that survives a 100 TB base with small daily
+    * batches). Crash between write and delete leaves duplicate rows,
+    * healed by the next compaction's dropDuplicates, never lost
+    * vectors.
+    */
+  def appendAnnIndex(fresh: DataFrame, path: String,
+      batchToken: String = java.util.UUID.randomUUID().toString,
+      maxAppendBatches: Int = 8): Unit = {
+    require(batchToken.nonEmpty && batchToken != AnnBaseBatch &&
+      !batchToken.startsWith("compact-"), s"reserved batch token: $batchToken")
+    val spark = fresh.sparkSession
+    val planes = readAnnMeta(spark, path)
+    require(planes == LshPlanes,
+      s"index at $path was built with $planes planes; this library computes $LshPlanes")
+    writeAnnBatch(fresh, path, batchToken)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(org.apache.spark.sql.graft.Shim.classic(spark)
+        .sparkContext.hadoopConfiguration)
+    val listsDir = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val appendDirs = fs.listStatus(listsDir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$AnnBaseBatch")
+    if (appendDirs.size <= maxAppendBatches) return
+    var token = s"compact-${System.currentTimeMillis()}"
+    while (appendDirs.exists(_.getName == s"batch=$token")) token += "x"
+    // merged replacement is written BEFORE the old dirs are deleted
+    // (the read is lazy — the new token never collides with an input).
+    // basePath: the inputs are themselves batch= partition dirs with
+    // bucket= children — without it discovery sees "conflicting
+    // directory structures"
+    spark.read.option("basePath", s"$path/lists")
+      .parquet(appendDirs.map(_.toString): _*)
+      .select("vec_id", "scale", "q", "bucket").dropDuplicates("vec_id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/lists/batch=$token")
+    appendDirs.foreach(p => fs.delete(p, true))
   }
 
   /** Build the ANN index iff its meta marker is absent (the
@@ -361,6 +418,62 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Top-k neighbors for a whole BATCH of query vectors against the
+    * persisted index — the bulk shape (kNN join) a pipeline runs,
+    * where per-vector [[queryAnnIndex]] jobs would be a job per row.
+    * The query batch is quantized+bucketed in-plan and broadcast; the
+    * bucket equi-join lets dynamic partition pruning skip index
+    * buckets no query probes, and the per-query top-k is a
+    * PARTITIONED window (rank-limit pushdown keeps it partial), so
+    * nothing in the plan is global: index-side work stays
+    * proportional to probed buckets × queries per bucket at any
+    * corpus size.
+    */
+  def annSearchBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val planes = readAnnMeta(spark, path)
+    require(planes == LshPlanes,
+      s"index at $path was built with $planes planes; this library computes $LshPlanes")
+    val qz = queries.select(col("vec_id").as("query_id"),
+      qCodesCol(col("embedding")).as("qq"),
+      bucketId(col("embedding")).as("bucket"))
+    val dotInt = aggregate(
+      zip_with(col("q"), col("qq"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val scored = spark.read.parquet(s"$path/lists")
+      .join(broadcast(qz), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dotInt.as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** DuckDB oracle for [[annSearchBatch]] where the query batch is
+    * `vec_id % queryMod = 0` of the embeddings table.
+    */
+  def sqlAnnSearchBatch(queryMod: Long, k: Int): String =
+    s"""WITH s AS (SELECT vec_id,
+       |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+       |  embedding FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+       |  END AS q,
+       |  ${sqlBucketId("embedding")} AS bucket FROM s),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, bucket FROM qz WHERE vec_id % $queryMod = 0),
+       |sc AS (SELECT qs.query_id, e.vec_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    [e.q[i]::BIGINT * qs.qq[i]::BIGINT for i in range(1, len(e.q) + 1)]),
+       |    (s, v) -> s + v) AS score
+       |  FROM qz e JOIN qs ON e.bucket = qs.bucket AND e.vec_id <> qs.query_id),
+       |r AS (SELECT query_id, vec_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM sc)
+       |SELECT query_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
 
   /** DuckDB oracle for a single-probe [[queryAnnIndex]] whose query
     * vector is row `queryVecId` of the embeddings table: quantize

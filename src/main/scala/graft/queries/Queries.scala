@@ -909,6 +909,19 @@ object Queries {
       },
       Similarity.sqlAnnIndexed(0L, 10))),
 
+    // bulk kNN join against the same persisted index: every 100th
+    // vector is a query, top-5 each — one bucket equi-join + a
+    // partitioned window, never a per-query job
+    "s8_ann_search_batch" -> ((
+      (spark: SparkSession, sf: String) => {
+        val emb = t(spark, sf, "embeddings")
+        val idx = stampedIndexPath(spark, sf, "embeddings", "ann_p4_int8")
+        Similarity.ensureAnnIndex(emb, idx)
+        Similarity.annSearchBatch(spark, idx, emb.filter(col("vec_id") % 100 === 0L), 5)
+          .orderBy("query_id", "rn")
+      },
+      Similarity.sqlAnnSearchBatch(100L, 5))),
+
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

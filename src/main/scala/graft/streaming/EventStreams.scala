@@ -145,4 +145,24 @@ object EventStreams {
       }
     }.start()
   }
+
+  /** Streaming ANN-index maintenance: each micro-batch of vectors
+    * `(vec_id, embedding)` is quantized+bucketed once and appended to
+    * the persisted index ([[graft.operators.Similarity.appendAnnIndex]])
+    * under the batch id as its token — replay overwrites its own
+    * directories (exactly-once index contents per batch id), and old
+    * appended batches tier-compact so file count stays bounded
+    * however many micro-batches arrive. Probes
+    * ([[graft.operators.Similarity.queryAnnIndex]]/`annSearchBatch`)
+    * see new vectors as soon as their batch commits; state lives in
+    * the index directory, not in streaming state.
+    */
+  def annIngest(vectors: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      if (!batch.isEmpty)
+        Similarity.appendAnnIndex(batch.toDF(), indexPath, batchToken = s"s$batchId")
+    }.start()
+  }
 }

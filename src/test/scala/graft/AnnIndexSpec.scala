@@ -71,7 +71,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)
     val qb = Similarity.bucketOf(qvec)
-    val probedFiles = files(new java.io.File(s"$path/lists/bucket=$qb")).size
+    val probedFiles = new java.io.File(s"$path/lists").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .map(b => files(new java.io.File(b, s"bucket=$qb")).size).sum
 
     // AQE off so executedPlan exposes the scan node's metrics directly
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -97,6 +99,79 @@ class AnnIndexSpec extends AnyFunSuite {
       excludeVecId = 7L).collect().map(_.getLong(0)).toSet
     assert(single.subsetOf(multi))
     assert(multi.size >= single.size)
+  }
+
+  test("appended vectors are probe-visible; same-token replay never duplicates; batches stay bounded") {
+    val path = freshPath("append")
+    Similarity.writeAnnIndex(emb, path)
+    val base = spark.read.parquet(s"$path/lists").count()
+
+    // fresh vectors = copies of vec 0/1 shifted into fresh ids: they
+    // land in known buckets and rank at the top for their originals
+    val fresh = emb.filter(col("vec_id") < 2L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Similarity.appendAnnIndex(fresh, path, batchToken = "b1")
+    val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val top = Similarity.queryAnnIndex(spark, path, qvec, 1, excludeVecId = 0L)
+      .collect().head
+    assert(top.getLong(0) == 100000L, s"appended duplicate vector must rank first, got $top")
+
+    // replay with the same token: no growth
+    Similarity.appendAnnIndex(fresh, path, batchToken = "b1")
+    assert(spark.read.parquet(s"$path/lists").count() == base + 2)
+
+    // many tiny appends tier-compact: dir count stays bounded
+    (0 until 12).foreach { i =>
+      Similarity.appendAnnIndex(
+        emb.filter(col("vec_id") === 3L)
+          .select((col("vec_id") + 200000L + i).as("vec_id"), col("embedding")),
+        path, batchToken = s"t$i", maxAppendBatches = 4)
+    }
+    val batchDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(batchDirs.size <= 6, s"append batches grew unbounded: $batchDirs")
+    // nothing lost: every appended id still present exactly once
+    val ids = spark.read.parquet(s"$path/lists")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(ids == 0, "compaction duplicated vectors")
+    assert(spark.read.parquet(s"$path/lists").count() == base + 2 + 12)
+  }
+
+  test("batch search equals per-vector probes") {
+    val path = freshPath("batch")
+    Similarity.writeAnnIndex(emb, path)
+    val queries = emb.filter(col("vec_id") % 100 === 0L)
+    val got = Similarity.annSearchBatch(spark, path, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val want = queries.select("vec_id", "embedding").collect().flatMap { row =>
+      val qid = row.getLong(0)
+      Similarity.queryAnnIndex(spark, path, row.getSeq[Float](1), 5, excludeVecId = qid)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getLong(1), i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming annIngest keeps the index current and replay-safe") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val path = freshPath("stream")
+    Similarity.writeAnnIndex(emb, path)
+    val qvec = emb.filter(col("vec_id") === 1L).select("embedding")
+      .head().getSeq[Float](0)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStreams.annIngest(
+      mem.toDF().toDF("vec_id", "embedding"), path)
+    try {
+      mem.addData((300001L, qvec.toArray))
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = Similarity.queryAnnIndex(spark, path, qvec, 1, excludeVecId = 1L)
+      .collect().head
+    assert(top.getLong(0) == 300001L, s"ingested exact duplicate must rank first, got $top")
   }
 
   test("ensureAnnIndex builds once; a planes mismatch is rejected") {
