@@ -451,6 +451,71 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** All near-duplicate vector PAIRS from the persisted index — the
+    * embedding analog of the minhash pair generators, and the plan
+    * that replaces d6's label-blocked quadratic blocking at scale:
+    * candidates come only from LSH bucket collisions (plus the
+    * hamming-1 flips when `multiprobe`, recovering neighbors that
+    * crossed ONE hyperplane), scored by the cosine of the stored int8
+    * codes (integer dots + IEEE sqrt/div — deterministic across
+    * engines). The self-join shuffles on the bucket id, so work is
+    * per-bucket-quadratic, never corpus-quadratic; `distinct`
+    * collapses pairs found via both sides' flips.
+    */
+  def annNearDupPairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      minCos: Double, multiprobe: Boolean = true): DataFrame = {
+    val planes = readAnnMeta(spark, path)
+    require(planes == LshPlanes,
+      s"index at $path was built with $planes planes; this library computes $LshPlanes")
+    val lists = spark.read.parquet(s"$path/lists").select("vec_id", "q", "bucket")
+    val flips =
+      if (multiprobe) array((lit(0L) +: (0 until LshPlanes).map(j => lit(1L << j))): _*)
+      else array(lit(0L))
+    val a = lists
+      .select(col("bucket").cast("long").as("b0"), col("vec_id").as("a"), col("q").as("qa"),
+        explode(flips).as("flip"))
+      .select(col("b0").bitwiseXOR(col("flip")).as("bucket"), col("a"), col("qa"))
+    val b = lists.select(col("bucket").cast("long").as("bucket"),
+      col("vec_id").as("b"), col("q").as("qb"))
+    def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      zip_with(c, c, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
+    val dot = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot.cast("double") / (norm(col("qa")) * norm(col("qb"))), 6).as("qcos"))
+      .filter(col("qcos") >= minCos)
+      .distinct()
+  }
+
+  /** DuckDB oracle for [[annNearDupPairs]] (multiprobe form). */
+  def sqlAnnNearDupPairs(minCos: Double): String =
+    s"""WITH s AS (SELECT vec_id,
+       |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+       |  embedding FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+       |  END AS q,
+       |  ${sqlBucketId("embedding")} AS bucket FROM s),
+       |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+       |  round(list_reduce(list_prepend(0::BIGINT,
+       |      [a.q[i]::BIGINT * b.q[i]::BIGINT for i in range(1, len(a.q) + 1)]),
+       |      (s, v) -> s + v)::DOUBLE
+       |    / (sqrt(list_reduce(list_prepend(0::BIGINT,
+       |        [a.q[i]::BIGINT * a.q[i]::BIGINT for i in range(1, len(a.q) + 1)]),
+       |        (s, v) -> s + v)::DOUBLE)
+       |     * sqrt(list_reduce(list_prepend(0::BIGINT,
+       |        [b.q[i]::BIGINT * b.q[i]::BIGINT for i in range(1, len(b.q) + 1)]),
+       |        (s, v) -> s + v)::DOUBLE)), 6) AS qcos
+       |  FROM qz a JOIN qz b
+       |  ON (a.bucket = b.bucket OR xor(a.bucket, b.bucket) IN (1, 2, 4, 8))
+       |    AND a.vec_id < b.vec_id)
+       |SELECT a, b, qcos FROM p WHERE qcos >= $minCos ORDER BY a, b""".stripMargin
+
   /** DuckDB oracle for [[annSearchBatch]] where the query batch is
     * `vec_id % queryMod = 0` of the embeddings table.
     */

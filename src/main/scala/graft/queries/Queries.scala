@@ -922,6 +922,17 @@ object Queries {
       },
       Similarity.sqlAnnSearchBatch(100L, 5))),
 
+    // embedding near-dup pairs from the index alone — the bucketed
+    // replacement for d6's label-blocked quadratic at scale
+    "s9_ann_near_dup" -> ((
+      (spark: SparkSession, sf: String) => {
+        val emb = t(spark, sf, "embeddings")
+        val idx = stampedIndexPath(spark, sf, "embeddings", "ann_p4_int8")
+        Similarity.ensureAnnIndex(emb, idx)
+        Similarity.annNearDupPairs(spark, idx, 0.4).orderBy("a", "b")
+      },
+      Similarity.sqlAnnNearDupPairs(0.4))),
+
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
