@@ -328,6 +328,14 @@ object Dedup {
     */
   def writeCorpusIndex(corpus: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.8, buckets: Int = 256): Unit = {
+    // a REBUILD must not leave previously appended batch dirs (or the
+    // compacted-token manifest) behind: stale postings would keep
+    // matching deleted docs, and old buckets values would mis-route
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sessionHadoopConf(corpus.sparkSession))
+    Seq("docs", "prefix").foreach(sub =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
+    IndexBatches.clearManifest(fs, path)
     val docs = spread(corpus)
       .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
@@ -340,31 +348,40 @@ object Dedup {
 
   /** Every docs/prefix write lands under its own `batch=<token>`
     * partition directory. That makes appends IDEMPOTENT per token: a
-    * replayed streaming batch overwrites its own directory instead of
+    * replayed streaming batch overwrites its own directory — or, once
+    * a compaction has folded the token away (tracked in the
+    * [[IndexBatches]] manifest), no-ops entirely — instead of
     * duplicating rows (duplicate doc rows would multiply pairs
     * through the verification join, not just candidates).
     */
-  private val BaseBatch = "base"
+  private val BaseBatch = IndexBatches.Base
 
   /** Extend an existing index with an ACCEPTED batch (call after
     * [[incrementalPairsIndexed]] admitted it): one shingle pass over
     * the batch, written to both tables under `batch=<batchToken>`
     * with the index's pinned parameters. Re-calling with the SAME
-    * token (streaming replay) overwrites rather than duplicates;
-    * the default random token gives plain at-least-once appends.
+    * token (streaming replay) overwrites rather than duplicates —
+    * even after a compaction folded the token's directory away (the
+    * manifest records it and the replay no-ops). The default random
+    * token gives plain at-least-once appends.
     *
-    * After the append, batch directories beyond `maxAppendBatches`
-    * are tier-compacted: the accumulated append batches (never the
-    * base corpus) merge into one directory, so file count stays
-    * O(maxAppendBatches + buckets) however many batches arrive.
+    * Batch directories beyond `maxAppendBatches` tier-compact (see
+    * [[IndexBatches]]): plain batches merge into a `compact-` dir,
+    * and the compact dirs merge only when THEY exceed the threshold —
+    * file count stays O(maxAppendBatches + buckets) and each row is
+    * rewritten O(tiers) times however many batches arrive. The base
+    * corpus is never rewritten.
     */
   def appendCorpusIndex(fresh: DataFrame, path: String,
       batchToken: String = java.util.UUID.randomUUID().toString,
       maxAppendBatches: Int = 8): Unit = {
-    require(batchToken.nonEmpty && batchToken != BaseBatch &&
-      !batchToken.startsWith("compact-"), s"reserved batch token: $batchToken")
+    IndexBatches.requireValidToken(batchToken)
     val spark = fresh.sparkSession
     val (n, threshold, buckets) = readIndexMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(sessionHadoopConf(spark))
+    // replayed batch whose dir a compaction already folded away: the
+    // rows are in a compact dir; re-appending would duplicate them
+    if (IndexBatches.compactedTokens(fs, path).contains(batchToken)) return
     val docs = spread(fresh)
       .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
@@ -384,41 +401,31 @@ object Dedup {
       .partitionBy("b").parquet(s"$path/prefix/batch=$batchToken")
   }
 
-  /** Tiered compaction of the index's APPENDED batches: once more
-    * than `maxAppendBatches` batch dirs exist (base excluded), merge
-    * them into a single `batch=compact-<t>` dir and rebuild its
-    * prefix postings from the stored hash arrays (no text
-    * re-shingle). The base corpus is never rewritten, so each
-    * compaction costs what arrived since the last one — the shape
-    * that survives a 100 TB base with small daily batches.
+  /** One [[IndexBatches]] compaction round for the corpus index:
+    * merge the selected tier's doc batches (dropping replay
+    * duplicates) and rebuild their prefix postings from the stored
+    * hash arrays — no text re-shingle.
     *
-    * Crash ordering: the merged replacement is written BEFORE the old
-    * dirs are deleted — a crash in between leaves duplicate rows
-    * (healed by the next compaction's dropDuplicates), never lost
-    * docs.
+    * Crash ordering: merged replacement written, then the manifest,
+    * then the old dirs deleted — a crash in between leaves duplicate
+    * rows (healed by the next compaction's dropDuplicates), never
+    * lost docs.
     */
   private def compactAppendedBatches(spark: org.apache.spark.sql.SparkSession,
       path: String, threshold: Double, buckets: Int, maxAppendBatches: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(sessionHadoopConf(spark))
-    def appendDirs(sub: String): Seq[org.apache.hadoop.fs.Path] = {
-      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (!fs.exists(d)) Nil
-      else fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$BaseBatch")
+    IndexBatches.compactionPlan(fs, new org.apache.hadoop.fs.Path(s"$path/docs"),
+        maxAppendBatches).foreach { case (docDirs, token) =>
+      val merged = spark.read.parquet(docDirs.map(_.toString): _*)
+        .select("doc_id", "hs", "nh").dropDuplicates("doc_id")
+      merged.write.mode("overwrite").parquet(s"$path/docs/batch=$token")
+      appendPrefix(spark, path,
+        spark.read.parquet(s"$path/docs/batch=$token"), threshold, buckets, token)
+      val tokens = docDirs.map(_.getName.stripPrefix("batch="))
+      IndexBatches.recordCompacted(fs, path, tokens)
+      val prefixDirs = tokens.map(t => new org.apache.hadoop.fs.Path(s"$path/prefix/batch=$t"))
+      (docDirs ++ prefixDirs).foreach(p => fs.delete(p, true))
     }
-    val docDirs = appendDirs("docs")
-    if (docDirs.size <= maxAppendBatches) return
-    val prefixDirs = appendDirs("prefix")
-    // the token must not collide with a dir being merged: the merge
-    // read is lazy, so writing into an input dir would corrupt it
-    var token = s"compact-${System.currentTimeMillis()}"
-    while (docDirs.exists(_.getName == s"batch=$token")) token += "x"
-    val merged = spark.read.parquet(docDirs.map(_.toString): _*)
-      .select("doc_id", "hs", "nh").dropDuplicates("doc_id")
-    merged.write.mode("overwrite").parquet(s"$path/docs/batch=$token")
-    appendPrefix(spark, path,
-      spark.read.parquet(s"$path/docs/batch=$token"), threshold, buckets, token)
-    (docDirs ++ prefixDirs).foreach(p => fs.delete(p, true))
   }
 
   /** [[incrementalPairs]] against a PERSISTED corpus index: same
@@ -479,8 +486,13 @@ object Dedup {
       threshold: Double = 0.8, buckets: Int = 256): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(sessionHadoopConf(corpus.sparkSession))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")))
-      writeCorpusIndex(corpus, path, n, threshold, buckets)
+    val usable =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")) &&
+        // corrupt meta or an older on-disk layout: rebuild rather
+        // than fail every probe forever
+        (try { readIndexMeta(corpus.sparkSession, path); true }
+         catch { case _: IllegalStateException => false })
+    if (!usable) writeCorpusIndex(corpus, path, n, threshold, buckets)
   }
 
   private def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession) =
@@ -491,7 +503,8 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json")
     val out = p.getFileSystem(sessionHadoopConf(spark)).create(p, true)
     try out.write(
-      s"""{"n": $n, "threshold": $threshold, "buckets": $buckets}""".getBytes("UTF-8"))
+      s"""{"n": $n, "threshold": $threshold, "buckets": $buckets, "layout": 2}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -507,6 +520,14 @@ object Dedup {
       s""""$name"\\s*:\\s*([0-9.]+)""".r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(s"corrupt index meta at $p: $txt"))
         .group(1)
+    // layout 2 = batch=<token> partition dirs. A layout-1 index (flat
+    // docs/prefix) would produce "conflicting directory structures"
+    // on the first read after an append — fail fast and name the fix.
+    val layout = s""""layout"\\s*:\\s*([0-9]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
+    if (layout != 2) throw new IllegalStateException(
+      s"corpus index at $path uses layout $layout; this library reads layout 2 — " +
+        "rebuild with writeCorpusIndex")
     (field("n").toInt, field("threshold").toDouble, field("buckets").toInt)
   }
 

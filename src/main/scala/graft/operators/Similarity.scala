@@ -27,13 +27,17 @@ object Similarity {
   def planeWeight(j: Int, d: Int): Long = ((j * 131L + d * 7919L) % 1009L) - 504L
 
   /** Dot of an embedding with integer plane j (double fold, same
-    * order as the DuckDB fragment).
+    * order as the DuckDB fragment). The weight is computed from the
+    * element INDEX, so the projection is correct for any embedding
+    * dimension — a fixed-length weight literal would null-pad
+    * mismatched vectors and silently route everything to bucket 0.
     */
-  private def planeDot(emb: org.apache.spark.sql.Column, j: Int) =
-    aggregate(
-      zip_with(emb, typedLit((1 to 64).map(d => planeWeight(j, d))),
-        (x, w) => x.cast("double") * w.cast("double")),
-      lit(0.0), (s, v) => s + v)
+  private def planeDot(emb: org.apache.spark.sql.Column, j: Int) = {
+    val indexed = zip_with(emb, sequence(lit(1), size(emb)),
+      (x, d) => x.cast("double") *
+        ((lit(j * 131L) + d.cast("long") * lit(7919L)) % lit(1009L) - lit(504L)).cast("double"))
+    aggregate(indexed, lit(0.0), (s, v) => s + v)
+  }
 
   /** LSH bucket id = sum of 2^j over planes with positive projection. */
   def bucketId(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -269,15 +273,23 @@ object Similarity {
     * on corpus rewrite, the same contract as [[Dedup.writeCorpusIndex]].
     */
   def writeAnnIndex(emb: DataFrame, path: String): Unit = {
+    // a REBUILD must not leave previously appended batch dirs (or the
+    // compacted-token manifest) behind — stale vectors would keep
+    // surfacing in probes
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(annHadoopConf(emb.sparkSession))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists"), true)
+    IndexBatches.clearManifest(fs, path)
     writeAnnBatch(emb, path, AnnBaseBatch)
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
-    val out = p.getFileSystem(
-      org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
-        .sparkContext.hadoopConfiguration).create(p, true)
+    val out = fs.create(p, true)
     try out.write(
-      s"""{"planes": $LshPlanes, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
+      s"""{"planes": $LshPlanes, "quant": "int8-sym-trunc", "layout": 2}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
+
+  private def annHadoopConf(spark: org.apache.spark.sql.SparkSession) =
+    org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
 
   /** Like the corpus index, every lists write lands under its own
     * `batch=<token>` directory, making appends idempotent per token
@@ -285,7 +297,7 @@ object Similarity {
     * discovered partition columns, so a probe's bucket filter prunes
     * directories across ALL batches.
     */
-  private val AnnBaseBatch = "base"
+  private val AnnBaseBatch = IndexBatches.Base
 
   private def writeAnnBatch(emb: DataFrame, path: String, token: String): Unit =
     emb.select(
@@ -314,34 +326,32 @@ object Similarity {
   def appendAnnIndex(fresh: DataFrame, path: String,
       batchToken: String = java.util.UUID.randomUUID().toString,
       maxAppendBatches: Int = 8): Unit = {
-    require(batchToken.nonEmpty && batchToken != AnnBaseBatch &&
-      !batchToken.startsWith("compact-"), s"reserved batch token: $batchToken")
+    IndexBatches.requireValidToken(batchToken)
     val spark = fresh.sparkSession
     val planes = readAnnMeta(spark, path)
     require(planes == LshPlanes,
       s"index at $path was built with $planes planes; this library computes $LshPlanes")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(annHadoopConf(spark))
+    // replayed batch whose dir a compaction already folded away: the
+    // rows are in a compact dir; re-appending would duplicate them
+    if (IndexBatches.compactedTokens(fs, path).contains(batchToken)) return
     writeAnnBatch(fresh, path, batchToken)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(org.apache.spark.sql.graft.Shim.classic(spark)
-        .sparkContext.hadoopConfiguration)
-    val listsDir = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val appendDirs = fs.listStatus(listsDir).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$AnnBaseBatch")
-    if (appendDirs.size <= maxAppendBatches) return
-    var token = s"compact-${System.currentTimeMillis()}"
-    while (appendDirs.exists(_.getName == s"batch=$token")) token += "x"
-    // merged replacement is written BEFORE the old dirs are deleted
-    // (the read is lazy — the new token never collides with an input).
-    // basePath: the inputs are themselves batch= partition dirs with
-    // bucket= children — without it discovery sees "conflicting
-    // directory structures"
-    spark.read.option("basePath", s"$path/lists")
-      .parquet(appendDirs.map(_.toString): _*)
-      .select("vec_id", "scale", "q", "bucket").dropDuplicates("vec_id")
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/lists/batch=$token")
-    appendDirs.foreach(p => fs.delete(p, true))
+    IndexBatches.compactionPlan(fs, new org.apache.hadoop.fs.Path(s"$path/lists"),
+        maxAppendBatches).foreach { case (dirs, token) =>
+      // merged replacement is written BEFORE the manifest and deletes
+      // (the read is lazy — the fresh token never collides with an
+      // input). basePath: the inputs are themselves batch= partition
+      // dirs with bucket= children — without it discovery sees
+      // "conflicting directory structures"
+      spark.read.option("basePath", s"$path/lists")
+        .parquet(dirs.map(_.toString): _*)
+        .select("vec_id", "scale", "q", "bucket").dropDuplicates("vec_id")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/lists/batch=$token")
+      IndexBatches.recordCompacted(fs, path, dirs.map(_.getName.stripPrefix("batch=")))
+      dirs.foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Build the ANN index iff its meta marker is absent (the
@@ -349,10 +359,13 @@ object Similarity {
     */
   def ensureAnnIndex(emb: DataFrame, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
-    val fs = p.getFileSystem(
-      org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
-        .sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) writeAnnIndex(emb, path)
+    val fs = p.getFileSystem(annHadoopConf(emb.sparkSession))
+    val usable = fs.exists(p) &&
+      // corrupt meta or an older on-disk layout: rebuild rather than
+      // fail every probe forever
+      (try { readAnnMeta(emb.sparkSession, path); true }
+       catch { case _: IllegalStateException => false })
+    if (!usable) writeAnnIndex(emb, path)
   }
 
   private def readAnnMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
@@ -361,6 +374,11 @@ object Similarity {
       org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val layout = """"layout":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
+    if (layout != 2) throw new IllegalStateException(
+      s"ANN index at $path uses layout $layout; this library reads layout 2 — " +
+        "rebuild with writeAnnIndex")
     """"planes":\s*(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"malformed ANN index meta at $p: $txt"))
@@ -467,26 +485,30 @@ object Similarity {
     val planes = readAnnMeta(spark, path)
     require(planes == LshPlanes,
       s"index at $path was built with $planes planes; this library computes $LshPlanes")
-    val lists = spark.read.parquet(s"$path/lists").select("vec_id", "q", "bucket")
+    def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+      zip_with(c, c, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
+    // norms computed ONCE per vector before the join — inside the
+    // per-pair projection they would re-aggregate dim elements per
+    // candidate, O(pairs x dim) wasted in the quadratic inner loop
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id"), col("q"), col("bucket"), norm(col("q")).as("nrm"))
     val flips =
       if (multiprobe) array((lit(0L) +: (0 until LshPlanes).map(j => lit(1L << j))): _*)
       else array(lit(0L))
     val a = lists
       .select(col("bucket").cast("long").as("b0"), col("vec_id").as("a"), col("q").as("qa"),
-        explode(flips).as("flip"))
-      .select(col("b0").bitwiseXOR(col("flip")).as("bucket"), col("a"), col("qa"))
+        col("nrm").as("na"), explode(flips).as("flip"))
+      .select(col("b0").bitwiseXOR(col("flip")).as("bucket"), col("a"), col("qa"), col("na"))
     val b = lists.select(col("bucket").cast("long").as("bucket"),
-      col("vec_id").as("b"), col("q").as("qb"))
-    def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
-      zip_with(c, c, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v).cast("double"))
+      col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
     val dot = aggregate(
       zip_with(col("qa"), col("qb"), (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
     a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(dot.cast("double") / (norm(col("qa")) * norm(col("qb"))), 6).as("qcos"))
+        round(dot.cast("double") / (col("na") * col("nb")), 6).as("qcos"))
       .filter(col("qcos") >= minCos)
       .distinct()
   }

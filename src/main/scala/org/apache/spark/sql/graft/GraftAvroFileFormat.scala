@@ -171,7 +171,11 @@ final class GraftAvroFileFormat extends FileFormat with Serializable {
     * row-level source (int→long, float→double).
     */
   private def toInternal(dt: DataType): AnyRef => Any = dt match {
-    case StringType => v => UTF8String.fromString(v.toString) // Utf8 → UTF8String
+    // only genuine Avro string values (Utf8/String): a blanket
+    // toString would silently stringify a mismatched writer type
+    // (long where the catalog says string) instead of surfacing the
+    // named mismatch error like every other column type
+    case StringType => { case s: CharSequence => UTF8String.fromString(s.toString) }
     case IntegerType => { case i: java.lang.Integer => i.intValue() }
     case LongType => {
       case l: java.lang.Long => l.longValue()

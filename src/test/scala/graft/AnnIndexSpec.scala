@@ -174,6 +174,64 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(top.getLong(0) == 300001L, s"ingested exact duplicate must rank first, got $top")
   }
 
+  test("replay of a batch already folded into a compact dir is a no-op") {
+    val path = freshPath("replaycmp")
+    Similarity.writeAnnIndex(emb, path)
+    val base = spark.read.parquet(s"$path/lists").count()
+    // 6 appends at maxAppendBatches=4 -> the first 5 compact away
+    (0 until 6).foreach { i =>
+      Similarity.appendAnnIndex(
+        emb.filter(col("vec_id") === 3L)
+          .select((col("vec_id") + 400000L + i).as("vec_id"), col("embedding")),
+        path, batchToken = s"r$i", maxAppendBatches = 4)
+    }
+    val n = spark.read.parquet(s"$path/lists").count()
+    assert(n == base + 6)
+    // r0's dir is gone (compacted); replaying it must NOT re-append
+    Similarity.appendAnnIndex(
+      emb.filter(col("vec_id") === 3L)
+        .select((col("vec_id") + 400000L).as("vec_id"), col("embedding")),
+      path, batchToken = "r0", maxAppendBatches = 4)
+    assert(spark.read.parquet(s"$path/lists").count() == n,
+      "replayed compacted batch duplicated rows")
+  }
+
+  test("rebuilding an index clears previously appended batches") {
+    val path = freshPath("rebuild")
+    Similarity.writeAnnIndex(emb, path)
+    Similarity.appendAnnIndex(
+      emb.filter(col("vec_id") === 5L)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+      path, batchToken = "stale")
+    val corpus = emb.count()
+    assert(spark.read.parquet(s"$path/lists").count() == corpus + 1)
+    Similarity.writeAnnIndex(emb, path) // rebuild: appended batch must go
+    assert(spark.read.parquet(s"$path/lists").count() == corpus,
+      "rebuild left stale appended vectors behind")
+  }
+
+  test("non-64-dim embeddings bucket identically on driver and executor") {
+    import spark.implicits._
+    val path = freshPath("dims")
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.0f, 0.125f, -2.5f, 1.0f)),
+      (2L, Array(-0.5f, 1.25f, -3.0f, -0.125f, 2.5f, -1.0f)),
+      (3L, Array(1.5f, 2.25f, 0.5f, 1.125f, 0.25f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(vecs, path)
+    val stored = spark.read.parquet(s"$path/lists").select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    vecs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      assert(Similarity.bucketOf(v) == stored(id), s"bucket mismatch for 6-dim vec $id")
+    }
+    // and the probe actually finds a 6-dim duplicate
+    val q = vecs.filter(col("vec_id") === 1L).select("embedding").head().getSeq[Float](0)
+    val hit = Similarity.queryAnnIndex(spark, path, q, 1).collect()
+    assert(hit.nonEmpty && hit.head.getLong(0) == 1L)
+  }
+
   test("ensureAnnIndex builds once; a planes mismatch is rejected") {
     val path = freshPath("meta")
     Similarity.ensureAnnIndex(emb, path)
@@ -189,7 +247,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val hp = new org.apache.hadoop.fs.Path(marker.getPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(hp, true)
-    try out.write("""{"planes": 8, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
+    try out.write("""{"planes": 8, "quant": "int8-sym-trunc", "layout": 2}""".getBytes("UTF-8"))
     finally out.close()
     val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)

@@ -64,4 +64,33 @@ class AvroFormatSpec extends AnyFunSuite {
     assert(msgs.contains("mismatch"), msgs)
     assert(!msgs.contains("scala.MatchError"), msgs)
   }
+
+  test("string column with a non-string writer type fails loudly, not via toString") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = new java.io.File("target/fixtures/avro_str_mismatch")
+    dir.mkdirs()
+    val schema = SchemaBuilder.record("r").fields().requiredLong("s").endRecord()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-0.avro"))
+    try {
+      val rec = new GenericData.Record(schema); rec.put("s", 7L); w.append(rec)
+    } finally w.close()
+
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "avro_str_mismatch", Some(dir.getAbsolutePath),
+      columns = Seq(ColumnDef("s", "string")), // catalog lies: writer stored long
+      parameters = Map("classification" -> "avro")))
+    val eng = new GlueTableEngine(spark, cat)
+    val e = intercept[Exception] {
+      eng.query("SELECT s FROM glue.default.avro_str_mismatch").collect()
+    }
+    // a blanket toString would silently return "7" — the mismatch
+    // must be named for string targets exactly like numeric ones
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(msgs.contains("column 's'"), msgs)
+    assert(msgs.contains("mismatch"), msgs)
+  }
 }

@@ -79,9 +79,12 @@ class PlanLintSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution._
     def spine(p: SparkPlan, acc: Set[SortExec]): Set[SortExec] = p match {
       case s: SortExec if s.global => spine(s.child, acc + s)
+      // NOT ShuffleExchangeExec: an exchange destroys ordering, so a
+      // sort below one is wasted work, never presentation — the
+      // orderBy-then-repartition shape must be flagged, not allowed
       case n @ (_: ProjectExec | _: FilterExec | _: WholeStageCodegenExec |
                 _: InputAdapter | _: CollectLimitExec | _: GlobalLimitExec |
-                _: LocalLimitExec | _: exchange.ShuffleExchangeExec) =>
+                _: LocalLimitExec) =>
         n.children.headOption.map(spine(_, acc)).getOrElse(acc)
       case _ => acc
     }
@@ -103,6 +106,9 @@ class PlanLintSpec extends AnyFunSuite {
     // presentation: final orderBy (possibly under a projection) is fine
     val good = base.groupBy(($"x" % 2).as("p")).agg(sum($"x").as("s")).orderBy("p").select($"s")
     assert(interiorGlobalSorts(good.queryExecution.sparkPlan).isEmpty)
+    // a sort immediately re-shuffled away is wasted, not presentation
+    val wasted = base.orderBy("x").repartition(4)
+    assert(interiorGlobalSorts(wasted.queryExecution.sparkPlan).nonEmpty)
   }
 
   test("no registered query plans an unpartitioned window or stray quadratic join") {

@@ -100,6 +100,12 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.Dedup.appendCorpusIndex(
       Seq((100L, "w0a w0b w0c w0d w0e w0f")).toDF("doc_id", "text"), idx, batchToken = "replay-t")
     assert(spark.read.parquet(s"$idx/docs").count() == n1, "same-token append must overwrite, not duplicate")
+    // replay of a token already folded into a compact dir (s0 was)
+    // must be a NO-OP — its rows live in the compact dir now
+    graft.operators.Dedup.appendCorpusIndex(
+      Seq((100L, "w0a w0b w0c w0d w0e w0f")).toDF("doc_id", "text"), idx, batchToken = "s0")
+    assert(spark.read.parquet(s"$idx/docs").count() == n1,
+      "compacted-token replay duplicated docs")
   }
 
   test("streaming hourly counts equal the batch aggregation") {
