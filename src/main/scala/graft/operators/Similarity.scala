@@ -513,11 +513,14 @@ object Similarity {
       .distinct()
   }
 
-  /** DuckDB oracle for [[annNearDupPairs]] (multiprobe form). */
-  def sqlAnnNearDupPairs(minCos: Double): String =
+  /** DuckDB oracle for [[annNearDupPairs]] (multiprobe form);
+    * `where` restricts the corpus like the registration's shard
+    * filter (e.g. `"WHERE label <= 1"`).
+    */
+  def sqlAnnNearDupPairs(minCos: Double, where: String = ""): String =
     s"""WITH s AS (SELECT vec_id,
        |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
-       |  embedding FROM embeddings),
+       |  embedding FROM embeddings $where),
        |qz AS (SELECT vec_id,
        |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
        |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)

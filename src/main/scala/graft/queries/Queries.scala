@@ -922,16 +922,20 @@ object Queries {
       },
       Similarity.sqlAnnSearchBatch(100L, 5))),
 
-    // embedding near-dup pairs from the index alone — the bucketed
-    // replacement for d6's label-blocked quadratic at scale
+    // embedding near-dup pairs from an index alone — the bucketed
+    // replacement for d6's label-blocked quadratic. Mining cost is
+    // per-bucket quadratic (4 planes = 16 buckets), so the registered
+    // query mines a DOMAIN SHARD index (labels 0-1), the shape a real
+    // pipeline uses: one shard index per domain, mined independently;
+    // for one giant shard you raise the plane count instead.
     "s9_ann_near_dup" -> ((
       (spark: SparkSession, sf: String) => {
-        val emb = t(spark, sf, "embeddings")
-        val idx = stampedIndexPath(spark, sf, "embeddings", "ann_p4_int8")
+        val emb = t(spark, sf, "embeddings").filter(col("label") <= 1)
+        val idx = stampedIndexPath(spark, sf, "embeddings", "ann_p4_int8_lab01")
         Similarity.ensureAnnIndex(emb, idx)
-        Similarity.annNearDupPairs(spark, idx, 0.4).orderBy("a", "b")
+        Similarity.annNearDupPairs(spark, idx, 0.35).orderBy("a", "b")
       },
-      Similarity.sqlAnnNearDupPairs(0.4))),
+      Similarity.sqlAnnNearDupPairs(0.35, "WHERE label <= 1"))),
 
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
