@@ -39,15 +39,21 @@ object Similarity {
     aggregate(indexed, lit(0.0), (s, v) => s + v)
   }
 
-  /** LSH bucket id = sum of 2^j over planes with positive projection. */
-  def bucketId(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until LshPlanes).map { j =>
+  /** LSH bucket id = sum of 2^j over planes with positive projection.
+    * `planes` is the resolution knob: 2^planes buckets, so pair-
+    * mining cost (per-bucket quadratic) drops 4x per extra plane
+    * while probe recall for a given similarity falls — pick it per
+    * index at build time (it is pinned in the index meta).
+    */
+  def bucketId(emb: org.apache.spark.sql.Column,
+      planes: Int = LshPlanes): org.apache.spark.sql.Column =
+    (0 until planes).map { j =>
       when(planeDot(emb, j) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** DuckDB fragment for the same bucket id over a bound list column. */
-  def sqlBucketId(e: String): String =
-    (0 until LshPlanes).map { j =>
+  def sqlBucketId(e: String, planes: Int = LshPlanes): String =
+    (0 until planes).map { j =>
       val dot = s"list_reduce(list_prepend(0.0, [$e[d]::DOUBLE * ((($j*131 + d*7919) % 1009) - 504)::DOUBLE for d in range(1, len($e) + 1)]), (s, v) -> s + v)"
       s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -272,18 +278,20 @@ object Similarity {
     * silently routed wrong. Valid for an immutable corpus — rebuild
     * on corpus rewrite, the same contract as [[Dedup.writeCorpusIndex]].
     */
-  def writeAnnIndex(emb: DataFrame, path: String): Unit = {
+  def writeAnnIndex(emb: DataFrame, path: String,
+      planes: Int = LshPlanes): Unit = {
+    require(planes >= 1 && planes <= 16, s"planes out of range: $planes")
     // a REBUILD must not leave previously appended batch dirs (or the
     // compacted-token manifest) behind — stale vectors would keep
     // surfacing in probes
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(annHadoopConf(emb.sparkSession))
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists"), true)
     IndexBatches.clearManifest(fs, path)
-    writeAnnBatch(emb, path, AnnBaseBatch)
+    writeAnnBatch(emb, path, AnnBaseBatch, planes)
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
     val out = fs.create(p, true)
     try out.write(
-      s"""{"planes": $LshPlanes, "quant": "int8-sym-trunc", "layout": 2}"""
+      s"""{"planes": $planes, "quant": "int8-sym-trunc", "layout": 2}"""
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -299,12 +307,13 @@ object Similarity {
     */
   private val AnnBaseBatch = IndexBatches.Base
 
-  private def writeAnnBatch(emb: DataFrame, path: String, token: String): Unit =
+  private def writeAnnBatch(emb: DataFrame, path: String, token: String,
+      planes: Int): Unit =
     emb.select(
         col("vec_id"),
         round(qScaleCol(col("embedding")), 6).as("scale"),
         qCodesCol(col("embedding")).as("q"),
-        bucketId(col("embedding")).as("bucket"))
+        bucketId(col("embedding"), planes).as("bucket"))
       // hash-cluster by bucket so each bucket directory gets ~one
       // file (a fragmented list defeats the probe's point-read shape)
       .repartition(col("bucket"))
@@ -329,13 +338,11 @@ object Similarity {
     IndexBatches.requireValidToken(batchToken)
     val spark = fresh.sparkSession
     val planes = readAnnMeta(spark, path)
-    require(planes == LshPlanes,
-      s"index at $path was built with $planes planes; this library computes $LshPlanes")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(annHadoopConf(spark))
     // replayed batch whose dir a compaction already folded away: the
     // rows are in a compact dir; re-appending would duplicate them
     if (IndexBatches.compactedTokens(fs, path).contains(batchToken)) return
-    writeAnnBatch(fresh, path, batchToken)
+    writeAnnBatch(fresh, path, batchToken, planes)
     IndexBatches.compactionPlan(fs, new org.apache.hadoop.fs.Path(s"$path/lists"),
         maxAppendBatches).foreach { case (dirs, token) =>
       // merged replacement is written BEFORE the manifest and deletes
@@ -357,7 +364,8 @@ object Similarity {
   /** Build the ANN index iff its meta marker is absent (the
     * rebuild-if-missing entry point query wiring uses).
     */
-  def ensureAnnIndex(emb: DataFrame, path: String): Unit = {
+  def ensureAnnIndex(emb: DataFrame, path: String,
+      planes: Int = LshPlanes): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
     val fs = p.getFileSystem(annHadoopConf(emb.sparkSession))
     val usable = fs.exists(p) &&
@@ -365,7 +373,7 @@ object Similarity {
       // fail every probe forever
       (try { readAnnMeta(emb.sparkSession, path); true }
        catch { case _: IllegalStateException => false })
-    if (!usable) writeAnnIndex(emb, path)
+    if (!usable) writeAnnIndex(emb, path, planes)
   }
 
   private def readAnnMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
@@ -389,8 +397,8 @@ object Similarity {
     * so the computed bucket is bit-identical to what the index writer
     * computed in Spark for the same vector.
     */
-  def bucketOf(vec: Seq[Float]): Long =
-    (0 until LshPlanes).map { j =>
+  def bucketOf(vec: Seq[Float], planes: Int = LshPlanes): Long =
+    (0 until planes).map { j =>
       var s = 0.0
       var i = 0
       while (i < vec.length) { s += vec(i).toDouble * planeWeight(j, i + 1).toDouble; i += 1 }
@@ -420,11 +428,9 @@ object Similarity {
       vec: Seq[Float], k: Int, multiprobe: Boolean = false,
       excludeVecId: Long = Long.MinValue): DataFrame = {
     val planes = readAnnMeta(spark, path)
-    require(planes == LshPlanes,
-      s"index at $path was built with $planes planes; this library computes $LshPlanes")
-    val qb = bucketOf(vec)
+    val qb = bucketOf(vec, planes)
     val buckets: Seq[Long] =
-      if (multiprobe) qb +: (0 until LshPlanes).map(j => qb ^ (1L << j)) else Seq(qb)
+      if (multiprobe) qb +: (0 until planes).map(j => qb ^ (1L << j)) else Seq(qb)
     val qq = quantizeVec(vec).toSeq
     val dotInt = aggregate(
       zip_with(col("q"), typedLit(qq), (a, b) => a.cast("long") * b.cast("long")),
@@ -451,11 +457,9 @@ object Similarity {
   def annSearchBatch(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int): DataFrame = {
     val planes = readAnnMeta(spark, path)
-    require(planes == LshPlanes,
-      s"index at $path was built with $planes planes; this library computes $LshPlanes")
     val qz = queries.select(col("vec_id").as("query_id"),
       qCodesCol(col("embedding")).as("qq"),
-      bucketId(col("embedding")).as("bucket"))
+      bucketId(col("embedding"), planes).as("bucket"))
     val dotInt = aggregate(
       zip_with(col("q"), col("qq"), (a, b) => a.cast("long") * b.cast("long")),
       lit(0L), (acc, v) => acc + v)
@@ -483,8 +487,6 @@ object Similarity {
   def annNearDupPairs(spark: org.apache.spark.sql.SparkSession, path: String,
       minCos: Double, multiprobe: Boolean = true): DataFrame = {
     val planes = readAnnMeta(spark, path)
-    require(planes == LshPlanes,
-      s"index at $path was built with $planes planes; this library computes $LshPlanes")
     def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
       zip_with(c, c, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v).cast("double"))
@@ -494,7 +496,7 @@ object Similarity {
     val lists = spark.read.parquet(s"$path/lists")
       .select(col("vec_id"), col("q"), col("bucket"), norm(col("q")).as("nrm"))
     val flips =
-      if (multiprobe) array((lit(0L) +: (0 until LshPlanes).map(j => lit(1L << j))): _*)
+      if (multiprobe) array((lit(0L) +: (0 until planes).map(j => lit(1L << j))): _*)
       else array(lit(0L))
     val a = lists
       .select(col("bucket").cast("long").as("b0"), col("vec_id").as("a"), col("q").as("qa"),

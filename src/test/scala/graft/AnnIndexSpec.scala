@@ -232,7 +232,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hit.nonEmpty && hit.head.getLong(0) == 1L)
   }
 
-  test("ensureAnnIndex builds once; a planes mismatch is rejected") {
+  test("a non-default plane count round-trips through meta: build, probe, mine") {
+    val path = freshPath("planes8")
+    Similarity.writeAnnIndex(emb, path, planes = 8)
+    // stored buckets use 8 planes — driver replica must agree
+    val stored = spark.read.parquet(s"$path/lists").select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(stored.values.exists(_ >= 16), "8-plane index never used the high bits")
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    raw.take(50).foreach { case (id, vec) =>
+      assert(Similarity.bucketOf(vec, planes = 8) == stored(id), s"bucket mismatch vec $id")
+    }
+    // probe picks the plane count up from meta (no planes argument)
+    val qvec = raw(0L)
+    val got = Similarity.queryAnnIndex(spark, path, qvec, 5, excludeVecId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    val qb = Similarity.bucketOf(qvec, planes = 8)
+    val want = stored.filter { case (id, b) => b == qb && id != 0L }.keySet
+    assert(got.subsetOf(want), "probe crossed bucket boundaries")
+    // pair mining honors the wider bucketing too (all pairs intra/hamming-1)
+    val pairs = Similarity.annNearDupPairs(spark, path, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.take(100).foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(stored(a) ^ stored(b))
+      assert(d <= 1, s"pair ($a,$b) buckets differ by $d bits")
+    }
+  }
+
+  test("ensureAnnIndex builds once; malformed meta fails loudly") {
     val path = freshPath("meta")
     Similarity.ensureAnnIndex(emb, path)
     val marker = new java.io.File(s"$path/_graft_ann_meta.json")
@@ -241,19 +269,23 @@ class AnnIndexSpec extends AnyFunSuite {
     Similarity.ensureAnnIndex(emb, path) // must be a no-op
     assert(marker.lastModified() == mtime, "ensure rebuilt an existing index")
 
-    // foreign meta (different plane count) must be rejected at probe.
-    // Written through the Hadoop FS (not raw java.io) so the local
-    // filesystem's .crc sidecar stays consistent.
+    // meta without a plane count is corrupt — the probe must fail
+    // with a named error, not guess a resolution. Written through the
+    // Hadoop FS (not raw java.io) so the .crc sidecar stays consistent.
     val hp = new org.apache.hadoop.fs.Path(marker.getPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(hp, true)
-    try out.write("""{"planes": 8, "quant": "int8-sym-trunc", "layout": 2}""".getBytes("UTF-8"))
+    try out.write("""{"quant": "int8-sym-trunc", "layout": 2}""".getBytes("UTF-8"))
     finally out.close()
     val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
       .head().getSeq[Float](0)
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[IllegalStateException] {
       Similarity.queryAnnIndex(spark, path, qvec, 10)
     }
-    assert(ex.getMessage.contains("planes"))
+    assert(ex.getMessage.contains("malformed"))
+    // and ensure treats it as unusable -> rebuilds
+    Similarity.ensureAnnIndex(emb, path)
+    assert(Similarity.queryAnnIndex(spark, path, qvec, 1, excludeVecId = 0L)
+      .collect().nonEmpty)
   }
 }
