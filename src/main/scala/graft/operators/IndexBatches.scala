@@ -23,6 +23,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (batch → compact → compact-of-compacts), not once per compaction
   * cycle — the write-amplification shape that survives an unbounded
   * micro-batch stream.
+  *
+  * Concurrency contract: SINGLE WRITER per index (the streaming
+  * ingest's foreachBatch already serializes within one query).
+  * Concurrent appenders with distinct tokens are safe with each
+  * other but can race a concurrent compaction's manifest rewrite or
+  * dir deletes; coordinate multiple writers externally, exactly as
+  * for any filesystem table without a transaction log. A reader
+  * overlapping the write-then-delete window can briefly see a row in
+  * both its batch dir and the new compact dir — duplicate rows, the
+  * same at-least-once artifact a crash leaves, healed by the next
+  * compaction's dropDuplicates.
   */
 private[operators] object IndexBatches {
   val Base = "base"

@@ -937,6 +937,18 @@ object Queries {
       },
       Similarity.sqlAnnNearDupPairs(0.35, "WHERE label <= 1"))),
 
+    // multiprobe LSH (the recall knob): query bucket + hamming-1
+    // flips, still 1+planes of 2^planes buckets scanned
+    "s10_ann_multiprobe" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.lshTopKMultiprobe(t(spark, sf, "embeddings"), 0L, 5),
+      s"""WITH eb AS (SELECT vec_id, embedding, ${Similarity.sqlBucketId("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${VectorFunctions.sqlDot("e.embedding", "qe")} / (${VectorFunctions.sqlNorm("e.embedding")} * ${VectorFunctions.sqlNorm("qe")}), 6) AS cos
+         |FROM eb e, q
+         |WHERE (e.bucket = q.qb OR xor(e.bucket, q.qb) IN (1, 2, 4, 8)) AND e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
+
     "s1_ann_brute" -> ((
       (spark: SparkSession, sf: String) => Similarity.bruteForceTopK(t(spark, sf, "embeddings"), 0L, 10),
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

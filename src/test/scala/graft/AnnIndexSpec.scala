@@ -155,6 +155,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("batch search plans dynamic partition pruning on the bucket join") {
+    val path = freshPath("dpp")
+    Similarity.writeAnnIndex(emb, path)
+    val queries = emb.filter(col("vec_id") === 0L)
+    val df = Similarity.annSearchBatch(spark, path, queries, 5)
+    // the index scan's partition filters must carry a dynamicpruning
+    // subquery seeded by the broadcast query batch, so only buckets a
+    // query actually probes are read at scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the bucket join:\n$plan")
+  }
+
   test("streaming annIngest keeps the index current and replay-safe") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
