@@ -519,7 +519,8 @@ object Similarity {
     * `where` restricts the corpus like the registration's shard
     * filter (e.g. `"WHERE label <= 1"`).
     */
-  def sqlAnnNearDupPairs(minCos: Double, where: String = ""): String =
+  def sqlAnnNearDupPairs(minCos: Double, where: String = "",
+      planes: Int = LshPlanes): String =
     s"""WITH s AS (SELECT vec_id,
        |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
        |  embedding FROM embeddings $where),
@@ -527,7 +528,7 @@ object Similarity {
        |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
        |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
        |  END AS q,
-       |  ${sqlBucketId("embedding")} AS bucket FROM s),
+       |  ${sqlBucketId("embedding", planes)} AS bucket FROM s),
        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
        |  round(list_reduce(list_prepend(0::BIGINT,
        |      [a.q[i]::BIGINT * b.q[i]::BIGINT for i in range(1, len(a.q) + 1)]),
@@ -539,7 +540,7 @@ object Similarity {
        |        [b.q[i]::BIGINT * b.q[i]::BIGINT for i in range(1, len(b.q) + 1)]),
        |        (s, v) -> s + v)::DOUBLE)), 6) AS qcos
        |  FROM qz a JOIN qz b
-       |  ON (a.bucket = b.bucket OR xor(a.bucket, b.bucket) IN (1, 2, 4, 8))
+       |  ON (a.bucket = b.bucket OR xor(a.bucket, b.bucket) IN (${(0 until planes).map(1L << _).mkString(", ")}))
        |    AND a.vec_id < b.vec_id)
        |SELECT a, b, qcos FROM p WHERE qcos >= $minCos ORDER BY a, b""".stripMargin
 
