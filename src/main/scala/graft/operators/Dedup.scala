@@ -330,9 +330,13 @@ object Dedup {
       threshold: Double = 0.8, buckets: Int = 256): Unit = {
     // a REBUILD must not leave previously appended batch dirs (or the
     // compacted-token manifest) behind: stale postings would keep
-    // matching deleted docs, and old buckets values would mis-route
+    // matching deleted docs, and old buckets values would mis-route.
+    // The meta marker goes FIRST and comes back LAST: a crash mid-
+    // rebuild must leave an index that reads as absent/unusable (so
+    // ensure* heals it), never a valid-looking meta over deleted data.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(sessionHadoopConf(corpus.sparkSession))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta.json"), false)
     Seq("docs", "prefix").foreach(sub =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true))
     IndexBatches.clearManifest(fs, path)
@@ -340,10 +344,10 @@ object Dedup {
       .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
     docs.write.mode("overwrite").parquet(s"$path/docs/batch=$BaseBatch")
-    writeIndexMeta(corpus.sparkSession, path, n, threshold, buckets)
     appendPrefix(corpus.sparkSession, path,
       corpus.sparkSession.read.parquet(s"$path/docs/batch=$BaseBatch"),
       threshold, buckets, BaseBatch)
+    writeIndexMeta(corpus.sparkSession, path, n, threshold, buckets)
   }
 
   /** Every docs/prefix write lands under its own `batch=<token>`
@@ -523,8 +527,15 @@ object Dedup {
     // layout 2 = batch=<token> partition dirs. A layout-1 index (flat
     // docs/prefix) would produce "conflicting directory structures"
     // on the first read after an append — fail fast and name the fix.
+    // Meta without the field predates the version stamp: sniff the
+    // directory shape rather than assume, so a batch-layout index
+    // whose meta was written before stamping isn't falsely rejected
+    // (ensure* would rebuild it, silently dropping appended batches).
     val layout = s""""layout"\\s*:\\s*([0-9]+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt).getOrElse(1)
+      .map(_.group(1).toInt)
+      .getOrElse(
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs/batch=$BaseBatch"))) 2
+        else 1)
     if (layout != 2) throw new IllegalStateException(
       s"corpus index at $path uses layout $layout; this library reads layout 2 — " +
         "rebuild with writeCorpusIndex")

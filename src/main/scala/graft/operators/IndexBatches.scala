@@ -50,7 +50,13 @@ private[operators] object IndexBatches {
     else fs.listStatus(tableDir).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("batch=") && p.getName != s"batch=$Base")
 
-  /** Tokens already folded into a compact dir. */
+  /** Tokens already folded into a compact dir. The manifest keeps
+    * every folded token forever (~40 bytes each, read driver-side per
+    * append): only the caller knows the stream's replayable window,
+    * so nothing here can prune safely. When a streaming checkpoint is
+    * discarded — no batch before it can ever replay — the caller may
+    * delete the manifest along with it.
+    */
   def compactedTokens(fs: FileSystem, indexPath: String): Set[String] = {
     val p = new Path(s"$indexPath/$ManifestName")
     if (!fs.exists(p)) Set.empty

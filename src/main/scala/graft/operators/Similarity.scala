@@ -283,12 +283,15 @@ object Similarity {
     require(planes >= 1 && planes <= 16, s"planes out of range: $planes")
     // a REBUILD must not leave previously appended batch dirs (or the
     // compacted-token manifest) behind — stale vectors would keep
-    // surfacing in probes
+    // surfacing in probes. Meta deleted FIRST and rewritten LAST: a
+    // crash mid-rebuild must read as absent (so ensure* heals it),
+    // never as a valid meta over deleted lists.
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(annHadoopConf(emb.sparkSession))
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
+    fs.delete(p, false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists"), true)
     IndexBatches.clearManifest(fs, path)
     writeAnnBatch(emb, path, AnnBaseBatch, planes)
-    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
     val out = fs.create(p, true)
     try out.write(
       s"""{"planes": $planes, "quant": "int8-sym-trunc", "layout": 2}"""
@@ -378,12 +381,16 @@ object Similarity {
 
   private def readAnnMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
-    val fs = p.getFileSystem(
-      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(annHadoopConf(spark))
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // meta without the stamp predates versioning: sniff the dir shape
+    // (see Dedup.readIndexMeta for the rationale)
     val layout = """"layout":\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt).getOrElse(1)
+      .map(_.group(1).toInt)
+      .getOrElse(
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/lists/batch=$AnnBaseBatch"))) 2
+        else 1)
     if (layout != 2) throw new IllegalStateException(
       s"ANN index at $path uses layout $layout; this library reads layout 2 — " +
         "rebuild with writeAnnIndex")

@@ -946,7 +946,7 @@ object Queries {
          |q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
          |SELECT e.vec_id, round(${VectorFunctions.sqlDot("e.embedding", "qe")} / (${VectorFunctions.sqlNorm("e.embedding")} * ${VectorFunctions.sqlNorm("qe")}), 6) AS cos
          |FROM eb e, q
-         |WHERE (e.bucket = q.qb OR xor(e.bucket, q.qb) IN (1, 2, 4, 8)) AND e.vec_id <> 0
+         |WHERE (e.bucket = q.qb OR xor(e.bucket, q.qb) IN (${(0 until Similarity.LshPlanes).map(1L << _).mkString(", ")})) AND e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
 
     "s1_ann_brute" -> ((

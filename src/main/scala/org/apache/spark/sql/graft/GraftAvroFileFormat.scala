@@ -171,11 +171,17 @@ final class GraftAvroFileFormat extends FileFormat with Serializable {
     * row-level source (int→long, float→double).
     */
   private def toInternal(dt: DataType): AnyRef => Any = dt match {
-    // only genuine Avro string values (Utf8/String): a blanket
-    // toString would silently stringify a mismatched writer type
-    // (long where the catalog says string) instead of surfacing the
-    // named mismatch error like every other column type
-    case StringType => { case s: CharSequence => UTF8String.fromString(s.toString) }
+    // only value classes Avro legitimately maps to STRING — Utf8/
+    // String (CharSequence) and enum symbols (the canonical Avro-
+    // enum-to-Hive-STRING mapping). A blanket toString would silently
+    // stringify a mismatched writer type (long where the catalog says
+    // string) instead of surfacing the named mismatch error like
+    // every other column type.
+    case StringType => {
+      case s: CharSequence => UTF8String.fromString(s.toString)
+      case e: org.apache.avro.generic.GenericEnumSymbol[_] =>
+        UTF8String.fromString(e.toString)
+    }
     case IntegerType => { case i: java.lang.Integer => i.intValue() }
     case LongType => {
       case l: java.lang.Long => l.longValue()

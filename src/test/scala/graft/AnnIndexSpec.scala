@@ -273,6 +273,27 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("meta without a layout stamp is accepted when the dirs are batch-shaped") {
+    val path = freshPath("sniff")
+    Similarity.writeAnnIndex(emb, path)
+    // simulate a pre-stamp meta (same index, older writer version)
+    val hp = new org.apache.hadoop.fs.Path(s"$path/_graft_ann_meta.json")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    try out.write("""{"planes": 4, "quant": "int8-sym-trunc"}""".getBytes("UTF-8"))
+    finally out.close()
+    val qvec = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    // probe must work (dir sniff resolves layout 2), and ensure must
+    // NOT rebuild — appended batches would be silently dropped
+    assert(Similarity.queryAnnIndex(spark, path, qvec, 1, excludeVecId = 0L)
+      .collect().nonEmpty)
+    val mtime = new java.io.File(s"$path/_graft_ann_meta.json").lastModified()
+    Similarity.ensureAnnIndex(emb, path)
+    assert(new java.io.File(s"$path/_graft_ann_meta.json").lastModified() == mtime,
+      "ensure rebuilt a compatible pre-stamp index")
+  }
+
   test("ensureAnnIndex builds once; malformed meta fails loudly") {
     val path = freshPath("meta")
     Similarity.ensureAnnIndex(emb, path)

@@ -93,4 +93,34 @@ class AvroFormatSpec extends AnyFunSuite {
     assert(msgs.contains("column 's'"), msgs)
     assert(msgs.contains("mismatch"), msgs)
   }
+
+  test("Avro enum columns read as their catalog-declared string type") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = new java.io.File("target/fixtures/avro_enum")
+    dir.mkdirs()
+    val schema = SchemaBuilder.record("r").fields()
+      .name("st").`type`().enumeration("status").symbols("OPEN", "CLOSED").noDefault()
+      .endRecord()
+    val enumSchema = schema.getField("st").schema()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-0.avro"))
+    try {
+      Seq("OPEN", "CLOSED", "OPEN").foreach { s =>
+        val rec = new GenericData.Record(schema)
+        rec.put("st", new GenericData.EnumSymbol(enumSchema, s))
+        w.append(rec)
+      }
+    } finally w.close()
+
+    val cat = new FixtureCatalog()
+    cat.register(GlueTable("default", "avro_enum", Some(dir.getAbsolutePath),
+      columns = Seq(ColumnDef("st", "string")), // canonical enum -> STRING mapping
+      parameters = Map("classification" -> "avro")))
+    val eng = new GlueTableEngine(spark, cat)
+    val got = eng.query("SELECT st FROM glue.default.avro_enum")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("OPEN", "CLOSED", "OPEN"))
+  }
 }
