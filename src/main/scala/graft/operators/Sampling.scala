@@ -70,4 +70,59 @@ object Sampling {
        |    ORDER BY ${CrossHash.sqlCharFold("text")}, doc_id)::BIGINT AS rk
        |  FROM documents)
        |SELECT $stratum, doc_id, rk FROM r WHERE rk <= $n ORDER BY $stratum, rk""".stripMargin
+
+  /** Domain-mixture sampling — the data-mixing step that turns a raw
+    * corpus into a weighted training mix (upweight code, downweight
+    * low-quality web, ...): each source kept at its own rate. The
+    * rule is content-addressed like [[hashSample]] — a row survives
+    * iff `charFold(key) mod granularity < floor(rate(source) *
+    * granularity)` (charFold is non-negative by construction) — so
+    * the mix is a pure function of content: reproducible on any
+    * engine or re-shard, auditable by an exact oracle, and a
+    * re-ingested document keeps its in/out status. Sources absent
+    * from `rates` are DROPPED (a mix is an explicit allowlist).
+    *
+    * Scale: the rates map is per-source (tiny) and broadcasts; the
+    * filter itself is a per-row narrow map — no shuffle at any
+    * corpus size.
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+      key: Column, granularity: Int = 1000): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq
+      .map { case (s, r) => (s, math.floor(r * granularity).toLong) }
+      .toDF("source", "__thresh")
+    docs.join(broadcast(rdf), Seq("source"))
+      .filter(CrossHash.charFold(key) % granularity < col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** Per-source audit of [[mixtureSample]]: achieved kept-counts and
+    * a spot-checkable witness per source, the report a mixing run
+    * emits next to its output.
+    */
+  def mixtureAudit(docs: DataFrame, rates: Map[String, Double],
+      granularity: Int = 1000): DataFrame =
+    mixtureSample(docs, rates, col("text"), granularity)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[mixtureAudit]] (thresholds inlined from the
+    * same map the Spark side uses).
+    */
+  def sqlMixtureAudit(rates: Map[String, Double], granularity: Int = 1000): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) =>
+        s"WHEN '${s.replace("'", "''")}' THEN ${math.floor(r * granularity).toLong}" }
+      .mkString(" ")
+    s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept
+       |FROM documents
+       |WHERE ${CrossHash.sqlCharFold("text")} % $granularity <
+       |  (CASE source $cases ELSE -1 END)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 }

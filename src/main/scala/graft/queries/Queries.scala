@@ -861,6 +861,16 @@ object Queries {
       (spark: SparkSession, sf: String) => Sampling.sampleAudit(t(spark, sf, "documents"), 20),
       Sampling.sqlSampleAudit(20))),
 
+    // domain-mixture sampling: per-source keep rates (0.25/0.5/0.75/
+    // 1.0 cycling over the 20 sources; src19 deliberately absent ->
+    // dropped), content-addressed so the mix is engine-reproducible
+    "d14_domain_mix" -> {
+      val rates = (0 until 19).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
+      ((spark: SparkSession, sf: String) =>
+          Sampling.mixtureAudit(t(spark, sf, "documents"), rates),
+        Sampling.sqlMixtureAudit(rates))
+    },
+
     // skyline / Pareto front (EDBT'23 Spark-SQL skyline integration;
     // two-phase local-front + bounded global merge — the quadratic
     // NOT EXISTS form is oracle-only): parts where nothing is both

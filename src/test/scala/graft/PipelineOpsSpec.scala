@@ -57,4 +57,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     val kept = Sampling.hashSample(docs, col("text"), 20).count()
     assert(audit.map(_.getLong(1)).sum == kept)
   }
+
+  test("mixture sampling keeps per-source rates, drops unrated sources, survives re-sharding") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.mixtureSample(df, rates, col("text")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val base = ids(docs)
+    // content-addressed: partitioning must not change the mix
+    assert(ids(docs.repartition(7)) == base)
+    val bySource = Sampling.mixtureSample(docs, rates, col("text"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.filter(col("source") === "src0").count()
+    assert(bySource("src0") == total, "rate 1.0 must keep every row")
+    assert(!bySource.contains("src2"), "rate 0.0 must drop every row")
+    assert(bySource.get("src1").exists(n => n > 0 && n < total),
+      "rate 0.5 must keep a proper subset")
+    // sources not in the mix (src3..) never appear
+    assert(bySource.keySet.subsetOf(rates.keySet))
+  }
 }
