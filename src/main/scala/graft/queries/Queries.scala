@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Pii, Sampling, Search, Similarity, Skyline, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Pii, Profile, Sampling, Search, Similarity, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -866,15 +866,25 @@ object Queries {
     // dropped), content-addressed so the mix is engine-reproducible
     "d14_domain_mix" -> {
       val rates = (0 until 19).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
-      ((spark: SparkSession, sf: String) =>
-          Sampling.mixtureAudit(t(spark, sf, "documents"), rates),
-        Sampling.sqlMixtureAudit(rates))
+      val fn = (spark: SparkSession, sf: String) =>
+        Sampling.mixtureAudit(t(spark, sf, "documents"), rates)
+      (fn, Sampling.sqlMixtureAudit(rates))
     },
 
     // skyline / Pareto front (EDBT'23 Spark-SQL skyline integration;
     // two-phase local-front + bounded global merge — the quadratic
     // NOT EXISTS form is oracle-only): parts where nothing is both
     // cheaper and bigger
+    // one-pass column profile (nulls / exact distincts / numeric
+    // ranges) — the data-quality audit before a table is trained on
+    "q22_profile" -> ((
+      (spark: SparkSession, sf: String) =>
+        Profile.profileTable(t(spark, sf, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate")),
+      Profile.sqlProfileTable("lineitem",
+        Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"),
+        Set("l_orderkey", "l_quantity", "l_discount")))),
+
     "q21_skyline" -> ((
       (spark: SparkSession, sf: String) =>
         Skyline.skyline(t(spark, sf, "part"), "p_partkey",
