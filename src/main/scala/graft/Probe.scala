@@ -17,8 +17,11 @@ object Probe {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       ev.printSchema()
-      ev.select(col("event_id"), col("ts"),
-          timestamp_micros(expr("ts div 1000")).as("ts_us"))
+      val tsUs =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts").cast("timestamp")
+      ev.select(col("event_id"), col("ts"), tsUs.as("ts_us"))
         .orderBy("event_id").show(3, false)
     } catch { case e: Throwable => println("EVENTS READ FAILED: " + e.toString.take(500)) }
     // 2. split semantics

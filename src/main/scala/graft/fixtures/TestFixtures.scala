@@ -33,14 +33,20 @@ object TestFixtures {
     s"/root/repo/target/fixtures/$name"
   }
 
-  /** Events reader: the testdata uses ns timestamps which Spark only
-    * reads as long via the legacy conf; convert to micros (same
-    * truncation DuckDB applies).
+  /** Events reader: older driver testdata stored `ts` as int64
+    * nanoseconds (readable only via the legacy nanosAsLong conf, then
+    * truncated to micros — the same truncation DuckDB applies); newer
+    * testdata writes a real timestamp column. Convert only when the
+    * physical type is the legacy long.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Total bytes of the data files under a local fixture dir. */
