@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Scale-up generator: synthesizes an sfN dataset from the driver's
   * sf0.1 testdata by unioning `factor` key-shifted copies, so the
   * bench can produce a larger-scale datapoint (the driver ships no
-  * sf1). Shapes match the driver's tables (TESTDATA.md), with events
-  * `ts` stored as BIGINT nanos — exactly how Spark reads the driver's
-  * TIMESTAMP_NANOS column under the legacy conf.
+  * sf1). Shapes match the driver's tables (TESTDATA.md); events `ts`
+  * is copied in whatever representation the source uses (BIGINT
+  * nanos under the legacy conf for older testdata, a real timestamp
+  * column for newer).
   *
   * Copies are not verbatim:
   *  - documents: every token of a copied doc is replaced with
@@ -75,14 +76,19 @@ object GenScale {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppStride))
     }, "lineitem")
 
-    // events: ts arrives as BIGINT nanos (legacy conf); shift ids and
-    // jitter ts by a few minutes per copy, write ts back as BIGINT
+    // events: older testdata ships ts as BIGINT nanos (legacy conf),
+    // newer as a real timestamp; shift ids and jitter ts by i minutes
+    // per copy in whichever representation the source uses
     val eventStride = src("events").agg(max("event_id")).head.getLong(0) + 1
     val userStride = src("events").agg(max("user_id")).head.getLong(0) + 1
+    val tsIsLegacyNanos =
+      src("events").schema("ts").dataType == org.apache.spark.sql.types.LongType
     write(copies(src("events")) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * eventStride))
         .withColumn("user_id", col("user_id") + lit(i * userStride))
-        .withColumn("ts", col("ts") + lit(i * 60_000_000_000L)) // +i minutes (ns)
+        .withColumn("ts",
+          if (tsIsLegacyNanos) col("ts") + lit(i * 60_000_000_000L)
+          else col("ts") + expr(s"INTERVAL '$i' MINUTE"))
     }, "events")
 
     // documents: copy 0 verbatim; copies 1.. mutate ~half the tokens

@@ -1007,6 +1007,21 @@ object Queries {
         Search.bm25TopK(t(spark, sf, "documents"), Seq("spark", "vector", "merge"), 10),
       Search.sqlBm25TopK(Seq("spark", "vector", "merge"), 10))),
 
+    // BM25 against the PERSISTED inverted index (the third member of
+    // the index trio: d11 corpus prefix index, s7 ANN index, s11
+    // search index): term buckets computed driver-side, the scan
+    // reads only those bucket partitions, corpus constants come from
+    // sidecar stats — a point read per query instead of s4's
+    // tokenize-the-corpus
+    "s11_bm25_indexed" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        val idx = stampedIndexPath(spark, sf, "documents", "bm25_b16")
+        Search.ensureSearchIndex(docs, idx)
+        Search.bm25Indexed(spark, idx, Seq("spark", "vector", "merge"), 10)
+      },
+      Search.sqlBm25TopK(Seq("spark", "vector", "merge"), 10))),
+
     "t1_token_stats" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.tokenStats(t(spark, sf, "documents")),
       s"""SELECT doc_id, CAST(len(${sqlTokens("text")}) AS INTEGER) AS n_tokens,
