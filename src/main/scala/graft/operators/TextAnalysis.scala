@@ -181,6 +181,52 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest(${sqlDistinctTokens("text")}) AS term FROM documents)
        |GROUP BY term ORDER BY df DESC, term LIMIT $k""".stripMargin
 
+  /** Top TF-IDF terms per document — the per-doc keyword extraction
+    * behind topic tagging and relevance filtering. `score = tf *
+    * ln(N / df)`, ranked per doc (rounded BEFORE ranking so the tie
+    * order is engine-independent).
+    *
+    * Scale shape: three shuffles, each keyed — (doc_id, term) for tf,
+    * term for the df window, doc_id for the rank window — all
+    * partitioned, never global. df deliberately comes from a window
+    * over the term partition rather than a groupBy+join: the vocab of
+    * a 100 TB web corpus is billions of (noisy) terms, far past
+    * broadcast range, and the window reuses the term shuffle the join
+    * would have needed anyway. N folds in as a broadcast 1-row
+    * aggregate.
+    */
+  def tfidfTopTerms(docs: DataFrame, perDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wTerm = Window.partitionBy("term")
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(wDoc).cast("long"))
+      .filter(col("rk") <= perDoc)
+      .select("doc_id", "term", "score", "rk")
+  }
+
+  /** DuckDB oracle for [[tfidfTopTerms]] (over `documents`, reported
+    * for `doc_id < limitDocs` — the corpus-wide scores are unchanged
+    * by the reporting filter).
+    */
+  def sqlTfidfTopTerms(perDoc: Int = 3, limitDocs: Long = 40): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |x AS (SELECT doc_id, term,
+       |  round(tf * ln(n_docs / count(*) OVER (PARTITION BY term)), 6) AS score
+       |  FROM tf, n),
+       |r AS (SELECT doc_id, term, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT AS rk
+       |  FROM x)
+       |SELECT doc_id, term, score, rk FROM r
+       |WHERE rk <= $perDoc AND doc_id < $limitDocs
+       |ORDER BY doc_id, rk""".stripMargin
+
   /** DuckDB oracle for [[lengthQuantiles]]. */
   def sqlLengthQuantiles(qs: Seq[(Int, Int)] = Seq(50 -> 100, 90 -> 100, 99 -> 100)): String = {
     val arms = qs.map { case (num, den) =>

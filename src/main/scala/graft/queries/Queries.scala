@@ -1055,6 +1055,15 @@ object Queries {
       (spark: SparkSession, sf: String) => TextAnalysis.vocabStats(t(spark, sf, "documents")),
       TextAnalysis.sqlVocabStats())),
 
+    // per-doc keyword extraction: top-3 TF-IDF terms, corpus-wide
+    // scores, reported for the first 40 docs
+    "t10_tfidf" -> ((
+      (spark: SparkSession, sf: String) =>
+        TextAnalysis.tfidfTopTerms(t(spark, sf, "documents"))
+          .filter(col("doc_id") < 40)
+          .orderBy("doc_id", "rk"),
+      TextAnalysis.sqlTfidfTopTerms())),
+
     "m1_media_meta" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.imageMeta(spark.read.parquet(TestFixtures.mediaImages(spark, sf))),

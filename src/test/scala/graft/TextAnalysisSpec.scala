@@ -52,4 +52,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
       df.queryExecution.sparkPlan.toString.take(2000))
   }
+
+  test("tfidf ranks corpus-distinctive terms first, per document") {
+    import spark.implicits._
+    // 'rare' appears only in doc 1 (idf = ln 3); 'com' in all three
+    // (idf = 0, never ranks above a positive score)
+    val docs = Seq(
+      (1L, "com com rare"),
+      (2L, "com mid"),
+      (3L, "com mid")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, perDoc = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+    val ln3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln15 = BigDecimal(math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, "rare", ln3), (2L, "mid", ln15), (3L, "mid", ln15)))
+    // every window in the plan is partitioned (no global rank)
+    val wins = TextAnalysis.tfidfTopTerms(docs).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
 }
