@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Pii, Profile, Sampling, Search, Similarity, Skyline, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, Packing, Pii, Profile, Sampling, Search, Similarity, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -956,6 +956,15 @@ object Queries {
         Similarity.annNearDupPairs(spark, idx, 0.35).orderBy("a", "b")
       },
       Similarity.sqlAnnNearDupPairs(0.35, "WHERE label <= 1"))),
+
+    // k-means seeded assignment audit: pure-map argmin against the
+    // deterministic seed centroids (first k by vec_id), per-cluster
+    // population + distance envelope; the iterative Lloyd path is
+    // spec-tested (centroid means cannot oracle exactly)
+    "s12_kmeans_assign" -> ((
+      (spark: SparkSession, sf: String) =>
+        Clustering.assignAudit(t(spark, sf, "embeddings"), 8),
+      Clustering.sqlAssignAudit(8))),
 
     // multiprobe LSH (the recall knob): query bucket + hamming-1
     // flips, still 1+planes of 2^planes buckets scanned
