@@ -111,6 +111,44 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
       .orderBy("source")
 
+  /** Deterministic train/val/test split: bucket = charFold(key) mod
+    * 100, `train` below `pctTrain`, `val` in the next `pctVal`
+    * points, `test` above. Content-addressed like [[hashSample]] —
+    * the split is a pure function of row content, so no document
+    * ever migrates between splits across re-shards, re-ingests, or
+    * engines (the leakage guarantee a random split cannot give).
+    * Narrow per-row map; no shuffle at any scale.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+      pctTrain: Int = 90, pctVal: Int = 5): DataFrame = {
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"bad split percents: train=$pctTrain val=$pctVal")
+    val b = CrossHash.charFold(key) % 100
+    df.withColumn("split",
+      when(b < pctTrain, "train")
+        .when(b < pctTrain + pctVal, "val")
+        .otherwise("test"))
+  }
+
+  /** Split-balance audit: per (source, split) population and witness
+    * — the report that catches a skewed or leaking split before a
+    * training run does.
+    */
+  def splitAudit(docs: DataFrame, pctTrain: Int = 90, pctVal: Int = 5): DataFrame =
+    assignSplit(docs, col("text"), pctTrain, pctVal)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+      .orderBy("source", "split")
+
+  /** DuckDB oracle for [[splitAudit]]. */
+  def sqlSplitAudit(pctTrain: Int = 90, pctVal: Int = 5): String =
+    s"""SELECT source,
+       |  CASE WHEN ${CrossHash.sqlCharFold("text")} % 100 < $pctTrain THEN 'train'
+       |       WHEN ${CrossHash.sqlCharFold("text")} % 100 < ${pctTrain + pctVal} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n, min(doc_id) AS first_id
+       |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin
+
   /** DuckDB oracle for [[mixtureAudit]] (thresholds inlined from the
     * same map the Spark side uses).
     */

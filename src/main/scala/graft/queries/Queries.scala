@@ -864,6 +864,13 @@ object Queries {
     // domain-mixture sampling: per-source keep rates (0.25/0.5/0.75/
     // 1.0 cycling over the 20 sources; src19 deliberately absent ->
     // dropped), content-addressed so the mix is engine-reproducible
+    // content-addressed train/val/test split: no document migrates
+    // between splits across re-shards or re-ingests (leakage guard)
+    "d15_split_audit" -> ((
+      (spark: SparkSession, sf: String) =>
+        Sampling.splitAudit(t(spark, sf, "documents")),
+      Sampling.sqlSplitAudit())),
+
     "d14_domain_mix" -> {
       val rates = (0 until 19).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
       val fn = (spark: SparkSession, sf: String) =>

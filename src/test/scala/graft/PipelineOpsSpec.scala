@@ -77,4 +77,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     // sources not in the mix (src3..) never appear
     assert(bySource.keySet.subsetOf(rates.keySet))
   }
+
+  test("split assignment is exhaustive, content-addressed, and percent-shaped") {
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Sampling.assignSplit(df, col("text")).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = splits(docs)
+    assert(base.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(base.size == docs.count(), "every row gets exactly one split")
+    // re-sharding must not migrate any document between splits
+    assert(splits(docs.repartition(7)) == base)
+    // 90/5/5 by bucket: train dominates at fixture scale
+    val bySplit = base.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("val", 0))
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("test", 0))
+  }
 }
