@@ -165,4 +165,24 @@ object EventStreams {
         Similarity.appendAnnIndex(batch.toDF(), indexPath, batchToken = s"s$batchId")
     }.start()
   }
+
+  /** Streaming search-index maintenance — the third member of the
+    * ingest trio (near-dup corpus index, ANN index, inverted index):
+    * each micro-batch of documents `(doc_id, text)` is tokenized once
+    * and its postings appended under the batch id as token
+    * ([[graft.operators.Search.appendSearchIndex]]), so replay
+    * overwrites its own postings AND its corpus-stats sidecar —
+    * exactly-once index contents per batch id — and old batches
+    * tier-compact to keep file counts bounded. BM25 probes see new
+    * documents (including their effect on N/avgdl/df) as soon as
+    * their batch commits.
+    */
+  def searchIngest(docs: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Search
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      if (!batch.isEmpty)
+        Search.appendSearchIndex(batch.toDF(), indexPath, batchToken = s"s$batchId")
+    }.start()
+  }
 }

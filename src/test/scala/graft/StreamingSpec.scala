@@ -154,4 +154,34 @@ class StreamingSpec extends AnyFunSuite {
     // emitted rows are a superset-free selection: distinct event_ids only
     assert(got.select("event_id").distinct().count() == got.count())
   }
+
+  test("streaming search ingest keeps BM25 exact against the growing corpus") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = s"/root/repo/target/stream_search_${System.nanoTime()}"
+    val base = Seq((1L, "spark shuffles data"), (2L, "vector math")).toDF("doc_id", "text")
+    graft.operators.Search.writeSearchIndex(base, idx)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.searchIngest(mem.toDF().toDF("doc_id", "text"), idx)
+    try {
+      (0 until 10).foreach { i =>
+        mem.addData((100L + i, s"spark merge w$i"), (200L + i, s"filler f$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // after 10 micro-batches the probe must equal the ad hoc BM25
+    // over the full grown corpus — N, avgdl, and df all current
+    val full = base.union(
+      (0 until 10).flatMap(i => Seq((100L + i, s"spark merge w$i"), (200L + i, s"filler f$i")))
+        .toDF("doc_id", "text"))
+    val terms = Seq("spark", "merge")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scores(graft.operators.Search.bm25Indexed(spark, idx, terms, 30)) ==
+      scores(graft.operators.Search.bm25TopK(full, terms, 30)))
+    // tier compaction bounds the batch dirs (10 appends, max 8)
+    val dirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.length <= 10, s"postings batch dirs grew unbounded: ${dirs.mkString(", ")}")
+  }
 }
