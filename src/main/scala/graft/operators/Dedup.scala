@@ -702,6 +702,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination for eval sets TOO BIG TO BROADCAST:
+    * same contract and same results as [[decontaminate]], different
+    * plan. [[decontaminate]] ships the eval grams as a broadcast hash
+    * table (~50+ bytes/gram resident on every executor); past a few
+    * hundred million grams that stops fitting. Here the corpus-side
+    * prefilter is a BLOOM FILTER of the eval grams (~10 bits/gram at
+    * 1% fpp — 100× smaller, still one narrow probe inside the corpus
+    * scan), and the survivors — bloom false positives plus true hits,
+    * i.e. ≈ (1+fpp)·matches — feed an exact SHUFFLE join against the
+    * eval grams that removes the false positives. The expensive
+    * full-corpus side still never shuffles; only bloom-passing rows
+    * do. Exactness is unconditional: the verify join makes the bloom
+    * a pure pre-filter, so the result equals [[decontaminate]]
+    * gram-for-gram regardless of fpp.
+    *
+    * The bloom probe is a Scala UDF over the broadcast sketch — the
+    * documented exception to functions-first: Spark's bloom
+    * expression is internal to runtime row-filtering, and a
+    * multi-megabyte sketch belongs in a broadcast variable, not a
+    * plan literal.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalGrams = evalDocs
+      .select(explode(shinglesFast(col("text"), n)).as("g")).distinct()
+    // sizing count runs over the (small) eval side only
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bc = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    corpus
+      .select(col("doc_id"), explode(shinglesFast(col("text"), n)).as("g"))
+      .filter(mightContain(col("g")))
+      // exact verify join — shuffle hash, NOT broadcast: this path
+      // exists precisely because the gram set exceeds broadcast range
+      .join(evalGrams.hint("shuffle_hash"), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard via the full inverted index (every shingle is a
     * join key, shared counts by groupBy). Exact, but candidate volume
     * is sum(df^2) over shingle document frequencies — common shingles

@@ -814,6 +814,25 @@ object Queries {
          |  WHERE g IN (SELECT g FROM eg))
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // decontamination via bloom prefilter + exact verify join — the
+    // beyond-broadcast eval-set plan; same oracle as d12 because the
+    // verify join removes every bloom false positive
+    "d16_decontaminate_bloom" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") % 37 =!= 3),
+          docs.filter(col("doc_id") % 37 === 3), 5)
+      },
+      s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 5)} AS s FROM tok),
+         |eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 3),
+         |hits AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 3)
+         |  WHERE g IN (SELECT g FROM eg))
+         |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // per-doc n-gram repetition ratio (boilerplate / repetitive-text
     // quality rule)
     "t7_repetition" -> ((

@@ -293,4 +293,20 @@ class DedupSpec extends AnyFunSuite {
     // keep set covers every doc exactly once
     assert(got.values.map(_._2).sum == docs.count())
   }
+
+  test("bloom decontamination equals the broadcast-exact path, without broadcasting the grams") {
+    val corpus = docs.filter(col("doc_id") % 37 =!= 3)
+    val eval = docs.filter(col("doc_id") % 37 === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = Dedup.decontaminateBloom(corpus, eval, 5)
+    assert(rows(bloom) == rows(Dedup.decontaminate(corpus, eval, 5)),
+      "verify join must cancel every bloom false positive")
+    // the verify join must honor shuffle-hash (this plan exists for
+    // eval sets beyond broadcast range)
+    val joins = bloom.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, "eval grams must not be broadcast on the bloom path")
+  }
 }
