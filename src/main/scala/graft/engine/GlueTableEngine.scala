@@ -236,6 +236,32 @@ final class GlueTableEngine(
   def tableDF(database: String, table: String, versionOffset: Int = 0): DataFrame =
     readTable(database, table, versionOffset, keep = None, proxied = false)
 
+  /** Incremental snapshot read: the rows ADDED to an Iceberg table
+    * between two snapshots — the primitive behind incremental
+    * pipeline runs ("process only what arrived since the last run").
+    * `fromOffset` is the older snapshot (versions back from latest,
+    * like [[tableDF]]'s `versionOffset`), `toOffset` the newer;
+    * the result scans exactly the data files present in `to` but not
+    * in `from` (append-only snapshot semantics — a file rewritten by
+    * compaction would surface as "new", exactly as Iceberg's own
+    * incremental scan treats non-append snapshots).
+    *
+    * Scale shape: the file-set diff is driver-side metadata from the
+    * cached manifest listings (no filesystem walk), and the scan
+    * plans ONLY the added files — cost is proportional to the delta,
+    * not the table. At 100 TB with daily appends this is the
+    * difference between a 100 TB scan and a 100 GB one.
+    */
+  def tableDFIncremental(database: String, table: String,
+      fromOffset: Int, toOffset: Int = 0): DataFrame = {
+    require(fromOffset > toOffset,
+      s"fromOffset ($fromOffset) must be OLDER (greater) than toOffset ($toOffset)")
+    val older = files(database, table, fromOffset).map(_.path).toSet
+    readTable(database, table, toOffset,
+      keep = Some(files(database, table, toOffset).map(_.path).toSet -- older),
+      proxied = false)
+  }
+
   // -------- schema resolution
 
   private def classification(meta: CachedTableMetadata): String =

@@ -450,6 +450,22 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // incremental snapshot read: only the rows ADDED between the two
+    // fixture snapshots (snapshot 2 appended the odd-orderkey file) —
+    // the scan plans just the delta files, cost proportional to the
+    // append, not the table
+    "g22_iceberg_incremental" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf)
+          .tableDFIncremental("default", "iceberg_lineitem", fromOffset = 1)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem WHERE l_orderkey % 2 = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // identity-partitioned Iceberg: partition values come from the
     // manifests' data_file.partition records, so the filter prunes to
     // one data file without touching the filesystem (the reference

@@ -124,6 +124,23 @@ class EngineSpec extends AnyFunSuite {
     assert(latest.forall(p => p.endsWith(".parquet") && !p.contains("metadata")))
   }
 
+  test("iceberg incremental read scans only the files added between snapshots") {
+    val inc = engine.tableDFIncremental("default", "iceberg_lineitem", fromOffset = 1)
+    // exactly the snapshot-2 delta: the odd-orderkey file
+    val scanned = inc.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.metrics("numFiles")
+    inc.collect()
+    assert(scanned.value == 1, s"delta scan must plan 1 added file, planned ${scanned.value}")
+    val full = engine.tableDF("default", "iceberg_lineitem")
+    assert(inc.count() == full.count() - engine.tableDF("default", "iceberg_lineitem", 1).count())
+    assert(inc.filter(org.apache.spark.sql.functions.expr("l_orderkey % 2 = 0")).count() == 0)
+    // same-snapshot diff is empty, and offsets must be ordered
+    intercept[IllegalArgumentException] {
+      engine.tableDFIncremental("default", "iceberg_lineitem", fromOffset = 0)
+    }
+  }
+
   test("iceberg identity partitions prune from manifest partition records") {
     val infos = engine.files("default", "iceberg_events")
     assert(infos.size == 5) // one data file per event_type
