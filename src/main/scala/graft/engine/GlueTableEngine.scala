@@ -778,6 +778,40 @@ final class GlueTableEngine(
     writeTable(repart, database, outTable, outLocation, partitionBy = keys)
   }
 
+  /** Compact with a Z-ORDER layout: rows are range-partitioned and
+    * sorted by the Morton interleave of the `zorderBy` columns
+    * ([[graft.functions.ZOrder]]), so every output file holds a tight
+    * value range in EACH clustered dimension and the footer-stats
+    * skipping tier prunes files for predicates on ANY of them —
+    * `compactTable(clusterBy = ...)` serves only its leading column.
+    * The per-column min/max needed for grid normalization is one
+    * tiny aggregate over the (already planned) table scan.
+    */
+  def compactTableZOrder(database: String, table: String, outTable: String,
+      outLocation: String, zorderBy: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024, bits: Int = 16): GlueTable = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(zorderBy.size >= 2, "z-order needs at least two columns")
+    val meta = tableMetadata(database, table)
+    val totalBytes = files(database, table).map(_.size).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val keys = meta.table.partitionKeys.map(_.name)
+    val df = tableDF(database, table)
+    val stats = df.agg(
+      zorderBy.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
+      zorderBy.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*)
+      .head()
+    val norm = zorderBy.zipWithIndex.map { case (c, i) =>
+      graft.functions.ZOrder.normalize(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
+    }
+    val z = graft.functions.ZOrder.zvalue(norm, bits)
+    val repart = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    writeTable(repart, database, outTable, outLocation, partitionBy = keys)
+  }
+
   /** S3 credential configuration (≈ reference `setCredentials` /
     * `CREATE SECRET`, src/glue-table-cache.ts:98-122): maps onto the
     * Hadoop S3A configuration the executors use for s3a:// locations.

@@ -611,6 +611,15 @@ object TestFixtures {
         clusterBy = Seq("o_orderkey"))
     }
     cat.register(GlueTable("default", "orders_clustered_skip", Some(clusteredOut)))
+    val zorderOut = s"${root(sfDir)}/orders_zorder_skip"
+    ensure(sfDir, "orders_zorder_skip") {
+      val srcBytes = dirBytes(s"${root(sfDir)}/orders_flat")
+      new graft.engine.GlueTableEngine(spark, cat).compactTableZOrder(
+        "default", "orders_flat", "orders_zorder_skip", zorderOut,
+        zorderBy = Seq("o_custkey", "o_totalprice"),
+        targetFileBytes = math.max(32L * 1024, srcBytes / 8))
+    }
+    cat.register(GlueTable("default", "orders_zorder_skip", Some(zorderOut)))
     cat.register(GlueTable("default", "events_by_day", Some(eventsByDay(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("dt")),
       parameters = Map(

@@ -656,6 +656,51 @@ object Queries {
       """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
         |FROM orders WHERE o_orderkey BETWEEN 3000 AND 3500 ORDER BY o_orderkey""".stripMargin)),
 
+    // z-order layout: one Morton-curve rewrite makes file skipping
+    // work on EVERY clustered dimension — proven here on
+    // o_totalprice, the dimension a plain clusterBy(o_orderkey...)
+    // sort would NOT serve (double stats are one-sided/NaN-safe, so
+    // the probes are upper-bound predicates -> min-side proofs)
+    "g23_skip_zorder" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val sql =
+          """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS p
+            |FROM glue.default.orders_zorder_skip
+            |WHERE o_totalprice < 50000 AND o_custkey < 100
+            |ORDER BY o_orderkey""".stripMargin
+        val dir = new java.io.File(s"${TestFixtures.root(sf)}/orders_zorder_skip")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+          else Seq(f)
+        val total = walk(dir).count(_.getName.endsWith(".parquet"))
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          // each dimension must prune ALONE — that is z-order's
+          // claim. With F files the curve pins ~log2(F) leading
+          // bits, alternating dimensions; the second dimension
+          // (o_custkey) only gets a pinned bit once F >= 4, so its
+          // requirement is gated on that
+          Seq("o_totalprice < 50000" -> 2, "o_custkey < 100" -> 4).foreach {
+            case (pred, minFiles) =>
+              val probe = eng.query(
+                s"SELECT o_orderkey FROM glue.default.orders_zorder_skip WHERE $pred")
+              probe.collect()
+              val scanned = probe.queryExecution.executedPlan.collect {
+                case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+              }.head.metrics("numFiles").value
+              require(total < minFiles || scanned < total,
+                s"z-order skipping regressed on [$pred]: scanned $scanned of $total files")
+              println(s"[g23] $pred: scanned $scanned of $total z-ordered files")
+          }
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        eng.query(sql)
+      },
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS p
+        |FROM orders WHERE o_totalprice < 50000 AND o_custkey < 100
+        |ORDER BY o_orderkey""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)
