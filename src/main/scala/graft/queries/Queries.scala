@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Clustering, Dedup, Multimodal, Packing, Pii, Profile, Sampling, Search, Similarity, Skyline, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -288,6 +288,33 @@ object Queries {
         |), g AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY user_id, sid)
         |SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_len, CAST(SUM(n_events) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // range join via timeline bucketing: events inside the 2h window
+    // after each sampled purchase — a grid-cell equi-join, never a
+    // BroadcastNestedLoopJoin (both sides stay shuffle-joinable at
+    // any scale)
+    "q24_range_join" -> ((
+      (spark: SparkSession, sf: String) => {
+        val ev = TestFixtures.events(spark, sf)
+        val w = 2L * 3600 * 1000000
+        val intervals = ev
+          .filter(col("event_type") === "purchase" && col("user_id") % 199 === 0)
+          .select(col("event_id").as("interval_id"),
+            unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + lit(w)).as("hi"))
+        val points = ev.select(col("event_id"), unix_micros(col("ts")).as("t"))
+        RangeJoin.pointInInterval(intervals, points, bucketWidth = w)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("event_id").as("n_events"),
+            countDistinct("interval_id").as("n_intervals"))
+      },
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, epoch_us(ts) AS lo, epoch_us(ts) + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 199 = 0),
+        |pt AS (SELECT event_id, epoch_us(ts) AS t FROM events)
+        |SELECT count(*) AS n_pairs, count(DISTINCT event_id) AS n_events,
+        |  count(DISTINCT interval_id) AS n_intervals
+        |FROM iv JOIN pt ON t BETWEEN lo AND hi""".stripMargin)),
 
     "q19_asof_join" -> ((
       (spark: SparkSession, sf: String) => {
