@@ -163,6 +163,50 @@ object TextAnalysis {
     }.reduce(_ unionByName _).orderBy("q")
   }
 
+  /** Per-group exact token-length quantiles — the per-source
+    * thresholds a quality filter derives ("keep docs above this
+    * source's p50") where a single global quantile would let a
+    * verbose source drown a terse one. Same exact integer-rank rule
+    * as [[lengthQuantiles]] (`cum * den >= n * num`, no float ceil
+    * drift), but the cumulative distribution partitions naturally by
+    * the group key: every window is `partitionBy(group)`, and the
+    * windowed frame holds one row per DISTINCT length per group
+    * (bounded by max document length — metadata-scale however many
+    * documents a group has). No global window, no t5-style bucket
+    * trick needed.
+    */
+  def groupedLengthQuantiles(docs: DataFrame, group: String = "source",
+      qs: Seq[(Int, Int)] = Seq(50 -> 100, 90 -> 100)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col(group), size(tokens(col("text"))).as("len"))
+    val freq = lens.groupBy(group, "len").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(group).orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = freq.withColumn("cum", sum("c").over(w))
+    val totals = lens.groupBy(group).agg(count(lit(1)).as("n"))
+    val j = cum.join(totals, group)
+    qs.map { case (num, den) =>
+      j.filter(col("cum") * den >= col("n") * num)
+        .groupBy(group).agg(min("len").as("len"))
+        .select(col(group), lit(s"p$num").as("q"), col("len"))
+    }.reduce(_ unionByName _).orderBy(group, "q")
+  }
+
+  /** DuckDB oracle for [[groupedLengthQuantiles]]. */
+  def sqlGroupedLengthQuantiles(group: String = "source",
+      qs: Seq[(Int, Int)] = Seq(50 -> 100, 90 -> 100)): String = {
+    val arms = qs.map { case (num, den) =>
+      s"""SELECT $group, 'p$num' AS q, min(len) AS len
+         |FROM cum JOIN tot USING ($group) WHERE cum * $den >= n * $num GROUP BY $group"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+    s"""WITH lens AS (SELECT $group, CAST(len(${sqlTokens("text")}) AS INTEGER) AS len FROM documents),
+       |freq AS (SELECT $group, len, count(*) AS c FROM lens GROUP BY $group, len),
+       |cum AS (SELECT $group, len, sum(c) OVER (PARTITION BY $group ORDER BY len) AS cum FROM freq),
+       |tot AS (SELECT $group, count(*) AS n FROM lens GROUP BY $group)
+       |$arms ORDER BY $group, q""".stripMargin
+  }
+
   /** Top-k vocabulary terms by document frequency — the corpus
     * report behind stopword discovery and the df-ascending token
     * order that similarity prefix filters use on Zipf corpora. One

@@ -1178,6 +1178,13 @@ object Queries {
       (spark: SparkSession, sf: String) => TextAnalysis.vocabStats(t(spark, sf, "documents")),
       TextAnalysis.sqlVocabStats())),
 
+    // per-source exact length quantiles (the quality-filter
+    // thresholds): partitioned CDF, no global window
+    "t11_grouped_quantiles" -> ((
+      (spark: SparkSession, sf: String) =>
+        TextAnalysis.groupedLengthQuantiles(t(spark, sf, "documents")),
+      TextAnalysis.sqlGroupedLengthQuantiles())),
+
     // per-doc keyword extraction: top-3 TF-IDF terms, corpus-wide
     // scores, reported for the first 40 docs
     "t10_tfidf" -> ((

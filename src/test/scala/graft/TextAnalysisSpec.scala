@@ -53,6 +53,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       df.queryExecution.sparkPlan.toString.take(2000))
   }
 
+  test("grouped quantiles use exact integer ranks per group, partitioned windows only") {
+    import spark.implicits._
+    // group a: docs of 1..10 tokens (p50=5, p90=9); group b: all 3 tokens
+    val docs = ((1 to 10).map(k => ("a", Seq.fill(k)("w").mkString(" "))) ++
+      Seq(("b", "w w w"), ("b", "w w w"))).toDF("source", "text")
+    val df = TextAnalysis.groupedLengthQuantiles(docs)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got == Map(("a", "p50") -> 5, ("a", "p90") -> 9,
+      ("b", "p50") -> 3, ("b", "p90") -> 3))
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("tfidf ranks corpus-distinctive terms first, per document") {
     import spark.implicits._
     // 'rare' appears only in doc 1 (idf = ln 3); 'com' in all three
