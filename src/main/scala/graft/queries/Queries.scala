@@ -261,6 +261,28 @@ object Queries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
 
+    // pivot (wide aggregation): daily event counts, one column per
+    // event type. The value list is EXPLICIT, so Spark skips the
+    // distinct-values discovery pass and plans ONE aggregate — same
+    // single-shuffle shape as any groupBy at any scale; the oracle
+    // spells the equivalent portable CASE aggregation
+    "q25_pivot" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.events(spark, sf)
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("d")
+      },
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin)),
+
     "q14_sessionize" -> ((
       (spark: SparkSession, sf: String) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
