@@ -702,6 +702,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** FUZZY benchmark decontamination: corpus documents whose n-gram
+    * Jaccard similarity with ANY eval document reaches `threshold` —
+    * the near-duplicate contamination an exact-gram check
+    * ([[decontaminate]]) misses when the leaked copy was lightly
+    * paraphrased or re-tokenized. Output: one row per contaminated
+    * corpus doc with its match count and best similarity.
+    *
+    * Plan: the EVAL set (small side) is the prefix index and the
+    * corpus probes it — [[incrementalPairs]] with eval in the corpus
+    * seat, so the candidate join is (corpus prefix rows) × (matching
+    * eval postings), never corpus × corpus. Corpus-probe-side
+    * self-pairs are discarded by the eval-membership split below;
+    * eval-eval pairs cannot be emitted at all (no probe-side member).
+    */
+  def decontaminateFuzzy(corpus: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = incrementalPairs(evalDocs, corpus, n, threshold)
+    val evalIds = broadcast(evalDocs.select(col("doc_id")).distinct())
+    val ea = evalIds.select(col("doc_id").as("a"), lit(true).as("a_eval"))
+    val eb = evalIds.select(col("doc_id").as("b"), lit(true).as("b_eval"))
+    pairs
+      .join(ea, Seq("a"), "left").join(eb, Seq("b"), "left")
+      .select(
+        when(coalesce(col("a_eval"), lit(false)) && !coalesce(col("b_eval"), lit(false)), col("b"))
+          .when(coalesce(col("b_eval"), lit(false)) && !coalesce(col("a_eval"), lit(false)), col("a"))
+          .as("doc_id"),
+        col("jac"))
+      .filter(col("doc_id").isNotNull) // drops corpus-corpus probe pairs
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination for eval sets TOO BIG TO BROADCAST:
     * same contract and same results as [[decontaminate]], different
     * plan. [[decontaminate]] ships the eval grams as a broadcast hash

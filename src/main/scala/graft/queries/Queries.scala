@@ -924,6 +924,25 @@ object Queries {
          |  WHERE g IN (SELECT g FROM eg))
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // FUZZY decontamination: corpus docs near-duplicating any eval
+    // doc (paraphrase-leak detection the exact-gram d12 misses); the
+    // small eval set is the prefix index, the corpus probes it
+    "d17_decontaminate_fuzzy" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        Dedup.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 37 =!= 3),
+          docs.filter(col("doc_id") % 37 === 3), n = 3, threshold = 0.6)
+      },
+      s"""${docTokCte()},
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |p AS (
+         |  SELECT c.doc_id AS doc_id,
+         |    round(len(list_intersect(c.s, e.s))::DOUBLE / len(list_distinct(c.s || e.s)), 6) AS jac
+         |  FROM sh c JOIN sh e ON c.doc_id % 37 <> 3 AND e.doc_id % 37 = 3)
+         |SELECT doc_id, count(*) AS n_matches, max(jac) AS max_jac
+         |FROM p WHERE jac >= 0.6 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // decontamination via bloom prefilter + exact verify join — the
     // beyond-broadcast eval-set plan; same oracle as d12 because the
     // verify join removes every bloom false positive

@@ -294,6 +294,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == docs.count())
   }
 
+  test("fuzzy decontamination flags paraphrased eval leaks and only corpus docs") {
+    import spark.implicits._
+    val eval = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // paraphrased leak: one word changed -> high but != 1.0 jaccard
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      // verbatim leak
+      (2L, "one two three four five six"),
+      // clean
+      (3L, "completely different words entirely here now"),
+      // near-dup of doc 1 (corpus-corpus pair must NOT surface)
+      (4L, "alpha beta gamma delta epsilon zeta eta kappa")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateFuzzy(corpus, eval, n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L).filter(got.contains) && got.contains(1L) && got.contains(2L),
+      s"wrong contaminated set: $got")
+    assert(got(2L)._2 == 1.0, "verbatim leak must score jac 1.0")
+    assert(got(1L)._2 > 0.5 && got(1L)._2 < 1.0, "paraphrase must score fuzzy-high")
+    assert(!got.contains(3L), "clean doc flagged")
+  }
+
   test("bloom decontamination equals the broadcast-exact path, without broadcasting the grams") {
     val corpus = docs.filter(col("doc_id") % 37 =!= 3)
     val eval = docs.filter(col("doc_id") % 37 === 3)
