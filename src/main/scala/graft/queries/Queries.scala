@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Clustering, Dedup, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, Skyline, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -337,6 +337,23 @@ object Queries {
         |SELECT count(*) AS n_pairs, count(DISTINCT event_id) AS n_events,
         |  count(DISTINCT interval_id) AS n_intervals
         |FROM iv JOIN pt ON t BETWEEN lo AND hi""".stripMargin)),
+
+    // salted skew join through the oracle gate: identical rows to the
+    // plain equi-join (only the shuffle distribution changes), proven
+    // value-for-value against the unsalted SQL
+    "q26_salted_join" -> ((
+      (spark: SparkSession, sf: String) =>
+        SkewUtils.saltedJoin(
+          t(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+          t(spark, sf, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "l_orderkey", saltFactor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     "q19_asof_join" -> ((
       (spark: SparkSession, sf: String) => {
