@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Clustering, Dedup, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
+import graft.operators.{Clustering, Dedup, EventAnalytics, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -337,6 +337,21 @@ object Queries {
         |SELECT count(*) AS n_pairs, count(DISTINCT event_id) AS n_events,
         |  count(DISTINCT interval_id) AS n_intervals
         |FROM iv JOIN pt ON t BETWEEN lo AND hi""".stripMargin)),
+
+    // ordered conversion funnel: first-signup -> purchase within 7
+    // days, strict ordering (user-keyed aggregates + co-partitioned
+    // join; no global windows)
+    "q27_ordered_funnel" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.orderedFunnel(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlOrderedFunnel())),
+
+    // weekly cohort retention matrix (first-event cohort x activity
+    // week offset)
+    "q28_cohort_retention" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.cohortRetention(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlCohortRetention())),
 
     // salted skew join through the oracle gate: identical rows to the
     // plain equi-join (only the shuffle distribution changes), proven

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0) =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("funnel ordering is strict and the window is inclusive") {
+    val ev = Seq(
+      // user 1: signup day 2, purchase day 5 -> converts
+      (1L, "signup", ts(2)), (1L, "purchase", ts(5)),
+      // user 2: purchase BEFORE its only signup -> no conversion
+      (2L, "purchase", ts(1)), (2L, "signup", ts(3)),
+      // user 3: purchase exactly 7 days after signup -> converts (inclusive)
+      (3L, "signup", ts(4)), (3L, "purchase", ts(11)),
+      // user 4: purchase 8 days after signup -> outside the window
+      (4L, "signup", ts(4)), (4L, "purchase", ts(12)),
+      // user 5: signup only
+      (5L, "signup", ts(6)),
+      // user 6: purchase only (never in the funnel base)
+      (6L, "purchase", ts(6))
+    ).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.orderedFunnel(ev).head()
+    assert(r.getLong(0) == 5, "funnel base = users with a signup")
+    assert(r.getLong(1) == 2, "users 1 and 3 convert; 2 is out of order, 4 too late")
+  }
+
+  test("cohort retention pins users to their first-event week") {
+    val ev = Seq(
+      // user 1: first event Mon Jan 1 week; active weeks 0 and 1
+      (1L, "click", ts(2)), (1L, "view", ts(9)),
+      // user 2: first event in week offset.. Jan 10 (week of Jan 8); active week 0 only
+      (2L, "click", ts(10)), (2L, "view", ts(11))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.cohortRetention(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+}
