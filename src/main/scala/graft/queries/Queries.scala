@@ -422,6 +422,24 @@ object Queries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin)),
 
+    // full cube (all 2^k grouping sets in the one Expand pass Spark
+    // plans for grouping analytics)
+    "q29_cube" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("q"))
+          .orderBy("rf", "ls")
+      },
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin)),
+
     "q18_semi_anti" -> ((
       (spark: SparkSession, sf: String) => {
         val c = t(spark, sf, "customer"); val o = t(spark, sf, "orders")
