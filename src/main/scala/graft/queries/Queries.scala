@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Clustering, Dedup, EventAnalytics, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
+import graft.operators.{Chunking, Clustering, Dedup, EventAnalytics, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -973,6 +973,15 @@ object Queries {
          |    SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 3)
          |  WHERE g IN (SELECT g FROM eg))
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // content-defined chunk dedup (FastCDC at token granularity):
+    // how much of the corpus is repeated boilerplate at sub-document
+    // chunks — granularity neither d1 (whole-doc) nor d3/d7
+    // (pairwise) addresses
+    "d18_chunk_dedup" -> ((
+      (spark: SparkSession, sf: String) =>
+        Chunking.chunkDedupStats(t(spark, sf, "documents")),
+      Chunking.sqlChunkDedupStats())),
 
     // FUZZY decontamination: corpus docs near-duplicating any eval
     // doc (paraphrase-leak detection the exact-gram d12 misses); the
