@@ -61,9 +61,13 @@ object GlueResolutionRule {
 }
 
 /** Entry point for `SparkSession.builder().withExtensions(...)` or
-  * `spark.sql.extensions=graft.resolve.GlueSparkExtension`.
+  * `spark.sql.extensions=graft.resolve.GlueSparkExtension`. Injects
+  * the glue-ref resolution rule and the `graft_*` SQL functions
+  * ([[graft.functions.SqlFunctions]]).
   */
 class GlueSparkExtension extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(s => new GlueResolutionRule(s))
+    graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
+  }
 }

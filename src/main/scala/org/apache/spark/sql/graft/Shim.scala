@@ -35,4 +35,15 @@ object Shim {
   /** Unwrap a Column to its Catalyst expression. */
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Unwrap a Column with EAGER column-node conversion. The lazy
+    * wrapper [[expression]] returns is converted at the Dataset API
+    * boundary; an expression spliced in by a FunctionRegistry
+    * builder never crosses that boundary, so DSL operator nodes
+    * (`|`, `&`, lambdas) would survive to codegen unresolved. This
+    * runs the classic converter immediately instead.
+    */
+  def expressionConverted(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
