@@ -800,6 +800,25 @@ object Queries {
         |FROM orders WHERE o_totalprice < 50000 AND o_custkey < 100
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // the graft_* SQL functions through the glue SQL path: signature
+    // primitives callable from plain SQL over a catalog table, each
+    // verified against its DuckDB fragment twin
+    "g24_sql_functions" -> ((
+      (spark: SparkSession, sf: String) => {
+        graft.functions.SqlFunctions.register(spark)
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT doc_id, graft_charfold(text) AS cf,
+            |  size(graft_tokens(text)) AS n_tok,
+            |  graft_simhash(text) AS sh
+            |FROM glue.default.docs_by_lang
+            |WHERE lang = 'en' AND doc_id < 200 ORDER BY doc_id""".stripMargin)
+      },
+      s"""WITH tok AS (SELECT doc_id, lang, text, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, lang, text, ${CrossHash.sqlTokenHashesOf("t")} AS hs, t FROM tok)
+         |SELECT doc_id, ${CrossHash.sqlCharFold("text")} AS cf,
+         |  CAST(len(t) AS INTEGER) AS n_tok, ${CrossHash.sqlSimhashOf("hs")} AS sh
+         |FROM hs WHERE lang = 'en' AND doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     "g9_listing_view" -> ((
       (spark: SparkSession, sf: String) => {
         val eng = TestFixtures.engineFor(spark, sf)
