@@ -122,6 +122,19 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         //    schema lacks, so probe the schema first.
         val files = manifestPaths.flatMap { mp =>
           readAvroField(mp, { r =>
+            // manifest_entry.status: 1=ADDED, 0=EXISTING, 2=DELETED —
+            // a DELETED entry records a file REMOVED by this snapshot
+            // (compaction, overwrite, row-delete rewrite); including
+            // it would resurrect dropped data. Absent field (minimal
+            // or pre-spec manifests) means live.
+            val deleted = Option(r.getSchema.getField("status")).exists { f =>
+              r.get(f.pos()) match {
+                case i: java.lang.Integer => i.intValue() == 2
+                case l: java.lang.Long    => l.longValue() == 2L
+                case _ => false
+              }
+            }
+            if (deleted) None else Some {
             val df = r.get("data_file").asInstanceOf[GenericRecord]
             val sizeField = Option(df.getSchema.getField("file_size_in_bytes"))
             val size: Long = sizeField match {
@@ -171,7 +184,8 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
               }
             }.toMap
             IcebergDataFile(df.get("file_path").toString, size, partition, bounds)
-          })
+            }
+          }).flatten
         }
         // Resolve any unknown sizes with one driver-side stat per
         // file. Real manifests always carry the field (required by

@@ -356,6 +356,50 @@ class EngineSpec extends AnyFunSuite {
     assert(files == Seq((data.getAbsolutePath, 777L)))
   }
 
+  test("DELETED manifest entries (status=2) do not resurrect removed files") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "icedeleted").toFile
+    new java.io.File(root, "metadata").mkdirs()
+    val kept = new java.io.File(root, "kept.parquet")
+    val gone = new java.io.File(root, "gone.parquet")
+    java.nio.file.Files.write(kept.toPath, "k".getBytes)
+    java.nio.file.Files.write(gone.toPath, "g".getBytes)
+    def writeAvro(path: String, schema: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path)); try rows.foreach(w.append) finally w.close()
+    }
+    val dfSchema = SchemaBuilder.record("r2").fields()
+      .requiredString("file_path").requiredLong("file_size_in_bytes").endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("data_file").`type`(dfSchema).noDefault().endRecord()
+    val mlSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").endRecord()
+    def entry(f: java.io.File, status: Int): GenericRecord = {
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", f.getAbsolutePath); df.put("file_size_in_bytes", f.length())
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status); e.put("data_file", df)
+      e
+    }
+    // a rewrite snapshot: keeps one file (EXISTING), deletes the other
+    writeAvro(s"$root/metadata/manifest.avro", entrySchema,
+      Seq(entry(kept, 0), entry(gone, 2)))
+    val ml = new GenericData.Record(mlSchema)
+    ml.put("manifest_path", s"$root/metadata/manifest.avro")
+    writeAvro(s"$root/metadata/ml.avro", mlSchema, Seq(ml))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"last-sequence-number": 1, "snapshots": [{"snapshot-id": 1, "manifest-list": "$root/metadata/ml.avro"}]}"""
+        .getBytes)
+    val resolver = new graft.listing.IcebergSnapshotResolver(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    assert(resolver.dataFiles(root.getAbsolutePath) == Seq(kept.getAbsolutePath),
+      "status=2 entry must be excluded, status=0 kept")
+  }
+
   test("manifest with a mistyped file_size_in_bytes fails fast") {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
