@@ -111,6 +111,39 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
       .orderBy("source")
 
+  /** Length-weighted deterministic sampling: each row's keep
+    * probability is `min(1, weight / target)` — long documents
+    * upweight toward certainty, short ones thin out — realized by
+    * the same content-hash rule as [[hashSample]], so the selection
+    * stays a pure function of content (reproducible, auditable,
+    * re-ingest-stable) while being per-ROW weighted where
+    * [[mixtureSample]] is per-source. Narrow filter, no shuffle.
+    */
+  def weightedSample(docs: DataFrame, weight: Column, target: Double,
+      key: Column, granularity: Int = 1000): DataFrame = {
+    require(granularity > 0 && target > 0, "granularity and target must be positive")
+    docs.filter(CrossHash.charFold(key) % granularity <
+      least(lit(granularity.toLong), floor(weight * granularity / target).cast("long")))
+  }
+
+  /** Per-source audit of a length-weighted sample (weight =
+    * `n_chars`, certainty at `target` chars).
+    */
+  def weightedAudit(docs: DataFrame, target: Double = 2000.0,
+      granularity: Int = 1000): DataFrame =
+    weightedSample(docs, col("n_chars"), target, col("text"), granularity)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[weightedAudit]]. */
+  def sqlWeightedAudit(target: Double = 2000.0, granularity: Int = 1000): String =
+    s"""SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept
+       |FROM documents
+       |WHERE ${CrossHash.sqlCharFold("text")} % $granularity <
+       |  least($granularity, floor(n_chars * $granularity / $target)::BIGINT)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic train/val/test split: bucket = charFold(key) mod
     * 100, `train` below `pctTrain`, `val` in the next `pctVal`
     * points, `test` above. Content-addressed like [[hashSample]] —

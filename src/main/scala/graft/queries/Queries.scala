@@ -1090,6 +1090,13 @@ object Queries {
     // domain-mixture sampling: per-source keep rates (0.25/0.5/0.75/
     // 1.0 cycling over the 20 sources; src19 deliberately absent ->
     // dropped), content-addressed so the mix is engine-reproducible
+    // per-ROW weighted deterministic sampling (keep prob ~ length,
+    // content-addressed like d10/d14)
+    "d19_weighted_sample" -> ((
+      (spark: SparkSession, sf: String) =>
+        Sampling.weightedAudit(t(spark, sf, "documents")),
+      Sampling.sqlWeightedAudit())),
+
     // content-addressed train/val/test split: no document migrates
     // between splits across re-shards or re-ingests (leakage guard)
     "d15_split_audit" -> ((
