@@ -594,4 +594,141 @@ object Similarity {
        |    (s, v) -> s + v) AS score
        |FROM qz, qv WHERE bucket = qb AND vec_id <> $queryVecId
        |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+
+  // ------------------------------------------------- product quantization
+
+  /** PQ subspace count (64-dim embeddings → 16-dim subvectors). */
+  val PqM = 4
+
+  /** PQ codebook size per subspace. Deliberately small: codebooks
+    * are SEEDED (subvectors of the k smallest vec_ids — the same
+    * deterministic-seed trick as s3's IVF and s12's k-means), which
+    * keeps every code assignment an exact pure function of the
+    * corpus that the DuckDB oracle replicates bit-for-bit. A
+    * production index would k-means-train the codebooks
+    * ([[Clustering.kmeans]] per subspace) and store 256 centroids;
+    * the plan shapes below are identical.
+    */
+  val PqK = 8
+
+  /** Seeded codebooks: `[m][k][d/m]` floats, collected driver-side
+    * (k rows — metadata scale).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int = PqM, k: Int = PqK): Seq[Seq[Seq[Float]]] = {
+    val seeds = emb.orderBy("vec_id").limit(k).select("embedding")
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val d = seeds.head.size
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val ds = d / m
+    (0 until m).map(j => seeds.map(v => v.slice(j * ds, (j + 1) * ds)))
+  }
+
+  /** Same double fold as [[Clustering.distSq]], driver-side (for the
+    * query→centroid lookup tables).
+    */
+  private def distSqScalar(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  private def pqCodeCols(books: Seq[Seq[Seq[Float]]]) = {
+    val ds = books.head.head.size
+    books.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(col("embedding"), j * ds + 1, ds)
+      val dists = array(cents.map(c => Clustering.distSq(sub, typedLit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1L).as(s"__c$j")
+    }
+  }
+
+  /** PQ-encode the corpus: 64 floats → one packed code word
+    * (`sum_j code_j * k^j`) — a 64× compression. Pure map: the
+    * codebooks ride along as literals, assignment is an argmin per
+    * subspace (ties to the lowest code, both engines), nothing
+    * shuffles.
+    */
+  def pqEncode(emb: DataFrame, m: Int = PqM, k: Int = PqK): DataFrame = {
+    val books = pqCodebooks(emb, m, k)
+    emb.select(col("vec_id") +: pqCodeCols(books): _*)
+      .select(col("vec_id"),
+        (0 until m).map(j => col(s"__c$j") * lit(math.pow(k, j).toLong)).reduce(_ + _).as("pq"))
+      .orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query is NOT
+    * quantized — its exact distance to every centroid of every
+    * subspace is a tiny `m×k` lookup table computed driver-side
+    * (same IEEE fold as the in-plan encoder) and shipped as a
+    * literal; each row's approximate distance is m table lookups and
+    * an add. This is the PQ serving shape: the corpus is m bytes per
+    * vector, the per-row work is O(m), and the scan stays a pure
+    * map into TakeOrdered.
+    */
+  def pqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
+      m: Int = PqM, k: Int = PqK): DataFrame = {
+    val books = pqCodebooks(emb, m, k)
+    val ds = books.head.head.size
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val qd: Seq[Seq[Double]] = books.zipWithIndex.map { case (cents, j) =>
+      cents.map(c => distSqScalar(q.slice(j * ds, (j + 1) * ds), c))
+    }
+    emb.select(col("vec_id") +: pqCodeCols(books): _*)
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round((0 until m).map(j =>
+          element_at(typedLit(qd(j)), col(s"__c$j").cast("int") + 1)).reduce(_ + _), 6)
+          .as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  private def sqlPqCommon(m: Int, k: Int): String = {
+    val ds = 64 / m
+    s"""seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS se
+       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |sub AS (
+       |  SELECT c, j, list_slice(se, j * $ds + 1, (j + 1) * $ds) AS ce
+       |  FROM seeds, range(0, $m) r(j)),
+       |esub AS (
+       |  SELECT vec_id, j, list_slice(embedding, j * $ds + 1, (j + 1) * $ds) AS ev
+       |  FROM embeddings, range(0, $m) r(j)),
+       |dd AS (
+       |  SELECT vec_id, j, c, ${Clustering.sqlDistSq("ev", "ce")} AS dist
+       |  FROM esub JOIN sub USING (j)),
+       |codes AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+       |    FROM dd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pqEncode]]. */
+  def sqlPqEncode(m: Int = PqM, k: Int = PqK): String =
+    s"""WITH ${sqlPqCommon(m, k)}
+       |SELECT vec_id, CAST(sum(code * ([${(0 until m).map(j => math.pow(k, j).toLong).mkString(", ")}])[j + 1]) AS BIGINT) AS pq
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[pqTopK]]. */
+  def sqlPqTopK(queryVecId: Long, topK: Int, m: Int = PqM, k: Int = PqK): String = {
+    val ds = 64 / m
+    s"""WITH ${sqlPqCommon(m, k)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryVecId),
+       |qd AS (
+       |  SELECT j, c, ${Clustering.sqlDistSq(s"list_slice(qe, j * $ds + 1, (j + 1) * $ds)", "ce")} AS qdist
+       |  FROM sub, q)
+       |SELECT vec_id,
+       |  -- ordered fold, not sum(): double addition is not associative
+       |  -- and Spark adds the m lookups in subspace order (0.0 + x is
+       |  -- exact, so the prepend changes nothing)
+       |  round(list_reduce(list_prepend(0.0, list(qdist ORDER BY qd.j)), (s, v) -> s + v), 6) AS adist
+       |FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.code
+       |WHERE vec_id <> $queryVecId
+       |GROUP BY vec_id ORDER BY adist, vec_id LIMIT $topK""".stripMargin
+  }
 }

@@ -1206,6 +1206,21 @@ object Queries {
         Clustering.assignAudit(t(spark, sf, "embeddings"), 8),
       Clustering.sqlAssignAudit(8))),
 
+    // product quantization: 64 floats -> one packed code word (pure
+    // map, codebooks as literals); seeded codebooks make the encode
+    // an exact pure function of the corpus
+    "s13_pq_encode" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.pqEncode(t(spark, sf, "embeddings")),
+      Similarity.sqlPqEncode())),
+
+    // asymmetric-distance PQ top-k: the serving shape — m table
+    // lookups + an add per row over the compressed corpus
+    "s14_pq_topk" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.pqTopK(t(spark, sf, "embeddings"), 0L, 10),
+      Similarity.sqlPqTopK(0L, 10))),
+
     // multiprobe LSH (the recall knob): query bucket + hamming-1
     // flips, still 1+planes of 2^planes buckets scanned
     "s10_ann_multiprobe" -> ((

@@ -322,4 +322,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(Similarity.queryAnnIndex(spark, path, qvec, 1, excludeVecId = 0L)
       .collect().nonEmpty)
   }
+
+  test("PQ: seed vectors encode to their own centroids; a planted duplicate attains the ADC minimum") {
+    import spark.implicits._
+    val codes = Similarity.pqEncode(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seed i's subvectors ARE centroid i in every subspace -> packed
+    // code = i * (1 + k + k^2 + k^3); distance 0 beats every tie
+    val k = Similarity.PqK
+    val unit = 1L + k + k.toLong * k + k.toLong * k * k
+    (0 until 3).foreach(i => assert(codes(i.toLong) == i * unit, s"seed $i: ${codes(i.toLong)}"))
+    assert(codes.values.forall(c => c >= 0 && c < math.pow(k, Similarity.PqM).toLong))
+
+    // plant an exact duplicate of the query vector: its codes equal
+    // the query's own argmin codes, so its ADC distance is the
+    // attainable minimum -> first rank (ties by vec_id can only put
+    // code-identical rows beside it at the same distance)
+    val qvec = emb.filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0)
+    val planted = emb.select("vec_id", "embedding")
+      .union(Seq((900000L, qvec)).toDF("vec_id", "embedding"))
+    val top = Similarity.pqTopK(planted, 7L, 3).collect()
+    val best = top.head.getDouble(1)
+    assert(top.filter(_.getDouble(1) == best).exists(_.getLong(0) == 900000L),
+      s"planted duplicate must attain the minimal ADC distance: ${top.mkString(", ")}")
+  }
 }
