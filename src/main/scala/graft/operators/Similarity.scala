@@ -670,15 +670,39 @@ object Similarity {
     * map into TakeOrdered.
     */
   def pqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
+      m: Int = PqM, k: Int = PqK): DataFrame =
+    pqTopKOver(emb, emb, queryVecId, topK, m, k)
+
+  /** IVF-PQ: the FAISS serving composition — restrict to the query's
+    * coarse cell (here the LSH bucket, the same coarse quantizer the
+    * persisted index partitions by), then rank the survivors by ADC
+    * over their PQ codes. At scale the bucket filter is partition
+    * pruning on the index layout and the ADC pass touches only the
+    * probed cell's m-byte codes: I/O ∝ cell size, compute O(m)/row.
+    */
+  def ivfPqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
       m: Int = PqM, k: Int = PqK): DataFrame = {
-    val books = pqCodebooks(emb, m, k)
-    val ds = books.head.head.size
     val q = emb.filter(col("vec_id") === queryVecId)
+      .select("embedding").head().getSeq[Float](0)
+    val qb = bucketOf(q)
+    pqTopKOver(
+      emb.filter(bucketId(col("embedding")) === qb), emb, queryVecId, topK, m, k)
+  }
+
+  /** [[pqTopK]] generalized: rank `candidates` by ADC while seeding
+    * codebooks and fetching the query from `corpus` (so a cell
+    * restriction never changes code identities).
+    */
+  private def pqTopKOver(candidates: DataFrame, corpus: DataFrame,
+      queryVecId: Long, topK: Int, m: Int, k: Int): DataFrame = {
+    val books = pqCodebooks(corpus, m, k)
+    val ds = books.head.head.size
+    val q = corpus.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toSeq
     val qd: Seq[Seq[Double]] = books.zipWithIndex.map { case (cents, j) =>
       cents.map(c => distSqScalar(q.slice(j * ds, (j + 1) * ds), c))
     }
-    emb.select(col("vec_id") +: pqCodeCols(books): _*)
+    candidates.select(col("vec_id") +: pqCodeCols(books): _*)
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
         round((0 until m).map(j =>
@@ -686,6 +710,24 @@ object Similarity {
           .as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]]. */
+  def sqlIvfPqTopK(queryVecId: Long, topK: Int, m: Int = PqM, k: Int = PqK): String = {
+    val ds = 64 / m
+    s"""WITH ${sqlPqCommon(m, k)},
+       |q AS (SELECT embedding AS qe, ${sqlBucketId("embedding")} AS qb
+       |  FROM embeddings WHERE vec_id = $queryVecId),
+       |cell AS (SELECT vec_id FROM embeddings, q
+       |  WHERE ${sqlBucketId("embedding")} = qb),
+       |qd AS (
+       |  SELECT j, c, ${Clustering.sqlDistSq(s"list_slice(qe, j * $ds + 1, (j + 1) * $ds)", "ce")} AS qdist
+       |  FROM sub, q)
+       |SELECT vec_id,
+       |  round(list_reduce(list_prepend(0.0, list(qdist ORDER BY qd.j)), (s, v) -> s + v), 6) AS adist
+       |FROM codes JOIN qd ON qd.j = codes.j AND qd.c = codes.code
+       |WHERE vec_id IN (SELECT vec_id FROM cell) AND vec_id <> $queryVecId
+       |GROUP BY vec_id ORDER BY adist, vec_id LIMIT $topK""".stripMargin
   }
 
   private def sqlPqCommon(m: Int, k: Int): String = {

@@ -1221,6 +1221,13 @@ object Queries {
         Similarity.pqTopK(t(spark, sf, "embeddings"), 0L, 10),
       Similarity.sqlPqTopK(0L, 10))),
 
+    // IVF-PQ (the FAISS serving composition): coarse-cell probe +
+    // ADC rank over the cell's codes
+    "s15_ivfpq_topk" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.ivfPqTopK(t(spark, sf, "embeddings"), 0L, 10),
+      Similarity.sqlIvfPqTopK(0L, 10))),
+
     // multiprobe LSH (the recall knob): query bucket + hamming-1
     // flips, still 1+planes of 2^planes buckets scanned
     "s10_ann_multiprobe" -> ((
