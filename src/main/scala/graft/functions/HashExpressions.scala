@@ -127,6 +127,53 @@ object HashOps {
     if (hs.isEmpty) -1L else hs.min
   }
 
+  /** Content-defined chunk hashes — the one-pass kernel behind
+    * [[graft.operators.Chunking.chunkHashes]], value-identical to
+    * its Column composition (ChunkingSpec proves equality): 1-based
+    * boundary positions p in [2, n-Window+1] where the positional
+    * Window-gram's charFold divides; chunk identity = charFold of
+    * the '_'-joined chunk tokens. The Column form re-folds every
+    * gram character-by-character through nested array lambdas
+    * (O(doc·gram) with a large constant); this walks the document
+    * once.
+    */
+  def chunkHashesData(t: UTF8String, window: Int, divisor: Int): ArrayData = {
+    val toks = tokenize(t.toString)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = mutable.ArrayBuffer.empty[Any]
+    var start = 1 // 1-based chunk start
+    var chunkHash = 0L
+    var chunkStarted = false
+    def foldInto(h0: Long, s: String, joined: Boolean): Long = {
+      var h = if (joined) (h0 * 31 + '_') % P else h0
+      var i = 0
+      while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+      h
+    }
+    var p = 1
+    while (p <= n) {
+      // does a boundary fire at p? (needs p >= 2 and a full gram)
+      val boundary = p >= 2 && p + window - 1 <= n && n >= window + 1 && {
+        var g = 0L
+        var j = 0
+        while (j < window) { g = foldInto(g, toks(p - 1 + j), joined = j > 0); j += 1 }
+        g % divisor == 0
+      }
+      if (boundary) {
+        out += Long.box(chunkHash) // chunk [start, p-1] closes
+        start = p
+        chunkHash = 0L
+        chunkStarted = false
+      }
+      chunkHash = foldInto(chunkHash, toks(p - 1), joined = chunkStarted)
+      chunkStarted = true
+      p += 1
+    }
+    out += Long.box(chunkHash)
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct shingle hashes as a sorted-ascending set — the bottom-k
     * prefix of this array drives the exact prefix-filter join in
     * Dedup.minhashPairs.
@@ -303,6 +350,19 @@ case class ShingleHashes64Expr(child: Expression, n: Int)
 /** bigint: min rolling shingle hash (document fingerprint); -1 when
   * fewer than n tokens.
   */
+/** array&lt;long&gt;: content-defined chunk hashes, one pass per doc. */
+case class ChunkHashesExpr(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.chunkHashesData(input.asInstanceOf[UTF8String], window, divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.chunkHashesData($c, $window, $divisor)")
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "chunk_hashes"
+}
+
 case class FingerprintExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -34,9 +34,22 @@ object Chunking {
 
   /** Per-document chunk hashes: `array<long>`, one element per
     * content-defined chunk, in order. Documents with no tokens yield
-    * an empty array.
+    * an empty array. Evaluates through the native one-pass kernel
+    * ([[graft.functions.ChunkHashesExpr]]); the Column composition
+    * below is the executable reference the spec proves it against.
     */
   def chunkHashes(text: Column, divisor: Int = Divisor): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.functions.ChunkHashesExpr(
+      Shim.expression(text), Window, divisor))
+  }
+
+  /** Reference implementation via Spark array expressions — value-
+    * identical to [[chunkHashes]] (ChunkingSpec), quadratic-ish per
+    * doc (every gram re-folds its characters through nested lambdas),
+    * kept for cross-checking the native kernel.
+    */
+  def chunkHashesComposed(text: Column, divisor: Int = Divisor): Column = {
     val t = CrossHash.tokens(text)
     val n = size(t)
     // positional (NOT distinct) grams of `Window` tokens starting at p

@@ -42,6 +42,21 @@ class ChunkingSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == chunksOf(words))
   }
 
+  test("native kernel equals the Column-composed reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val native = docs.select(col("doc_id"), Chunking.chunkHashes(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val composed = docs.select(col("doc_id"), Chunking.chunkHashesComposed(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(native == composed)
+    // and on the edge shapes the kernel special-cases
+    for (t <- Seq("", "one", "a b c", "a b c d")) {
+      val n = Seq(t).toDF("text").select(Chunking.chunkHashes(col("text"))).head().getSeq[Long](0)
+      val c = Seq(t).toDF("text").select(Chunking.chunkHashesComposed(col("text"))).head().getSeq[Long](0)
+      assert(n == c, s"mismatch on '$t': $n vs $c")
+    }
+  }
+
   test("top shared chunks surface planted cross-document boilerplate") {
     val boiler = "this license header is identical across files and long enough to chunk"
     val docs = (0 until 6).map(i =>
