@@ -53,6 +53,53 @@ object Profile {
       .orderBy("column")
   }
 
+  /** Grouped profile: [[profileTable]] per group — the per-source
+    * audit that catches one feed going bad inside a healthy table
+    * (nulls spiking in a single source, a range collapsing). Same
+    * one-pass multi-distinct shape with the group key added to the
+    * aggregate; output is O(#groups × #columns) rows.
+    */
+  def profileGrouped(df: DataFrame, group: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")) ++
+        (if (numeric(c))
+           Seq(min(col(c)).cast("double").as(s"__min_$c"),
+             max(col(c)).cast("double").as(s"__max_$c"))
+         else
+           Seq(lit(null).cast("double").as(s"__min_$c"),
+             lit(null).cast("double").as(s"__max_$c")))
+    }
+    val row = df.groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    row.select(col(group), explode(array(perCol: _*)).as("p"))
+      .select(col(group), col("p.*"))
+      .orderBy(group, "column")
+  }
+
+  /** DuckDB oracle for [[profileGrouped]]. */
+  def sqlProfileGrouped(group: String, table: String, cols: Seq[String],
+      numericCols: Set[String]): String =
+    cols.map { c =>
+      val mm =
+        if (numericCols(c)) s"CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val"
+        else "CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val"
+      s"""SELECT $group, '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct, $mm
+         |FROM $table GROUP BY $group""".stripMargin
+    }.mkString("", "\nUNION ALL\n", s"\nORDER BY $group, \"column\"")
+
   /** DuckDB oracle for [[profileTable]]: one aggregate subquery per
     * column, unioned (the oracle may be per-column; the Spark plan is
     * one pass).

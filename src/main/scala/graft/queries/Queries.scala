@@ -1125,6 +1125,15 @@ object Queries {
         Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"),
         Set("l_orderkey", "l_quantity", "l_discount")))),
 
+    // per-source profile: the audit that catches one feed going bad
+    // inside a healthy table
+    "q30_profile_grouped" -> ((
+      (spark: SparkSession, sf: String) =>
+        Profile.profileGrouped(t(spark, sf, "documents"), "lang",
+          Seq("doc_id", "n_chars", "source")),
+      Profile.sqlProfileGrouped("lang", "documents",
+        Seq("doc_id", "n_chars", "source"), Set("doc_id", "n_chars")))),
+
     "q21_skyline" -> ((
       (spark: SparkSession, sf: String) =>
         Skyline.skyline(t(spark, sf, "part"), "p_partkey",
