@@ -166,6 +166,19 @@ object EventStreams {
     }.start()
   }
 
+  /** Stream-static enrichment: join a streaming fact against a
+    * static dimension by key. The dimension side is hinted broadcast
+    * — on a cluster the dim ships once per executor and each
+    * micro-batch joins map-side with NO stateful operator, no
+    * watermark, and no shuffle of the stream (the standard
+    * enrichment shape; a stream-stream join would need state and
+    * watermarks for the same result here). The static side is
+    * re-read per batch by Spark, so a dim refresh lands without
+    * restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming search-index maintenance — the third member of the
     * ingest trio (near-dup corpus index, ANN index, inverted index):
     * each micro-batch of documents `(doc_id, text)` is tokenized once

@@ -155,6 +155,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("stream-static enrichment equals the batch join and keeps unmatched rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("purchase", 5.0)).toDF("event_type", "weight")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val enriched = EventStreams.enrich(
+      mem.toDF().toDF("event_id", "event_type"), dim, "event_type")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (2L, "view"), (3L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT event_id, weight FROM enrich_out ORDER BY event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toSeq
+    assert(got == Seq(1L -> Some(1.0), 2L -> None, 3L -> Some(5.0)),
+      s"left enrichment must keep unmatched rows null: ${got.mkString(", ")}")
+  }
+
   test("streaming search ingest keeps BM25 exact against the growing corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
