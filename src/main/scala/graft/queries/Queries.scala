@@ -3,7 +3,7 @@ package graft.queries
 import graft.fixtures.TestFixtures
 import graft.functions.CrossHash
 import graft.functions.VectorFunctions
-import graft.operators.{Chunking, Clustering, Dedup, EventAnalytics, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
+import graft.operators.{Chunking, Clustering, Dedup, EventAnalytics, PipelineAudit, Multimodal, Packing, Pii, Profile, RangeJoin, Sampling, Search, Similarity, SkewUtils, Skyline, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -992,6 +992,18 @@ object Queries {
          |    SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 3)
          |  WHERE g IN (SELECT g FROM eg))
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // the capstone composition: raw corpus -> exact-dedup canonical
+    // -> decontaminated -> length-gated, with the final token yield —
+    // one corpus scan, two shuffles, however many stages
+    "p2_pipeline_audit" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        PipelineAudit.cleanCorpusAudit(
+          docs.filter(col("doc_id") % 37 =!= 3),
+          docs.filter(col("doc_id") % 37 === 3))
+      },
+      PipelineAudit.sqlCleanCorpusAudit("doc_id % 37 = 3"))),
 
     // content-defined chunk dedup (FastCDC at token granularity):
     // how much of the corpus is repeated boilerplate at sub-document
