@@ -709,29 +709,42 @@ object Dedup {
     * paraphrased or re-tokenized. Output: one row per contaminated
     * corpus doc with its match count and best similarity.
     *
-    * Plan: the EVAL set (small side) is the prefix index and the
-    * corpus probes it — [[incrementalPairs]] with eval in the corpus
-    * seat, so the candidate join is (corpus prefix rows) × (matching
-    * eval postings), never corpus × corpus. Corpus-probe-side
-    * self-pairs are discarded by the eval-membership split below;
-    * eval-eval pairs cannot be emitted at all (no probe-side member).
+    * Plan: CROSS-SET-ONLY prefix join — corpus prefixes probe eval
+    * prefixes (the standard PPJoin prefix lemma holds pairwise, so
+    * joining the two sets' prefixes finds every cross pair at
+    * Jaccard ≥ threshold), and only cross candidates are ever
+    * generated or verified. Corpus×corpus pairs — the quadratic
+    * term a whole-corpus dedup pays — never exist here, which is
+    * what makes decontamination strictly cheaper than dedup at the
+    * same threshold. Doc ids must be disjoint across the two inputs
+    * (they are different datasets by definition).
     */
   def decontaminateFuzzy(corpus: DataFrame, evalDocs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val pairs = incrementalPairs(evalDocs, corpus, n, threshold)
-    val evalIds = broadcast(evalDocs.select(col("doc_id")).distinct())
-    val ea = evalIds.select(col("doc_id").as("a"), lit(true).as("a_eval"))
-    val eb = evalIds.select(col("doc_id").as("b"), lit(true).as("b_eval"))
-    pairs
-      .join(ea, Seq("a"), "left").join(eb, Seq("b"), "left")
-      .select(
-        when(coalesce(col("a_eval"), lit(false)) && !coalesce(col("b_eval"), lit(false)), col("b"))
-          .when(coalesce(col("b_eval"), lit(false)) && !coalesce(col("a_eval"), lit(false)), col("a"))
-          .as("doc_id"),
-        col("jac"))
-      .filter(col("doc_id").isNotNull) // drops corpus-corpus probe pairs
-      .groupBy("doc_id")
+    val mult = pairMult(corpus, corpus.count() + evalDocs.count())
+    def prep(df: DataFrame) =
+      spread(df).select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
+        .withColumn("nh", size(col("hs")))
+    def prefixed(df: DataFrame) = {
+      val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+      pinned(df.select(col("doc_id"), col("nh"),
+        explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
+    }
+    val c = prep(corpus)
+    val e = prep(evalDocs)
+    val cand = pinnedWide(
+      prefixed(c).select(col("h"), col("doc_id").as("a"), col("nh").as("na"))
+        .join(prefixed(e).select(col("h"), col("doc_id").as("b"), col("nh").as("nb")), Seq("h"))
+        .filter(greatest(col("na"), col("nb")) * lit(threshold) <=
+          least(col("na"), col("nb")) + lit(1e-9))
+        .select("a", "b", "na", "nb"),
+      mult, col("a"), col("b")).distinct()
+    verifyPairs(cand,
+        c.select(col("doc_id"), col("hs")).unionByName(e.select(col("doc_id"), col("hs"))),
+        mult, threshold)
+      .groupBy("a")
       .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
+      .select(col("a").as("doc_id"), col("n_matches"), col("max_jac"))
       .orderBy("doc_id")
   }
 
