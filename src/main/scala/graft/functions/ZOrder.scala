@@ -23,6 +23,12 @@ object ZOrder {
     * integer grid. `lo`/`hi` come from a one-row stats aggregate
     * (driver-side metadata). Degenerate spans collapse to 0 — a
     * constant column contributes nothing to the curve, harmlessly.
+    *
+    * NULLS map to grid cell 0 (Spark's `greatest` skips null
+    * operands) — null rows co-locate with the dimension's minimum
+    * instead of scattering. Harmless for skipping: a null row never
+    * satisfies a value predicate, and IS NULL pruning runs off null
+    * counts, not bounds.
     */
   def normalize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 20, s"bits out of range: $bits")

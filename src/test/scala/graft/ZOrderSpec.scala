@@ -42,6 +42,27 @@ class ZOrderSpec extends AnyFunSuite {
     assert(const == 0L)
   }
 
+  test("null inputs clamp to grid cell 0 (co-located, never a crash) and survive a z-order write") {
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, 10.0), (null, 20.0), (3L, null))
+      .toDF("a", "b")
+    val z = df.select(
+        ZOrder.normalize(col("a"), 0.0, 100.0, 8).as("na"),
+        ZOrder.normalize(col("b"), 0.0, 100.0, 8).as("nb"))
+      .collect()
+    // the documented contract: a null dimension lands at cell 0
+    assert(!z(1).isNullAt(0) && z(1).getLong(0) == 0L, "null a must clamp to 0")
+    assert(!z(2).isNullAt(1) && z(2).getLong(1) == 0L, "null b must clamp to 0")
+    // and the write path tolerates them: range partitioning groups
+    // nulls, rows are neither dropped nor duplicated
+    val out = s"/root/repo/target/zorder_nulls_${System.nanoTime()}"
+    df.withColumn("__z", ZOrder.zvalue(Seq(
+        ZOrder.normalize(col("a"), 0.0, 100.0, 8),
+        ZOrder.normalize(col("b"), 0.0, 100.0, 8)), 8))
+      .repartitionByRange(2, col("__z")).sortWithinPartitions("__z").drop("__z")
+      .write.parquet(out)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("z-ordered compaction yields tight per-file ranges in BOTH dimensions") {
     val sf = TestSpark.sfDir
     val cat = graft.fixtures.TestFixtures.catalogFor(spark, sf)
