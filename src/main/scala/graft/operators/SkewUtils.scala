@@ -38,4 +38,32 @@ object SkewUtils {
     */
   def heavyHitters(df: DataFrame, key: String, minCount: Long): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+
+  /** Targeted skew join: salt ONLY the heavy-hitter keys.
+    *
+    * `saltedJoin` replicates the ENTIRE dim `saltFactor`-fold — fine
+    * when the dim is genuinely small, a scale-killer when it is
+    * fact-sized (×8 replication of a 10 TB dim is an 80 TB shuffle).
+    * Here `heavyHitters` (a map-side-combined top-N, broadcastable by
+    * construction: at most |fact|/minCount keys survive) finds the hot
+    * keys; the fact splits hot/cold by a broadcast semi/anti join
+    * (narrow — no shuffle); only the HOT dim rows — a handful — are
+    * replicated and salted; the cold majority takes the plain
+    * equi-join. Result rows are identical to the unsalted join:
+    * hot ∪ cold partitions the fact exactly, and cold fact rows can
+    * never match a hot dim row.
+    *
+    * The two broadcasts of `hotKeys` are the same subtree, so Spark
+    * plans one BroadcastExchange and reuses it (ReusedExchange).
+    */
+  def saltedJoinTargeted(fact: DataFrame, dim: DataFrame, key: String,
+                         saltFactor: Int, minCount: Long): DataFrame = {
+    val hotKeys = broadcast(heavyHitters(fact, key, minCount).select(col(key)))
+    val factHot  = fact.join(hotKeys, Seq(key), "left_semi")
+    val factCold = fact.join(hotKeys, Seq(key), "left_anti")
+    val dimHot   = dim.join(hotKeys, Seq(key), "left_semi")
+    val hot  = saltedJoin(factHot, dimHot, key, saltFactor)
+    val cold = factCold.join(dim, Seq(key))
+    hot.unionByName(cold)
+  }
 }

@@ -355,13 +355,16 @@ object Queries {
 
     // salted skew join through the oracle gate: identical rows to the
     // plain equi-join (only the shuffle distribution changes), proven
-    // value-for-value against the unsalted SQL
+    // value-for-value against the unsalted SQL. TARGETED: only the
+    // heavy-hitter keys (orders with >= 5 line items — a real subset
+    // at every SF) are salted; the dim rows replicated are exactly
+    // the hot ones, never the full orders table.
     "q26_salted_join" -> ((
       (spark: SparkSession, sf: String) =>
-        SkewUtils.saltedJoin(
+        SkewUtils.saltedJoinTargeted(
           t(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
           t(spark, sf, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-          "l_orderkey", saltFactor = 8)
+          "l_orderkey", saltFactor = 8, minCount = 5L)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
           .orderBy("o_orderpriority"),

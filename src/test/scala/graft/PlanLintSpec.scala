@@ -111,6 +111,33 @@ class PlanLintSpec extends AnyFunSuite {
     assert(interiorGlobalSorts(wasted.queryExecution.sparkPlan).nonEmpty)
   }
 
+  /** Salt-shaped explodes (explode of an all-literal int array — the
+    * dim-replication half of a salted join) that are NOT fed by a
+    * semi-join-filtered input replicate the ENTIRE dim saltFactor-fold:
+    * at 100 TB a ×8 replication of a fact-sized dim is a multi-hundred-TB
+    * shuffle (the round-8 q26 bug class). A targeted salted join filters
+    * the dim to the heavy-hitter keys first (broadcast LeftSemi), so the
+    * explode's subtree must contain a semi join.
+    */
+  private def fullDimSaltExplodes(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.GenerateExec] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Explode, Literal}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    plan.collect {
+      case g: GenerateExec if (g.generator match {
+            case Explode(CreateArray(elems, _)) => elems.nonEmpty && elems.forall(_.isInstanceOf[Literal])
+            case _ => false
+          }) && !g.child.exists {
+            case j: BroadcastHashJoinExec => j.joinType == LeftSemi
+            case j: ShuffledHashJoinExec  => j.joinType == LeftSemi
+            case j: SortMergeJoinExec     => j.joinType == LeftSemi
+            case _ => false
+          } => g
+    }
+  }
+
   test("no registered query plans an unpartitioned window or stray quadratic join") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, (fn, _)) =>
       val plan = fn(spark, TestSpark.sfDir).queryExecution.sparkPlan
@@ -122,11 +149,13 @@ class PlanLintSpec extends AnyFunSuite {
         case j: BroadcastNestedLoopJoinExec if !boundIsOneRow(j) => j
       }
       val interiorSorts = interiorGlobalSorts(plan)
+      val saltExplodes = fullDimSaltExplodes(plan)
       val problems =
         (if (unpartitionedWindows.nonEmpty) Seq(s"$name: unpartitioned WindowExec") else Nil) ++
         (if (cartesian.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: CartesianProduct") else Nil) ++
         (if (bnlj.nonEmpty && !mayNestedLoop(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
-        (if (interiorSorts.nonEmpty) Seq(s"$name: interior global Sort (${interiorSorts.head.sortOrder.mkString(",")})") else Nil)
+        (if (interiorSorts.nonEmpty) Seq(s"$name: interior global Sort (${interiorSorts.head.sortOrder.mkString(",")})") else Nil) ++
+        (if (saltExplodes.nonEmpty) Seq(s"$name: full-dim salt replication (explode not fed by a semi join)") else Nil)
       problems
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

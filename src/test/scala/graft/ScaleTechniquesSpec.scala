@@ -57,6 +57,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("targeted salted join: plain-join rows, only hot dim rows replicated") {
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_linenumber")
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(orders, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect()
+    val targeted = SkewUtils
+      .saltedJoinTargeted(li, orders, "l_orderkey", saltFactor = 7, minCount = 4L)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect()
+    assert(targeted.toSeq == plain.toSeq)
+
+    // plan shape: the salt explode must sit ABOVE a semi-join-filtered
+    // dim (only hot dim rows replicate), never the raw dim scan
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SkewUtils
+      .saltedJoinTargeted(li, orders, "l_orderkey", saltFactor = 7, minCount = 4L)
+      .queryExecution.sparkPlan
+    val explodes = plan.collect { case g: GenerateExec => g }
+    assert(explodes.nonEmpty, "salt replication explode missing from the plan")
+    explodes.foreach { g =>
+      assert(g.child.exists {
+        case j: BroadcastHashJoinExec => j.joinType == LeftSemi
+        case _ => false
+      }, s"salt explode fed by an unfiltered dim:\n$g")
+    }
+    // and the hot-key filter is real: with minCount=4 some orders
+    // qualify (TPC-H orders have up to 7 line items) but not all
+    val hot = SkewUtils.heavyHitters(li, "l_orderkey", 4L).count()
+    assert(hot > 0 && hot < orders.count())
+  }
+
   test("heavy-hitter detection finds the dominant keys") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val hh = SkewUtils.heavyHitters(docs, "lang", minCount = 100)
