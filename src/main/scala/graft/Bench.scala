@@ -75,7 +75,16 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(summary)
+    // The driver captures only the process TAIL, so the stdout line can
+    // be head-truncated in BENCH_r{N}.json (observed round 8). Persist
+    // the summary to a file too so tools/trend_gate.py never depends on
+    // tail capture.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_summary.json"),
+      (summary + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
