@@ -60,6 +60,17 @@ object FooterStats {
       finally reader.close()
     }.getOrElse(Map.empty)
 
+  /** Exact row count of one parquet file from its footer alone —
+    * KB-scale metadata I/O, no data pages touched, no Spark job.
+    * None when the footer is unreadable.
+    */
+  def rowCount(conf: Configuration, path: String): Option[Long] =
+    Try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      try reader.getRecordCount
+      finally reader.close()
+    }.toOption
+
   private def collect(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]): Map[String, ColRange] = {
     val perCol = blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
     perCol.flatMap { case (name, chunks) =>

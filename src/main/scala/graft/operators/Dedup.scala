@@ -80,6 +80,33 @@ object Dedup {
       math.min(32, math.max(1, math.ceil(math.pow(nDocs / 20000.0, 2)).toInt))
     }
 
+  /** Job-free row-count UPPER BOUND for sizing [[pairMult]]: when
+    * every leaf of the plan is a parquet scan, sum the footers' exact
+    * record counts (driver-side metadata I/O — at 100 TB this is a
+    * listing-scale pass, not a data pass; a `count()` action is a full
+    * job over the corpus). Filters above the leaves only shrink the
+    * true count, and pairMult only uses the count to size partitions
+    * UP, so the leaf total is the safe direction. None when any leaf
+    * is not a parquet file scan (caller falls back to `count()`).
+    */
+  private def rowCountBound(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val perLeaf = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          val counts = fs.location.inputFiles.toSeq
+            .map(f => graft.listing.FooterStats.rowCount(conf, f))
+          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.nonEmpty && perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum)
+    else None
+  }
+
   private def pinnedWide(df: DataFrame, mult: Int, cols: Column*): DataFrame =
     df.repartition(shufflePartitions(df) * mult, cols: _*)
 
@@ -239,11 +266,23 @@ object Dedup {
     * array_intersect's per-row hash set + materialized array), and
     * keep pairs at `threshold`. `cand` columns: a, b, na, nb.
     */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame, mult: Int, threshold: Double): DataFrame = {
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, mult: Int, threshold: Double): DataFrame =
+    verifyPairsSides(cand, sh, sh, mult, threshold)
+
+  /** Two-sided verification: the `a` column joins ONLY `shA` and the
+    * `b` column ONLY `shB`. When the two sides are different datasets
+    * (decontamination: corpus vs eval), this makes an id collision
+    * across the sets structurally harmless — a corpus doc can never
+    * pick up an eval doc's shingle set or vice versa — where a
+    * unioned single table would silently verify against the wrong
+    * document.
+    */
+  private def verifyPairsSides(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      mult: Int, threshold: Double): DataFrame = {
     val withA = pinnedWide(cand, mult, col("a"))
-      .join(pinnedWide(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
+      .join(pinnedWide(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
     pinnedWide(withA, mult, col("b"))
-      .join(pinnedWide(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
+      .join(pinnedWide(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
       .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
       .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)
@@ -716,12 +755,19 @@ object Dedup {
     * generated or verified. Corpus×corpus pairs — the quadratic
     * term a whole-corpus dedup pays — never exist here, which is
     * what makes decontamination strictly cheaper than dedup at the
-    * same threshold. Doc ids must be disjoint across the two inputs
-    * (they are different datasets by definition).
+    * same threshold. Verification is side-keyed (corpus hashes join
+    * only the corpus column, eval hashes only the eval column), so
+    * overlapping doc-id spaces cannot cross-contaminate the jaccard
+    * scores. The partition multiplier is sized from parquet footer
+    * row counts when the inputs are parquet scans — a metadata-only
+    * driver pass — falling back to `count()` jobs otherwise, so no
+    * full corpus scan runs before the useful work.
     */
   def decontaminateFuzzy(corpus: DataFrame, evalDocs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val mult = pairMult(corpus, corpus.count() + evalDocs.count())
+    val nDocs = rowCountBound(corpus).getOrElse(corpus.count()) +
+      rowCountBound(evalDocs).getOrElse(evalDocs.count())
+    val mult = pairMult(corpus, nDocs)
     def prep(df: DataFrame) =
       spread(df).select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
         .withColumn("nh", size(col("hs")))
@@ -739,8 +785,8 @@ object Dedup {
           least(col("na"), col("nb")) + lit(1e-9))
         .select("a", "b", "na", "nb"),
       mult, col("a"), col("b")).distinct()
-    verifyPairs(cand,
-        c.select(col("doc_id"), col("hs")).unionByName(e.select(col("doc_id"), col("hs"))),
+    verifyPairsSides(cand,
+        c.select(col("doc_id"), col("hs")), e.select(col("doc_id"), col("hs")),
         mult, threshold)
       .groupBy("a")
       .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))

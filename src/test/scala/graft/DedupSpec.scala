@@ -317,6 +317,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(3L), "clean doc flagged")
   }
 
+  test("fuzzy decontamination over parquet inputs launches no job at plan time") {
+    // pairMult sizing used to run corpus.count() + evalDocs.count() —
+    // two full-scan jobs before any useful work (a 100 TB corpus pays
+    // an extra pass). With parquet inputs the bound now comes from
+    // footer record counts (driver metadata I/O), so BUILDING the
+    // plan must launch zero Spark jobs.
+    val docsPath = s"${TestSpark.sfDir}/documents.parquet"
+    val corpus = spark.read.parquet(docsPath).filter(col("doc_id") % 37 =!= 3)
+    val eval = spark.read.parquet(docsPath).filter(col("doc_id") % 37 === 3)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val df = Dedup.decontaminateFuzzy(corpus, eval, n = 3, threshold = 0.6)
+      Thread.sleep(1000) // listener events are async; let the bus drain
+      assert(jobs.get() == 0, s"plan construction launched ${jobs.get()} job(s)")
+      assert(df.count() >= 0) // the plan still executes
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("bloom decontamination equals the broadcast-exact path, without broadcasting the grams") {
     val corpus = docs.filter(col("doc_id") % 37 =!= 3)
     val eval = docs.filter(col("doc_id") % 37 === 3)
