@@ -88,13 +88,22 @@ object Clustering {
     * one corpus scan.
     */
   def kmeans(emb: DataFrame, k: Int, iters: Int): (Seq[Seq[Float]], DataFrame) = {
-    var cents = seedCentroids(emb, k)
-    var i = 0
-    while (i < iters) {
-      cents = update(assign(emb, cents), cents)
-      i += 1
-    }
-    (cents, assign(emb, cents))
+    // The loop re-reads its input once per round; persist the
+    // two-column projection for the loop's lifetime so `iters` rounds
+    // cost `iters` cache reads, not `iters` source scans (at 100 TB
+    // the source scan IS the iteration cost). MEMORY_AND_DISK: an
+    // overflow spills instead of silently re-scanning the source.
+    val loopInput = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = seedCentroids(loopInput, k)
+      var i = 0
+      while (i < iters) {
+        cents = update(assign(loopInput, cents), cents)
+        i += 1
+      }
+      (cents, assign(emb, cents))
+    } finally loopInput.unpersist(blocking = false)
   }
 
   /** Registered-query audit of the seeded assignment: per-cluster

@@ -623,6 +623,53 @@ object Similarity {
     (0 until m).map(j => seeds.map(v => v.slice(j * ds, (j + 1) * ds)))
   }
 
+  /** TRAINED codebooks: per-subspace k-means from the seeded
+    * codebooks — the production path ([[pqCodebooks]] stays the
+    * oracle-exact default). One corpus scan per Lloyd round updates
+    * ALL m subspace codebooks jointly: each row assigns each of its m
+    * subvectors to that subspace's nearest centroid (pure map, the
+    * m×k×(d/m) codebook literal rides along), and a single partial
+    * aggregate keyed by (subspace, cluster, dim) — ≤ k·d rows after
+    * map-side combine — yields every new centroid at once. m separate
+    * [[Clustering.kmeans]] runs would scan the corpus m× per round
+    * for the same result. Empty clusters keep their previous
+    * centroid. The input projection is persisted for the loop.
+    */
+  def pqCodebooksTrained(emb: DataFrame, m: Int = PqM, k: Int = PqK,
+      iters: Int = 5): Seq[Seq[Seq[Float]]] = {
+    var books = pqCodebooks(emb, m, k)
+    val ds = books.head.head.size
+    val input = emb.select(col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val assigns = (0 until m).map { j =>
+          val sub = slice(col("embedding"), j * ds + 1, ds)
+          val dists = array(books(j).map(c => Clustering.distSq(sub, typedLit(c))): _*)
+          struct(lit(j).as("j"),
+            (array_position(dists, array_min(dists)) - 1L).cast("int").as("cluster"),
+            sub.as("sv"))
+        }
+        val rows = input
+          .select(explode(array(assigns: _*)).as("a"))
+          .select(col("a.j"), col("a.cluster"), posexplode(col("a.sv")).as(Seq("pos", "v")))
+          .groupBy("j", "cluster", "pos").agg(avg(col("v")).as("mean"))
+          .collect() // k·d rows — metadata scale
+        val byJC = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = books.zipWithIndex.map { case (cents, j) =>
+          cents.indices.map { c =>
+            byJC.get((j, c))
+              .map(_.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq)
+              .getOrElse(cents(c))
+          }
+        }
+        it += 1
+      }
+      books
+    } finally input.unpersist(blocking = false)
+  }
+
   /** Same double fold as [[Clustering.distSq]], driver-side (for the
     * query→centroid lookup tables).
     */
@@ -652,8 +699,10 @@ object Similarity {
     * subspace (ties to the lowest code, both engines), nothing
     * shuffles.
     */
-  def pqEncode(emb: DataFrame, m: Int = PqM, k: Int = PqK): DataFrame = {
-    val books = pqCodebooks(emb, m, k)
+  def pqEncode(emb: DataFrame, m: Int = PqM, k: Int = PqK,
+      trained: Boolean = false, trainIters: Int = 5): DataFrame = {
+    val books = if (trained) pqCodebooksTrained(emb, m, k, trainIters)
+                else pqCodebooks(emb, m, k)
     emb.select(col("vec_id") +: pqCodeCols(books): _*)
       .select(col("vec_id"),
         (0 until m).map(j => col(s"__c$j") * lit(math.pow(k, j).toLong)).reduce(_ + _).as("pq"))
@@ -670,8 +719,9 @@ object Similarity {
     * map into TakeOrdered.
     */
   def pqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
-      m: Int = PqM, k: Int = PqK): DataFrame =
-    pqTopKOver(emb, emb, queryVecId, topK, m, k)
+      m: Int = PqM, k: Int = PqK,
+      trained: Boolean = false, trainIters: Int = 5): DataFrame =
+    pqTopKOver(emb, emb, queryVecId, topK, m, k, trained, trainIters)
 
   /** IVF-PQ: the FAISS serving composition — restrict to the query's
     * coarse cell (here the LSH bucket, the same coarse quantizer the
@@ -681,12 +731,14 @@ object Similarity {
     * probed cell's m-byte codes: I/O ∝ cell size, compute O(m)/row.
     */
   def ivfPqTopK(emb: DataFrame, queryVecId: Long, topK: Int,
-      m: Int = PqM, k: Int = PqK): DataFrame = {
+      m: Int = PqM, k: Int = PqK,
+      trained: Boolean = false, trainIters: Int = 5): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0)
     val qb = bucketOf(q)
     pqTopKOver(
-      emb.filter(bucketId(col("embedding")) === qb), emb, queryVecId, topK, m, k)
+      emb.filter(bucketId(col("embedding")) === qb), emb, queryVecId, topK, m, k,
+      trained, trainIters)
   }
 
   /** [[pqTopK]] generalized: rank `candidates` by ADC while seeding
@@ -694,8 +746,10 @@ object Similarity {
     * restriction never changes code identities).
     */
   private def pqTopKOver(candidates: DataFrame, corpus: DataFrame,
-      queryVecId: Long, topK: Int, m: Int, k: Int): DataFrame = {
-    val books = pqCodebooks(corpus, m, k)
+      queryVecId: Long, topK: Int, m: Int, k: Int,
+      trained: Boolean = false, trainIters: Int = 5): DataFrame = {
+    val books = if (trained) pqCodebooksTrained(corpus, m, k, trainIters)
+                else pqCodebooks(corpus, m, k)
     val ds = books.head.head.size
     val q = corpus.filter(col("vec_id") === queryVecId)
       .select("embedding").head().getSeq[Float](0).toSeq

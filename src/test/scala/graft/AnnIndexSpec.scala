@@ -346,4 +346,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(top.filter(_.getDouble(1) == best).exists(_.getLong(0) == 900000L),
       s"planted duplicate must attain the minimal ADC distance: ${top.mkString(", ")}")
   }
+
+  test("PQ: k-means-trained codebooks reach at least seeded-codebook recall") {
+    import graft.operators.Clustering
+    // exact L2 top-k (ADC approximates L2, so L2 is the right truth set)
+    def exactTopK(queryId: Long, k: Int): Set[Long] = {
+      val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+        .select(col("vec_id"), Clustering.distSq(col("embedding"), col("qe")).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+    }
+    def recall(queryId: Long, trained: Boolean): Double = {
+      val truth = exactTopK(queryId, 10)
+      val got = Similarity.pqTopK(emb, queryId, 10, trained = trained)
+        .collect().map(_.getLong(0)).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val queries = Seq(0L, 3L, 7L, 11L, 19L)
+    val seeded = queries.map(recall(_, trained = false))
+    val trained = queries.map(recall(_, trained = true))
+    // Lloyd rounds move centroids toward the data's actual structure;
+    // across the query set the trained books must never lose to the
+    // first-k-vectors seeding (the oracle-exactness choice)
+    assert(trained.sum >= seeded.sum,
+      s"trained recall ${trained.sum / queries.size} below seeded ${seeded.sum / queries.size}")
+
+    // trained codebooks have the declared shape and train determinism:
+    // two runs from the same corpus produce identical books
+    val b1 = Similarity.pqCodebooksTrained(emb, iters = 2)
+    val b2 = Similarity.pqCodebooksTrained(emb, iters = 2)
+    assert(b1 == b2, "training must be deterministic")
+    assert(b1.size == Similarity.PqM && b1.forall(_.size == Similarity.PqK))
+  }
 }
