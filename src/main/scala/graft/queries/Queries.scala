@@ -996,6 +996,63 @@ object Queries {
          |  WHERE g IN (SELECT g FROM eg))
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the streaming-ingest trio composed end-to-end in batch mode
+    // (EventStreams.nearDupIngest + searchIngest semantics): a fresh
+    // batch (every 5th doc) is near-dup-filtered against the persisted
+    // corpus prefix index AND itself (drop policy: fresh side goes;
+    // fresh-fresh keeps the smaller id), survivors are APPENDED to the
+    // persisted search index under one batch token (replay-idempotent),
+    // and a BM25 probe over base+appended postings returns the top-k —
+    // proving new docs are searchable and dropped near-dups are not
+    "p3_ingest_pipeline" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val fresh = docs.filter(col("doc_id") % 5 === 0)
+        val dupIdx = stampedIndexPath(spark, sf, "documents", "n3_t080")
+        Dedup.ensureCorpusIndex(corpus, dupIdx, 3, 0.8)
+        val drops = Dedup.incrementalPairsIndexed(spark, dupIdx, fresh)
+          .select(
+            when(col("a") % 5 === 0 && col("b") % 5 === 0, col("b"))
+              .when(col("a") % 5 === 0, col("a"))
+              .otherwise(col("b")).as("doc_id"))
+          .distinct()
+        val survivors = fresh.join(drops, Seq("doc_id"), "left_anti")
+        val sIdx = stampedIndexPath(spark, sf, "documents", "p3_bm25_b16")
+        Search.ensureSearchIndex(corpus, sIdx)
+        Search.appendSearchIndex(survivors, sIdx, batchToken = "p3")
+        Search.bm25Indexed(spark, sIdx, Seq("spark", "vector", "merge"), 10)
+      },
+      s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+         |drops AS (
+         |  SELECT DISTINCT CASE WHEN a % 5 = 0 AND b % 5 = 0 THEN b
+         |                       WHEN a % 5 = 0 THEN a ELSE b END AS doc_id
+         |  FROM p WHERE jac >= 0.8),
+         |keep AS (
+         |  SELECT doc_id, t FROM tok
+         |  WHERE doc_id % 5 <> 0
+         |     OR doc_id NOT IN (SELECT doc_id FROM drops)),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM keep),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM keep)
+         |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT tf.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * ${Search.K1 + 1}) /
+         |      (tf + ${Search.K1} * (${1 - Search.B} + ${Search.B} * dl / avgdl)) AS contrib
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, round(sum(contrib), 6) AS score
+         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // the capstone composition: raw corpus -> exact-dedup canonical
     // -> decontaminated -> length-gated, with the final token yield —
     // one corpus scan, two shuffles, however many stages
