@@ -179,6 +179,31 @@ object EventStreams {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** [[enrich]] for LONG-RUNNING streams whose dimension goes stale:
+    * the dim is RE-RESOLVED through `resolveDim` per micro-batch —
+    * via [[graft.cache.TtlCache]] when `dimTtlMs` > 0, so an
+    * expensive resolution (a catalog fetch + listing, a snapshot
+    * re-read) runs at most once per TTL window rather than per batch,
+    * with single-flight loads under concurrent batches. A dim update
+    * becomes visible in the first batch after the TTL lapses
+    * (`dimTtlMs = 0` re-resolves every batch). Each batch's enriched
+    * rows land under `outPath/batch=<id>` with overwrite, so a replay
+    * rewrites its own output — though replayed rows may legitimately
+    * see a NEWER dim than the original attempt did (the standard
+    * stream-static caveat; enrichment is not versioned).
+    */
+  def enrichIngest(stream: DataFrame, key: String, outPath: String,
+      resolveDim: () => DataFrame, dimTtlMs: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cache = new graft.cache.TtlCache[DataFrame](
+      maxEntries = 1, ttlMs = math.max(1L, dimTtlMs))
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val dim = if (dimTtlMs > 0) cache.get("dim")(resolveDim()) else resolveDim()
+      batch.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    }.start()
+  }
+
   /** Streaming search-index maintenance — the third member of the
     * ingest trio (near-dup corpus index, ANN index, inverted index):
     * each micro-batch of documents `(doc_id, text)` is tokenized once

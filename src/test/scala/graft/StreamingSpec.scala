@@ -174,6 +174,49 @@ class StreamingSpec extends AnyFunSuite {
       s"left enrichment must keep unmatched rows null: ${got.mkString(", ")}")
   }
 
+  test("refreshing enrichment sees a dim update in a later batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dimPath = s"/root/repo/target/enrich_dim_${System.nanoTime()}"
+    val out = s"/root/repo/target/enrich_out_${System.nanoTime()}"
+    Seq(("click", 1.0)).toDF("event_type", "weight")
+      .write.mode("overwrite").parquet(dimPath)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // dimTtlMs = 0: re-resolve every batch (the deterministic setting;
+    // a TTL'd cache only changes WHEN the refresh lands)
+    val q = EventStreams.enrichIngest(
+      mem.toDF().toDF("event_id", "event_type"), "event_type", out,
+      () => spark.read.parquet(dimPath))
+    try {
+      mem.addData((1L, "click"))
+      q.processAllAvailable()
+      // the dim is UPDATED between batches — the next batch must see it
+      Seq(("click", 9.0)).toDF("event_type", "weight")
+        .write.mode("overwrite").parquet(dimPath)
+      mem.addData((2L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("event_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 9.0),
+      s"batch 2 must see the refreshed dim: $got")
+
+    // TTL'd path: within one TTL window the resolver runs ONCE
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out2 = s"/root/repo/target/enrich_out2_${System.nanoTime()}"
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = EventStreams.enrichIngest(
+      mem2.toDF().toDF("event_id", "event_type"), "event_type", out2,
+      () => { calls.incrementAndGet(); spark.read.parquet(dimPath) },
+      dimTtlMs = 10 * 60 * 1000L)
+    try {
+      mem2.addData((1L, "click")); q2.processAllAvailable()
+      mem2.addData((2L, "click")); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(calls.get() == 1, s"TTL window must dedupe resolutions: ${calls.get()}")
+  }
+
   test("streaming search ingest keeps BM25 exact against the growing corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
