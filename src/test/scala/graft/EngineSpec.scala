@@ -400,6 +400,77 @@ class EngineSpec extends AnyFunSuite {
       "status=2 entry must be excluded, status=0 kept")
   }
 
+  test("incremental read over a range containing a DELETE snapshot never resurfaces deleted files") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "iceincdel").toFile
+    new java.io.File(root, "metadata").mkdirs()
+    // three REAL one-row parquet data files (the incremental scan plans them)
+    def dataFile(sub: String, v: Long): String = {
+      Seq(v).toDF("x").coalesce(1).write.mode("overwrite").parquet(s"$root/$sub")
+      new java.io.File(s"$root/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    }
+    val f1 = dataFile("d1", 1L)
+    val f2 = dataFile("d2", 2L)
+    val f3 = dataFile("d3", 3L)
+    def writeAvro(path: String, schema: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path)); try rows.foreach(w.append) finally w.close()
+    }
+    val dfSchema = SchemaBuilder.record("r2").fields()
+      .requiredString("file_path").requiredLong("file_size_in_bytes").endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("data_file").`type`(dfSchema).noDefault().endRecord()
+    val mlSchema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path").endRecord()
+    def entry(path: String, status: Int): GenericRecord = {
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", path); df.put("file_size_in_bytes", new java.io.File(path).length())
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status); e.put("data_file", df)
+      e
+    }
+    // S1 appends f1+f2; S2 is a DELETE snapshot removing f1; S3 appends f3
+    writeAvro(s"$root/metadata/m1.avro", entrySchema, Seq(entry(f1, 1), entry(f2, 1)))
+    writeAvro(s"$root/metadata/m2.avro", entrySchema, Seq(entry(f1, 2), entry(f2, 0)))
+    writeAvro(s"$root/metadata/m3.avro", entrySchema, Seq(entry(f2, 0), entry(f3, 1)))
+    def ml(n: Int): String = {
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", s"$root/metadata/m$n.avro")
+      writeAvro(s"$root/metadata/ml$n.avro", mlSchema, Seq(r))
+      s"$root/metadata/ml$n.avro"
+    }
+    // one metadata JSON per version (the engine time-travels across
+    // metadata files ordered by last-sequence-number, reading each
+    // file's LAST snapshot)
+    val mls = (1 to 3).map(ml)
+    (1 to 3).foreach { v =>
+      val snaps = (1 to v).map(n => s"""{"snapshot-id": $n, "manifest-list": "${mls(n - 1)}"}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/metadata/v$v.metadata.json"),
+        s"""{"last-sequence-number": $v, "snapshots": [${snaps.mkString(", ")}]}""".getBytes)
+    }
+
+    val cat = new FixtureCatalog().register(GlueTable("default", "ice_del",
+      Some(root.getAbsolutePath), parameters = Map("table_type" -> "ICEBERG")))
+    val eng = new GlueTableEngine(spark, cat)
+    // whole range S1 -> S3: delta must be exactly f3 — f1 was deleted
+    // mid-range and must NOT resurface even though it is "new relative
+    // to S1's live set minus itself" under a buggy diff
+    val inc = eng.tableDFIncremental("default", "ice_del", fromOffset = 2, toOffset = 0)
+    assert(inc.collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "S1->S3 delta must contain only f3's rows")
+    // delete-only window S1 -> S2 adds nothing
+    assert(eng.tableDFIncremental("default", "ice_del", 2, 1).count() == 0)
+    // S2 -> S3 is the plain append delta
+    assert(eng.tableDFIncremental("default", "ice_del", 1, 0)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("manifest with a mistyped file_size_in_bytes fails fast") {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
