@@ -797,12 +797,27 @@ final class GlueTableEngine(
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val keys = meta.table.partitionKeys.map(_.name)
     val df = tableDF(database, table)
+    // grid normalization needs a numeric span: validate up front so a
+    // string/complex zorderBy column errors by name, not as a null
+    // cast deep in the stats row
+    zorderBy.foreach { c =>
+      val f = df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"zorderBy column $c not found in $database.$table (columns: ${df.columns.mkString(", ")})"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderBy column $c must be numeric, got ${f.dataType.simpleString}")
+    }
     val stats = df.agg(
       zorderBy.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
       zorderBy.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*)
       .head()
     val norm = zorderBy.zipWithIndex.map { case (c, i) =>
-      graft.functions.ZOrder.normalize(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
+      // empty table / all-null column: min/max aggregate to NULL —
+      // treat as a degenerate span (the dimension contributes cell 0,
+      // matching the hi <= lo rule) instead of an opaque NPE
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1))
+        lit(0L)
+      else
+        graft.functions.ZOrder.normalize(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
     }
     val z = graft.functions.ZOrder.zvalue(norm, bits)
     val repart = df.withColumn("__z", z)

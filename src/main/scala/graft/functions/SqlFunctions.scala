@@ -29,7 +29,15 @@ object SqlFunctions {
     (new FunctionIdentifier(name),
       new ExpressionInfo(SqlFunctions.getClass.getName, name),
       (args: Seq[Expression]) => {
-        require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
+        // wrong arity surfaces through the standard SQL error path
+        // (AnalysisException with Spark's own error class), not a raw
+        // IllegalArgumentException out of the analyzer
+        if (args.length != n)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> s"`$name`", "expectedNum" -> n.toString,
+              "actualNum" -> args.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
         b(args)
       })
 
@@ -44,7 +52,8 @@ object SqlFunctions {
     fn("graft_chunk_hashes", 1)(a =>
       Shim.expressionConverted(graft.operators.Chunking.chunkHashes(col(a.head)))),
     fn("graft_zvalue", 2)(a =>
-      Shim.expressionConverted(ZOrder.zvalue(Seq(col(a(0)), col(a(1)))))))
+      Shim.expressionConverted(ZOrder.zvalue(
+        Seq(ZOrder.requireNormalized(col(a(0))), ZOrder.requireNormalized(col(a(1))))))))
 
   /** Session-local registration (the non-extension path). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>

@@ -40,6 +40,24 @@ object ZOrder {
           .cast("long")))
   }
 
+  /** Runtime contract check for the SQL-function surface
+    * (`graft_zvalue`): [[zvalue]] silently aliases values outside the
+    * normalized `[0, 2^bits)` grid (only the low bits interleave), so
+    * raw inputs would produce meaningless Morton keys with no error.
+    * Out-of-range non-null values fail loudly via `raise_error`;
+    * nulls pass through (the whole z-value goes null — the standard
+    * null propagation).
+    */
+  def requireNormalized(c: Column, bits: Int = 16): Column = {
+    val top = (1L << bits) - 1
+    val v = c.cast("long")
+    when(v.isNotNull && (v < 0 || v > top),
+      raise_error(concat(
+        lit(s"graft_zvalue expects pre-normalized inputs in [0, ${top + 1}) " +
+          "(use ZOrder.normalize); got "), v.cast("string"))).cast("long"))
+      .otherwise(v)
+  }
+
   /** Interleave the low `bits` bits of the given (already
     * normalized, non-negative) long columns: bit `i` of column `j`
     * lands at position `i * n + j`, so the high bits of every

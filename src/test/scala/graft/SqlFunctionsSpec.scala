@@ -39,8 +39,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
   }
 
   test("wrong arity fails analysis with the function's message") {
-    val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0f))").collect())
+    // the standard SQL error surface: AnalysisException with Spark's
+    // WRONG_NUM_ARGS error class, not a raw IllegalArgumentException
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_cosine(array(1.0f))").collect())
     assert(e.getMessage.contains("graft_cosine"))
+    assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+      s"condition: ${e.getCondition}")
+  }
+
+  test("graft_zvalue rejects un-normalized inputs loudly") {
+    // in range: fine (both orders of magnitude below/above checked)
+    assert(spark.sql("SELECT graft_zvalue(65535L, 0L) AS z").head().getLong(0) >= 0L)
+    // raw values outside [0, 2^16) used to silently alias to garbage
+    // Morton keys; now they raise
+    val neg = intercept[Exception](spark.sql("SELECT graft_zvalue(-1L, 1L)").collect())
+    assert(neg.getMessage.contains("pre-normalized"), neg.getMessage)
+    val big = intercept[Exception](spark.sql("SELECT graft_zvalue(65536L, 1L)").collect())
+    assert(big.getMessage.contains("pre-normalized"), big.getMessage)
+    // nulls propagate instead of raising
+    assert(spark.sql("SELECT graft_zvalue(CAST(NULL AS LONG), 1L) AS z").head().isNullAt(0))
   }
 
   test("the session extension registers every function (smoke — shared JVM)") {

@@ -63,6 +63,35 @@ class ZOrderSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("z-ordered compaction guards degenerate stats and non-numeric columns") {
+    import spark.implicits._
+    val src = s"/root/repo/target/zorder_guard_src_${System.nanoTime()}"
+    // an all-null dimension and a normal one
+    Seq((1L, Option.empty[Double], "x"), (2L, Option.empty[Double], "y"))
+      .toDF("k", "allnull", "s").write.parquet(src)
+    val cat = new graft.catalog.FixtureCatalog()
+      .register(graft.model.GlueTable("default", "zguard", Some(src)))
+    val eng = new graft.engine.GlueTableEngine(spark, cat)
+    // all-null min/max used to NPE in stats.getDouble; now the
+    // dimension degrades to grid cell 0 and the compaction succeeds
+    val out = s"/root/repo/target/zorder_guard_out_${System.nanoTime()}"
+    eng.compactTableZOrder("default", "zguard", "zguard_out", out,
+      zorderBy = Seq("k", "allnull"))
+    assert(spark.read.parquet(out).count() == 2)
+    // a non-numeric zorderBy column errors by name up front
+    val e = intercept[IllegalArgumentException] {
+      eng.compactTableZOrder("default", "zguard", "zguard_out2",
+        s"$out-2", zorderBy = Seq("k", "s"))
+    }
+    assert(e.getMessage.contains("s") && e.getMessage.contains("numeric"), e.getMessage)
+    // a missing column too
+    val m = intercept[IllegalArgumentException] {
+      eng.compactTableZOrder("default", "zguard", "zguard_out3",
+        s"$out-3", zorderBy = Seq("k", "nope"))
+    }
+    assert(m.getMessage.contains("nope"), m.getMessage)
+  }
+
   test("z-ordered compaction yields tight per-file ranges in BOTH dimensions") {
     val sf = TestSpark.sfDir
     val cat = graft.fixtures.TestFixtures.catalogFor(spark, sf)
