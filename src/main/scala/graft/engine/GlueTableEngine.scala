@@ -49,6 +49,7 @@ final class GlueTableEngine(
   private def hadoopConf = Shim.classic(spark).sparkContext.hadoopConfiguration
   private val lister: FileLister = listerOverride.getOrElse(new HadoopFileLister(hadoopConf))
   private lazy val iceberg = new IcebergSnapshotResolver(hadoopConf)
+  private lazy val delta = new graft.listing.DeltaLogResolver(spark)
 
   // Two caches, mirroring the reference (src/glue-table-cache.ts:75-84).
   private val metaCache = new TtlCache[CachedTableMetadata](
@@ -155,6 +156,14 @@ final class GlueTableEngine(
             // Iceberg). Manifests carry no mtime; 0 = unknown.
             iceberg.dataFilesDetailed(location(meta), versionOffset)
               .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L, bounds = f.bounds))
+          case TableType.Delta =>
+            // Same zero-extra-I/O contract as Iceberg: sizes,
+            // partition values, AND per-column stats ranges all come
+            // from the transaction log (add actions / checkpoint);
+            // the read path's skipping tier consumes the bounds
+            // without any footer reads.
+            delta.dataFilesDetailed(location(meta), versionOffset)
+              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L, bounds = f.bounds))
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
             val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>
@@ -202,10 +211,11 @@ final class GlueTableEngine(
           val raw = regexp_extract(col("path"),
             java.util.regex.Pattern.quote(key.name) + "=([^/]+)", 1)
           when(length(raw) > 0, extracted).otherwise(element_at(col("pv"), key.name))
-        // Iceberg: the manifest's partition record is authoritative
-        // (paths need not encode values); fall back to the path
-        // extractor only for manifests without partition data.
-        case TableType.Iceberg =>
+        // Iceberg/Delta: the manifest's partition record / the log's
+        // partitionValues map is authoritative (paths need not encode
+        // values); fall back to the path extractor only when the
+        // metadata carries no partition data.
+        case TableType.Iceberg | TableType.Delta =>
           coalesce(element_at(col("pv"), key.name), extracted)
         case _ => extracted
       }

@@ -587,6 +587,106 @@ object TestFixtures {
     out
   }
 
+  // ------------------------------------------------------------ delta
+
+  /** JSON-escape a string for embedding in a hand-built action line. */
+  private def jstr(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  /** Three-version Delta layout over lineitem: v0 adds the
+    * even-orderkey file (+ metaData), v1 adds the odd file AND writes
+    * a classic checkpoint holding the full v1 state, v2 REMOVES the
+    * even file. Latest resolves odds only; versionOffset time-travels
+    * across commits; the checkpoint exercises the
+    * checkpoint-plus-tail replay path. Add actions carry real
+    * numRecords/min/max stats for the file-skipping tier.
+    */
+  def deltaLineitem(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/delta_lineitem"
+    ensure(sfDir, "delta_lineitem_v1") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def mkFile(sub: String, parity: Int): (String, Long, String) = {
+        val part = li.filter(col("l_orderkey") % 2 === parity)
+        part.coalesce(1).write.mode("overwrite").parquet(s"$out/$sub")
+        val f = new File(s"$out/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val st = part.agg(count(lit(1)), min("l_orderkey"), max("l_orderkey")).head()
+        val stats = s"""{"numRecords":${st.getLong(0)},"minValues":{"l_orderkey":${st.getLong(1)}},""" +
+          s""""maxValues":{"l_orderkey":${st.getLong(2)}},"nullCount":{"l_orderkey":0}}"""
+        (f.getAbsolutePath, f.length(), stats)
+      }
+      val (evenPath, evenSize, evenStats) = mkFile("data_even", 0)
+      val (oddPath, oddSize, oddStats) = mkFile("data_odd", 1)
+      val log = new File(s"$out/_delta_log"); log.mkdirs()
+      val schemaString = jstr(li.schema.json)
+      def addLine(p: String, size: Long, stats: String): String =
+        s"""{"add":{"path":${jstr(p)},"size":$size,"partitionValues":{},"dataChange":true,"stats":${jstr(stats)}}}"""
+      Files.write(Paths.get(s"$out/_delta_log/00000000000000000000.json"),
+        (s"""{"metaData":{"id":"fixture","format":{"provider":"parquet"},"schemaString":$schemaString,"partitionColumns":[]}}""" +
+          "\n" + addLine(evenPath, evenSize, evenStats) + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(s"$out/_delta_log/00000000000000000001.json"),
+        (addLine(oddPath, oddSize, oddStats) + "\n").getBytes(StandardCharsets.UTF_8))
+      // classic checkpoint at v1: full state (metaData + both adds)
+      val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+      import sp.implicits._
+      val cpTmp = s"$out/_cp_tmp"
+      Seq(
+        (Some((evenPath, evenSize, Map.empty[String, String], evenStats)), Option.empty[String]),
+        (Some((oddPath, oddSize, Map.empty[String, String], oddStats)), Option.empty[String]),
+        (Option.empty[(String, Long, Map[String, String], String)], Some(li.schema.json)))
+        .toDF("addRaw", "schemaString")
+        .select(
+          when(col("addRaw").isNotNull, struct(
+            col("addRaw._1").as("path"), col("addRaw._2").as("size"),
+            col("addRaw._3").as("partitionValues"), col("addRaw._4").as("stats")))
+            .as("add"),
+          when(col("schemaString").isNotNull,
+            struct(col("schemaString").as("schemaString"))).as("metaData"))
+        .coalesce(1).write.mode("overwrite").parquet(cpTmp)
+      val cpPart = new File(cpTmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(cpPart.toPath,
+        Paths.get(s"$out/_delta_log/00000000000000000001.checkpoint.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(cpTmp))
+      Files.write(Paths.get(s"$out/_delta_log/_last_checkpoint"),
+        """{"version":1}""".getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(s"$out/_delta_log/00000000000000000002.json"),
+        (s"""{"remove":{"path":${jstr(evenPath)},"dataChange":true}}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    out
+  }
+
+  /** Partitioned Delta layout over events (one file per event_type):
+    * partition values live ONLY in the log's `partitionValues` maps —
+    * data files do not contain the column and paths carry no
+    * `key=value` segment, so listing-level pruning must come from the
+    * log, like a real Delta table.
+    */
+  def deltaEvents(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/delta_events"
+    ensure(sfDir, "delta_events_v1") {
+      val ev = events(spark, sfDir)
+      val types = ev.select("event_type").distinct().orderBy("event_type")
+        .collect().map(_.getString(0))
+      val log = new File(s"$out/_delta_log"); log.mkdirs()
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        ev.schema.filterNot(_.name == "event_type"))
+      val lines = new StringBuilder
+      lines ++= s"""{"metaData":{"id":"fixture-ev","format":{"provider":"parquet"},"schemaString":${jstr(dataSchema.json)},"partitionColumns":["event_type"]}}""" + "\n"
+      types.foreach { t =>
+        val sub = s"part_$t"
+        ev.filter(col("event_type") === t).drop("event_type")
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/$sub")
+        val f = new File(s"$out/$sub").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        lines ++= s"""{"add":{"path":${jstr(f.getAbsolutePath)},"size":${f.length()},"partitionValues":{"event_type":${jstr(t)}},"dataChange":true}}""" + "\n"
+      }
+      Files.write(Paths.get(s"$out/_delta_log/00000000000000000000.json"),
+        lines.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    out
+  }
+
   // ------------------------------------------------------------ catalog
 
   /** The fixture catalog for one scale factor — every layout the
@@ -647,6 +747,11 @@ object TestFixtures {
     cat.register(GlueTable("default", "iceberg_orders_m", Some(icebergOrdersByMonth(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("d", "date")),
       parameters = Map("table_type" -> "ICEBERG")))
+    cat.register(GlueTable("default", "delta_lineitem", Some(deltaLineitem(spark, sfDir)),
+      parameters = Map("table_type" -> "DELTA")))
+    cat.register(GlueTable("default", "delta_events", Some(deltaEvents(spark, sfDir)),
+      partitionKeys = Seq(ColumnDef("event_type")),
+      parameters = Map("table_type" -> "DELTA")))
     // declared columns (same types CSV/JSON inference yields, so
     // results are identical) — the reader skips the inference scan
     cat.register(GlueTable("default", "orders_csv", Some(ordersCsv(spark, sfDir)),

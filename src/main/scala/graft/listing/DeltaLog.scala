@@ -1,0 +1,217 @@
+package graft.listing
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** One live data file of a Delta table version. */
+final case class DeltaDataFile(path: String, size: Long,
+    partition: Map[String, String], bounds: Map[String, ColRange])
+
+/** Delta Lake transaction-log → data-file resolution, without a
+  * Delta runtime — the Delta counterpart of
+  * [[IcebergSnapshotResolver]], and a deliberate beyond-reference
+  * extension: the reference's classifier declares the DELTA table
+  * type but can never return it (reference: src/util/glue.ts:13-19),
+  * so Delta-registered Glue tables are unreadable there.
+  *
+  * Pure-metadata walk of the public Delta protocol
+  * (https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+  *   1. versions are the `_delta_log/<20-digit>.json` commits; the
+  *      latest version minus `versionOffset` is the read target
+  *      (time travel, same offset convention as Iceberg's);
+  *   2. state starts from the newest `<v>.checkpoint[.N.M].parquet`
+  *      at or below the target (classic and multi-part checkpoints),
+  *      read as parquet — a checkpoint IS the replayed state, so a
+  *      million-commit table costs one checkpoint read plus the
+  *      commits after it, never a full log replay;
+  *   3. the remaining JSON commits replay in order: `add` upserts a
+  *      file (last writer wins per path), `remove` deletes it,
+  *      `metaData` refreshes the schema used to type file statistics.
+  *
+  * Per-file `stats` (numRecords / minValues / maxValues / nullCount)
+  * decode into [[ColRange]]s for the planner's file-skipping tier —
+  * the same zero-extra-I/O path as Iceberg manifest bounds. Float and
+  * double ranges are marked `mayHideNaN` (Delta writers disagree on
+  * NaN handling, so only NaN-safe proofs may use them); timestamp
+  * stats are skipped entirely (writer-dependent serialization),
+  * which only costs skipping opportunity, never correctness.
+  *
+  * Like the Iceberg resolver, everything here is driver-side
+  * metadata: at 100 TB only paths and stats move through the driver,
+  * and commit JSONs are KB-scale regardless of table size.
+  */
+final class DeltaLogResolver(spark: SparkSession) {
+  private val mapper = new ObjectMapper()
+  private def hadoopConf =
+    org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
+
+  private val CommitRe = """(\d{20})\.json""".r
+  private val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+
+  /** Latest commit version, or None for a missing/empty log. */
+  def latestVersion(location: String): Option[Long] = {
+    val (_, commits, _) = listLog(location)
+    commits.lastOption.map(_._1)
+  }
+
+  /** Live data files of the selected version (latest − offset). */
+  def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[DeltaDataFile] = {
+    require(versionOffset >= 0, s"versionOffset must be >= 0: $versionOffset")
+    val (logDir, commits, checkpoints) = listLog(location)
+    if (commits.isEmpty) return Nil
+    val target = commits.last._1 - versionOffset
+    if (target < 0) return Nil
+
+    val root = location.stripSuffix("/")
+    // mutable replay state: path -> (size, partitionValues, bounds)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String], String)]
+    var schema: Option[StructType] = None
+
+    val cpVer = checkpoints.keySet.filter(_ <= target).maxOption
+    cpVer.foreach { v =>
+      val df = spark.read.parquet(checkpoints(v).map(_.toString): _*)
+      if (df.columns.contains("metaData")) {
+        val m = df.filter(col("metaData").isNotNull)
+          .select("metaData.schemaString").collect().headOption
+        schema = m.flatMap(r => Option(r.getString(0))).flatMap(parseSchema)
+      }
+      if (df.columns.contains("add")) {
+        val hasStats = df.select("add.*").columns.contains("stats")
+        val cols = Seq(col("add.path"), col("add.size"), col("add.partitionValues")) ++
+          (if (hasStats) Seq(col("add.stats")) else Nil)
+        df.filter(col("add").isNotNull).select(cols: _*).collect().foreach { r =>
+          val pv = Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)
+          val st = if (hasStats && !r.isNullAt(3)) r.getString(3) else null
+          live(resolvePath(root, r.getString(0))) = (r.getLong(1), pv, st)
+        }
+      }
+    }
+
+    val fs = logDir.getFileSystem(hadoopConf)
+    commits.filter { case (v, _) => v > cpVer.getOrElse(-1L) && v <= target }
+      .foreach { case (_, p) =>
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          Option(node.get("metaData")).flatMap(m => Option(m.get("schemaString")))
+            .foreach(s => schema = parseSchema(s.asText()))
+          Option(node.get("add")).foreach { a =>
+            val pv = Option(a.get("partitionValues")).map { o =>
+              o.properties().asScala
+                .filter(e => !e.getValue.isNull)
+                .map(e => e.getKey -> e.getValue.asText()).toMap
+            }.getOrElse(Map.empty)
+            val stats = Option(a.get("stats")).filter(!_.isNull).map(_.asText()).orNull
+            live(resolvePath(root, a.get("path").asText())) =
+              (Option(a.get("size")).map(_.asLong()).getOrElse(0L), pv, stats)
+          }
+          Option(node.get("remove")).foreach { r =>
+            live.remove(resolvePath(root, r.get("path").asText()))
+          }
+        }
+      }
+
+    live.toSeq.map { case (path, (size, pv, stats)) =>
+      DeltaDataFile(path, size, pv,
+        Option(stats).flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty))
+    }.sortBy(_.path)
+  }
+
+  private def listLog(location: String): (Path, Seq[(Long, Path)], Map[Long, Seq[Path]]) = {
+    val logDir = new Path(s"${location.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(hadoopConf)
+    if (!fs.exists(logDir)) return (logDir, Nil, Map.empty)
+    val statuses = fs.listStatus(logDir).toSeq
+    val commits = statuses.flatMap { s =>
+      s.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong -> s.getPath)
+        case _           => None
+      }
+    }.sortBy(_._1)
+    val checkpoints = statuses.flatMap { s =>
+      s.getPath.getName match {
+        case CheckpointRe(v) => Some(v.toLong -> s.getPath)
+        case _               => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    (logDir, commits, checkpoints)
+  }
+
+  /** `add.path` is URL-encoded and relative to the table root unless
+    * absolute (the protocol allows both).
+    */
+  private def resolvePath(root: String, raw: String): String = {
+    val decoded =
+      try new java.net.URI(raw).getPath match {
+        case null | "" => raw
+        case p if raw.contains("://") => raw // absolute URI: keep scheme form
+        case p => p
+      }
+      catch { case _: java.net.URISyntaxException => raw }
+    if (decoded.contains("://") || decoded.startsWith("/")) decoded
+    else s"$root/$decoded"
+  }
+
+  private def parseSchema(json: String): Option[StructType] =
+    try DataType.fromJson(json) match {
+      case s: StructType => Some(s)
+      case _             => None
+    } catch { case _: Exception => None }
+
+  /** Decode one add-action `stats` JSON into per-column ranges, typed
+    * by the table schema so they compare directly against pushed
+    * literals (same catalyst-internal forms as [[FooterStats]]).
+    * Anything unparseable is simply omitted — absence means "cannot
+    * skip", never a wrong skip.
+    */
+  private def boundsOf(statsJson: String, schema: StructType): Map[String, ColRange] = {
+    val node =
+      try mapper.readTree(statsJson)
+      catch { case _: Exception => return Map.empty }
+    if (node == null) return Map.empty
+    val numRecords = Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong())
+    val mins = Option(node.get("minValues"))
+    val maxs = Option(node.get("maxValues"))
+    val nulls = Option(node.get("nullCount"))
+
+    def conv(dt: DataType, n: JsonNode): Option[Any] = dt match {
+      case LongType if n.isNumber    => Some(n.asLong())
+      case IntegerType if n.isNumber => Some(n.asInt())
+      case DoubleType if n.isNumber =>
+        Some(n.asDouble()).filterNot(_.isNaN)
+      case FloatType if n.isNumber =>
+        Some(n.floatValue()).filterNot(_.isNaN)
+      case StringType if n.isTextual => Some(UTF8String.fromString(n.asText()))
+      case DateType if n.isTextual =>
+        try Some(java.time.LocalDate.parse(n.asText()).toEpochDay.toInt)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None // timestamps et al.: writer-dependent, skip soundly
+    }
+
+    schema.fields.flatMap { f =>
+      val nc = nulls.flatMap(o => Option(o.get(f.name))).filter(_.isNumber).map(_.asLong())
+      val noNulls = nc.contains(0L)
+      val allNulls = (nc, numRecords) match {
+        case (Some(c), Some(t)) => t > 0 && c == t
+        case _                  => false
+      }
+      val mn = mins.flatMap(o => Option(o.get(f.name))).filterNot(_.isNull).flatMap(conv(f.dataType, _))
+      val mx = maxs.flatMap(o => Option(o.get(f.name))).filterNot(_.isNull).flatMap(conv(f.dataType, _))
+      val hideNaN = f.dataType == FloatType || f.dataType == DoubleType
+      (mn, mx) match {
+        case (Some(a), Some(b)) =>
+          Some(f.name -> ColRange(a, b, allNulls = false, noNulls = noNulls, mayHideNaN = hideNaN))
+        case _ if allNulls =>
+          Some(f.name -> ColRange(null, null, allNulls = true, noNulls = false))
+        case _ => None
+      }
+    }.toMap
+  }
+}

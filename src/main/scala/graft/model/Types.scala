@@ -128,10 +128,18 @@ object TableClassifier {
   /** Port of the reference classifier (src/util/glue.ts:13-19):
     * `table_type == ICEBERG` → Iceberg; `projection.enabled == true`
     * → GlueProjected; has partition keys → Hive; else Unpartitioned.
+    *
+    * DELTA is a beyond-reference extension: the reference declares
+    * the type but can never return it (its classifier only checks
+    * ICEBERG), so Delta-registered Glue tables are unreadable there.
+    * Glue marks them with `table_type=DELTA` (the Athena/Glue
+    * convention) or the Spark provider parameter.
     */
   def classify(t: GlueTable): TableType = {
     val params = t.parameters
     if (params.get("table_type").exists(_.equalsIgnoreCase("ICEBERG"))) TableType.Iceberg
+    else if (params.get("table_type").exists(_.equalsIgnoreCase("DELTA")) ||
+      params.get("spark.sql.sources.provider").exists(_.equalsIgnoreCase("delta"))) TableType.Delta
     else if (params.get("projection.enabled").contains("true")) TableType.GlueProjected
     else if (t.partitionKeys.nonEmpty) TableType.Hive
     else TableType.Unpartitioned

@@ -568,6 +568,47 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Delta-log table (beyond-reference: the reference's classifier
+    // declares DELTA but can never return it): latest version = v2,
+    // whose log REMOVED the even-orderkey file — the live set is odds
+    // only, resolved from checkpoint+tail replay, never a file walk
+    "g25_delta_read" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            |FROM glue.default.delta_lineitem
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem WHERE l_orderkey % 2 = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Delta time travel: versionOffset=1 -> v1, BEFORE the remove —
+    // both parity files live
+    "g26_delta_time_travel" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf)
+          .tableDF("default", "delta_lineitem", versionOffset = 1)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // partitioned Delta: partition values exist ONLY in the log's
+    // partitionValues maps (no key=value path segments, no column in
+    // the data files) — the filter prunes to one file from metadata
+    "g27_delta_prune" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+            |FROM glue.default.delta_events WHERE event_type = 'click'""".stripMargin)
+      },
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |FROM events WHERE event_type = 'click'""".stripMargin)),
+
     // identity-partitioned Iceberg: partition values come from the
     // manifests' data_file.partition records, so the filter prunes to
     // one data file without touching the filesystem (the reference
