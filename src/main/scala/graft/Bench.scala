@@ -27,10 +27,11 @@ object Bench {
 
     // Write/maintenance operators stay in the CORRECTNESS gate
     // (Verify runs them against their oracles) but are excluded from
-    // the latency suite: g14 rewrites an entire table per invocation —
-    // that measures write throughput, and folding a full-table rewrite
-    // into a query-latency total misstates both.
-    val writeOps = Set("g14_compact")
+    // the latency suite: g14 rewrites an entire table per invocation,
+    // and p3 appends to (and tier-compacts) two persisted indexes —
+    // both measure write throughput, and folding that into a
+    // query-latency total misstates both.
+    val writeOps = Set("g14_compact", "p3_ingest_pipeline")
     // Optional subset filter (comma-separated names): lets a drift
     // bisect run an older round's exact query set in one session, so
     // per-session effects (warm-pass size, JVM/codegen state) are

@@ -1022,4 +1022,40 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then mark every
+    * vector that has a same-cluster neighbor at cosine >= `threshold`
+    * with a smaller `vec_id` as a duplicate — each semantic
+    * near-duplicate group keeps exactly its smallest-id member.
+    * Output: `(vec_id, cluster, is_dup)`, the pipeline's drop list.
+    *
+    * Clustering uses the deterministic seeded assignment
+    * ([[Clustering.assign]] over [[Clustering.seedCentroids]]) so the
+    * operator is an exact pure function of the corpus (the
+    * production path swaps in trained centroids — same plan). Scale
+    * shape is SemDeDup's own: the quadratic term is within-cluster
+    * only (sum of |cluster|² vs n²), the cluster id is the shuffle
+    * key, and `k` grows with the corpus so cluster populations stay
+    * bounded. The assignment is a pure map (centroid literals ride
+    * along); one shuffle on cluster for the pair join, one broadcast
+    * anti-join for the verdict.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 16, threshold: Double = 0.4): DataFrame = {
+    val assigned = Clustering.assign(emb, Clustering.seedCentroids(emb, k))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val x = pinned(
+      assigned.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea")),
+      col("cluster"))
+    val y = assigned.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val dropped = x.join(y, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(VectorFunctions.cosineFast(col("ea"), col("eb")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
 }

@@ -63,6 +63,45 @@ object Sampling {
       .orderBy(col(stratum), col("rk"))
   }
 
+  /** Quality-curriculum selection: the `n` HIGHEST-quality documents
+    * per source (the "select the best p% per domain" step most
+    * curation pipelines run after dedup/decontamination). Quality is
+    * [[TextAnalysis.qualityCol]] — a pure per-row expression, so the
+    * only non-map cost is the per-source window rank; ties break on
+    * doc_id over the 6-decimal-rounded score so every engine ranks
+    * identically. Same scale shape as [[stratifiedSample]]: partition
+    * windows sort strata independently, never a global window.
+    */
+  def topQualityPerSource(docs: DataFrame, n: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        TextAnalysis.qualityCol(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col("source"), col("doc_id"), col("quality"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** DuckDB oracle for [[topQualityPerSource]]. */
+  def sqlTopQualityPerSource(n: Int = 25): String = {
+    val stop = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, source, ${CrossHash.sqlTokens("text")} AS t, text FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    round(0.4 * least(1.0, len(t)::DOUBLE / 20.0)
+       |        + 0.3 * (len(list_filter(t, w -> w IN ($stop)))::DOUBLE / len(t)::DOUBLE)
+       |        + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)::DOUBLE), 6) AS quality
+       |  FROM tok),
+       |r AS (
+       |  SELECT source, doc_id, quality,
+       |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id)::BIGINT AS rk
+       |  FROM q)
+       |SELECT source, doc_id, quality, rk FROM r WHERE rk <= $n
+       |ORDER BY source, rk""".stripMargin
+  }
+
   /** DuckDB oracle for [[stratifiedSample]]. */
   def sqlStratifiedSample(stratum: String = "lang", n: Int = 50): String =
     s"""WITH r AS (SELECT $stratum, doc_id,

@@ -43,17 +43,18 @@ object TextAnalysis {
     * 0.3 * alphabetic-char-ratio, rounded to 6 decimals. The exact
     * arithmetic shape is mirrored in the oracle.
     */
-  def quality(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+  def qualityCol(text: Column): Column = {
+    val t = tokens(text)
     val nTok = size(t).cast("double")
     val stopRatio = ratio(size(filter(t, w => w.isin(stopwords: _*))), size(t))
-    val alphaRatio = ratio(length(regexp_replace(col("text"), "[^a-z]", "")), length(col("text")))
-    docs.select(
-      col("doc_id"),
-      round(lit(0.4) * least(lit(1.0), nTok / lit(20.0)) +
-        lit(0.3) * stopRatio + lit(0.3) * alphaRatio, 6).as("quality"))
-      .orderBy("doc_id")
+    val alphaRatio = ratio(length(regexp_replace(text, "[^a-z]", "")), length(text))
+    round(lit(0.4) * least(lit(1.0), nTok / lit(20.0)) +
+      lit(0.3) * stopRatio + lit(0.3) * alphaRatio, 6)
   }
+
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityCol(col("text")).as("quality"))
+      .orderBy("doc_id")
 
   /** Character n-gram profiles per language (the n-gram half of the
     * language-ID heuristic; literal substrings so occurrence counting

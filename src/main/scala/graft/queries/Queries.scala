@@ -1203,6 +1203,15 @@ object Queries {
     // domain-mixture sampling: per-source keep rates (0.25/0.5/0.75/
     // 1.0 cycling over the 20 sources; src19 deliberately absent ->
     // dropped), content-addressed so the mix is engine-reproducible
+    // quality-curriculum selection: the n highest-quality docs per
+    // source (select-the-best-p%-per-domain after dedup) — pure-map
+    // scoring + per-source window rank, ties on the rounded score
+    // break by doc_id so both engines rank identically
+    "d20_quality_topk" -> ((
+      (spark: SparkSession, sf: String) =>
+        Sampling.topQualityPerSource(t(spark, sf, "documents"), n = 25),
+      Sampling.sqlTopQualityPerSource(n = 25))),
+
     // per-ROW weighted deterministic sampling (keep prob ~ length,
     // content-addressed like d10/d14)
     "d19_weighted_sample" -> ((
@@ -1327,6 +1336,34 @@ object Queries {
       (spark: SparkSession, sf: String) =>
         Clustering.assignAudit(t(spark, sf, "embeddings"), 8),
       Clustering.sqlAssignAudit(8))),
+
+    // SemDeDup-style semantic dedup: deterministic seeded clustering,
+    // then within-cluster cosine pairs mark every vector with a
+    // smaller-id neighbor >= threshold as a duplicate — quadratic
+    // only within clusters, never across the corpus
+    "s16_semantic_dedup" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.semanticDedup(t(spark, sf, "embeddings"), k = 16, threshold = 0.4),
+      s"""WITH seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS ce
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |d AS (
+         |  SELECT e.vec_id, s.cluster, ${Clustering.sqlDistSq("e.embedding", "s.ce")} AS dist
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |a AS (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM d),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, a.cluster
+         |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id AND a.rn = 1),
+         |drp AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM asn x JOIN asn y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${VectorFunctions.sqlCosine("x.embedding", "y.embedding")} >= 0.4)
+         |SELECT v.vec_id, CAST(v.cluster AS INTEGER) AS cluster,
+         |  (v.vec_id IN (SELECT vec_id FROM drp)) AS is_dup
+         |FROM asn v ORDER BY vec_id""".stripMargin)),
 
     // product quantization: 64 floats -> one packed code word (pure
     // map, codebooks as literals); seeded codebooks make the encode

@@ -152,6 +152,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("semantic dedup keeps the smallest id of each similar cluster-mates group") {
+    import spark.implicits._
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val mixed = Seq(0.7f, 0.7f, 0.0f, 0.0f) // cos ~0.7 with both axes
+    val embs = Seq(
+      (1L, v), (2L, v), (3L, v), // identical triple -> keep 1, drop 2,3
+      (10L, w), (11L, mixed))    // mixed is far from w at 0.95
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup.semanticDedup(embs, k = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(1L) == false && got(2L) && got(3L), s"triple: $got")
+    assert(got(10L) == false, s"singleton flagged: $got")
+    // mixed: dup only if it shares a cluster AND cos >= 0.95 with a
+    // smaller id — cos(mixed, v) ~ 0.707, so never
+    assert(got(11L) == false, s"sub-threshold neighbor flagged: $got")
+  }
+
   test("exact dedup stats count planted duplicates consistently") {
     val row = Dedup.exactStats(docs).agg(sum("n_docs"), sum("n_uniq")).collect().head
     assert(row.getLong(0) == docs.count())
