@@ -84,6 +84,54 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Token-budget domain mixing: cap every source at `budgetTokens`
+    * tokens by keeping a deterministic content-hash slice of its
+    * documents. Per source the keep fraction is
+    * `min(1, budget/total_tokens)` computed in 1/10000ths with
+    * INTEGER arithmetic (`div`, so both engines truncate
+    * identically), and a document stays iff
+    * `charFold(text) mod 10000 < limit` — the same content-addressed
+    * rule as [[hashSample]], so the selected set is reproducible
+    * across engines, reruns, and re-shards, and the realized token
+    * count concentrates near the budget without any per-source sort.
+    * Output: per-source audit `(source, lim, n_kept, tokens_kept)`.
+    *
+    * Scale shape: one narrow scan computes tokens+bucket per doc; the
+    * per-source totals are a map-side-combined aggregate broadcast
+    * back (sources are few); the filter is a pure map. No shuffle of
+    * the corpus, any scale.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    val toks = docs.select(col("source"),
+      size(CrossHash.tokens(col("text"))).cast("long").as("tok"),
+      (CrossHash.charFold(col("text")) % 10000L).as("bucket"))
+    val lims = toks.groupBy("source").agg(sum("tok").as("total"))
+      .select(col("source"),
+        least(lit(10000L), expr(s"(${budgetTokens}L * 10000L) div total")).as("lim"))
+    toks.join(broadcast(lims), "source")
+      .filter(col("bucket") < col("lim"))
+      .groupBy("source", "lim")
+      .agg(count(lit(1)).as("n_kept"), sum("tok").as("tokens_kept"))
+      .select(col("source"), col("lim"), col("n_kept"), col("tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[tokenBudgetSample]]. */
+  def sqlTokenBudgetSample(budgetTokens: Long = 2000L): String =
+    s"""WITH toks AS (
+       |  SELECT source, len(${CrossHash.sqlTokens("text")})::BIGINT AS tok,
+       |    ${CrossHash.sqlCharFold("text")} % 10000 AS bucket
+       |  FROM documents),
+       |lims AS (
+       |  SELECT source,
+       |    CAST(least(10000, ($budgetTokens * 10000) // sum(tok)) AS BIGINT) AS lim
+       |  FROM toks GROUP BY source)
+       |SELECT t.source, l.lim, count(*) AS n_kept,
+       |  CAST(sum(t.tok) AS BIGINT) AS tokens_kept
+       |FROM toks t JOIN lims l USING (source)
+       |WHERE t.bucket < l.lim
+       |GROUP BY t.source, l.lim ORDER BY t.source""".stripMargin
+
   /** DuckDB oracle for [[topQualityPerSource]]. */
   def sqlTopQualityPerSource(n: Int = 25): String = {
     val stop = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")

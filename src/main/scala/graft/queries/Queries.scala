@@ -584,6 +584,18 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // metadata-only COUNT(*): footer record counts over the LIVE file
+    // set (here the Delta v2 set, so the remove is honored) — no Spark
+    // job, no data pages; a 100 TB count in listing time
+    "g28_count_meta" -> ((
+      (spark: SparkSession, sf: String) => {
+        val n = TestFixtures.engineFor(spark, sf).countRows("default", "delta_lineitem")
+        val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+        import sp.implicits._
+        Seq(n).toDF("n")
+      },
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_orderkey % 2 = 1")),
+
     // Delta time travel: versionOffset=1 -> v1, BEFORE the remove —
     // both parity files live
     "g26_delta_time_travel" -> ((
@@ -1211,6 +1223,14 @@ object Queries {
       (spark: SparkSession, sf: String) =>
         Sampling.topQualityPerSource(t(spark, sf, "documents"), n = 25),
       Sampling.sqlTopQualityPerSource(n = 25))),
+
+    // token-budget domain mixing: each source capped at a token
+    // budget via an integer-exact content-hash keep fraction — the
+    // mixture-rebalancing step of a training-data pipeline
+    "d21_token_budget" -> ((
+      (spark: SparkSession, sf: String) =>
+        Sampling.tokenBudgetSample(t(spark, sf, "documents"), budgetTokens = 2000L),
+      Sampling.sqlTokenBudgetSample(budgetTokens = 2000L))),
 
     // per-ROW weighted deterministic sampling (keep prob ~ length,
     // content-addressed like d10/d14)

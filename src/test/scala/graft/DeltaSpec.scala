@@ -122,6 +122,30 @@ class DeltaSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("countRows answers from footers with zero Spark jobs, honoring the remove") {
+    val want = liCount(Some(1)) // Delta v2 live set = odds only
+    val wantV1 = liCount()
+    // warm the listing caches OUTSIDE the window: first touch of a
+    // version may read the checkpoint parquet (a metadata-scale Spark
+    // job); the count itself must then be job-free
+    engine.files("default", "delta_lineitem")
+    engine.files("default", "delta_lineitem", 1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
+    sc.addSparkListener(listener)
+    try {
+      assert(engine.countRows("default", "delta_lineitem") == want)
+      // time travel counts too: v1 has both files
+      assert(engine.countRows("default", "delta_lineitem", 1) == wantV1)
+      Thread.sleep(1000) // listener events are async
+      assert(jobs.get() == 0, s"metadata count launched ${jobs.get()} Spark job(s)")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),
