@@ -64,6 +64,10 @@ final class GlueTableEngine(
   // derived from the listing like typedCache, same TTL/invalidation.
   private val statsCache = new TtlCache[Map[String, Map[String, graft.listing.ColRange]]](
     config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
+  // Iceberg v2 delete files per table version (merge-on-read);
+  // same TTL/invalidation family as the listing.
+  private val deleteCache = new TtlCache[Seq[IcebergSnapshotResolver#IcebergDeleteFile]](
+    config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
 
   // ---------------------------------------------------------------- metadata
 
@@ -492,8 +496,53 @@ final class GlueTableEngine(
       case "xml" => Map("rowTag" -> xmlRowTag(meta))
       case _     => Map.empty
     }
-    PreListedFileIndex.dataFrame(spark, PreListedFileIndex.formatFor(fmt), options,
+    val base = PreListedFileIndex.dataFrame(spark, PreListedFileIndex.formatFor(fmt), options,
       dataSchema, pSchema, partitions, Seq(new HadoopPath(location(meta))), statsByPath)
+    // Iceberg v2 merge-on-read: subtract live DELETE files. Position
+    // deletes anti-join on (_metadata.file_path, _metadata.row_index)
+    // — Spark's generated parquet metadata columns, so the base scan
+    // stays a plain vectorized read and the (tiny) delete set
+    // broadcasts; equality deletes anti-join null-safely on their
+    // declared columns. Cost ∝ delete-file rows, never a data rewrite
+    // — exactly Iceberg's own MOR contract.
+    if (meta.tableType != TableType.Iceberg) base
+    else {
+      val deletes = deleteCache.get(s"${meta.table.database}.${meta.table.name}#del#v$versionOffset") {
+        iceberg.deleteFilesDetailed(location(meta), versionOffset)
+      }
+      if (deletes.isEmpty) base else applyIcebergDeletes(base, deletes)
+    }
+  }
+
+  /** Scheme-insensitive canonical path column (delete files record
+    * raw writer paths; `_metadata.file_path` is a qualified URI).
+    */
+  private def canonPathCol(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  private def applyIcebergDeletes(df: DataFrame,
+      deletes: Seq[IcebergSnapshotResolver#IcebergDeleteFile]): DataFrame = {
+    var out = df
+    val pos = deletes.filter(_.content == 1)
+    if (pos.nonEmpty) {
+      val del = spark.read.parquet(pos.map(_.path): _*)
+        .select(canonPathCol(col("file_path")).as("__del_fp"), col("pos").as("__del_pos"))
+      out = out
+        .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
+        .withColumn("__pos", col("_metadata").getField("row_index"))
+        .join(broadcast(del),
+          col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"), "left_anti")
+        .drop("__fp", "__pos")
+    }
+    deletes.filter(_.content == 2).foreach { ef =>
+      if (ef.equalityCols.isEmpty) throw new IllegalStateException(
+        s"equality delete file ${ef.path} carries no resolvable equality_ids")
+      val del = spark.read.parquet(ef.path)
+        .select(ef.equalityCols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+      val cond = ef.equalityCols.map(c => out(c) <=> col(s"__eq_$c")).reduce(_ && _)
+      out = out.join(broadcast(del), cond, "left_anti")
+    }
+    out
   }
 
   /** Pruned read: filter the listing on partition predicates first,

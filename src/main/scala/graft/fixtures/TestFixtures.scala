@@ -587,6 +587,73 @@ object TestFixtures {
     out
   }
 
+  /** Iceberg v2 MERGE-ON-READ layout over lineitem: one globally
+    * sorted data file plus a DELETE manifest carrying a
+    * position-delete file (the first 10 rows of the sort order) and
+    * an equality-delete file (`l_returnflag = 'A'`). The reader must
+    * subtract both at scan time — no data rewrite exists anywhere.
+    */
+  def icebergLineitemMor(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/iceberg_lineitem_mor"
+    ensure(sfDir, "iceberg_lineitem_mor") {
+      val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+      import sp.implicits._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(s"$out/data")
+      def fileIn(sub: String): File = new File(s"$out/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dataFile = fileIn("data")
+      // position deletes: rows 0..9 of the data file
+      (0L until 10L).map(p => (dataFile.getAbsolutePath, p)).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/del_pos")
+      // equality deletes: every 'A' row
+      Seq("A").toDF("l_returnflag")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/del_eq")
+      val posFile = fileIn("del_pos")
+      val eqFile = fileIn("del_eq")
+
+      new File(s"$out/metadata").mkdirs()
+      val dfS = SchemaBuilder.record("rmor").fields()
+        .requiredString("file_path").requiredLong("file_size_in_bytes")
+        .requiredInt("content")
+        .name("equality_ids").`type`().nullable().array().items().intType().noDefault()
+        .endRecord()
+      val entryS = SchemaBuilder.record("manifest_entry").fields()
+        .name("data_file").`type`(dfS).noDefault().endRecord()
+      def entry(f: File, content: Int, eqIds: Seq[Int]): GenericRecord = {
+        val df = new GenericData.Record(dfS)
+        df.put("file_path", f.getAbsolutePath)
+        df.put("file_size_in_bytes", f.length())
+        df.put("content", content)
+        df.put("equality_ids",
+          if (eqIds.isEmpty) null
+          else java.util.List.of(eqIds.map(java.lang.Integer.valueOf): _*))
+        val e = new GenericData.Record(entryS)
+        e.put("data_file", df)
+        e
+      }
+      writeAvro(s"$out/metadata/manifest_data.avro", entryS, Seq(entry(dataFile, 0, Nil)))
+      writeAvro(s"$out/metadata/manifest_del.avro", entryS,
+        Seq(entry(posFile, 1, Nil), entry(eqFile, 2, Seq(9))))
+      val mls = Seq("manifest_data", "manifest_del").map { n =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", s"$out/metadata/$n.avro")
+        r
+      }
+      writeAvro(s"$out/metadata/ml1.avro", manifestListSchema, mls)
+      Files.write(Paths.get(s"$out/metadata/v1.metadata.json"),
+        s"""{"format-version": 2, "last-sequence-number": 1,
+           |"current-schema-id": 0,
+           |"schemas": [{"schema-id": 0, "fields": [
+           |  {"id": 1, "name": "l_orderkey", "type": "long"},
+           |  {"id": 9, "name": "l_returnflag", "type": "string"}]}],
+           |"snapshots": [{"snapshot-id": 1, "manifest-list": "$out/metadata/ml1.avro"}]}"""
+          .stripMargin.getBytes(StandardCharsets.UTF_8))
+    }
+    out
+  }
+
   // ------------------------------------------------------------ delta
 
   /** JSON-escape a string for embedding in a hand-built action line. */
@@ -746,6 +813,8 @@ object TestFixtures {
       parameters = Map("table_type" -> "ICEBERG")))
     cat.register(GlueTable("default", "iceberg_orders_m", Some(icebergOrdersByMonth(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("d", "date")),
+      parameters = Map("table_type" -> "ICEBERG")))
+    cat.register(GlueTable("default", "iceberg_lineitem_mor", Some(icebergLineitemMor(spark, sfDir)),
       parameters = Map("table_type" -> "ICEBERG")))
     cat.register(GlueTable("default", "delta_lineitem", Some(deltaLineitem(spark, sfDir)),
       parameters = Map("table_type" -> "DELTA")))

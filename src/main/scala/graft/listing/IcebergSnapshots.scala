@@ -50,6 +50,13 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   final case class IcebergDataFile(path: String, size: Long,
       partition: Map[String, String], bounds: Map[String, ColRange])
 
+  /** One live DELETE file (Iceberg v2 merge-on-read): `content` 1 =
+    * position deletes (parquet rows of `file_path`, `pos`), 2 =
+    * equality deletes over `equalityCols` (field ids resolved to
+    * column names through the table schema).
+    */
+  final case class IcebergDeleteFile(path: String, content: Int, equalityCols: Seq[String])
+
   /** Data files of the selected snapshot — manifests carry
     * `data_file.file_size_in_bytes` and `data_file.partition`, so the
     * read path can build `FileStatus`es AND prune identity partitions
@@ -57,11 +64,26 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     * difference between planning from KB-scale manifests and a
     * million-object LIST+HEAD storm.
     */
-  def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[IcebergDataFile] = {
+  def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[IcebergDataFile] =
+    resolveFiles(location, versionOffset)._1
+
+  /** Live delete files of the selected snapshot (empty for v1/COW
+    * tables). Scoping note: the resolver applies every live delete
+    * to the snapshot's whole data set rather than tracking per-file
+    * sequence numbers — exact for position deletes (they name their
+    * target file explicitly) and for the standard read-latest shape
+    * of equality deletes; sequence-scoped equality deletes over
+    * re-added rows are the known refinement.
+    */
+  def deleteFilesDetailed(location: String, versionOffset: Int = 0): Seq[IcebergDeleteFile] =
+    resolveFiles(location, versionOffset)._2
+
+  private def resolveFiles(location: String, versionOffset: Int)
+      : (Seq[IcebergDataFile], Seq[IcebergDeleteFile]) = {
     val loc = location.stripSuffix("/")
     val metaDir = new Path(s"$loc/metadata")
     val fs = metaDir.getFileSystem(hadoopConf)
-    if (!fs.exists(metaDir)) return Nil
+    if (!fs.exists(metaDir)) return (Nil, Nil)
 
     // 1. metadata JSONs ordered by last-sequence-number DESC
     //    (reference: src/util/iceberg.ts:20-27).
@@ -71,11 +93,11 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         val in = fs.open(s.getPath)
         try mapper.readTree(in) -> s.getPath.toString finally in.close()
       }
-    if (jsons.isEmpty) return Nil
+    if (jsons.isEmpty) return (Nil, Nil)
     val ordered = jsons.sortBy { case (node, _) =>
       -Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L)
     }
-    if (versionOffset >= ordered.size) return Nil
+    if (versionOffset >= ordered.size) return (Nil, Nil)
     val (meta, _) = ordered(versionOffset)
 
     // field-id → (name, primitive type) from the current schema — the
@@ -111,7 +133,7 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     }
     val manifestList = lastSnap.flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
     manifestList match {
-      case None => Nil
+      case None => (Nil, Nil)
       case Some(ml) =>
         // 3. manifest-list avro → manifest_path rows
         //    (reference: src/util/iceberg.ts:30-31).
@@ -136,6 +158,24 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
             }
             if (deleted) None else Some {
             val df = r.get("data_file").asInstanceOf[GenericRecord]
+            // Iceberg v2: data_file.content — 0/absent = data, 1 =
+            // position deletes, 2 = equality deletes
+            val content: Int = Option(df.getSchema.getField("content")).map { f =>
+              df.get(f.pos()) match {
+                case i: java.lang.Integer => i.intValue()
+                case l: java.lang.Long    => l.intValue()
+                case _ => 0
+              }
+            }.getOrElse(0)
+            val equalityCols: Seq[String] =
+              Option(df.getSchema.getField("equality_ids")).toSeq.flatMap { f =>
+                df.get(f.pos()) match {
+                  case l: java.util.List[_] => l.asScala.toSeq.collect {
+                    case i: java.lang.Integer => fieldById.get(i.intValue()).map(_._1)
+                  }.flatten
+                  case _ => Nil
+                }
+              }
             val sizeField = Option(df.getSchema.getField("file_size_in_bytes"))
             val size: Long = sizeField match {
               case Some(f) => df.get(f.pos()) match {
@@ -183,20 +223,24 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
                     noNulls = nulls.get(id).contains(0L))
               }
             }.toMap
-            IcebergDataFile(df.get("file_path").toString, size, partition, bounds)
+            (content, equalityCols,
+              IcebergDataFile(df.get("file_path").toString, size, partition, bounds))
             }
           }).flatten
         }
+        val deletes = files.distinct.collect { case (c, eq, f) if c != 0 =>
+          IcebergDeleteFile(f.path, c, eq)
+        }.sortBy(_.path)
         // Resolve any unknown sizes with one driver-side stat per
         // file. Real manifests always carry the field (required by
         // the Iceberg spec), so at scale this branch never runs.
-        val resolved = files.distinct.map {
+        val resolved = files.distinct.collect { case (c, _, f) if c == 0 => f }.map {
           case f if f.size == -1L =>
             val hp = new Path(f.path)
             f.copy(size = hp.getFileSystem(hadoopConf).getFileStatus(hp).getLen)
           case ok => ok
         }
-        resolved.sortBy(_.path)
+        (resolved.sortBy(_.path), deletes)
     }
   }
 

@@ -584,6 +584,27 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Iceberg v2 MERGE-ON-READ: the scan subtracts live position
+    // deletes (anti-join on _metadata file/row-index) and equality
+    // deletes (null-safe anti-join on the declared columns) — no data
+    // rewrite anywhere, cost proportional to the delete set
+    "g29_iceberg_mor" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            |FROM glue.default.iceberg_lineitem_mor
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM r WHERE pos >= 10 AND l_returnflag <> 'A'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // metadata-only COUNT(*): footer record counts over the LIVE file
     // set (here the Delta v2 set, so the remove is honored) — no Spark
     // job, no data pages; a 100 TB count in listing time

@@ -471,6 +471,29 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("iceberg v2 merge-on-read subtracts position and equality deletes at scan time") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val expected = li
+      .withColumn("pos", row_number().over(
+        Window.orderBy("l_orderkey", "l_linenumber")) - 1)
+      .filter(col("pos") >= 10 && col("l_returnflag") =!= "A")
+      .count()
+    val mor = engine.tableDF("default", "iceberg_lineitem_mor")
+    assert(mor.count() == expected,
+      s"MOR scan must drop the 10 position-deleted rows and every 'A' row")
+    assert(mor.filter(col("l_returnflag") === "A").count() == 0)
+    // none of the first 10 rows of the sort order (the
+    // position-deleted set) survives, whatever its return flag
+    val firstTen = li.orderBy("l_orderkey", "l_linenumber").limit(10)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val survivors = mor.select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(firstTen.intersect(survivors).isEmpty,
+      s"position-deleted rows resurfaced: ${firstTen.intersect(survivors)}")
+  }
+
   test("manifest with a mistyped file_size_in_bytes fails fast") {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
