@@ -50,6 +50,7 @@ final class GlueTableEngine(
   private val lister: FileLister = listerOverride.getOrElse(new HadoopFileLister(hadoopConf))
   private lazy val iceberg = new IcebergSnapshotResolver(hadoopConf)
   private lazy val delta = new graft.listing.DeltaLogResolver(spark)
+  private lazy val hudi = new graft.listing.HudiTimelineResolver(hadoopConf)
 
   // Two caches, mirroring the reference (src/glue-table-cache.ts:75-84).
   private val metaCache = new TtlCache[CachedTableMetadata](
@@ -168,6 +169,14 @@ final class GlueTableEngine(
             // without any footer reads.
             delta.dataFilesDetailed(location(meta), versionOffset)
               .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L, bounds = f.bounds))
+          case TableType.Hudi =>
+            // COW latest-file-slice resolution from the .hoodie
+            // timeline: a directory listing would double-count every
+            // updated row (stale slice versions stay until cleaning).
+            // Hive-style partition segments in the path still prune
+            // via the standard extractors.
+            hudi.dataFilesDetailed(location(meta), versionOffset)
+              .map(f => S3FileInfo(f.path, Map.empty, f.size, modTime = 0L, bounds = Map.empty))
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
             val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>

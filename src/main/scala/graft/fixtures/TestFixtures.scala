@@ -654,6 +654,48 @@ object TestFixtures {
     out
   }
 
+  /** Hudi COPY-ON-WRITE layout over lineitem: commit 001 writes file
+    * group fg1 (evens) and fg2 (odds v1); commit 002 UPSERTS fg1 (a
+    * new versioned file with the same even rows — the stale v1 file
+    * stays on disk, so a directory listing would double-count every
+    * even row); replacecommit 003 retires fg2 and writes fg3 (odds
+    * again). The live set is exactly {fg1 v2, fg3} = full lineitem.
+    */
+  def hudiLineitem(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/hudi_lineitem"
+    ensure(sfDir, "hudi_lineitem_v1") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def writeSlice(name: String, parity: Int): File = {
+        val tmp = s"$out/_tmp_$name"
+        li.filter(col("l_orderkey") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        new File(s"$out/data").mkdirs()
+        val dst = new File(s"$out/data/$name.parquet")
+        Files.move(part.toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
+        dst
+      }
+      val fg1v1 = writeSlice("fg1_0-0-0_001", 0)
+      val fg2v1 = writeSlice("fg2_0-0-0_001", 1)
+      val fg1v2 = writeSlice("fg1_0-0-0_002", 0)
+      val fg3v1 = writeSlice("fg3_0-0-0_003", 1)
+      new File(s"$out/.hoodie").mkdirs()
+      def stat(fileId: String, f: File): String =
+        s"""{"fileId": ${jstr(fileId)}, "path": ${jstr(s"data/${f.getName}")}, "fileSizeInBytes": ${f.length()}}"""
+      def commit(name: String, body: String): Unit =
+        Files.write(Paths.get(s"$out/.hoodie/$name"), body.getBytes(StandardCharsets.UTF_8))
+      commit("001.commit",
+        s"""{"partitionToWriteStats": {"": [${stat("fg1", fg1v1)}, ${stat("fg2", fg2v1)}]}}""")
+      commit("002.commit",
+        s"""{"partitionToWriteStats": {"": [${stat("fg1", fg1v2)}]}}""")
+      commit("003.replacecommit",
+        s"""{"partitionToReplaceFileIds": {"": ["fg2"]},
+           | "partitionToWriteStats": {"": [${stat("fg3", fg3v1)}]}}""".stripMargin)
+    }
+    out
+  }
+
   // ------------------------------------------------------------ delta
 
   /** JSON-escape a string for embedding in a hand-built action line. */
@@ -818,6 +860,8 @@ object TestFixtures {
       parameters = Map("table_type" -> "ICEBERG")))
     cat.register(GlueTable("default", "delta_lineitem", Some(deltaLineitem(spark, sfDir)),
       parameters = Map("table_type" -> "DELTA")))
+    cat.register(GlueTable("default", "hudi_lineitem", Some(hudiLineitem(spark, sfDir)),
+      parameters = Map("table_type" -> "HUDI")))
     cat.register(GlueTable("default", "delta_events", Some(deltaEvents(spark, sfDir)),
       partitionKeys = Seq(ColumnDef("event_type")),
       parameters = Map("table_type" -> "DELTA")))

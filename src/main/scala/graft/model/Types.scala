@@ -9,10 +9,13 @@ package graft.model
   * lets DuckDB infer it (reference: src/util/glue.ts:136-175).
   */
 
-/** Table-type taxonomy (reference: src/types.ts:4-11). Only Hive,
-  * Iceberg, GlueProjected and Unpartitioned are ever produced by the
-  * classifier (reference: src/util/glue.ts:13-19); Hudi/Delta are
-  * declared-but-unreachable, kept for surface parity.
+/** Table-type taxonomy (reference: src/types.ts:4-11). The reference
+  * classifier only ever produces Hive, Iceberg, GlueProjected and
+  * Unpartitioned (src/util/glue.ts:13-19) — its Hudi/Delta are
+  * declared-but-unreachable. Here all six are REACHABLE: Delta reads
+  * via the transaction log ([[graft.listing.DeltaLogResolver]]) and
+  * Hudi COW via the timeline ([[graft.listing.HudiTimelineResolver]]),
+  * both beyond-reference extensions.
   */
 sealed trait TableType
 object TableType {
@@ -140,6 +143,8 @@ object TableClassifier {
     if (params.get("table_type").exists(_.equalsIgnoreCase("ICEBERG"))) TableType.Iceberg
     else if (params.get("table_type").exists(_.equalsIgnoreCase("DELTA")) ||
       params.get("spark.sql.sources.provider").exists(_.equalsIgnoreCase("delta"))) TableType.Delta
+    else if (params.get("table_type").exists(_.equalsIgnoreCase("HUDI")) ||
+      params.get("spark.sql.sources.provider").exists(_.equalsIgnoreCase("hudi"))) TableType.Hudi
     else if (params.get("projection.enabled").contains("true")) TableType.GlueProjected
     else if (t.partitionKeys.nonEmpty) TableType.Hive
     else TableType.Unpartitioned

@@ -584,6 +584,21 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Hudi COPY-ON-WRITE (beyond-reference like DELTA): live set =
+    // latest file slice per file group from the .hoodie timeline —
+    // the upserted group's stale version and the replaced group are
+    // both on disk but never read
+    "g30_hudi_read" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf).query(
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            |FROM glue.default.hudi_lineitem
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Iceberg v2 MERGE-ON-READ: the scan subtracts live position
     // deletes (anti-join on _metadata file/row-index) and equality
     // deletes (null-safe anti-join on the declared columns) — no data
