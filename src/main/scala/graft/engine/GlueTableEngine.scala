@@ -840,6 +840,44 @@ final class GlueTableEngine(
     t
   }
 
+  /** Write `df` as a NEW Delta table (commit 0: metaData + adds with
+    * footer-derived stats) at `location` and register it — the
+    * engine's transactional write path. Readers get time travel,
+    * incremental reads, metadata counts, and log-stats file skipping
+    * for free through the normal Delta read paths; a crash before
+    * the commit JSON's atomic rename leaves only invisible garbage
+    * files, never a half-visible table.
+    */
+  def writeDeltaTable(df: DataFrame, database: String, table: String,
+      location: String, partitionBy: Seq[String] = Nil): GlueTable = {
+    val root = new HadoopPath(location)
+    val fs = root.getFileSystem(hadoopConf)
+    if (fs.exists(root)) fs.delete(root, true) // overwrite semantics
+    graft.listing.DeltaLogWriter.commit(spark, location, df, partitionBy)
+    val t = GlueTable(database, table, Some(location),
+      partitionKeys = partitionBy.map(ColumnDef(_)),
+      parameters = Map("table_type" -> "DELTA"))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, table)
+    t
+  }
+
+  /** Append a batch to a registered Delta table as its next commit
+    * version. Returns the committed version.
+    */
+  def appendDeltaTable(df: DataFrame, database: String, table: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val v = graft.listing.DeltaLogWriter.commit(
+      spark, location(meta), df, meta.table.partitionKeys.map(_.name))
+    invalidateTable(database, table)
+    v
+  }
+
   /** Small-file compaction — the maintenance operation every
     * long-running ingest pipeline needs (streaming/incremental
     * writers leave thousands of KB-scale files per partition; at
@@ -965,6 +1003,7 @@ final class GlueTableEngine(
     listingCache.invalidateMatching(s"$database.$table")
     typedCache.invalidateMatching(s"$database.$table")
     statsCache.invalidateMatching(s"$database.$table")
+    deleteCache.invalidateMatching(s"$database.$table")
   }
 
   /** ≈ reference `close` (drops caches; the SparkSession is shared

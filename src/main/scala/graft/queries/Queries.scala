@@ -427,6 +427,28 @@ object Queries {
 
     // full cube (all 2^k grouping sets in the one Expand pass Spark
     // plans for grouping analytics)
+    // explicit GROUPING SETS (the general form cube/rollup sugar
+    // over): one shuffle expands the set list, no per-set re-scan
+    "q31_grouping_sets" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem").createOrReplaceTempView("q31_lineitem")
+        spark.sql(
+          """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+            |  coalesce(l_linestatus, 'ALL') AS sm,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+            |FROM q31_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+            |ORDER BY rf, sm""".stripMargin)
+      },
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS sm,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY rf, sm""".stripMargin)),
+
     "q29_cube" -> ((
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "lineitem")
@@ -583,6 +605,29 @@ object Queries {
       """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem WHERE l_orderkey % 2 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Delta WRITE path through the oracle gate: write orders evens as
+    // commit 0, append the odds as commit 1, read the table back —
+    // proves the self-written log (metaData, adds, stats, atomic
+    // rename) round-trips through the reader exactly
+    "g31_delta_write" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_write_rt"
+        // rebuild from scratch each run: the query must be a pure
+        // function of the source, not of prior runs
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_write_rt", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_write_rt")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_write_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Hudi COPY-ON-WRITE (beyond-reference like DELTA): live set =
     // latest file slice per file group from the .hoodie timeline —

@@ -146,6 +146,61 @@ class DeltaSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("write path: round-trip, append versioning, and self-written stats skipping") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_write_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat,
+      CacheConfig(footerStatsMaxFiles = 0)) // any skip must come from OUR log stats
+    val batch1 = (0L until 100L).map(i => (i, s"row$i")).toDF("x", "s").coalesce(1)
+    eng.writeDeltaTable(batch1, "d", "w", loc)
+    // round-trip
+    assert(eng.tableDF("d", "w").count() == 100)
+    assert(eng.tableDF("d", "w").agg(sum("x")).head().getLong(0) == 4950L)
+    // append = next version; both visible at latest, old state at offset 1
+    val v = eng.appendDeltaTable(
+      (1000L until 1100L).map(i => (i, s"row$i")).toDF("x", "s").coalesce(1), "d", "w")
+    assert(v == 1L)
+    assert(eng.tableDF("d", "w").count() == 200)
+    assert(eng.tableDF("d", "w", 1).count() == 100)
+    // incremental read = exactly the appended batch
+    assert(eng.tableDFIncremental("d", "w", 1, 0).agg(min("x"), max("x")).head()
+      .toSeq == Seq(1000L, 1099L))
+    // metadata count (numRecords path exercised via footers)
+    assert(eng.countRows("d", "w") == 200L)
+    // file skipping from OUR OWN written stats: the two batches have
+    // disjoint x ranges, so a selective predicate scans 1 of 2 files
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query(s"SELECT x FROM glue.d.w WHERE x >= 1000")
+      assert(df.collect().length == 100)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"self-written log stats must prune to 1 file, got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // string stats round-trip too (min/max on s)
+    val resolver = new graft.listing.DeltaLogResolver(spark)
+    val withBounds = resolver.dataFilesDetailed(loc)
+    assert(withBounds.forall(_.bounds.contains("s")), s"string bounds missing: $withBounds")
+  }
+
+  test("write path: partitioned writes carry partitionValues in the log") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_write_part_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    val data = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("x", "k")
+    eng.writeDeltaTable(data, "d", "wp", loc, partitionBy = Seq("k"))
+    val files = eng.files("d", "wp")
+    assert(files.nonEmpty && files.forall(_.partitionValues.keySet == Set("k")))
+    assert(eng.tableDF("d", "wp").filter(col("k") === "a").count() == 2)
+    // the partition column reads back even though data files omit it
+    assert(eng.tableDF("d", "wp").select("x", "k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "a"), (3L, "b")))
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),
