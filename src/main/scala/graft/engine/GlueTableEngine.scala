@@ -878,6 +878,90 @@ final class GlueTableEngine(
     v
   }
 
+  /** OPTIMIZE-style compaction for a Delta table: rewrite the live
+    * file set into `ceil(liveBytes / targetFileBytes)` files as ONE
+    * commit — remove actions retire every previous live file, adds
+    * publish the compacted replacements with fresh footer-derived
+    * stats. Readers flip atomically; earlier versions still
+    * time-travel to the old layout (nothing is physically deleted —
+    * vacuuming is a separate lifecycle, as in Delta itself). Returns
+    * the committed version.
+    */
+  def optimizeDeltaTable(database: String, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil, bits: Int = 16): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val live = files(database, table)
+    val nFiles = math.max(1, math.ceil(
+      live.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val keys = meta.table.partitionKeys.map(_.name)
+    val df = tableDF(database, table)
+    // Delta OPTIMIZE ZORDER BY parity: range-partition + sort by the
+    // Morton interleave so each output file holds a tight range in
+    // EVERY clustered dimension, and the freshly written add-stats
+    // make the log's file skipping selective on all of them.
+    val compacted =
+      if (zorderBy.isEmpty) df.repartition(nFiles)
+      else {
+        zorderBy.foreach { c =>
+          val f = df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+            s"zorderBy column $c not found in $database.$table"))
+          require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"zorderBy column $c must be numeric, got ${f.dataType.simpleString}")
+        }
+        val stats = df.agg(
+          zorderBy.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
+          zorderBy.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*)
+          .head()
+        val norm = zorderBy.zipWithIndex.map { case (c, i) =>
+          if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+          else graft.functions.ZOrder.normalize(
+            col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
+        }
+        df.withColumn("__z", graft.functions.ZOrder.zvalue(norm, bits))
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+    val v = graft.listing.DeltaLogWriter.commitWith(
+      spark, location(meta), compacted, keys, removePaths = live.map(_.path))
+    invalidateTable(database, table)
+    v
+  }
+
+  /** Physically delete data files no longer referenced by the last
+    * `retainVersions` versions — the VACUUM half of the Delta
+    * lifecycle ([[optimizeDeltaTable]] retires files logically but
+    * keeps them for time travel). Only files under the table root are
+    * candidates; anything referenced by ANY retained version
+    * survives. Returns the deleted paths.
+    */
+  def vacuumDeltaTable(database: String, table: String, retainVersions: Int = 2): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val root = location(meta).stripSuffix("/")
+    val fs = new HadoopPath(root).getFileSystem(hadoopConf)
+    val referenced = (0 until retainVersions)
+      .flatMap(off => files(database, table, off).map(f => canonPath(f.path))).toSet
+    def walk(p: HadoopPath): Seq[HadoopPath] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "_delta_log") Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val doomed = walk(new HadoopPath(root))
+      .filterNot(p => referenced.contains(canonPath(p.toString)))
+    doomed.foreach(p => fs.delete(p, false))
+    doomed.map(_.toString)
+  }
+
   /** Small-file compaction — the maintenance operation every
     * long-running ingest pipeline needs (streaming/incremental
     * writers leave thousands of KB-scale files per partition; at

@@ -67,7 +67,17 @@ object DeltaLogWriter {
     * the committed version.
     */
   def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil): Long =
+    commitWith(spark, location, df, partitionBy, removePaths = Nil)
+
+  /** [[commit]] that additionally RETIRES files — the rewrite shape
+    * (OPTIMIZE/compaction, delete-where): one commit carries remove
+    * actions for every retired file plus the adds of its replacement
+    * data, so readers atomically flip from the old layout to the new
+    * and earlier versions still time-travel to the old slices.
+    */
+  def commitWith(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String], removePaths: Seq[String]): Long = {
     val root = location.stripSuffix("/")
     val logDir = new Path(s"$root/_delta_log")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -114,7 +124,16 @@ object DeltaLogWriter {
           s""""format":{"provider":"parquet"},"schemaString":${jstr(dataSchema.json)},""" +
           s""""partitionColumns":[${partitionBy.map(jstr).mkString(", ")}]}}""")
       else Nil
-    val body = (metaLine ++ adds).mkString("", "\n", "\n")
+    val rootPath = new Path(root).toUri.getPath
+    val removes = removePaths.map { p =>
+      // record table-root-relative paths when possible (the form adds
+      // use); the resolver resolves either form
+      val uriPath = new Path(p).toUri.getPath
+      val rel = if (uriPath.startsWith(rootPath))
+        uriPath.stripPrefix(rootPath).stripPrefix("/") else p
+      s"""{"remove":{"path":${jstr(rel)},"dataChange":false}}"""
+    }
+    val body = (metaLine ++ removes ++ adds).mkString("", "\n", "\n")
 
     // atomic publish: write to a temp name, rename into place
     val tmp = new Path(logDir, f".${version}%020d.json.tmp")

@@ -80,16 +80,21 @@ object Dedup {
       math.min(32, math.max(1, math.ceil(math.pow(nDocs / 20000.0, 2)).toInt))
     }
 
-  /** Job-free row-count UPPER BOUND for sizing [[pairMult]]: when
-    * every leaf of the plan is a parquet scan, sum the footers' exact
+  /** Job-free per-file row counts for sizing [[pairMult]]: when every
+    * leaf of the plan is a parquet scan, read the footers' exact
     * record counts (driver-side metadata I/O — at 100 TB this is a
     * listing-scale pass, not a data pass; a `count()` action is a full
     * job over the corpus). Filters above the leaves only shrink the
     * true count, and pairMult only uses the count to size partitions
-    * UP, so the leaf total is the safe direction. None when any leaf
-    * is not a parquet file scan (caller falls back to `count()`).
+    * UP, so the leaf total is the safe direction. Returned KEYED BY
+    * FILE so callers bounding several inputs can de-duplicate shared
+    * leaves — corpus and eval sides carved from the SAME table by
+    * complementary filters must bound to one table's rows, not two
+    * (double-counting quadruples the quadratic multiplier: measured
+    * 4× on d17 at sf1). None when any leaf is not a parquet file scan
+    * (caller falls back to `count()`).
     */
-  private def rowCountBound(df: DataFrame): Option[Long] = {
+  private def fileRowCounts(df: DataFrame): Option[Map[String, Long]] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -97,13 +102,14 @@ object Dedup {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
           val counts = fs.location.inputFiles.toSeq
-            .map(f => graft.listing.FooterStats.rowCount(conf, f))
-          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+            .map(f => graft.listing.FooterStats.rowCount(conf, f).map(f -> _))
+          if (counts.forall(_.isDefined)) Some(counts.flatten.toMap) else None
         case _ => None
       }
       case _ => None
     }
-    if (perLeaf.nonEmpty && perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum)
+    if (perLeaf.nonEmpty && perLeaf.forall(_.isDefined))
+      Some(perLeaf.flatten.foldLeft(Map.empty[String, Long])(_ ++ _))
     else None
   }
 
@@ -765,8 +771,9 @@ object Dedup {
     */
   def decontaminateFuzzy(corpus: DataFrame, evalDocs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val nDocs = rowCountBound(corpus).getOrElse(corpus.count()) +
-      rowCountBound(evalDocs).getOrElse(evalDocs.count())
+    val nDocs = (for (c <- fileRowCounts(corpus); e <- fileRowCounts(evalDocs))
+      yield (c ++ e).values.sum) // shared files count ONCE
+      .getOrElse(corpus.count() + evalDocs.count())
     val mult = pairMult(corpus, nDocs)
     def prep(df: DataFrame) =
       spread(df).select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))

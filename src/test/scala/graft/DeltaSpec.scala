@@ -201,6 +201,75 @@ class DeltaSpec extends AnyFunSuite {
       (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "a"), (3L, "b")))
   }
 
+  test("optimize rewrites many small files into one commit; old versions still travel") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_opt_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 50L).map(i => (i, i * 2)).toDF("x", "y").repartition(5),
+      "d", "opt", loc)
+    eng.appendDeltaTable((50L until 100L).map(i => (i, i * 2)).toDF("x", "y").repartition(5),
+      "d", "opt")
+    val before = eng.files("d", "opt")
+    assert(before.size == 10, s"fixture shape: ${before.size} files")
+    val v = eng.optimizeDeltaTable("d", "opt", targetFileBytes = Long.MaxValue)
+    assert(v == 2L)
+    val after = eng.files("d", "opt")
+    assert(after.size == 1, s"compaction must leave 1 live file, got ${after.size}")
+    // content identical, old layout still reachable by time travel
+    assert(eng.tableDF("d", "opt").agg(sum("x"), sum("y")).head().toSeq == Seq(4950L, 9900L))
+    assert(eng.files("d", "opt", 1).size == 10)
+    assert(eng.tableDF("d", "opt", 1).count() == 100)
+    // nothing physically deleted (vacuum is separate): old files remain
+    assert(before.forall(f => new java.io.File(
+      new org.apache.hadoop.fs.Path(f.path).toUri.getPath).exists()))
+  }
+
+  test("vacuum deletes only files unreferenced by every retained version") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_vac_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 50L).toDF("x").repartition(4), "d", "vac", loc)
+    eng.optimizeDeltaTable("d", "vac", targetFileBytes = Long.MaxValue) // v1: 1 file
+    // retain both versions: nothing is deletable
+    assert(eng.vacuumDeltaTable("d", "vac", retainVersions = 2).isEmpty)
+    // retain only the latest: the 4 pre-optimize files go
+    val deleted = eng.vacuumDeltaTable("d", "vac", retainVersions = 1)
+    assert(deleted.size == 4, s"expected the 4 retired files deleted, got $deleted")
+    assert(eng.tableDF("d", "vac").agg(sum("x")).head().getLong(0) == 1225L)
+    // time travel to the vacuumed version now (correctly) fails to read
+    val gone = eng.files("d", "vac", 1)
+    assert(gone.forall(f => !new java.io.File(
+      new org.apache.hadoop.fs.Path(f.path).toUri.getPath).exists()))
+  }
+
+  test("optimize with zorderBy clusters both dimensions for skipping") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_optz_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat, CacheConfig(footerStatsMaxFiles = 0))
+    val rows = for (a <- 0L until 64L; b <- 0L until 16L) yield (a, b)
+    eng.writeDeltaTable(rows.toDF("a", "b").repartition(8), "d", "oz", loc)
+    eng.optimizeDeltaTable("d", "oz", targetFileBytes = 2048, zorderBy = Seq("a", "b"))
+    val n = eng.files("d", "oz").size
+    assert(n > 2, s"need multiple output files for a skipping test, got $n")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanned(pred: String): Long = {
+        val df = eng.query(s"SELECT a FROM glue.d.oz WHERE $pred")
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.head.metrics("numFiles").value
+      }
+      // selective predicates on EITHER z-ordered dimension skip files
+      // purely from the self-written add-stats (footers disabled)
+      assert(scanned("a = 0") < n, "a-predicate must skip z-ordered files")
+      assert(scanned("b = 0") < n, "b-predicate must skip z-ordered files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),
