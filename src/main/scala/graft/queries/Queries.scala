@@ -427,6 +427,53 @@ object Queries {
 
     // full cube (all 2^k grouping sets in the one Expand pass Spark
     // plans for grouping analytics)
+    // correlated EXISTS / NOT EXISTS — planned as semi/anti joins
+    // (never a per-row subquery loop); customers split by whether a
+    // big order exists
+    "q32_exists" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "customer").createOrReplaceTempView("q32_customer")
+        t(spark, sf, "orders").createOrReplaceTempView("q32_orders")
+        spark.sql(
+          """SELECT c_mktsegment,
+            |  count(CASE WHEN EXISTS (
+            |    SELECT 1 FROM q32_orders o
+            |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) THEN 1 END) AS n_big,
+            |  count(CASE WHEN NOT EXISTS (
+            |    SELECT 1 FROM q32_orders o WHERE o.o_custkey = c.c_custkey) THEN 1 END) AS n_none
+            |FROM q32_customer c
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      """SELECT c_mktsegment,
+        |  count(CASE WHEN EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) THEN 1 END) AS n_big,
+        |  count(CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) THEN 1 END) AS n_none
+        |FROM customer c
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // running aggregate with an explicit window frame (ROWS UNBOUNDED
+    // PRECEDING): per-customer ordered cumulative sum — partitioned
+    // window, never a global sort
+    "q33_running_sum" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "orders").createOrReplaceTempView("q33_orders")
+        spark.sql(
+          """SELECT o_custkey, o_orderkey,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
+            |FROM q33_orders WHERE o_custkey % 100 = 7
+            |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
+        |FROM orders WHERE o_custkey % 100 = 7
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // explicit GROUPING SETS (the general form cube/rollup sugar
     // over): one shuffle expands the set list, no per-set re-scan
     "q31_grouping_sets" -> ((
