@@ -932,6 +932,43 @@ final class GlueTableEngine(
     v
   }
 
+  /** Row-level DELETE WHERE for a Delta table, as surgical
+    * copy-on-write: files whose log stats PROVE no row can match
+    * (the same one-sided [[graft.listing.StatsPruning]] prover the
+    * read path skips with) are left untouched — same physical file,
+    * no rewrite; only files that may contain matching rows are read,
+    * filtered to the survivors (`WHERE p` deletes rows where p is
+    * TRUE; false and NULL rows stay, per SQL DELETE semantics), and
+    * rewritten in ONE commit (removes for the affected files + adds
+    * for their replacements). At 100 TB a delete touching one day of
+    * data rewrites that day's files, not the table. Returns the
+    * committed version.
+    */
+  def deleteDeltaWhere(database: String, table: String, predicate: Column): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val df = tableDF(database, table)
+    // a RESOLVED predicate expression to feed the stats prover
+    val cond = df.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+      case Filter(c, _) => c
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val resolver: graft.listing.StatsPruning.Resolver = (a, b) => a.equalsIgnoreCase(b)
+    val live = files(database, table)
+    val (untouched, affected) = live.partition(f =>
+      f.bounds.nonEmpty && graft.listing.StatsPruning.proveFalse(cond, f.bounds, resolver))
+    if (affected.isEmpty) // every file provably unaffected: no commit at all
+      return delta.latestVersion(location(meta)).getOrElse(0L)
+    val keys = meta.table.partitionKeys.map(_.name)
+    val survivors = readTable(database, table, 0,
+      keep = Some(affected.map(_.path).toSet), proxied = false)
+      .filter(!coalesce(predicate, lit(false)))
+    val v = graft.listing.DeltaLogWriter.commitWith(
+      spark, location(meta), survivors, keys, removePaths = affected.map(_.path))
+    invalidateTable(database, table)
+    v
+  }
+
   /** Physically delete data files no longer referenced by the last
     * `retainVersions` versions — the VACUUM half of the Delta
     * lifecycle ([[optimizeDeltaTable]] retires files logically but

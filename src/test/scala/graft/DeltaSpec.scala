@@ -270,6 +270,35 @@ class DeltaSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("delete-where rewrites only files whose stats admit a match") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_del_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 100L).toDF("x").coalesce(1), "d", "dw", loc)
+    eng.appendDeltaTable((1000L until 1100L).toDF("x").coalesce(1), "d", "dw")
+    val before = eng.files("d", "dw").map(_.path)
+    assert(before.size == 2)
+    val lowFile = before.find(_.contains("/v0/")).get
+
+    val v = eng.deleteDeltaWhere("d", "dw", col("x") >= 1050L)
+    assert(v == 2L)
+    val after = eng.files("d", "dw").map(_.path)
+    // the low-range file is PROVABLY unaffected: same physical file, no rewrite
+    assert(after.contains(lowFile), s"untouched file must survive as-is: $after")
+    assert(after.size == 2 && after.exists(_.contains("/v2/")),
+      s"affected file must be rewritten under v2: $after")
+    // row semantics: exactly the matching rows are gone
+    val xs = eng.tableDF("d", "dw").select("x").collect().map(_.getLong(0)).toSet
+    assert(xs == ((0L until 100L) ++ (1000L until 1050L)).toSet)
+    // time travel still sees the pre-delete state
+    assert(eng.tableDF("d", "dw", 1).count() == 200)
+
+    // a predicate no file can match commits NOTHING (version unchanged)
+    assert(eng.deleteDeltaWhere("d", "dw", col("x") > 100000L) == 2L)
+    assert(eng.files("d", "dw").map(_.path).toSet == after.toSet)
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),
