@@ -969,6 +969,84 @@ final class GlueTableEngine(
     v
   }
 
+  /** Row-level UPDATE ... SET for a Delta table — the same
+    * stats-surgical copy-on-write as [[deleteDeltaWhere]]: provably
+    * unaffected files keep their physical file; affected files are
+    * rewritten with each SET column replaced where the predicate is
+    * TRUE (false/NULL rows keep their values). One commit, fresh
+    * stats on the rewritten files. Returns the committed version.
+    */
+  def updateDeltaWhere(database: String, table: String, predicate: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val df = tableDF(database, table)
+    set.keys.foreach { c =>
+      require(df.columns.contains(c), s"SET column $c not in $database.$table")
+    }
+    val cond = df.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+      case Filter(c, _) => c
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val resolver: graft.listing.StatsPruning.Resolver = (a, b) => a.equalsIgnoreCase(b)
+    val live = files(database, table)
+    val (_, affected) = live.partition(f =>
+      f.bounds.nonEmpty && graft.listing.StatsPruning.proveFalse(cond, f.bounds, resolver))
+    if (affected.isEmpty)
+      return delta.latestVersion(location(meta)).getOrElse(0L)
+    val keys = meta.table.partitionKeys.map(_.name)
+    val hit = coalesce(predicate, lit(false))
+    val base = readTable(database, table, 0,
+      keep = Some(affected.map(_.path).toSet), proxied = false)
+    val updated = set.foldLeft(base) { case (d, (c, v)) =>
+      d.withColumn(c, when(hit, v).otherwise(col(c)))
+    }
+    val v = graft.listing.DeltaLogWriter.commitWith(
+      spark, location(meta), updated, keys, removePaths = affected.map(_.path))
+    invalidateTable(database, table)
+    v
+  }
+
+  /** MERGE (upsert) a source batch into a Delta table by `key`:
+    * target rows whose key appears in the source are REPLACED by the
+    * source row, source rows with no target match are INSERTED — one
+    * commit. Surgical like [[deleteDeltaWhere]]: only target files
+    * whose key bounds intersect the source's key span rewrite (a file
+    * provably outside it cannot hold a matching key); the rewrite
+    * anti-joins the affected rows against the source keys and unions
+    * the full source. Source keys are expected unique per batch (the
+    * standard upsert contract — duplicate source keys all land).
+    * Returns the committed version.
+    */
+  def mergeDelta(database: String, table: String, source: DataFrame, key: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    require(source.columns.contains(key), s"merge key $key not in the source batch")
+    val span = source.agg(min(col(key)), max(col(key))).head()
+    if (span.isNullAt(0)) // empty source: nothing to do
+      return delta.latestVersion(location(meta)).getOrElse(0L)
+    val df = tableDF(database, table)
+    val cond = df.filter(col(key).between(lit(span.get(0)), lit(span.get(1))))
+      .queryExecution.optimizedPlan.collectFirst { case Filter(c, _) => c }
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val resolver: graft.listing.StatsPruning.Resolver = (a, b) => a.equalsIgnoreCase(b)
+    val (_, affected) = files(database, table).partition(f =>
+      f.bounds.nonEmpty && graft.listing.StatsPruning.proveFalse(cond, f.bounds, resolver))
+    val keys = meta.table.partitionKeys.map(_.name)
+    val kept =
+      if (affected.isEmpty) source // pure insert
+      else readTable(database, table, 0,
+        keep = Some(affected.map(_.path).toSet), proxied = false)
+        .join(source.select(col(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(source)
+    val v = graft.listing.DeltaLogWriter.commitWith(
+      spark, location(meta), kept, keys, removePaths = affected.map(_.path))
+    invalidateTable(database, table)
+    v
+  }
+
   /** Physically delete data files no longer referenced by the last
     * `retainVersions` versions — the VACUUM half of the Delta
     * lifecycle ([[optimizeDeltaTable]] retires files logically but

@@ -299,6 +299,62 @@ class DeltaSpec extends AnyFunSuite {
     assert(eng.files("d", "dw").map(_.path).toSet == after.toSet)
   }
 
+  test("update-where rewrites surgically and only touches matching rows") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_upd_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 100L).map(i => (i, 1L)).toDF("x", "flag").coalesce(1),
+      "d", "up", loc)
+    eng.appendDeltaTable((1000L until 1100L).map(i => (i, 1L)).toDF("x", "flag").coalesce(1),
+      "d", "up")
+    val before = eng.files("d", "up").map(_.path)
+    val lowFile = before.find(_.contains("/v0/")).get
+    val v = eng.updateDeltaWhere("d", "up", col("x") >= 1050L, Map("flag" -> lit(9L)))
+    assert(v == 2L)
+    val after = eng.files("d", "up").map(_.path)
+    assert(after.contains(lowFile), "provably-unaffected file must not rewrite")
+    val rows = eng.tableDF("d", "up").select("x", "flag").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 200)
+    assert(rows.filter(_._1 >= 1050L).values.forall(_ == 9L))
+    assert(rows.filter(_._1 < 1050L).values.forall(_ == 1L))
+    // missing SET column errors by name
+    val e = intercept[IllegalArgumentException] {
+      eng.updateDeltaWhere("d", "up", col("x") > 0L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("merge upserts by key, rewriting only key-range-intersecting files") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_mrg_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
+      "d", "m", loc)
+    eng.appendDeltaTable((1000L until 1100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
+      "d", "m")
+    val lowFile = eng.files("d", "m").map(_.path).find(_.contains("/v0/")).get
+    // source: update two high keys, insert two brand-new keys
+    val src = Seq((1050L, "new1050"), (1099L, "new1099"),
+      (5000L, "ins5000"), (5001L, "ins5001")).toDF("k", "v")
+    val v = eng.mergeDelta("d", "m", src, "k")
+    assert(v == 2L)
+    val after = eng.files("d", "m").map(_.path)
+    assert(after.contains(lowFile), "low file is outside the source key span: no rewrite")
+    val rows = eng.tableDF("d", "m").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 202)
+    assert(rows(1050L) == "new1050" && rows(1099L) == "new1099")
+    assert(rows(5000L) == "ins5000" && rows(5001L) == "ins5001")
+    assert(rows(1051L) == "old1051" && rows(0L) == "old0")
+    // pure-insert merge (span beyond every file) keeps all files
+    val before2 = eng.files("d", "m").map(_.path).toSet
+    eng.mergeDelta("d", "m", Seq((9000L, "i")).toDF("k", "v"), "k")
+    assert(before2.subsetOf(eng.files("d", "m").map(_.path).toSet))
+    assert(eng.tableDF("d", "m").count() == 203)
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),
