@@ -878,6 +878,40 @@ final class GlueTableEngine(
     v
   }
 
+  /** Write `df` as a NEW Iceberg v2 table (snapshot 1, Avro
+    * manifests with real footer-derived bounds) at `location` and
+    * register it — the Iceberg counterpart of [[writeDeltaTable]].
+    * Readers get time travel, incremental reads, and manifest-bounds
+    * file skipping through the normal Iceberg paths.
+    */
+  def writeIcebergTable(df: DataFrame, database: String, table: String,
+      location: String): GlueTable = {
+    val root = new HadoopPath(location)
+    val fs = root.getFileSystem(hadoopConf)
+    if (fs.exists(root)) fs.delete(root, true) // overwrite semantics
+    graft.listing.IcebergWriter.commit(spark, location, df)
+    val t = GlueTable(database, table, Some(location),
+      parameters = Map("table_type" -> "ICEBERG"))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, table)
+    t
+  }
+
+  /** Append a batch to a registered Iceberg table as its next
+    * snapshot. Returns the new sequence number.
+    */
+  def appendIcebergTable(df: DataFrame, database: String, table: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.commit(spark, location(meta), df)
+    invalidateTable(database, table)
+    v
+  }
+
   /** OPTIMIZE-style compaction for a Delta table: rewrite the live
     * file set into `ceil(liveBytes / targetFileBytes)` files as ONE
     * commit — remove actions retire every previous live file, adds

@@ -676,6 +676,25 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Iceberg WRITE path through the oracle gate (the g31 mirror):
+    // write evens as snapshot 1, append odds as snapshot 2, read back
+    "g32_iceberg_write" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_write_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_write_rt", loc)
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1), "default", "ice_write_rt")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_write_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi COPY-ON-WRITE (beyond-reference like DELTA): live set =
     // latest file slice per file group from the .hoodie timeline —
     // the upserted group's stale version and the replaced group are
