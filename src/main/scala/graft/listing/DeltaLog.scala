@@ -77,7 +77,8 @@ object DeltaLogWriter {
     * and earlier versions still time-travel to the old slices.
     */
   def commitWith(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
-      partitionBy: Seq[String], removePaths: Seq[String]): Long = {
+      partitionBy: Seq[String], removePaths: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     val root = location.stripSuffix("/")
     val logDir = new Path(s"$root/_delta_log")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -133,7 +134,13 @@ object DeltaLogWriter {
         uriPath.stripPrefix(rootPath).stripPrefix("/") else p
       s"""{"remove":{"path":${jstr(rel)},"dataChange":false}}"""
     }
-    val body = (metaLine ++ removes ++ adds).mkString("", "\n", "\n")
+    // streaming exactly-once: a txn action records (appId, version) so
+    // a replayed micro-batch can be recognized and skipped (the Delta
+    // streaming-sink idempotence protocol)
+    val txnLine = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v}}"""
+    }
+    val body = (metaLine ++ txnLine ++ removes ++ adds).mkString("", "\n", "\n")
 
     // atomic publish: write to a temp name, rename into place
     val tmp = new Path(logDir, f".${version}%020d.json.tmp")
@@ -194,6 +201,28 @@ final class DeltaLogResolver(spark: SparkSession) {
   def latestVersion(location: String): Option[Long] = {
     val (_, commits, _) = listLog(location)
     commits.lastOption.map(_._1)
+  }
+
+  /** Highest `txn` version recorded for `appId` across the commit
+    * JSONs — the reader half of the streaming-sink idempotence
+    * protocol ([[DeltaLogWriter.commitWith]]'s `txn`). Commits
+    * trimmed behind a checkpoint are not consulted (the sink's
+    * recovery window is the retained log tail — ample for any
+    * realistic replay horizon).
+    */
+  def lastTxnVersion(location: String, appId: String): Option[Long] = {
+    val (logDir, commits, _) = listLog(location)
+    val fs = logDir.getFileSystem(hadoopConf)
+    val versions = commits.flatMap { case (_, p) =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        Option(mapper.readTree(line).get("txn"))
+          .filter(t => Option(t.get("appId")).exists(_.asText() == appId))
+          .flatMap(t => Option(t.get("version")).map(_.asLong()))
+      }.toSeq
+    }
+    versions.maxOption
   }
 
   /** Live data files of the selected version (latest − offset). */

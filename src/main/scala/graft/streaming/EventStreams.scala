@@ -204,6 +204,38 @@ object EventStreams {
     }.start()
   }
 
+  /** Commit one micro-batch into a Delta table IFF its (appId,
+    * batchId) txn hasn't already committed — the Delta streaming-sink
+    * idempotence protocol. Returns true when a commit happened, false
+    * for a recognized replay.
+    */
+  def commitDeltaBatchIdempotent(df: DataFrame, location: String,
+      appId: String, batchId: Long): Boolean = {
+    val resolver = new graft.listing.DeltaLogResolver(df.sparkSession)
+    if (resolver.lastTxnVersion(location, appId).exists(_ >= batchId)) false
+    else {
+      graft.listing.DeltaLogWriter.commitWith(
+        df.sparkSession, location, df, Nil, Nil, txn = Some((appId, batchId)))
+      true
+    }
+  }
+
+  /** Streaming Delta sink with EXACTLY-ONCE table contents: each
+    * micro-batch commits through [[commitDeltaBatchIdempotent]], so a
+    * replayed batch (checkpoint recovery, retried epoch) is
+    * recognized by its recorded txn version and skipped instead of
+    * appending duplicate rows. State lives in the table's own log —
+    * nothing in streaming state, nothing to watermark. Downstream
+    * readers get snapshots, time travel, incremental reads, and
+    * stats skipping on the ingested data for free.
+    */
+  def deltaIngest(docs: DataFrame, location: String, appId: String = "graft-stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      commitDeltaBatchIdempotent(batch.toDF(), location, appId, batchId)
+      () // discard: foreachBatch wants Unit
+    }.start()
+
   /** Streaming search-index maintenance — the third member of the
     * ingest trio (near-dup corpus index, ANN index, inverted index):
     * each micro-batch of documents `(doc_id, text)` is tokenized once

@@ -217,6 +217,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(calls.get() == 1, s"TTL window must dedupe resolutions: ${calls.get()}")
   }
 
+  test("streaming delta sink is exactly-once under batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = s"/root/repo/target/stream_delta_${System.nanoTime()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.deltaIngest(mem.toDF().toDF("id", "v"), loc, appId = "spec-app")
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val resolver = new graft.listing.DeltaLogResolver(spark)
+    val v0 = resolver.latestVersion(loc).get
+    def ids = spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+    // REPLAY batch 1 (recovery scenario): recognized and skipped
+    assert(!EventStreams.commitDeltaBatchIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), loc, "spec-app", 1L))
+    assert(resolver.latestVersion(loc).get == v0, "replay must not commit")
+    assert(ids == Seq(1L, 2L, 3L), "replay must not duplicate rows")
+    // a genuinely new batch id commits
+    assert(EventStreams.commitDeltaBatchIdempotent(
+      Seq((4L, "d")).toDF("id", "v"), loc, "spec-app", 2L))
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    // a different appId has its own txn sequence
+    assert(EventStreams.commitDeltaBatchIdempotent(
+      Seq((5L, "e")).toDF("id", "v"), loc, "other-app", 0L))
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("streaming search ingest keeps BM25 exact against the growing corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
