@@ -912,6 +912,62 @@ final class GlueTableEngine(
     v
   }
 
+  /** MERGE-ON-READ DELETE for an Iceberg table: write the matching
+    * rows' positions as a POSITION DELETE FILE and publish it as a
+    * new snapshot — NO data file is rewritten, deletion cost is
+    * proportional to the matched rows alone (the opposite trade from
+    * [[deleteDeltaWhere]]'s copy-on-write; readers pay the anti-join
+    * until a compaction folds the deletes in). Uses the engine's own
+    * `_metadata`-driven read to find (file, row_index) pairs, so any
+    * predicate works. Returns the new sequence number.
+    */
+  def deleteIcebergWhere(database: String, table: String, predicate: Column): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val loc = location(meta)
+    val matches = tableDF(database, table)
+      .filter(coalesce(predicate, lit(false)))
+      .select(
+        regexp_replace(col("_metadata").getField("file_path"),
+          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/").as("file_path"),
+        col("_metadata").getField("row_index").as("pos"))
+    val delDir = s"${loc.stripSuffix("/")}/deletes_${System.nanoTime()}"
+    matches.coalesce(1).write.mode("overwrite").parquet(delDir)
+    val fs = new HadoopPath(delDir).getFileSystem(hadoopConf)
+    val delFile = fs.listStatus(new HadoopPath(delDir)).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val v = graft.listing.IcebergWriter.commitDeletes(
+      spark, loc, Seq((delFile.toString, 1, Nil)))
+    invalidateTable(database, table)
+    v
+  }
+
+  /** MERGE-ON-READ equality delete for an Iceberg table: publish the
+    * key batch as an EQUALITY DELETE FILE over `keyCols` — every
+    * live row matching any key row is deleted at read time, no data
+    * rewrite, cost proportional to the key batch. Returns the new
+    * sequence number.
+    */
+  def deleteIcebergMatching(database: String, table: String,
+      keys: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val loc = location(meta)
+    val delDir = s"${loc.stripSuffix("/")}/deletes_${System.nanoTime()}"
+    keys.select(keyCols.map(col): _*).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(delDir)
+    val fs = new HadoopPath(delDir).getFileSystem(hadoopConf)
+    val delFile = fs.listStatus(new HadoopPath(delDir)).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val v = graft.listing.IcebergWriter.commitDeletes(
+      spark, loc, Seq((delFile.toString, 2, keyCols)))
+    invalidateTable(database, table)
+    v
+  }
+
   /** OPTIMIZE-style compaction for a Delta table: rewrite the live
     * file set into `ceil(liveBytes / targetFileBytes)` files as ONE
     * commit — remove actions retire every previous live file, adds

@@ -181,6 +181,95 @@ object IcebergWriter {
     seq
   }
 
+  private val delFileS: Schema = SchemaBuilder.record("iw_delete_file").fields()
+    .requiredString("file_path").requiredLong("file_size_in_bytes")
+    .requiredInt("content")
+    .name("equality_ids").`type`().nullable().array().items().intType().noDefault()
+    .endRecord()
+  private val delEntryS: Schema = SchemaBuilder.record("manifest_entry").fields()
+    .name("data_file").`type`(delFileS).noDefault().endRecord()
+
+  /** Publish already-written DELETE files as a new snapshot — the
+    * write half of merge-on-read: deletion cost is the delete files
+    * themselves, NO data file rewrites anywhere. `deleteFiles` are
+    * (absolute parquet path, content) with content 1 = position
+    * deletes (`file_path`,`pos` rows) or 2 = equality deletes whose
+    * `equalityCols` name the matched columns (resolved to field ids
+    * through the CURRENT schema). Returns the new sequence number.
+    */
+  def commitDeletes(spark: SparkSession, location: String,
+      deleteFiles: Seq[(String, Int, Seq[String])]): Long = {
+    require(deleteFiles.nonEmpty, "commitDeletes needs at least one delete file")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location — commitDeletes extends an existing table"))
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val priorManifests = {
+      val last = Option(prior.get("snapshots")).flatMap(a => a.elements().asScala.toSeq.lastOption)
+      last.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
+        .flatMap(ml => readAvro(fs, new Path(ml)).map(_.get("manifest_path").toString))
+    }
+    // field ids come from the CURRENT schema (same position rule as commit)
+    val idByName: Map[String, Int] = Option(prior.get("schemas")).toSeq.flatMap { arr =>
+      arr.elements().asScala.toSeq.flatMap { sch =>
+        Option(sch.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq.flatMap { f =>
+          for (id <- Option(f.get("id")); nm <- Option(f.get("name")))
+            yield nm.asText() -> id.asInt()
+        })
+      }
+    }.toMap
+    val entries = deleteFiles.map { case (path, content, eqCols) =>
+      val d = new GenericData.Record(delFileS)
+      d.put("file_path", new Path(path).toUri.getPath)
+      d.put("file_size_in_bytes", fs.getFileStatus(new Path(path)).getLen)
+      d.put("content", content)
+      d.put("equality_ids",
+        if (eqCols.isEmpty) null
+        else java.util.List.of(eqCols.map(c => java.lang.Integer.valueOf(
+          idByName.getOrElse(c, throw new IllegalArgumentException(
+            s"equality column $c not in the table schema")))): _*))
+      val e = new GenericData.Record(delEntryS)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = s"$root/metadata/manifest_del_s$seq.avro"
+    writeAvro(fs, new Path(manifestPath), delEntryS, entries)
+    val mlPath = s"$root/metadata/ml_s$seq.avro"
+    writeAvro(fs, new Path(mlPath), mlS, (priorManifests :+ manifestPath).map { mp =>
+      val r = new GenericData.Record(mlS)
+      r.put("manifest_path", mp)
+      r
+    })
+    val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}}"""
+    val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
+      .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq,
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": $schemasJson,
+         |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"snapshot $seq already published at $dst")
+    seq
+  }
+
   private def writeAvro(fs: org.apache.hadoop.fs.FileSystem, path: Path,
       schema: Schema, rows: Seq[GenericRecord]): Unit = {
     val local = java.io.File.createTempFile("graft-iw", ".avro")

@@ -38,6 +38,35 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(eng.countRows("d", "iw") == 200L)
   }
 
+  test("merge-on-read deletes: zero rewrites, position and equality variants") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_mor_del_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 100L).map(i => (i, i % 10)).toDF("k", "grp").coalesce(1),
+      "d", "imd", loc)
+    val dataFiles = eng.files("d", "imd").map(_.path).toSet
+    // position delete: k >= 90 — ten rows gone, SAME data files
+    val v1 = eng.deleteIcebergWhere("d", "imd", col("k") >= 90L)
+    assert(v1 == 2L)
+    assert(eng.files("d", "imd").map(_.path).toSet == dataFiles,
+      "MOR delete must not touch any data file")
+    assert(eng.tableDF("d", "imd").count() == 90)
+    assert(eng.tableDF("d", "imd").agg(max("k")).head().getLong(0) == 89L)
+    // equality delete: grp IN (0, 1) — matching rows gone at read time
+    val v2 = eng.deleteIcebergMatching("d", "imd",
+      Seq(0L, 1L).toDF("grp"), Seq("grp"))
+    assert(v2 == 3L)
+    assert(eng.files("d", "imd").map(_.path).toSet == dataFiles)
+    val left = eng.tableDF("d", "imd").select("grp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(left == (2L until 10L).toSet, s"grp 0/1 must be deleted: $left")
+    assert(eng.tableDF("d", "imd").count() == 90 - 18) // 9 of each grp under k<90
+    // time travel: the pre-delete snapshots still see everything
+    assert(eng.tableDF("d", "imd", 2).count() == 100)
+  }
+
   test("self-written manifest bounds skip files with footers disabled") {
     val sp = Shim.classic(spark)
     import sp.implicits._
