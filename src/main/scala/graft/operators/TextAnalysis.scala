@@ -254,6 +254,55 @@ object TextAnalysis {
       .select("doc_id", "term", "score", "rk")
   }
 
+  /** LM-lite SURPRISAL score per document — the unigram stand-in for
+    * the perplexity filtering real pipelines run (CCNet, Gopher
+    * rules): mean over the doc's tokens of `-ln(C(t) / T)` with
+    * `C(t)` the corpus count of token `t` and `T` the corpus token
+    * total. Low = made of common words, high = rare/noisy vocabulary.
+    *
+    * Cross-engine exactness: double addition is order-sensitive, so
+    * each doc's per-token `ln C(t)` terms fold over the SORTED count
+    * list (ascending) — a fixed association both engines reproduce;
+    * the corpus constants fold in once at the end.
+    *
+    * Scale shape: one token shuffle for corpus counts, a term-keyed
+    * join back (billions of terms — never broadcast), and a bounded
+    * per-doc sort (list length = the doc's token count). The window
+    * reuses the term partitioning like [[tfidfTopTerms]].
+    */
+  def surprisal(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val wTerm = Window.partitionBy("term")
+    val withC = tok.withColumn("c", count(lit(1)).over(wTerm))
+    val totals = tok.agg(count(lit(1)).as("t_total"))
+    withC
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("c"))).as("cs"), count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(
+          log(col("t_total").cast("double")) -
+            aggregate(col("cs"), lit(0.0),
+              (s, c) => s + log(c.cast("double"))) / col("n_tok").cast("double"),
+          6).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[surprisal]]. */
+  def sqlSurprisal: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |wc AS (SELECT doc_id, term, count(*) OVER (PARTITION BY term) AS c FROM tok),
+       |agg AS (
+       |  SELECT doc_id, list_sort(list(c)) AS cs, count(*) AS n_tok
+       |  FROM wc GROUP BY doc_id),
+       |t AS (SELECT count(*) AS t_total FROM tok)
+       |SELECT doc_id,
+       |  round(ln(t_total::DOUBLE) -
+       |    list_reduce(list_prepend(0.0, [ln(c::DOUBLE) for c in cs]), (s, v) -> s + v)
+       |      / n_tok::DOUBLE, 6) AS surprisal
+       |FROM agg, t ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for [[tfidfTopTerms]] (over `documents`, reported
     * for `doc_id < limitDocs` — the corpus-wide scores are unchanged
     * by the reporting filter).

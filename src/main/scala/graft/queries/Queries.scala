@@ -1626,6 +1626,13 @@ object Queries {
          |  CAST(len(text) AS INTEGER) AS len
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // LM-lite surprisal scoring (the unigram stand-in for perplexity
+    // filtering): per-doc mean -ln(corpus frequency), folded over the
+    // sorted count list so both engines sum identically
+    "t12_surprisal" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.surprisal(t(spark, sf, "documents")),
+      TextAnalysis.sqlSurprisal)),
+
     "t2_quality" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.quality(t(spark, sf, "documents")),
       TextAnalysis.sqlQuality)),
