@@ -43,6 +43,43 @@ class HudiSpec extends AnyFunSuite {
     assert(engine.files("default", "hudi_lineitem", 5).isEmpty)
   }
 
+  test("hive-style partitioned Hudi layout prunes via the path extractors") {
+    import org.apache.spark.sql.graft.Shim
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/hudi_part_${System.nanoTime()}"
+    // two partitions, one file group each, Hive-style partition dirs
+    def writeSlice(part: String, name: String, rows: Seq[(Long, String)]): java.io.File = {
+      val tmp = s"$loc/_tmp"
+      rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dir = new java.io.File(s"$loc/p=$part"); dir.mkdirs()
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      dst
+    }
+    val fa = writeSlice("a", "fga_0-0-0_001", Seq((1L, "x"), (2L, "y")))
+    val fb = writeSlice("b", "fgb_0-0-0_001", Seq((3L, "z")))
+    new java.io.File(s"$loc/.hoodie").mkdirs()
+    def stat(fileId: String, f: java.io.File, part: String): String = {
+      val rel = s"p=$part/${f.getName}"
+      s"""{"fileId": "$fileId", "path": "$rel", "fileSizeInBytes": ${f.length()}}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$loc/.hoodie/001.commit"),
+      s"""{"partitionToWriteStats": {"p=a": [${stat("fga", fa, "a")}], "p=b": [${stat("fgb", fb, "b")}]}}"""
+        .getBytes("UTF-8"))
+    val cat = new graft.catalog.FixtureCatalog().register(graft.model.GlueTable(
+      "d", "hp", Some(loc), partitionKeys = Seq(graft.model.ColumnDef("p")),
+      parameters = Map("table_type" -> "HUDI")))
+    val eng = new graft.engine.GlueTableEngine(spark, cat)
+    // partition values extract from the key=value path segments
+    assert(eng.tableDF("d", "hp").count() == 3)
+    val pruned = eng.prunedFiles("d", "hp", Seq(col("p") === "a"))
+    assert(pruned.size == 1 && pruned.head.contains("p=a"), s"got $pruned")
+    assert(eng.tableDF("d", "hp").filter(col("p") === "b").count() == 1)
+  }
+
   test("incremental read between timeline instants") {
     // 002 -> 003 (replacecommit): fg3 is the only new file; its rows
     // are the odd half
