@@ -86,9 +86,13 @@ object DeltaLogWriter {
     val fs = logDir.getFileSystem(conf)
     fs.mkdirs(logDir)
     val CommitRe = """(\d{20})\.json""".r
+    val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+    // a cleaned log may hold ONLY a checkpoint — the version sequence
+    // continues from it, never restarts
     val version = fs.listStatus(logDir).toSeq.flatMap(_.getPath.getName match {
-      case CommitRe(v) => Some(v.toLong)
-      case _           => None
+      case CommitRe(v)     => Some(v.toLong)
+      case CheckpointRe(v) => Some(v.toLong)
+      case _               => None
     }).maxOption.map(_ + 1L).getOrElse(0L)
 
     val sub = s"v$version"
@@ -152,6 +156,125 @@ object DeltaLogWriter {
     version
   }
 
+  /** Write a CHECKPOINT of the table's current state: one parquet
+    * file `_delta_log/<v>.checkpoint.parquet` holding the fully
+    * replayed state (protocol + metaData + live adds + txn
+    * high-water marks) plus the `_last_checkpoint` pointer. After
+    * this, resolving any version >= v costs one parquet read plus
+    * the commit tail — never a full JSON replay — and the JSON
+    * prefix at/below v becomes garbage ([[cleanupLog]]). This is the
+    * scale hinge for long-lived tables: a streaming sink committing
+    * every 30 s writes ~2,900 commits/day, and without checkpoints
+    * every reader replays all of them.
+    *
+    * The state rows are driver-side metadata (same as the replay
+    * itself); a table whose live-file count outgrows driver memory
+    * would shard this into the protocol's multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet` form, which the reader side
+    * here already consumes. Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, location: String): Long = {
+    import org.apache.spark.sql.Row
+    val root = location.stripSuffix("/")
+    val st = new DeltaLogResolver(spark).rawState(location, 0).getOrElse(
+      throw new IllegalStateException(s"cannot checkpoint $location: no Delta log"))
+
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("size", LongType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("stats", StringType),
+      StructField("dataChange", BooleanType)))
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("add", addType)))
+
+    val rootPath = new Path(root).toUri.getPath
+    def rel(p: String): String = {
+      val u = new Path(p).toUri.getPath
+      if (u.startsWith(rootPath)) u.stripPrefix(rootPath).stripPrefix("/") else p
+    }
+    val rows = Seq(Row(Row(1, 2), null, null, null)) ++
+      Seq(Row(null, Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
+        Row("parquet"), st.schemaString.orNull, st.partitionColumns), null, null)) ++
+      st.txns.toSeq.sortBy(_._1).map { case (appId, v) => Row(null, null, Row(appId, v), null) } ++
+      st.adds.map { case (p, size, pv, stats) =>
+        Row(null, null, null, Row(rel(p), size, pv, stats.orNull, true))
+      }
+
+    val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+    val conf = sp.sparkContext.hadoopConfiguration
+    val logDir = new Path(s"$root/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val tmpDir = new Path(logDir, f".cp_${st.version}%020d_tmp")
+    sp.createDataFrame(sp.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException(s"checkpoint write produced no parquet under $tmpDir"))
+    val dst = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst))
+      throw new IllegalStateException(s"cannot publish checkpoint $dst")
+    fs.delete(tmpDir, true)
+
+    val lc = new Path(logDir, "_last_checkpoint")
+    val os = fs.create(lc, true)
+    try os.write(s"""{"version":${st.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    finally os.close()
+    st.version
+  }
+
+  /** Log retention: delete the commit JSONs at/below the newest
+    * checkpoint (their state is fully captured by it). Returns how
+    * many were removed. Readers keep working from the checkpoint
+    * plus the surviving tail — spec-proven, including time travel to
+    * the checkpoint version itself.
+    */
+  def cleanupLog(spark: SparkSession, location: String): Int = {
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val logDir = new Path(s"${location.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    if (!fs.exists(logDir)) return 0
+    val CommitRe = """(\d{20})\.json""".r
+    val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+    val statuses = fs.listStatus(logDir).toSeq
+    val cp = statuses.flatMap(_.getPath.getName match {
+      case CheckpointRe(v) => Some(v.toLong)
+      case _               => None
+    }).maxOption.getOrElse(return 0)
+    val stale = statuses.flatMap { s =>
+      s.getPath.getName match {
+        case CommitRe(v) if v.toLong <= cp => Some(s.getPath)
+        case _                             => None
+      }
+    }
+    stale.foreach(fs.delete(_, false))
+    stale.size
+  }
+
+  /** [[checkpoint]] when the latest version is a multiple of
+    * `every` — the standard commit-interval policy a streaming sink
+    * calls after each batch. Returns the checkpointed version, if
+    * one was written.
+    */
+  def maybeCheckpoint(spark: SparkSession, location: String, every: Int): Option[Long] = {
+    require(every > 0, s"checkpoint interval must be positive: $every")
+    val latest = new DeltaLogResolver(spark).latestVersion(location)
+    latest.filter(v => v > 0 && v % every == 0).map(_ => checkpoint(spark, location))
+  }
+
   /** Footer-derived stats JSON for one data file: numRecords always;
     * min/max for int/long/float/double/string columns (dates and
     * timestamps are skipped — their catalyst forms don't round-trip
@@ -189,6 +312,16 @@ object DeltaLogWriter {
   }
 }
 
+/** Fully replayed Delta state at one version: the raw protocol-level
+  * facts a checkpoint must persist (schema JSON, partition columns,
+  * live adds with their original stats strings, txn high-water
+  * marks per appId).
+  */
+private[listing] final case class RawDeltaState(version: Long,
+    schemaString: Option[String], partitionColumns: Seq[String],
+    adds: Seq[(String, Long, Map[String, String], Option[String])],
+    txns: Map[String, Long])
+
 final class DeltaLogResolver(spark: SparkSession) {
   private val mapper = new ObjectMapper()
   private def hadoopConf =
@@ -197,55 +330,69 @@ final class DeltaLogResolver(spark: SparkSession) {
   private val CommitRe = """(\d{20})\.json""".r
   private val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
 
-  /** Latest commit version, or None for a missing/empty log. */
+  /** Latest version, or None for a missing/empty log. A checkpoint
+    * with every prefix commit cleaned away still names its version —
+    * a checkpoint IS that version's state.
+    */
   def latestVersion(location: String): Option[Long] = {
-    val (_, commits, _) = listLog(location)
-    commits.lastOption.map(_._1)
+    val (_, commits, checkpoints) = listLog(location)
+    (commits.map(_._1) ++ checkpoints.keys).maxOption
   }
 
-  /** Highest `txn` version recorded for `appId` across the commit
-    * JSONs — the reader half of the streaming-sink idempotence
-    * protocol ([[DeltaLogWriter.commitWith]]'s `txn`). Commits
-    * trimmed behind a checkpoint are not consulted (the sink's
-    * recovery window is the retained log tail — ample for any
-    * realistic replay horizon).
+  /** Highest `txn` version recorded for `appId` — the reader half of
+    * the streaming-sink idempotence protocol
+    * ([[DeltaLogWriter.commitWith]]'s `txn`). Checkpoints persist
+    * the per-app high-water marks, so log cleanup never shrinks the
+    * sink's replay-detection horizon.
     */
-  def lastTxnVersion(location: String, appId: String): Option[Long] = {
-    val (logDir, commits, _) = listLog(location)
-    val fs = logDir.getFileSystem(hadoopConf)
-    val versions = commits.flatMap { case (_, p) =>
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
-        Option(mapper.readTree(line).get("txn"))
-          .filter(t => Option(t.get("appId")).exists(_.asText() == appId))
-          .flatMap(t => Option(t.get("version")).map(_.asLong()))
-      }.toSeq
-    }
-    versions.maxOption
-  }
+  def lastTxnVersion(location: String, appId: String): Option[Long] =
+    rawState(location, 0).flatMap(_.txns.get(appId))
 
   /** Live data files of the selected version (latest − offset). */
   def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[DeltaDataFile] = {
+    val st = rawState(location, versionOffset).getOrElse(return Nil)
+    val schema = st.schemaString.flatMap(parseSchema)
+    st.adds.map { case (path, size, pv, stats) =>
+      DeltaDataFile(path, size, pv,
+        stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty))
+    }.sortBy(_.path)
+  }
+
+  /** The replay itself: newest checkpoint at/below the target as the
+    * base state, then the commit tail in order. Loud on a gap — a
+    * cleaned-away commit that no checkpoint covers means the target
+    * version is unreconstructible, and silence there would mean
+    * silently dropping data.
+    */
+  private[listing] def rawState(location: String, versionOffset: Int): Option[RawDeltaState] = {
     require(versionOffset >= 0, s"versionOffset must be >= 0: $versionOffset")
     val (logDir, commits, checkpoints) = listLog(location)
-    if (commits.isEmpty) return Nil
-    val target = commits.last._1 - versionOffset
-    if (target < 0) return Nil
+    val latest = (commits.map(_._1) ++ checkpoints.keys).maxOption.getOrElse(return None)
+    val target = latest - versionOffset
+    if (target < 0) return None
 
     val root = location.stripSuffix("/")
-    // mutable replay state: path -> (size, partitionValues, bounds)
+    // mutable replay state: path -> (size, partitionValues, stats)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String], String)]
-    var schema: Option[StructType] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var schemaString: Option[String] = None
+    var partitionColumns: Seq[String] = Nil
 
     val cpVer = checkpoints.keySet.filter(_ <= target).maxOption
     cpVer.foreach { v =>
       val df = spark.read.parquet(checkpoints(v).map(_.toString): _*)
       if (df.columns.contains("metaData")) {
+        val metaCols = df.select("metaData.*").columns.toSet
         val m = df.filter(col("metaData").isNotNull)
-          .select("metaData.schemaString").collect().headOption
-        schema = m.flatMap(r => Option(r.getString(0))).flatMap(parseSchema)
+        m.select("metaData.schemaString").collect().headOption
+          .foreach(r => schemaString = Option(r.getString(0)))
+        if (metaCols.contains("partitionColumns"))
+          m.select("metaData.partitionColumns").collect().headOption
+            .foreach(r => if (!r.isNullAt(0)) partitionColumns = r.getSeq[String](0))
       }
+      if (df.columns.contains("txn"))
+        df.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
+          .collect().foreach(r => txns(r.getString(0)) = r.getLong(1))
       if (df.columns.contains("add")) {
         val hasStats = df.select("add.*").columns.contains("stats")
         val cols = Seq(col("add.path"), col("add.size"), col("add.partitionValues")) ++
@@ -258,15 +405,31 @@ final class DeltaLogResolver(spark: SparkSession) {
       }
     }
 
+    val base = cpVer.getOrElse(-1L)
+    val tail = commits.filter { case (v, _) => v > base && v <= target }
+    val expected = (base + 1) to target
+    if (tail.map(_._1) != expected)
+      throw new IllegalStateException(
+        s"Delta log gap at $location: need versions ${expected.mkString(",")} after " +
+          s"checkpoint ${cpVer.getOrElse("none")}, found ${tail.map(_._1).mkString(",")} — " +
+          "a commit was cleaned away without a covering checkpoint")
+
     val fs = logDir.getFileSystem(hadoopConf)
-    commits.filter { case (v, _) => v > cpVer.getOrElse(-1L) && v <= target }
-      .foreach { case (_, p) =>
+    tail.foreach { case (_, p) =>
         val in = fs.open(p)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         text.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          Option(node.get("metaData")).flatMap(m => Option(m.get("schemaString")))
-            .foreach(s => schema = parseSchema(s.asText()))
+          Option(node.get("metaData")).foreach { m =>
+            Option(m.get("schemaString")).foreach(s => schemaString = Some(s.asText()))
+            Option(m.get("partitionColumns")).foreach { pc =>
+              partitionColumns = pc.elements().asScala.map(_.asText()).toSeq
+            }
+          }
+          Option(node.get("txn")).foreach { t =>
+            for (a <- Option(t.get("appId")); v <- Option(t.get("version")))
+              txns(a.asText()) = v.asLong()
+          }
           Option(node.get("add")).foreach { a =>
             val pv = Option(a.get("partitionValues")).map { o =>
               o.properties().asScala
@@ -283,10 +446,9 @@ final class DeltaLogResolver(spark: SparkSession) {
         }
       }
 
-    live.toSeq.map { case (path, (size, pv, stats)) =>
-      DeltaDataFile(path, size, pv,
-        Option(stats).flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty))
-    }.sortBy(_.path)
+    Some(RawDeltaState(target, schemaString, partitionColumns,
+      live.toSeq.map { case (p, (size, pv, stats)) => (p, size, pv, Option(stats)) },
+      txns.toMap))
   }
 
   private def listLog(location: String): (Path, Seq[(Long, Path)], Map[Long, Seq[Path]]) = {

@@ -229,11 +229,20 @@ object EventStreams {
     * readers get snapshots, time travel, incremental reads, and
     * stats skipping on the ingested data for free.
     */
-  def deltaIngest(docs: DataFrame, location: String, appId: String = "graft-stream")
+  def deltaIngest(docs: DataFrame, location: String, appId: String = "graft-stream",
+      checkpointEvery: Int = 10)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      commitDeltaBatchIdempotent(batch.toDF(), location, appId, batchId)
-      () // discard: foreachBatch wants Unit
+      if (commitDeltaBatchIdempotent(batch.toDF(), location, appId, batchId)) {
+        // keep the log bounded for a long-lived stream: every Nth
+        // commit writes a checkpoint (which also persists the txn
+        // marks, so cleanup never shrinks the replay horizon) and
+        // retires the JSON prefix — reader replay cost stays O(N),
+        // not O(total batches ever committed)
+        graft.listing.DeltaLogWriter
+          .maybeCheckpoint(batch.sparkSession, location, checkpointEvery)
+          .foreach(_ => graft.listing.DeltaLogWriter.cleanupLog(batch.sparkSession, location))
+      }
     }.start()
 
   /** Streaming search-index maintenance — the third member of the

@@ -355,6 +355,87 @@ class DeltaSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "m").count() == 203)
   }
 
+  test("writer checkpoint: state, time travel, and txn marks survive log cleanup") {
+    import spark.implicits._
+    import graft.listing.{DeltaLogResolver, DeltaLogWriter}
+    val loc = s"/root/repo/target/delta_cpw_${System.nanoTime()}"
+    val w1 = (0L until 100L).map(i => (i, s"a$i")).toDF("x", "s").coalesce(1)
+    val w2 = (1000L until 1100L).map(i => (i, s"b$i")).toDF("x", "s").coalesce(1)
+    DeltaLogWriter.commitWith(spark, loc, w1, Nil, Nil, txn = Some(("sink", 7L)))
+    DeltaLogWriter.commitWith(spark, loc, w2, Nil, Nil, txn = Some(("sink", 9L)))
+    val cpv = DeltaLogWriter.checkpoint(spark, loc)
+    assert(cpv == 1L)
+    assert(new java.io.File(s"$loc/_delta_log/00000000000000000001.checkpoint.parquet").isFile)
+    assert(new java.io.File(s"$loc/_delta_log/_last_checkpoint").isFile)
+
+    // cleanup removes BOTH commit JSONs (checkpoint covers them)
+    assert(DeltaLogWriter.cleanupLog(spark, loc) == 2)
+    assert(!new java.io.File(s"$loc/_delta_log/00000000000000000000.json").exists())
+
+    val resolver = new DeltaLogResolver(spark)
+    // the checkpoint alone names the version and carries full state
+    assert(resolver.latestVersion(loc).contains(1L))
+    val files = resolver.dataFilesDetailed(loc)
+    assert(files.size == 2)
+    // stats strings survived the round-trip: bounds still decode
+    assert(files.forall(_.bounds.contains("x")), s"bounds lost in checkpoint: $files")
+    // txn high-water marks survived the cleanup (exactly-once horizon)
+    assert(resolver.lastTxnVersion(loc, "sink").contains(9L))
+    assert(resolver.lastTxnVersion(loc, "other").isEmpty)
+
+    // reads resolve from the checkpoint alone
+    val cat = new FixtureCatalog().register(GlueTable("d", "cpw",
+      Some(loc), parameters = Map("table_type" -> "DELTA")))
+    val eng = new GlueTableEngine(spark, cat)
+    assert(eng.tableDF("d", "cpw").count() == 200)
+
+    // the version sequence CONTINUES past the cleaned prefix
+    val v2 = DeltaLogWriter.commit(spark, loc,
+      (5000L until 5010L).map(i => (i, s"c$i")).toDF("x", "s").coalesce(1))
+    assert(v2 == 2L)
+    eng.invalidateTable("d", "cpw")
+    assert(eng.tableDF("d", "cpw").count() == 210)
+    // time travel to the checkpoint version still works
+    assert(eng.tableDF("d", "cpw", 1).count() == 200)
+  }
+
+  test("replay gap without a covering checkpoint fails loudly") {
+    import spark.implicits._
+    import graft.listing.{DeltaLogResolver, DeltaLogWriter}
+    val loc = s"/root/repo/target/delta_gap_${System.nanoTime()}"
+    DeltaLogWriter.commit(spark, loc, (0L until 10L).toDF("x").coalesce(1))
+    DeltaLogWriter.commit(spark, loc, (10L until 20L).toDF("x").coalesce(1))
+    DeltaLogWriter.commit(spark, loc, (20L until 30L).toDF("x").coalesce(1))
+    // no checkpoint: deleting a middle commit makes the head state
+    // unreconstructible — that must throw, not silently drop a batch
+    assert(new java.io.File(s"$loc/_delta_log/00000000000000000001.json").delete())
+    val e = intercept[IllegalStateException] {
+      new DeltaLogResolver(spark).dataFilesDetailed(loc)
+    }
+    assert(e.getMessage.contains("gap"))
+    // and cleanup with no checkpoint is a no-op, never a data loss
+    assert(DeltaLogWriter.cleanupLog(spark, loc) == 0)
+  }
+
+  test("maybeCheckpoint fires on the interval; sink-style usage stays bounded") {
+    import spark.implicits._
+    import graft.listing.{DeltaLogResolver, DeltaLogWriter}
+    val loc = s"/root/repo/target/delta_mcp_${System.nanoTime()}"
+    (0 until 5).foreach { i =>
+      DeltaLogWriter.commit(spark, loc,
+        Seq((i.toLong, s"r$i")).toDF("x", "s").coalesce(1))
+      DeltaLogWriter.maybeCheckpoint(spark, loc, every = 2)
+    }
+    // versions 0..4; checkpoints at 2 and 4
+    val cps = new java.io.File(s"$loc/_delta_log").listFiles()
+      .map(_.getName).filter(n => n.contains("checkpoint") && !n.startsWith(".")).sorted.toSeq
+    assert(cps == Seq("00000000000000000002.checkpoint.parquet",
+      "00000000000000000004.checkpoint.parquet", "_last_checkpoint"))
+    DeltaLogWriter.cleanupLog(spark, loc)
+    // only the post-checkpoint tail remains, state is intact
+    assert(new DeltaLogResolver(spark).dataFilesDetailed(loc).size == 5)
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),

@@ -247,6 +247,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("delta sink auto-checkpoints: log stays bounded, replay horizon intact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = s"/root/repo/target/stream_delta_cp_${System.nanoTime()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.deltaIngest(mem.toDF().toDF("id", "v"), loc,
+      appId = "cp-app", checkpointEvery = 3)
+    try {
+      (0 until 8).foreach { i =>
+        mem.addData((i.toLong, s"r$i")); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // versions 0..7; checkpoints fired at 3 and 6 and cleaned their
+    // prefixes — only the post-checkpoint tail of JSON commits remains
+    val logFiles = new java.io.File(s"$loc/_delta_log").listFiles().map(_.getName)
+    val jsons = logFiles.filter(n => n.endsWith(".json") && !n.startsWith(".")).sorted
+    assert(jsons.head == "00000000000000000007.json", s"stale prefix survived: ${jsons.toSeq}")
+    assert(logFiles.exists(_ == "00000000000000000006.checkpoint.parquet"))
+    // contents are exact after checkpoint + cleanup
+    val resolver = new graft.listing.DeltaLogResolver(spark)
+    val ids = spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == (0L until 8L))
+    // replay horizon survives the cleanup: batch 2's txn mark lives in
+    // the checkpoint even though its commit JSON is gone
+    assert(!EventStreams.commitDeltaBatchIdempotent(
+      Seq((99L, "dup")).toDF("id", "v"), loc, "cp-app", 2L))
+    assert(ids == (0L until 8L), "trimmed-prefix replay must not duplicate")
+  }
+
   test("streaming search ingest keeps BM25 exact against the growing corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
