@@ -303,6 +303,92 @@ object TextAnalysis {
        |      / n_tok::DOUBLE, 6) AS surprisal
        |FROM agg, t ORDER BY doc_id""".stripMargin
 
+  /** Adjacent-token pair frequencies — the statistic a BPE tokenizer
+    * trainer recomputes every merge round (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units").
+    * One narrow zip+explode and one count aggregate (map-side
+    * combined): the 100 TB cost is a single shuffle of pair keys,
+    * never of documents. Ties in the ranking are broken
+    * lexicographically so the result is total-ordered.
+    */
+  def bpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.filter(size(toks) >= 2)
+      .select(explode(adjacentPairs(toks)).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[bpePairs]]. */
+  def sqlBpePairs(k: Int = 50): String =
+    s"""WITH f AS (SELECT ${sqlTokens("text")} AS toks FROM documents),
+       |p AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+       |      FROM f WHERE len(toks) >= 2)
+       |SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS n FROM p GROUP BY 1, 2
+       |ORDER BY n DESC, a, b LIMIT $k""".stripMargin
+
+  /** `[(t1,t2), (t2,t3), ...]` as an array of `{a, b}` structs. */
+  private def adjacentPairs(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** Greedy left-to-right merge of every adjacent `(a, b)` occurrence
+    * into `a_b` — one pure array fold per row, no shuffle. The fold
+    * is the textbook BPE application rule: a just-merged token can't
+    * immediately re-merge as the left half ("x x x" with pair (x,x)
+    * yields ["x_x", "x"]).
+    */
+  private[graft] def mergeAdjacent(toks: Column, a: String, b: String): Column =
+    aggregate(toks, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat_ws("_", element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `merges` BPE merge rules over the corpus: each round finds
+    * the globally most frequent adjacent pair (one aggregate; ties
+    * broken lexicographically, so the learned table is deterministic
+    * at any parallelism) and rewrites the token arrays with
+    * [[mergeAdjacent]]. Driver traffic is ONE ROW per round; the
+    * token state stays distributed and persisted across rounds
+    * (re-derived, never re-read from source). Returns the learned
+    * rules with the pair count each was chosen at.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int): Seq[((String, String), Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    var cur = docs.select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    cur.persist(StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ListBuffer.empty[((String, String), Long)]
+    try {
+      var round = 0
+      var dry = false
+      while (round < merges && !dry) {
+        val top = cur.select(explode(adjacentPairs(col("toks"))).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty || top.head.getLong(2) < 2) dry = true
+        else {
+          val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+          learned += (((a, b), n))
+          val next = cur.select(mergeAdjacent(col("toks"), a, b).as("toks"))
+          next.persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent state
+          cur.unpersist()
+          cur = next
+        }
+        round += 1
+      }
+    } finally cur.unpersist()
+    learned.toList
+  }
+
   /** DuckDB oracle for [[tfidfTopTerms]] (over `documents`, reported
     * for `doc_id < limitDocs` — the corpus-wide scores are unchanged
     * by the reporting filter).

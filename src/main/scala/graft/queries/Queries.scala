@@ -456,6 +456,152 @@ object Queries {
     // running aggregate with an explicit window frame (ROWS UNBOUNDED
     // PRECEDING): per-customer ordered cumulative sum — partitioned
     // window, never a global sort
+    // order-independent exact statistics: corr/stddev/covar derived
+    // from DECIMAL power sums (one map-side-combinable aggregate, no
+    // second pass), so the result is bit-identical at any parallelism
+    // — the only double arithmetic is the shared closed-form tail
+    "q34_stats_agg" -> ((
+      (spark: SparkSession, sf: String) => {
+        val x = dec2("l_quantity"); val y = dec2("l_extendedprice")
+        val s = t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        val n = col("n"); val sx = col("sx"); val sy = col("sy")
+        val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+        s.select(col("l_returnflag"),
+          ((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"),
+          sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).as("stddev_qty"),
+          ((n * sxy - sx * sy) / (n * n)).as("covar_pop_qp"))
+          .orderBy("l_returnflag")
+      },
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qty_price,
+        |  sqrt((n*sxx - sx*sx) / (n*(n-1))) AS stddev_qty,
+        |  (n*sxy - sx*sy) / (n*n) AS covar_pop_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin)),
+
+    // FULL OUTER join of two pre-aggregated sides (null-padded both
+    // ways); aggregates first, so the shuffled join inputs are
+    // key-cardinality-sized, not table-sized
+    "q35_outer_join" -> ((
+      (spark: SparkSession, sf: String) => {
+        val c = t(spark, sf, "customer")
+          .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("custs"))
+        val s = t(spark, sf, "supplier").filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("supps"))
+        c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+          .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+            coalesce(col("custs"), lit(0L)).as("custs"),
+            coalesce(col("supps"), lit(0L)).as("supps"))
+          .orderBy("nationkey")
+      },
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS custs FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS supps FROM supplier
+        |           WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey, COALESCE(custs, 0) AS custs,
+        |  COALESCE(supps, 0) AS supps
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey""".stripMargin)),
+
+    // navigation window functions (lag/lead/first_value/ntile) over a
+    // unique sort key — one shuffle on the partition key, in-partition
+    // sort only
+    "q36_window_nav" -> ((
+      (spark: SparkSession, sf: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        val tp = dec2("o_totalprice")
+        t(spark, sf, "orders").filter(col("o_custkey") % 100 === 7)
+          .select(col("o_custkey"), col("o_orderkey"),
+            tp.cast("double").as("price"),
+            lag(tp, 1).over(w).cast("double").as("prev_price"),
+            lead(tp, 1).over(w).cast("double").as("next_price"),
+            first(tp).over(w).cast("double").as("first_price"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS next_price,
+        |  CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS first_price,
+        |  NTILE(4) OVER w AS quartile
+        |FROM orders WHERE o_custkey % 100 = 7
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // fixed-width histogram via shared floor arithmetic (identical
+    // IEEE ops in both engines — no engine-internal width_bucket
+    // variance); narrow map + one aggregate
+    "q37_histogram" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem")
+          .groupBy(floor(col("l_extendedprice") / 10000.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("l_extendedprice")).cast("double").as("total"))
+          .orderBy("bucket")
+      },
+      """SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // UNPIVOT (wide metrics -> long metric/value rows) via stack() on
+    // an aggregated base: the expensive part happens once, the
+    // reshape is a narrow projection
+    "q38_unpivot" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+          sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast("double").as("sum_price"),
+          count(lit(1)).cast("double").as("cnt"))
+          .selectExpr("l_returnflag",
+            "stack(3, 'cnt', cnt, 'sum_price', sum_price, 'sum_qty', sum_qty) AS (metric, value)")
+          .orderBy("l_returnflag", "metric")
+      },
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL SELECT l_returnflag, 'cnt', cnt FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // calendar gap-fill: a generated month spine LEFT-joined against
+    // sparse aggregates (missing months surface as explicit zeros) —
+    // the spine is rows-not-data, broadcast regardless of table size
+    "q39_series_fill" -> ((
+      (spark: SparkSession, sf: String) => {
+        val m = spark.range(1, 13).select(col("id").as("mon"))
+        val o = t(spark, sf, "orders")
+          .filter(year(col("o_orderdate")) === 1995 &&
+            col("o_orderpriority") === "1-URGENT")
+          .groupBy(month(col("o_orderdate")).cast("long").as("mon_o"))
+          .agg(count(lit(1)).as("n"))
+        m.join(o, col("mon") === col("mon_o"), "left")
+          .select(col("mon"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("mon")
+      },
+      """WITH m AS (SELECT unnest(generate_series(1, 12)) AS mon),
+        |     o AS (SELECT EXTRACT(month FROM o_orderdate) AS mon, COUNT(*) AS n
+        |           FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |             AND o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT m.mon, COALESCE(o.n, 0) AS n FROM m LEFT JOIN o ON m.mon = o.mon
+        |ORDER BY m.mon""".stripMargin)),
+
     "q33_running_sum" -> ((
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "orders").createOrReplaceTempView("q33_orders")
@@ -709,6 +855,23 @@ object Queries {
       },
       """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Hudi incremental read (the g22 Iceberg mirror): only the file
+    // slices that are live at the newer instant and absent at the
+    // older one — here replacecommit 003's fg3 (the odd rows); the
+    // file-set diff is driver-side timeline metadata and the scan
+    // plans just the delta, cost proportional to the change
+    "g33_hudi_incremental" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf)
+          .tableDFIncremental("default", "hudi_lineitem", fromOffset = 1)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem WHERE l_orderkey % 2 = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Iceberg v2 MERGE-ON-READ: the scan subtracts live position
     // deletes (anti-join on _metadata file/row-index) and equality
@@ -1632,6 +1795,14 @@ object Queries {
     "t12_surprisal" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.surprisal(t(spark, sf, "documents")),
       TextAnalysis.sqlSurprisal)),
+
+    // the BPE-trainer inner statistic: adjacent-pair frequencies in
+    // one zip+explode+count (the full merge loop is bpeTrain,
+    // spec-tested — each round is exactly this query plus a narrow
+    // array fold)
+    "t13_bpe_pairs" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.bpePairs(t(spark, sf, "documents")),
+      TextAnalysis.sqlBpePairs())),
 
     "t2_quality" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.quality(t(spark, sf, "documents")),

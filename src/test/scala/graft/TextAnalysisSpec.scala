@@ -87,4 +87,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
+
+  test("bpeTrain learns the hand-derived merge table and stops when dry") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b a b"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    // round 1: (a,b) appears 5x -> merge; round 2: (a_b,a_b) 2x ->
+    // merge; round 3: every pair is a singleton -> dry stop even
+    // though more rounds were allowed
+    val learned = TextAnalysis.bpeTrain(docs, merges = 10)
+    assert(learned == Seq((("a", "b"), 5L), (("a_b", "a_b"), 2L)))
+  }
+
+  test("mergeAdjacent is greedy left-to-right: a merged token cannot re-merge") {
+    import spark.implicits._
+    val got = Seq(Tuple1(Seq("x", "x", "x"))).toDF("toks")
+      .select(TextAnalysis.mergeAdjacent(col("toks"), "x", "x").as("m"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("x_x", "x"))
+  }
+
+  test("bpePairs ranking is total-ordered (count desc, then lexicographic)") {
+    import spark.implicits._
+    val docs = Seq((1L, "b c"), (2L, "a b"), (3L, "a b b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpePairs(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", "b", 2L), ("b", "c", 2L), ("b", "b", 1L)))
+  }
 }
