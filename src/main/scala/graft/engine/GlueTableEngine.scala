@@ -176,7 +176,18 @@ final class GlueTableEngine(
             // Hive-style partition segments in the path still prune
             // via the standard extractors.
             hudi.dataFilesDetailed(location(meta), versionOffset)
-              .map(f => S3FileInfo(f.path, Map.empty, f.size, modTime = 0L, bounds = Map.empty))
+              .map { f =>
+                // commit-stat partitionPaths use Hive k=v segments;
+                // surface them as listing partition values (parity
+                // with Delta/Iceberg listings — pruning itself works
+                // either way via the path extractors)
+                val pv = f.partitionPath.split('/').iterator
+                  .filter(_.contains('=')).map { seg =>
+                    val Array(k, v) = seg.split("=", 2)
+                    k -> java.net.URLDecoder.decode(v, "UTF-8")
+                  }.toMap
+                S3FileInfo(f.path, pv, f.size, modTime = 0L, bounds = Map.empty)
+              }
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
             val external = outOfRootPartitions(meta).flatMap { case (pi, vals) =>
@@ -357,11 +368,24 @@ final class GlueTableEngine(
     * immutable, so a changed listing re-infers.
     */
   private val inferredSchemas = scala.collection.concurrent.TrieMap.empty[String, StructType]
-  private def dataSchemaOf(meta: CachedTableMetadata, fmt: String, firstPath: String): StructType = {
+  private def dataSchemaOf(meta: CachedTableMetadata, fmt: String, firstPath: String,
+      versionOffset: Int = 0): StructType = {
     val declared = Option(meta.table.columns).filter(_.nonEmpty).map { cols =>
       StructType(cols.map(c => StructField(c.name, DataType.fromDDL(c.dataType))))
     }
-    val raw = declared.getOrElse(inferredSchemas.getOrElseUpdate(firstPath, fmt match {
+    // DELTA: the log's metaData is the authoritative schema — under
+    // additive evolution, single-file inference would read from a
+    // pre-evolution file and silently drop the added columns. Cached
+    // per table+offset; invalidateTable clears it.
+    val fromLog: Option[StructType] =
+      if (declared.isEmpty && meta.tableType == TableType.Delta) {
+        val k = s"${meta.table.database}.${meta.table.name}#logschema#v$versionOffset"
+        inferredSchemas.get(k).orElse {
+          val s = delta.dataSchemaAt(location(meta), versionOffset)
+          s.foreach(inferredSchemas.put(k, _)); s
+        }
+      } else None
+    val raw = declared.orElse(fromLog).getOrElse(inferredSchemas.getOrElseUpdate(firstPath, fmt match {
       case "csv"  => spark.read.option("header", "true").option("inferSchema", "true").csv(firstPath).schema
       case "json" => spark.read.json(firstPath).schema
       case "orc"  => spark.read.orc(firstPath).schema
@@ -446,7 +470,7 @@ final class GlueTableEngine(
           128L * 1024 * 1024, r.getLong(2), new HadoopPath(rewrite(r.getString(0)))))
         (ir, statuses)
       }
-    val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0))
+    val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0), versionOffset)
     // File-level data skipping (Delta/Iceberg-style): per-file column
     // ranges, preferred source first —
     //  1. Iceberg manifests' lower/upper_bounds: already decoded into
@@ -1137,6 +1161,90 @@ final class GlueTableEngine(
     v
   }
 
+  /** Write `df` as a NEW Hudi copy-on-write table at `location` and
+    * register it — the Hudi member of the write trio
+    * ([[writeDeltaTable]], [[writeIcebergTable]]). Partitioned
+    * writes use Hive-style `k=v` dirs, so the engine's partition
+    * extractors prune them like any other layout.
+    */
+  def writeHudiTable(df: DataFrame, database: String, table: String,
+      location: String, partitionBy: Seq[String] = Nil): GlueTable = {
+    val root = new HadoopPath(location)
+    val fs = root.getFileSystem(hadoopConf)
+    if (fs.exists(root)) fs.delete(root, true) // overwrite semantics
+    graft.listing.HudiTimelineWriter.commit(spark, location, df, partitionBy)
+    val t = GlueTable(database, table, Some(location),
+      partitionKeys = partitionBy.map(ColumnDef(_)),
+      parameters = Map("table_type" -> "HUDI"))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, table)
+    t
+  }
+
+  /** Append a batch to a registered Hudi table as its next completed
+    * instant (new file groups — a pure insert). Returns the instant.
+    */
+  def appendHudiTable(df: DataFrame, database: String, table: String): String = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    val v = graft.listing.HudiTimelineWriter.commit(
+      spark, location(meta), df, meta.table.partitionKeys.map(_.name))
+    invalidateTable(database, table)
+    v
+  }
+
+  /** COPY-ON-WRITE upsert by `key`: file groups whose FOOTER key
+    * range intersects the source span are retired via a
+    * replacecommit and rewritten (existing rows minus updated keys,
+    * plus the source batch) in the same instant; every other group
+    * keeps its physical file untouched. This is the same
+    * stats-surgical shape as [[mergeDelta]] — Hudi commit stats
+    * carry no column bounds, so the prover reads the parquet footers
+    * of the live slices (driver-side KB GETs, the price real Hudi
+    * pays to its bloom index). Pure inserts (no intersecting group)
+    * append as a new file group without retiring anything.
+    */
+  def upsertHudi(database: String, table: String, source: DataFrame, key: String): String = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    require(source.columns.contains(key), s"upsert key $key not in the source batch")
+    val span = source.agg(min(col(key)), max(col(key))).head()
+    val live = new graft.listing.HudiTimelineResolver(hadoopConf)
+      .dataFilesDetailed(location(meta))
+    if (span.isNullAt(0) || live.isEmpty)
+      return appendHudiTable(source, database, table)
+    val df = tableDF(database, table)
+    val cond = df.filter(col(key).between(lit(span.get(0)), lit(span.get(1))))
+      .queryExecution.optimizedPlan.collectFirst { case Filter(c, _) => c }
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val resolver: graft.listing.StatsPruning.Resolver = (a, b) => a.equalsIgnoreCase(b)
+    val affected = live.filterNot { f =>
+      val bounds = graft.listing.FooterStats.read(hadoopConf, f.path)
+      bounds.nonEmpty && graft.listing.StatsPruning.proveFalse(cond, bounds, resolver)
+    }
+    val keys = meta.table.partitionKeys.map(_.name)
+    val instant =
+      if (affected.isEmpty)
+        graft.listing.HudiTimelineWriter.commit(spark, location(meta), source, keys)
+      else {
+        val kept = readTable(database, table, 0,
+          keep = Some(affected.map(_.path).toSet), proxied = false)
+          .join(source.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(source)
+        val retired = affected.groupBy(_.partitionPath)
+          .map { case (p, fsz) => p -> fsz.map(_.fileId) }
+        graft.listing.HudiTimelineWriter.commit(spark, location(meta), kept, keys,
+          replaceFileIds = retired)
+      }
+    invalidateTable(database, table)
+    instant
+  }
+
   /** Physically delete data files no longer referenced by the last
     * `retainVersions` versions — the VACUUM half of the Delta
     * lifecycle ([[optimizeDeltaTable]] retires files logically but
@@ -1293,6 +1401,8 @@ final class GlueTableEngine(
     typedCache.invalidateMatching(s"$database.$table")
     statsCache.invalidateMatching(s"$database.$table")
     deleteCache.invalidateMatching(s"$database.$table")
+    inferredSchemas.keys.filter(_.startsWith(s"$database.$table#"))
+      .foreach(inferredSchemas.remove)
   }
 
   /** ≈ reference `close` (drops caches; the SparkSession is shared

@@ -123,12 +123,32 @@ object DeltaLogWriter {
       s"""{"add":{"path":${jstr(rel)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
         stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
     }
+    // v0 declares the schema; a later commit whose batch ADDS columns
+    // re-declares the MERGED schema so readers pick up the additions
+    // (old files read back with nulls in them — additive evolution).
+    // A batch missing columns is a legal subset append (no metaData).
+    // A type change would silently corrupt reads of existing files,
+    // so it fails loudly instead.
+    def metaJson(schema: StructType): String =
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)},""" +
+        s""""format":{"provider":"parquet"},"schemaString":${jstr(schema.json)},""" +
+        s""""partitionColumns":[${partitionBy.map(jstr).mkString(", ")}]}}"""
     val metaLine =
-      if (version == 0L)
-        Seq(s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)},""" +
-          s""""format":{"provider":"parquet"},"schemaString":${jstr(dataSchema.json)},""" +
-          s""""partitionColumns":[${partitionBy.map(jstr).mkString(", ")}]}}""")
-      else Nil
+      if (version == 0L) Seq(metaJson(dataSchema))
+      else new DeltaLogResolver(spark).dataSchemaAt(root) match {
+        case Some(cur) =>
+          val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
+          val retyped = dataSchema.fields.filter(f =>
+            curByName.get(f.name).exists(_ != f.dataType))
+          if (retyped.nonEmpty)
+            throw new IllegalArgumentException(
+              s"non-additive schema change for Delta table at $root: retyped columns " +
+                retyped.map(f => s"${f.name} ${curByName(f.name).simpleString}->${f.dataType.simpleString}")
+                  .mkString(", "))
+          val added = dataSchema.fields.filterNot(f => curByName.contains(f.name))
+          if (added.nonEmpty) Seq(metaJson(StructType(cur.fields ++ added))) else Nil
+        case None => Seq(metaJson(dataSchema))
+      }
     val rootPath = new Path(root).toUri.getPath
     val removes = removePaths.map { p =>
       // record table-root-relative paths when possible (the form adds
@@ -347,6 +367,23 @@ final class DeltaLogResolver(spark: SparkSession) {
     */
   def lastTxnVersion(location: String, appId: String): Option[Long] =
     rawState(location, 0).flatMap(_.txns.get(appId))
+
+  /** Table DATA schema at a version, straight from the log's
+    * metaData action — authoritative under schema evolution, where
+    * single-file inference would silently drop every column added
+    * after that file was written (old files read back with nulls in
+    * the new columns, the standard additive-evolution contract).
+    * Partition columns (part of the table schema per the protocol,
+    * but never present in data files) are excluded; they return as
+    * partition columns of the scan.
+    */
+  def dataSchemaAt(location: String, versionOffset: Int = 0): Option[StructType] =
+    rawState(location, versionOffset).flatMap { st =>
+      st.schemaString.flatMap(parseSchema).map { s =>
+        val pc = st.partitionColumns.map(_.toLowerCase).toSet
+        StructType(s.filterNot(f => pc.contains(f.name.toLowerCase)))
+      }
+    }
 
   /** Live data files of the selected version (latest − offset). */
   def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[DeltaDataFile] = {

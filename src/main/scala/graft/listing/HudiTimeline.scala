@@ -85,3 +85,107 @@ final class HudiTimelineResolver(hadoopConf: Configuration) {
     live.values.toSeq.sortBy(_.path)
   }
 }
+
+/** Hudi COPY-ON-WRITE timeline WRITER — completes the lakehouse write
+  * trio ([[DeltaLogWriter]], [[IcebergWriter]]): each [[commit]]
+  * writes the batch's data files into the table's partition layout
+  * (Hive-style `k=v` dirs, so the engine's path extractors prune
+  * them like any partitioned table), names them
+  * `<fileId>_<token>_<instant>.parquet` per the public Hudi layout,
+  * and publishes a `<instant>.commit` (or `.replacecommit` when file
+  * groups are retired) by atomic rename into `.hoodie/` — readers
+  * never observe a half-written instant. An upsert is expressed the
+  * COW way: retire the affected file groups via
+  * `partitionToReplaceFileIds` and write their merged replacement
+  * slices in the same instant (exactly the fixture shape
+  * [[HudiTimelineResolver]] already resolves).
+  */
+object HudiTimelineWriter {
+  private def jstr(s: String): String =
+    new ObjectMapper().writeValueAsString(s)
+
+  private val InstantRe = """(\d+)\.(commit|replacecommit)""".r
+
+  /** Write `df` as the table's next completed instant. Returns the
+    * instant string. `replaceFileIds` (partitionPath -> fileIds)
+    * turns the instant into a replacecommit retiring those groups.
+    */
+  def commit(spark: org.apache.spark.sql.SparkSession, location: String,
+      df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String] = Nil,
+      replaceFileIds: Map[String, Seq[String]] = Map.empty): String = {
+    val root = location.stripSuffix("/")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val tl = new Path(s"$root/.hoodie")
+    val fs = tl.getFileSystem(conf)
+    fs.mkdirs(tl)
+
+    // next instant: numeric successor of the newest completed one,
+    // padded to the timeline's existing width (instants sort as
+    // STRINGS — mixed widths would reorder the timeline)
+    val existing = fs.listStatus(tl).toSeq.flatMap(_.getPath.getName match {
+      case InstantRe(i, _) => Some(i)
+      case _               => None
+    })
+    val width = existing.map(_.length).maxOption.getOrElse(14)
+    val next = existing.map(BigInt(_)).maxOption.getOrElse(BigInt(0)) + 1
+    val instant = {
+      val digits = next.toString
+      require(digits.length <= width,
+        s"instant $digits overflows the timeline's $width-char width at $root")
+      ("0" * (width - digits.length)) + digits
+    }
+
+    // data files: write with the partition layout, then move each
+    // part file to its Hudi slice name under the partition dir
+    val tmp = s"$root/.tmp_$instant"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val tmpPath = new Path(tmp)
+    val tmpUri = tmpPath.toUri.getPath
+    val moved = walk(tmpPath).sortBy(_.toString).zipWithIndex.map { case (p, idx) =>
+      val relDir = p.getParent.toUri.getPath.stripPrefix(tmpUri).stripPrefix("/")
+      val fileId = s"f$instant-$idx"
+      val name = s"${fileId}_0-0-0_$instant.parquet"
+      val destDir = if (relDir.isEmpty) new Path(root) else new Path(s"$root/$relDir")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, name)
+      if (!fs.rename(p, dest))
+        throw new IllegalStateException(s"cannot place Hudi data file $dest")
+      val rel = (if (relDir.isEmpty) "" else s"$relDir/") + name
+      (relDir, fileId, rel, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(tmpPath, true)
+
+    val statsByPartition = moved.groupBy(_._1).map { case (part, fsz) =>
+      val stats = fsz.map { case (_, fileId, rel, size) =>
+        s"""{"fileId": ${jstr(fileId)}, "path": ${jstr(rel)}, "fileSizeInBytes": $size}"""
+      }
+      s"${jstr(part)}: [${stats.mkString(", ")}]"
+    }.mkString("{", ", ", "}")
+    val replaceJson =
+      if (replaceFileIds.isEmpty) ""
+      else {
+        val m = replaceFileIds.map { case (part, ids) =>
+          s"${jstr(part)}: [${ids.map(jstr).mkString(", ")}]"
+        }.mkString("{", ", ", "}")
+        s""""partitionToReplaceFileIds": $m, """
+      }
+    val kind = if (replaceFileIds.isEmpty) "commit" else "replacecommit"
+    val body = s"""{$replaceJson"partitionToWriteStats": $statsByPartition}"""
+
+    val tmpInstant = new Path(tl, s".$instant.$kind.tmp")
+    val dst = new Path(tl, s"$instant.$kind")
+    val os = fs.create(tmpInstant, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmpInstant, dst))
+      throw new IllegalStateException(s"instant $instant already published at $dst")
+    instant
+  }
+}

@@ -856,6 +856,32 @@ object Queries {
       """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Hudi WRITE path through the oracle gate (the g31/g32 mirror,
+    // completing the lakehouse write trio): write evens as instant 1,
+    // append odds as instant 2, then COW-UPSERT the low keys to
+    // zero — the replacecommit retires only key-intersecting file
+    // groups; the read must see exactly the post-upsert state
+    "g34_hudi_write" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_write_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_write_rt", loc)
+        eng.appendHudiTable(o.filter(col("o_orderkey") % 2 === 1), "default", "hudi_write_rt")
+        eng.upsertHudi("default", "hudi_write_rt",
+          o.filter(col("o_orderkey") < 100).withColumn("o_totalprice", lit(0.0)),
+          "o_orderkey")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.hudi_write_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey < 100 THEN 0.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi incremental read (the g22 Iceberg mirror): only the file
     // slices that are live at the newer instant and absent at the
     // older one — here replacecommit 003's fg3 (the odd rows); the

@@ -436,6 +436,36 @@ class DeltaSpec extends AnyFunSuite {
     assert(new DeltaLogResolver(spark).dataFilesDetailed(loc).size == 5)
   }
 
+  test("additive schema evolution: log schema wins over single-file inference") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_evo_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 5L).map(i => Tuple1(i)).toDF("x").coalesce(1), "d", "ev", loc)
+    // evolve: the appended batch carries a new column y -> the commit
+    // re-declares the merged schema in a metaData action
+    eng.appendDeltaTable((5L until 8L).map(i => (i, s"y$i")).toDF("x", "y").coalesce(1), "d", "ev")
+    val df = eng.tableDF("d", "ev")
+    // the added column is visible even though the FIRST file (the one
+    // inference would read) predates it
+    assert(df.columns.toSeq == Seq("x", "y"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(0L).isEmpty, "pre-evolution rows read back with nulls")
+    assert(rows(6L).contains("y6"))
+    // a SUBSET batch is a legal append, not an evolution: y stays
+    eng.appendDeltaTable(Seq(Tuple1(100L)).toDF("x").coalesce(1), "d", "ev")
+    assert(eng.tableDF("d", "ev").columns.toSeq == Seq("x", "y"))
+    assert(eng.tableDF("d", "ev").count() == 9)
+    // a TYPE change would corrupt reads of existing files: loud error
+    val e = intercept[IllegalArgumentException] {
+      eng.appendDeltaTable(Seq(("oops", 1L)).toDF("x", "y")
+        .select(col("x"), col("y")).coalesce(1), "d", "ev")
+    }
+    assert(e.getMessage.contains("retyped"))
+    // time travel reads the PRE-evolution schema at v0
+    assert(eng.tableDF("d", "ev", 2).columns.toSeq == Seq("x"))
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),

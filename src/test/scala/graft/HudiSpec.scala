@@ -87,4 +87,70 @@ class HudiSpec extends AnyFunSuite {
     assert(inc.count() == li.filter(col("l_orderkey") % 2 === 1).count())
     assert(inc.filter(col("l_orderkey") % 2 === 0).count() == 0)
   }
+
+  test("write path: round-trip, append instants, time travel") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_write_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "hw", loc)
+    assert(eng.tableDF("d", "hw").count() == 100)
+    eng.appendHudiTable((1000L until 1100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "hw")
+    assert(eng.tableDF("d", "hw").count() == 200)
+    // time travel: offset 1 = before the append
+    assert(eng.tableDF("d", "hw", 1).count() == 100)
+    // incremental = exactly the appended batch
+    assert(eng.tableDFIncremental("d", "hw", 1, 0).agg(min("k"), max("k")).head()
+      .toSeq == Seq(1000L, 1099L))
+  }
+
+  test("upsert retires only key-intersecting file groups; others keep their files") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_ups_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
+      "d", "hu", loc)
+    eng.appendHudiTable((1000L until 1100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
+      "d", "hu")
+    val lowFile = eng.files("d", "hu").map(_.path).find(_.contains("f" + "0" * 13 + "1")).get
+    // update two high keys + insert two new ones
+    val src = Seq((1050L, "new1050"), (5000L, "ins5000")).toDF("k", "v")
+    eng.upsertHudi("d", "hu", src, "k")
+    val after = eng.files("d", "hu").map(_.path)
+    assert(after.contains(lowFile), "low group is outside the source span: no rewrite")
+    val rows = eng.tableDF("d", "hu").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 201)
+    assert(rows(1050L) == "new1050" && rows(5000L) == "ins5000")
+    assert(rows(1051L) == "old1051" && rows(0L) == "old0")
+    // time travel to before the upsert still sees the old value
+    assert(eng.tableDF("d", "hu", 1).filter(col("k") === 1050L)
+      .head().getString(1) == "old1050")
+    // pure insert (span beyond every group): nothing retired
+    val before2 = eng.files("d", "hu").map(_.path).toSet
+    eng.upsertHudi("d", "hu", Seq((9000L, "i")).toDF("k", "v"), "k")
+    assert(before2.subsetOf(eng.files("d", "hu").map(_.path).toSet))
+    assert(eng.tableDF("d", "hu").count() == 202)
+  }
+
+  test("partitioned Hudi writes land in k=v dirs and prune through the extractors") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_wpart_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    val data = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("x", "part").coalesce(1)
+    eng.writeHudiTable(data, "d", "hp", loc, partitionBy = Seq("part"))
+    val files = eng.files("d", "hp")
+    assert(files.forall(_.path.contains("part=")), s"expected k=v layout: ${files.map(_.path)}")
+    assert(files.forall(_.partitionValues.get("part").nonEmpty))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query("SELECT count(*) AS n FROM glue.d.hp WHERE part = 'a'")
+      assert(df.collect().head.getLong(0) == 2)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"partition filter must prune to 1 file, got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
