@@ -393,10 +393,28 @@ final class GlueTableEngine(
       case "avro" => graft.sources.AvroSource.inferSchema(hadoopConf, firstPath)
       case _      => spark.read.parquet(firstPath).schema
     }))
+    // ICEBERG: EXTEND the inferred schema with metadata-schema
+    // columns no sampled file carries yet (additive evolution — a
+    // column added by a later writer exists in the metadata first
+    // and must read back as nulls, not vanish). Extension only:
+    // hand-built or minimal metadata schemas (subset of the files')
+    // must never SHRINK the read schema.
+    val extended =
+      if (declared.isEmpty && meta.tableType == TableType.Iceberg) {
+        val k = s"${meta.table.database}.${meta.table.name}#logschema#v$versionOffset"
+        val metaSchema = inferredSchemas.get(k).orElse {
+          val s = iceberg.dataSchemaAt(location(meta), versionOffset)
+          s.foreach(inferredSchemas.put(k, _)); s
+        }
+        metaSchema.fold(raw) { ms =>
+          val have = raw.fieldNames.map(_.toLowerCase).toSet
+          StructType(raw.fields ++ ms.fields.filterNot(f => have(f.name.toLowerCase)))
+        }
+      } else raw
     // Partition keys live in the partition schema, never the data
     // schema (a `partitionBy` writer never writes them into files).
     val keyNames = meta.table.partitionKeys.map(_.name.toLowerCase).toSet
-    StructType(raw.filterNot(f => keyNames.contains(f.name.toLowerCase)))
+    StructType(extended.filterNot(f => keyNames.contains(f.name.toLowerCase)))
   }
 
   // -------- typed listing

@@ -67,6 +67,70 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[IcebergDataFile] =
     resolveFiles(location, versionOffset)._1
 
+  /** Table schema at a snapshot, decoded from the metadata JSON's
+    * current schema — authoritative under schema evolution (a column
+    * added by a later writer exists in the metadata before any data
+    * file carries it; single-file inference would silently drop it,
+    * the same gap fixed for Delta). Returns None when any field uses
+    * a type this decoder doesn't model (nested/complex) — absence
+    * falls back to inference, never a truncated schema.
+    */
+  def dataSchemaAt(location: String, versionOffset: Int = 0)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    def sparkType(t: String): Option[DataType] = t match {
+      case "boolean"         => Some(BooleanType)
+      case "int"             => Some(IntegerType)
+      case "long"            => Some(LongType)
+      case "float"           => Some(FloatType)
+      case "double"          => Some(DoubleType)
+      case "string" | "uuid" => Some(StringType)
+      case "date"            => Some(DateType)
+      case "timestamptz"     => Some(TimestampType)
+      case "timestamp"       => Some(TimestampNTZType)
+      case "binary"          => Some(BinaryType)
+      case DecimalRe(p, s)   => Some(DecimalType(p.toInt, s.toInt))
+      case _                 => None // fixed[n], nested, unknown
+    }
+    metadataAt(location, versionOffset).flatMap { meta =>
+      val schemaNode = Option(meta.get("schemas")).flatMap { arr =>
+        val elems = arr.elements().asScala.toSeq
+        Option(meta.get("current-schema-id")).map(_.asInt()) match {
+          case Some(id) => elems.find(e => Option(e.get("schema-id")).exists(_.asInt() == id))
+          case None     => elems.headOption
+        }
+      }.orElse(Option(meta.get("schema")))
+      schemaNode.flatMap(s => Option(s.get("fields"))).flatMap { fs =>
+        val fields = fs.elements().asScala.toSeq.map { f =>
+          for {
+            nm <- Option(f.get("name")).map(_.asText())
+            tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
+            dt <- sparkType(tp)
+          } yield StructField(nm,
+            dt, nullable = !Option(f.get("required")).exists(_.asBoolean()))
+        }
+        if (fields.exists(_.isEmpty)) None else Some(StructType(fields.flatten))
+      }
+    }
+  }
+
+  /** The metadata JSON of the selected version (latest − offset). */
+  private def metadataAt(location: String, versionOffset: Int): Option[JsonNode] = {
+    val metaDir = new Path(s"${location.stripSuffix("/")}/metadata")
+    val fs = metaDir.getFileSystem(hadoopConf)
+    if (!fs.exists(metaDir)) return None
+    val jsons = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+    val ordered = jsons.sortBy(n =>
+      -Option(n.get("last-sequence-number")).map(_.asLong()).getOrElse(0L))
+    ordered.drop(versionOffset).headOption
+  }
+
   /** Live delete files of the selected snapshot (empty for v1/COW
     * tables). Scoping note: the resolver applies every live delete
     * to the snapshot's whole data set rather than tracking per-file

@@ -120,6 +120,29 @@ object IcebergWriter {
     val idFields = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
       icebergType(f.dataType).map(tp => (i + 1, f.name, tp))
     }
+    // ids are POSITIONAL, so an appended batch whose columns are
+    // reordered, renamed, or retyped would silently bind manifest
+    // bounds to the wrong field ids — enforce exact-schema appends
+    // loudly instead (schema evolution is a metadata operation, not
+    // an accidental batch shape)
+    prior.foreach { n =>
+      val declared = Option(n.get("schemas")).flatMap { arr =>
+        arr.elements().asScala.toSeq.headOption
+      }.flatMap(s => Option(s.get("fields"))).map { fsn =>
+        fsn.elements().asScala.toSeq.flatMap { f =>
+          for {
+            nm <- Option(f.get("name")).map(_.asText())
+            tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
+          } yield (nm, tp)
+        }
+      }.getOrElse(Nil)
+      val mine = idFields.map { case (_, nm, tp) => (nm, tp) }.toSeq
+      if (declared.nonEmpty && declared != mine)
+        throw new IllegalArgumentException(
+          s"append schema mismatch for Iceberg table at $root: table declares " +
+            s"${declared.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}, batch has " +
+            s"${mine.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}")
+    }
 
     // 2+3. one manifest for this batch
     val entries = parts.map { st =>

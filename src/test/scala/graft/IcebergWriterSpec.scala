@@ -92,4 +92,53 @@ class IcebergWriterSpec extends AnyFunSuite {
         s"string bounds must prune, got ${s2.head.metrics("numFiles").value}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("append with a reordered or retyped batch fails loudly (positional field ids)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_guard_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable(Seq((1L, "a")).toDF("k", "v").coalesce(1), "d", "ig", loc)
+    // reordered columns would bind bounds to swapped field ids
+    val e = intercept[IllegalArgumentException] {
+      eng.appendIcebergTable(Seq(("b", 2L)).toDF("v", "k").coalesce(1), "d", "ig")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // identical shape still appends
+    eng.appendIcebergTable(Seq((2L, "b")).toDF("k", "v").coalesce(1), "d", "ig")
+    assert(eng.tableDF("d", "ig").count() == 2)
+  }
+
+  test("metadata schema wins over single-file inference under evolution") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_evo_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), "d", "ie", loc)
+    // simulate an external engine evolving the schema: add column z
+    // to the CURRENT metadata (no data file carries it yet)
+    val metaDir = new java.io.File(s"$loc/metadata")
+    val metaFile = metaDir.listFiles().filter(_.getName.endsWith(".json"))
+      .maxBy(_.getName)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(metaFile)
+    val fields = node.get("schemas").get(0).get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    fields.add(om.readTree("""{"id": 3, "name": "z", "type": "string"}"""))
+    java.nio.file.Files.write(metaFile.toPath, om.writeValueAsBytes(node))
+    // the raw rewrite invalidates Hadoop LocalFS's checksum sidecar
+    new java.io.File(metaDir, s".${metaFile.getName}.crc").delete()
+    eng.invalidateTable("d", "ie")
+    val df = eng.tableDF("d", "ie")
+    // the added column is visible and null-filled even though the
+    // only data file (the one inference would read) predates it
+    assert(df.columns.toSeq == Seq("k", "v", "z"))
+    assert(df.filter(col("z").isNull).count() == 2)
+    // the resolver's decoded schema is the source of truth
+    val sch = new graft.listing.IcebergSnapshotResolver(
+      sp.sparkContext.hadoopConfiguration).dataSchemaAt(loc)
+    assert(sch.exists(_.fieldNames.toSeq == Seq("k", "v", "z")))
+  }
 }
