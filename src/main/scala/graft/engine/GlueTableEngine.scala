@@ -1263,6 +1263,120 @@ final class GlueTableEngine(
     instant
   }
 
+  /** Iceberg SNAPSHOT EXPIRY: drop metadata versions older than the
+    * last `retainVersions`, then physically delete every file —
+    * data parquet, delete parquet, manifest/manifest-list Avro,
+    * metadata JSON — referenced by none of the retained versions.
+    * The lifecycle mirror of [[vacuumDeltaTable]]/[[cleanHudiTable]]
+    * : rewritten-away and MOR-deleted files finally leave disk here,
+    * never on the write path. Returns the deleted paths.
+    */
+  def expireIcebergSnapshots(database: String, table: String,
+      retainVersions: Int = 2): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val root = location(meta).stripSuffix("/")
+    val fs = new HadoopPath(root).getFileSystem(hadoopConf)
+    val metaDir = new HadoopPath(s"$root/metadata")
+    if (!fs.exists(metaDir)) return Nil
+
+    // every path any retained version can reach
+    val keepData = (0 until retainVersions).flatMap { off =>
+      iceberg.dataFilesDetailed(root, off).map(f => canonPath(f.path)) ++
+        iceberg.deleteFilesDetailed(root, off).map(f => canonPath(f.path))
+    }.toSet
+    val keepMeta = (0 until retainVersions)
+      .flatMap(off => iceberg.manifestFiles(root, off).map(canonPath)).toSet
+
+    // metadata JSONs beyond the retention horizon
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val jsons = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val n = try om.readTree(in) finally in.close()
+        (Option(n.get("last-sequence-number")).map(_.asLong()).getOrElse(0L), st.getPath)
+      }.sortBy(-_._1)
+    val expiredJsons = jsons.drop(retainVersions).map(_._2)
+
+    val staleAvro = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .map(_.getPath).filterNot(p => keepMeta.contains(canonPath(p.toString)))
+    def walk(p: HadoopPath): Seq[HadoopPath] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.getPath.getName == "metadata") Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val staleData = walk(new HadoopPath(root))
+      .filterNot(p => keepData.contains(canonPath(p.toString)))
+
+    val doomed = expiredJsons ++ staleAvro ++ staleData
+    doomed.foreach(p => fs.delete(p, false))
+    invalidateTable(database, table)
+    doomed.map(_.toString)
+  }
+
+  /** Hudi small-file compaction (the OPTIMIZE analog — Hudi calls it
+    * clustering): rewrite the whole live set as `ceil(bytes/target)`
+    * file groups in ONE replacecommit retiring every current group.
+    * Earlier instants still time-travel to the old layout; nothing
+    * is physically deleted ([[cleanHudiTable]] is the deletion
+    * half). Returns the instant.
+    */
+  def compactHudiTable(database: String, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): String = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    val live = new graft.listing.HudiTimelineResolver(hadoopConf)
+      .dataFilesDetailed(location(meta))
+    val nFiles = math.max(1, math.ceil(
+      live.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val retired = live.groupBy(_.partitionPath)
+      .map { case (p, fsz) => p -> fsz.map(_.fileId) }
+    val instant = graft.listing.HudiTimelineWriter.commit(spark, location(meta),
+      tableDF(database, table).repartition(nFiles),
+      meta.table.partitionKeys.map(_.name), replaceFileIds = retired)
+    invalidateTable(database, table)
+    instant
+  }
+
+  /** Hudi CLEANING: physically delete file slices referenced by none
+    * of the last `retainInstants` timeline states (stale upsert
+    * versions, groups retired by replacecommits) — the VACUUM
+    * analog, same retention contract as [[vacuumDeltaTable]].
+    * Returns the deleted paths.
+    */
+  def cleanHudiTable(database: String, table: String, retainInstants: Int = 2): Seq[String] = {
+    require(retainInstants >= 1, "must retain at least the current instant")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    val root = location(meta).stripSuffix("/")
+    val fs = new HadoopPath(root).getFileSystem(hadoopConf)
+    val hudiRes = new graft.listing.HudiTimelineResolver(hadoopConf)
+    val referenced = (0 until retainInstants)
+      .flatMap(off => hudiRes.dataFilesDetailed(root, off).map(f => canonPath(f.path))).toSet
+    def walk(p: HadoopPath): Seq[HadoopPath] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == ".hoodie") Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val doomed = walk(new HadoopPath(root))
+      .filterNot(p => referenced.contains(canonPath(p.toString)))
+    doomed.foreach(p => fs.delete(p, false))
+    invalidateTable(database, table)
+    doomed.map(_.toString)
+  }
+
   /** Physically delete data files no longer referenced by the last
     * `retainVersions` versions — the VACUUM half of the Delta
     * lifecycle ([[optimizeDeltaTable]] retires files logically but

@@ -115,6 +115,19 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     }
   }
 
+  /** The Avro metadata files (manifest list + manifests, every
+    * snapshot) backing one version — the set snapshot expiry must
+    * retain alongside the version's data files.
+    */
+  def manifestFiles(location: String, versionOffset: Int = 0): Seq[String] =
+    metadataAt(location, versionOffset).toSeq.flatMap { meta =>
+      val mls = Option(meta.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq)
+        .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+      mls ++ mls.flatMap(ml =>
+        try readAvroField(ml, r => r.get("manifest_path").toString)
+        catch { case _: java.io.IOException => Nil })
+    }.distinct
+
   /** The metadata JSON of the selected version (latest − offset). */
   private def metadataAt(location: String, versionOffset: Int): Option[JsonNode] = {
     val metaDir = new Path(s"${location.stripSuffix("/")}/metadata")

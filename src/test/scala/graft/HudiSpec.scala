@@ -133,6 +133,32 @@ class HudiSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "hu").count() == 202)
   }
 
+  test("compaction clusters small groups in one replacecommit; cleaning deletes stale slices") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_cc_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 50L).map(i => (i, i * 2)).toDF("k", "y").repartition(5),
+      "d", "hc", loc)
+    eng.appendHudiTable((50L until 100L).map(i => (i, i * 2)).toDF("k", "y").repartition(5),
+      "d", "hc")
+    val before = eng.files("d", "hc")
+    assert(before.size == 10, s"fixture shape: ${before.size} files")
+    eng.compactHudiTable("d", "hc", targetFileBytes = Long.MaxValue)
+    val after = eng.files("d", "hc")
+    assert(after.size == 1, s"compaction must leave 1 live group, got ${after.size}")
+    assert(eng.tableDF("d", "hc").agg(sum("k"), sum("y")).head().toSeq == Seq(4950L, 9900L))
+    // old layout still reachable, nothing deleted yet
+    assert(eng.files("d", "hc", 1).size == 10)
+    assert(before.forall(f => new java.io.File(
+      new org.apache.hadoop.fs.Path(f.path).toUri.getPath).exists()))
+    // retain all three states: nothing deletable
+    assert(eng.cleanHudiTable("d", "hc", retainInstants = 3).isEmpty)
+    // retain only the compacted state: the 10 retired slices go
+    val deleted = eng.cleanHudiTable("d", "hc", retainInstants = 1)
+    assert(deleted.size == 10, s"expected the 10 retired slices deleted, got $deleted")
+    assert(eng.tableDF("d", "hc").agg(sum("k")).head().getLong(0) == 4950L)
+  }
+
   test("partitioned Hudi writes land in k=v dirs and prune through the extractors") {
     import spark.implicits._
     val loc = s"/root/repo/target/hudi_wpart_${System.nanoTime()}"

@@ -110,6 +110,31 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "ig").count() == 2)
   }
 
+  test("expire snapshots deletes only what no retained version references") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_exp_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 50L).toDF("x").coalesce(1), "d", "ix", loc)
+    eng.appendIcebergTable((50L until 100L).toDF("x").coalesce(1), "d", "ix")
+    eng.appendIcebergTable((100L until 150L).toDF("x").coalesce(1), "d", "ix")
+    // retain everything: no-op
+    assert(eng.expireIcebergSnapshots("d", "ix", retainVersions = 3).isEmpty)
+    assert(eng.tableDF("d", "ix").count() == 150)
+    // retain the last two versions: v1's metadata JSON expires, but
+    // its DATA files are still referenced by v2/v3 (cumulative
+    // snapshots) and must survive
+    val deleted = eng.expireIcebergSnapshots("d", "ix", retainVersions = 2)
+    assert(deleted.nonEmpty)
+    assert(deleted.forall(p => p.endsWith(".json") || p.endsWith(".avro")),
+      s"only metadata may expire here, got $deleted")
+    assert(eng.tableDF("d", "ix").count() == 150)
+    assert(eng.tableDF("d", "ix", 1).count() == 100)
+    // time travel beyond the horizon is gone (files() empty = no state)
+    assert(eng.files("d", "ix", 2).isEmpty)
+  }
+
   test("metadata schema wins over single-file inference under evolution") {
     val sp = Shim.classic(spark)
     import sp.implicits._
