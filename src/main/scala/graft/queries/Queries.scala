@@ -602,6 +602,44 @@ object Queries {
         |SELECT m.mon, COALESCE(o.n, 0) AS n FROM m LEFT JOIN o ON m.mon = o.mon
         |ORDER BY m.mon""".stripMargin)),
 
+    // correlated scalar subquery in the SELECT list — Catalyst
+    // decorrelates it into ONE left outer join against the
+    // pre-aggregated inner side (never a per-row probe); empty inner
+    // groups surface as NULL in both engines
+    "q40_scalar_subquery" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "orders").createOrReplaceTempView("q40_orders")
+        t(spark, sf, "lineitem").createOrReplaceTempView("q40_lineitem")
+        spark.sql(
+          """SELECT o_orderkey,
+            |  (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            |   FROM q40_lineitem WHERE l_orderkey = o_orderkey) AS max_price
+            |FROM q40_orders WHERE o_custkey % 500 = 7 ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey,
+        |  (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM lineitem WHERE l_orderkey = o_orderkey) AS max_price
+        |FROM orders WHERE o_custkey % 500 = 7 ORDER BY o_orderkey""".stripMargin)),
+
+    // date arithmetic across a join: day-count differences sum
+    // EXACTLY as integers, so the only double op is the final
+    // average division (shared op order with the oracle)
+    "q41_date_arith" -> ((
+      (spark: SparkSession, sf: String) => {
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+        t(spark, sf, "lineitem").join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(month(col("l_shipdate")).cast("long").as("mon"))
+          .agg(count(lit(1)).as("n"),
+            (sum(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+              .cast("double") / count(lit(1)).cast("double")).as("avg_lag"))
+          .orderBy("mon")
+      },
+      """SELECT EXTRACT(month FROM l_shipdate) AS mon, COUNT(*) AS n,
+        |  CAST(SUM(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_lag
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q33_running_sum" -> ((
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "orders").createOrReplaceTempView("q33_orders")
