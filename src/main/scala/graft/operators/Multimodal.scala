@@ -158,6 +158,94 @@ object Multimodal {
   final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
       duration_ms: Long, peak: Int)
 
+  final case class AudioEnergy(doc_id: Long, n_samples: Int,
+      energy: Long, max_win_energy: Long)
+
+  /** Windowed signal energy over a WAV's 16-bit PCM payload: total
+    * sum of squared samples plus the maximum energy over
+    * non-overlapping `window`-sample frames — the standard
+    * loudness/energy feature an audio curation pipeline computes
+    * before filtering (silence/clipping detection). One STREAMING
+    * pass over the bytes, O(1) memory per file — no samples array is
+    * ever materialized, which is what keeps a 100 TB audio corpus
+    * map-only. Integer arithmetic throughout (16-bit samples square
+    * into ≤2^30; a Long survives 2^33 of them), so results are exact
+    * and oracle-comparable. Corrupt bytes degrade to zeros.
+    */
+  def decodeWavEnergy(bytes: Array[Byte], window: Int): (Int, Long, Long) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String) = bytes.length >= i + 4 &&
+      bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
+      bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return (0, 0L, 0L)
+    var i = 12
+    var bits = 0; var dataOff = -1; var dataLen = 0
+    var walking = true
+    while (walking && i + 8 <= bytes.length) {
+      val sz = le32(i + 4).toLong & 0xffffffffL
+      if (tag(i, "fmt ") && i + 24 <= bytes.length) bits = le16(i + 22)
+      else if (tag(i, "data")) {
+        dataOff = i + 8; dataLen = math.min(sz, (bytes.length - dataOff).toLong).toInt
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i || next > Int.MaxValue) walking = false else i = next.toInt
+    }
+    if (bits != 16 || dataOff < 0) return (0, 0L, 0L)
+    var j = dataOff
+    var n = 0
+    var total = 0L; var winAcc = 0L; var maxWin = 0L
+    var inWin = 0
+    while (j + 1 < dataOff + dataLen) {
+      val v = (le16(j) << 16) >> 16 // sign-extend
+      val sq = v.toLong * v
+      total += sq; winAcc += sq; inWin += 1; n += 1
+      if (inWin == window) {
+        if (winAcc > maxWin) maxWin = winAcc
+        winAcc = 0L; inWin = 0
+      }
+      j += 2
+    }
+    if (inWin > 0 && winAcc > maxWin) maxWin = winAcc
+    (n, total, maxWin)
+  }
+
+  /** media(doc_id, wav) -> [[AudioEnergy]] rows via
+    * [[decodeWavEnergy]]. Narrow per-partition decode, no shuffle.
+    */
+  def audioEnergy(media: DataFrame, window: Int = 50): DataFrame = {
+    implicit val enc = Encoders.product[AudioEnergy]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (n, total, maxWin) = decodeWavEnergy(bytes, window)
+          AudioEnergy(id, n, total, maxWin)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[audioEnergy]] over the WAV fixture: the sample
+    * series is `peak, (i*131 + doc_id) % 997, ...` by construction,
+    * so the oracle regenerates it and aggregates the same integer
+    * squares the Spark side computes from the real PCM bytes.
+    */
+  def sqlAudioEnergy(window: Int = 50): String =
+    s"""WITH p AS (SELECT doc_id,
+       |   (100 + doc_id % 50) * (1 + doc_id % 2) AS n,
+       |   1000 + doc_id % 29000 AS peak FROM documents),
+       |s AS (SELECT doc_id, n, peak, unnest(range(0, n)) AS i FROM p),
+       |v AS (SELECT doc_id, n, i // $window AS win,
+       |   CASE WHEN i = 0 THEN peak ELSE (i * 131 + doc_id) % 997 END AS v FROM s),
+       |w AS (SELECT doc_id, n, win, SUM(v * v) AS we FROM v GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(MAX(n) AS INTEGER) AS n_samples,
+       |  CAST(SUM(we) AS BIGINT) AS energy, CAST(MAX(we) AS BIGINT) AS max_win_energy
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Parse a RIFF/WAVE file's chunk list: `fmt ` yields channels /
     * sample rate / bits per sample, `data` yields the payload extent;
     * duration = frames * 1000 / rate with frames = dataLen/blockAlign,

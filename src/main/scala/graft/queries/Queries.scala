@@ -1923,7 +1923,15 @@ object Queries {
     "m3_audio_meta" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.audioMeta(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
-      Multimodal.sqlAudioMeta))
+      Multimodal.sqlAudioMeta)),
+
+    // windowed PCM energy: one streaming byte pass per file (O(1)
+    // memory, no samples array), exact integer arithmetic — the
+    // loudness feature an audio curation pipeline filters on
+    "m4_audio_energy" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.audioEnergy(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
+      Multimodal.sqlAudioEnergy()))
   )
 
   val all: Map[String, (Q, String)] = core ++ glue ++ pipeline

@@ -93,4 +93,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
     assert(meta.count() == media.count())
   }
+
+  test("decodeWavEnergy: exact streaming energy, windowed max, corrupt degrade") {
+    import graft.operators.Multimodal
+    // samples 3, -4, 5 as 16-bit LE PCM
+    val data = Array[Byte](3, 0, (-4 & 0xff).toByte, (-1 & 0xff).toByte, 5, 0)
+    val wav = graft.fixtures.TestFixtures.wavBytes(8000, 1, data)
+    val (n, total, maxWin) = Multimodal.decodeWavEnergy(wav, window = 2)
+    assert(n == 3)
+    assert(total == 9L + 16L + 25L)
+    // windows: [9+16]=25, tail [25]=25 -> max 25
+    assert(maxWin == 25L)
+    // window larger than the file: one (tail) window = the total
+    assert(Multimodal.decodeWavEnergy(wav, window = 100) == ((3, 50L, 50L)))
+    // corrupt bytes degrade to zeros, never throw
+    assert(Multimodal.decodeWavEnergy("nope".getBytes, 50) == ((0, 0L, 0L)))
+  }
 }
