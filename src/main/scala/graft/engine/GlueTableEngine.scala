@@ -927,12 +927,13 @@ final class GlueTableEngine(
     * file skipping through the normal Iceberg paths.
     */
   def writeIcebergTable(df: DataFrame, database: String, table: String,
-      location: String): GlueTable = {
+      location: String, partitionBy: Seq[String] = Nil): GlueTable = {
     val root = new HadoopPath(location)
     val fs = root.getFileSystem(hadoopConf)
     if (fs.exists(root)) fs.delete(root, true) // overwrite semantics
-    graft.listing.IcebergWriter.commit(spark, location, df)
+    graft.listing.IcebergWriter.commit(spark, location, df, partitionBy)
     val t = GlueTable(database, table, Some(location),
+      partitionKeys = partitionBy.map(ColumnDef(_)),
       parameters = Map("table_type" -> "ICEBERG"))
     catalog match {
       case f: graft.catalog.FixtureCatalog => f.register(t)
@@ -949,7 +950,8 @@ final class GlueTableEngine(
     val meta = tableMetadata(database, table)
     require(meta.tableType == TableType.Iceberg,
       s"$database.$table is ${meta.tableType}, not an Iceberg table")
-    val v = graft.listing.IcebergWriter.commit(spark, location(meta), df)
+    val v = graft.listing.IcebergWriter.commit(
+      spark, location(meta), df, meta.table.partitionKeys.map(_.name))
     invalidateTable(database, table)
     v
   }

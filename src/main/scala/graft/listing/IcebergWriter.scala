@@ -40,17 +40,43 @@ object IcebergWriter {
     .requiredInt("key").requiredBytes("value").endRecord()
   private val countKv: Schema = SchemaBuilder.record("k_c").fields()
     .requiredInt("key").requiredLong("value").endRecord()
-  private val dataFileS: Schema = SchemaBuilder.record("iw_data_file").fields()
-    .requiredString("file_path").requiredLong("file_size_in_bytes")
-    .name("lower_bounds").`type`().array().items(boundKv).noDefault()
-    .name("upper_bounds").`type`().array().items(boundKv).noDefault()
-    .name("null_value_counts").`type`().array().items(countKv).noDefault()
-    .name("nan_value_counts").`type`().array().items(countKv).noDefault()
-    .endRecord()
-  private val entryS: Schema = SchemaBuilder.record("manifest_entry").fields()
-    .name("data_file").`type`(dataFileS).noDefault().endRecord()
+  /** The data_file record; partitioned tables get the spec-required
+    * `partition` record of union(null, T) identity values, whose
+    * Avro shape depends on the partition columns — built per table.
+    */
+  private def dataFileSchema(partSchema: Option[Schema]): Schema = {
+    val b = SchemaBuilder.record("iw_data_file").fields()
+      .requiredString("file_path").requiredLong("file_size_in_bytes")
+    val withPart = partSchema.fold(b)(ps => b.name("partition").`type`(ps).noDefault())
+    withPart
+      .name("lower_bounds").`type`().array().items(boundKv).noDefault()
+      .name("upper_bounds").`type`().array().items(boundKv).noDefault()
+      .name("null_value_counts").`type`().array().items(countKv).noDefault()
+      .name("nan_value_counts").`type`().array().items(countKv).noDefault()
+      .endRecord()
+  }
+  private def entrySchema(dataFileS: Schema): Schema =
+    SchemaBuilder.record("manifest_entry").fields()
+      .name("data_file").`type`(dataFileS).noDefault().endRecord()
   private val mlS: Schema = SchemaBuilder.record("manifest_file").fields()
     .requiredString("manifest_path").endRecord()
+
+  /** Avro schema + value converter for one identity-partition
+    * column. Kept to the types Hive-style path segments round-trip
+    * exactly; anything else fails loudly rather than writing a
+    * partition value the resolver would mis-decode.
+    */
+  private def partitionAvro(name: String, dt: DataType): (Schema, String => AnyRef) = {
+    val (base, conv): (Schema, String => AnyRef) = dt match {
+      case LongType    => (Schema.create(Schema.Type.LONG), s => java.lang.Long.valueOf(s))
+      case IntegerType => (Schema.create(Schema.Type.INT), s => java.lang.Integer.valueOf(s))
+      case StringType  => (Schema.create(Schema.Type.STRING), s => s)
+      case other => throw new IllegalArgumentException(
+        s"partition column $name: unsupported type ${other.simpleString} " +
+          "(identity partitions support long/int/string)")
+    }
+    (Schema.createUnion(Schema.create(Schema.Type.NULL), base), conv)
+  }
 
   /** Iceberg type string for a Spark type we write bounds for. */
   private def icebergType(dt: DataType): Option[String] = dt match {
@@ -78,7 +104,8 @@ object IcebergWriter {
     * `location` (first commit creates the table). Returns the new
     * sequence number.
     */
-  def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame): Long = {
+  def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -110,10 +137,20 @@ object IcebergWriter {
           .map(r => r.get("manifest_path").toString))
     }
 
-    // 1. data files
-    df.write.mode("overwrite").parquet(s"$root/data_s$seq")
-    val parts = fs.listStatus(new Path(s"$root/data_s$seq")).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.toString)
+    // 1. data files (Hive k=v layout under the snapshot dir when
+    // partitioned; the identity values ALSO go into each data_file's
+    // spec-required partition record, which is what the resolver and
+    // the planner prune on)
+    val w0 = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+      .parquet(s"$root/data_s$seq")
+    def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walkParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val parts = walkParquet(new Path(s"$root/data_s$seq")).sortBy(_.getPath.toString)
 
     // field ids by schema position (stable across appends with the
     // same schema — the caller's contract, as in Iceberg itself)
@@ -144,12 +181,53 @@ object IcebergWriter {
             s"${mine.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}")
     }
 
+    // the partition SPEC must be stable across appends — values
+    // bind by field name in the partition record
+    prior.foreach { n =>
+      val declaredSpec = Option(n.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala.toSeq.headOption)
+        .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq
+          .flatMap(f => Option(f.get("name")).map(_.asText()))))
+      if (declaredSpec != partitionBy)
+        throw new IllegalArgumentException(
+          s"partition spec mismatch for Iceberg table at $root: table declares " +
+            s"${declaredSpec.mkString("[", ",", "]")}, batch uses ${partitionBy.mkString("[", ",", "]")}")
+    }
+    val partCols = partitionBy.map { c =>
+      val f = df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"partition column $c not in the batch schema"))
+      (c, partitionAvro(c, f.dataType))
+    }
+    val partSchemaOpt: Option[Schema] =
+      if (partCols.isEmpty) None
+      else Some {
+        val b = SchemaBuilder.record("r102").fields()
+        partCols.foldLeft(b) { case (acc, (c, (s, _))) =>
+          acc.name(c).`type`(s).withDefault(null)
+        }.endRecord()
+      }
+    val dataFileS = dataFileSchema(partSchemaOpt)
+    val entryS = entrySchema(dataFileS)
+
     // 2+3. one manifest for this batch
     val entries = parts.map { st =>
       val stats = FooterStats.read(conf, st.getPath.toString)
       val d = new GenericData.Record(dataFileS)
       d.put("file_path", st.getPath.toUri.getPath)
       d.put("file_size_in_bytes", st.getLen)
+      partSchemaOpt.foreach { ps =>
+        // k=v path segments -> typed identity values
+        val segs = st.getPath.getParent.toUri.getPath.split('/')
+          .filter(_.contains('=')).map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val pr = new GenericData.Record(ps)
+        partCols.foreach { case (c, (_, conv)) =>
+          segs.get(c).foreach(v => pr.put(c, conv(v)))
+        }
+        d.put("partition", pr)
+      }
       val lows = new java.util.ArrayList[GenericRecord]()
       val highs = new java.util.ArrayList[GenericRecord]()
       val nulls = new java.util.ArrayList[GenericRecord]()
@@ -190,10 +268,16 @@ object IcebergWriter {
       s"""{"id": $id, "name": ${mapper.writeValueAsString(name)}, "type": "$tp"}"""
     }.mkString("[", ", ", "]")
     val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}}"""
+    val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
+    val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
+      s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "identity", """ +
+        s""""source-id": ${idByName.getOrElse(c, -1)}, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq,
          |"current-schema-id": 0,
          |"schemas": [{"schema-id": 0, "fields": $schemaJson}],
+         |"partition-specs": [{"spec-id": 0, "fields": $specJson}],
          |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin
     val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
     val dst = new Path(metaDir, s"v$seq.metadata.json")

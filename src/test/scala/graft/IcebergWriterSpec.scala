@@ -110,6 +110,40 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "ig").count() == 2)
   }
 
+  test("partitioned writes carry identity values in the manifest partition record") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_wpart_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    val data = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("x", "part").coalesce(1)
+    eng.writeIcebergTable(data, "d", "ip", loc, partitionBy = Seq("part"))
+    // identity values surfaced from the manifest record, not the path
+    val files = eng.files("d", "ip")
+    assert(files.size == 2 && files.forall(_.partitionValues.keySet == Set("part")),
+      s"partition values must ride the manifest: $files")
+    // partition column reads back even though data files omit it
+    assert(eng.tableDF("d", "ip").select("x", "part").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "a"), (3L, "b")))
+    // appends must keep the spec; a mismatched spec is loud
+    eng.appendIcebergTable(Seq((4L, "b")).toDF("x", "part").coalesce(1), "d", "ip")
+    assert(eng.tableDF("d", "ip").count() == 4)
+    val e = intercept[IllegalArgumentException] {
+      graft.listing.IcebergWriter.commit(spark, loc,
+        Seq((9L, "z")).toDF("x", "part"), partitionBy = Nil)
+    }
+    assert(e.getMessage.contains("partition spec mismatch"))
+    // and the planner prunes to the one matching partition's files
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query("SELECT count(*) AS n FROM glue.d.ip WHERE part = 'a'")
+      assert(df.collect().head.getLong(0) == 2)
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"partition filter must prune to 1 file, got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("expire snapshots deletes only what no retained version references") {
     val sp = Shim.classic(spark)
     import sp.implicits._
