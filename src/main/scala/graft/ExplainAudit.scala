@@ -17,7 +17,7 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val interesting = Seq(
+    val interesting = if (args.nonEmpty) args.toSeq else Seq(
       "q1_pricing_summary",  // filter pushdown + column pruning
       "q2_filter_in",        // compound predicate pushdown
       "q3_segment_revenue",  // join strategy for fact x dims

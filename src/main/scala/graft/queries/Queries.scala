@@ -605,7 +605,12 @@ object Queries {
     // correlated scalar subquery in the SELECT list — Catalyst
     // decorrelates it into ONE left outer join against the
     // pre-aggregated inner side (never a per-row probe); empty inner
-    // groups surface as NULL in both engines
+    // groups surface as NULL in both engines. Known Catalyst shape:
+    // the inner aggregate runs over ALL of lineitem even though only
+    // the filtered orderkeys are consumed — when the outer filter is
+    // this selective, hand-written pipelines should semi-join the
+    // inner side by the outer keys first (one extra broadcast) before
+    // aggregating; the registration keeps the SQL-surface form
     "q40_scalar_subquery" -> ((
       (spark: SparkSession, sf: String) => {
         t(spark, sf, "orders").createOrReplaceTempView("q40_orders")
