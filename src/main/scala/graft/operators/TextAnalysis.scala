@@ -389,6 +389,20 @@ object TextAnalysis {
     learned.toList
   }
 
+  /** Apply a learned merge table ([[bpeTrain]]'s output order) to a
+    * document set: the rules fold left-to-right in learning order —
+    * exactly how a trained BPE tokenizer segments at inference.
+    * Pure narrow column work (one array fold per rule), no shuffle:
+    * tokenizing 100 TB with a learned vocabulary is map-only.
+    * Returns (doc_id, toks).
+    */
+  def bpeApply(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val toks = rules.foldLeft(tokens(col("text"))) {
+      case (acc, (a, b)) => mergeAdjacent(acc, a, b)
+    }
+    docs.select(col("doc_id"), toks.as("toks"))
+  }
+
   /** DuckDB oracle for [[tfidfTopTerms]] (over `documents`, reported
     * for `doc_id < limitDocs` — the corpus-wide scores are unchanged
     * by the reporting filter).

@@ -1740,6 +1740,28 @@ object Queries {
     // then within-cluster cosine pairs mark every vector with a
     // smaller-id neighbor >= threshold as a duplicate — quadratic
     // only within clusters, never across the corpus
+    // PCA-reduced exact top-k (the OPQ-lite scale path: one-pass
+    // distributed moment accumulation, driver-side d×d Jacobi, then
+    // map-only projection — see operators.Pca). No SQL oracle:
+    // eigenvectors aren't expressible in DuckDB; the driver records
+    // the rows-only check and ClusteringSpec proves recall vs the
+    // full-dimension neighbors
+    "s17_pca_topk" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.operators.Pca
+        import graft.functions.VectorFunctions
+        val emb = t(spark, sf, "embeddings")
+        val model = Pca.fit(emb, "embedding", k = 32)
+        val reduced = Pca.transform(emb, "embedding", model)
+          .select(col("vec_id"), col("pca").cast("array<float>").as("r"))
+        val qe = reduced.filter(col("vec_id") === 7).select(col("r").as("qe"))
+        reduced.filter(col("vec_id") =!= 7).crossJoin(broadcast(qe))
+          .select(col("vec_id"),
+            round(VectorFunctions.cosineFast(col("r"), col("qe")), 6).as("cos"))
+          .orderBy(desc("cos"), col("vec_id")).limit(10)
+      },
+      null)),
+
     "s16_semantic_dedup" -> ((
       (spark: SparkSession, sf: String) =>
         Dedup.semanticDedup(t(spark, sf, "embeddings"), k = 16, threshold = 0.4),

@@ -107,6 +107,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq("x_x", "x"))
   }
 
+  test("bpeApply segments with the learned rules: corpus shrinks, learned pairs vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b a b"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrain(docs, merges = 10).map(_._1)
+    val applied = TextAnalysis.bpeApply(docs, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // hand-derivation: (a,b) then (a_b,a_b)
+    assert(applied(1L) == Seq("a_b_a_b", "c"))
+    assert(applied(2L) == Seq("a_b_a_b"))
+    assert(applied(3L) == Seq("c", "a_b"))
+    // token count strictly shrinks and no learned pair survives
+    val before = docs.select(explode(graft.functions.CrossHash.tokens(col("text")))).count()
+    val after = TextAnalysis.bpeApply(docs, rules)
+      .select(explode(col("toks"))).count()
+    assert(after < before)
+  }
+
   test("bpePairs ranking is total-ordered (count desc, then lexicographic)") {
     import spark.implicits._
     val docs = Seq((1L, "b c"), (2L, "a b"), (3L, "a b b c")).toDF("doc_id", "text")
