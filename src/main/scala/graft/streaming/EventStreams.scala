@@ -232,18 +232,41 @@ object EventStreams {
   def deltaIngest(docs: DataFrame, location: String, appId: String = "graft-stream",
       checkpointEvery: Int = 10)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      if (commitDeltaBatchIdempotent(batch.toDF(), location, appId, batchId)) {
-        // keep the log bounded for a long-lived stream: every Nth
-        // commit writes a checkpoint (which also persists the txn
-        // marks, so cleanup never shrinks the replay horizon) and
-        // retires the JSON prefix — reader replay cost stays O(N),
-        // not O(total batches ever committed)
-        graft.listing.DeltaLogWriter
-          .maybeCheckpoint(batch.sparkSession, location, checkpointEvery)
-          .foreach(_ => graft.listing.DeltaLogWriter.cleanupLog(batch.sparkSession, location))
-      }
-    }.start()
+    docs.writeStream.foreachBatch(
+      sinkBatch(location, appId, checkpointEvery) _).start()
+
+  /** The shared foreachBatch body: idempotent commit, then the
+    * every-N checkpoint + log-retention policy. Keeping the log
+    * bounded matters for any long-lived stream — reader replay cost
+    * stays O(N), not O(total batches ever committed), and the
+    * checkpoint persists the txn marks so cleanup never shrinks the
+    * replay-detection horizon.
+    */
+  private def sinkBatch(location: String, appId: String, checkpointEvery: Int)(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit =
+    if (commitDeltaBatchIdempotent(batch.toDF(), location, appId, batchId)) {
+      graft.listing.DeltaLogWriter
+        .maybeCheckpoint(batch.sparkSession, location, checkpointEvery)
+        .foreach(_ => graft.listing.DeltaLogWriter.cleanupLog(batch.sparkSession, location))
+    }
+
+  /** Watermark-finalized windowed aggregates committed EXACTLY-ONCE
+    * into a Delta table — the composed shape a metrics pipeline
+    * runs: [[hourlyCounts]] in APPEND output mode emits each window
+    * exactly once, when the watermark closes it (state for the
+    * window is then dropped — bounded by windows-in-flight, not
+    * history), and each micro-batch lands through the idempotent
+    * txn protocol, so neither a replayed batch nor a recovered query
+    * can commit a window twice. Downstream readers see only
+    * FINALIZED windows, with time travel and incremental reads over
+    * the aggregate history for free.
+    */
+  def windowedDeltaIngest(events: DataFrame, location: String,
+      appId: String = "graft-window-stream", checkpointEvery: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyCounts(events).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch(sinkBatch(location, appId, checkpointEvery) _).start()
 
   /** Streaming search-index maintenance — the third member of the
     * ingest trio (near-dup corpus index, ANN index, inverted index):

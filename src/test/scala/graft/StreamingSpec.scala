@@ -277,6 +277,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == (0L until 8L), "trimmed-prefix replay must not duplicate")
   }
 
+  test("windowed delta ingest lands only watermark-finalized windows, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = s"/root/repo/target/stream_wdelta_${System.nanoTime()}"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:10:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = EventStreams.windowedDeltaIngest(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"), loc,
+      appId = "win-app")
+    val resolver = new graft.listing.DeltaLogResolver(spark)
+    def landed: Seq[(java.sql.Timestamp, String, Long)] = {
+      val files = resolver.dataFilesDetailed(loc).map(_.path)
+      if (files.isEmpty) Nil
+      else spark.read.parquet(files: _*)
+        .select("h", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    try {
+      // hour-1 events: window still open (watermark hasn't passed) ->
+      // nothing lands
+      mem.addData((1L, ts(1), 1L, "click", 1.0), (2L, ts(1), 2L, "click", 2.0))
+      q.processAllAvailable()
+      assert(landed.isEmpty, "open windows must not land")
+      // hour-4 event advances the watermark past hour 1+1h late
+      // allowance -> the hour-1 window finalizes and lands ONCE
+      mem.addData((3L, ts(4), 1L, "view", 1.0))
+      q.processAllAvailable()
+      assert(landed == Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "click", 2L)), s"got $landed")
+      // replaying an already-committed batch id is recognized
+      val before = resolver.latestVersion(loc)
+      assert(!EventStreams.commitDeltaBatchIdempotent(
+        Seq((ts(1), "click", 2L, java.math.BigDecimal.valueOf(3.0)))
+          .toDF("h", "event_type", "n", "sv"), loc, "win-app", 1L))
+      assert(resolver.latestVersion(loc) == before)
+    } finally q.stop()
+  }
+
   test("streaming search ingest keeps BM25 exact against the growing corpus") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
