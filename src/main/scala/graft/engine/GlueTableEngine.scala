@@ -1265,6 +1265,31 @@ final class GlueTableEngine(
     instant
   }
 
+  /** Iceberg small-file compaction (the OPTIMIZE analog): rewrite
+    * the live row set — with any merge-on-read deletes APPLIED — as
+    * `ceil(bytes/target)` files in one REWRITE snapshot whose
+    * manifest list references only the new manifest. Retired data
+    * and delete files stop being referenced (physical reclamation is
+    * [[expireIcebergSnapshots]]); earlier snapshots still
+    * time-travel. Returns the new sequence number.
+    */
+  def compactIcebergTable(database: String, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val live = files(database, table)
+    val nFiles = math.max(1, math.ceil(
+      live.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    // tableDF subtracts live MOR deletes, so compaction folds them in
+    val v = graft.listing.IcebergWriter.commit(spark, location(meta),
+      tableDF(database, table).repartition(nFiles),
+      meta.table.partitionKeys.map(_.name), rewriteAll = true)
+    invalidateTable(database, table)
+    v
+  }
+
   /** Iceberg SNAPSHOT EXPIRY: drop metadata versions older than the
     * last `retainVersions`, then physically delete every file —
     * data parquet, delete parquet, manifest/manifest-list Avro,

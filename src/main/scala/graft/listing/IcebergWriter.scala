@@ -105,7 +105,7 @@ object IcebergWriter {
     * sequence number.
     */
   def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false): Long = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -257,7 +257,14 @@ object IcebergWriter {
     val manifestPath = s"$root/metadata/manifest_s$seq.avro"
     writeAvro(fs, new Path(manifestPath), entryS, entries)
     val mlPath = s"$root/metadata/ml_s$seq.avro"
-    writeAvro(fs, new Path(mlPath), mlS, (priorManifests :+ manifestPath).map { mp =>
+    // a REWRITE snapshot (compaction / MOR-delete application)
+    // replaces the whole live set: its manifest list carries ONLY
+    // the new manifest, so retired data and delete files simply stop
+    // being referenced — earlier snapshots still time-travel through
+    // their own metadata versions, and expireIcebergSnapshots later
+    // reclaims the physical files
+    val mlManifests = if (rewriteAll) Seq(manifestPath) else priorManifests :+ manifestPath
+    writeAvro(fs, new Path(mlPath), mlS, mlManifests.map { mp =>
       val r = new GenericData.Record(mlS)
       r.put("manifest_path", mp)
       r

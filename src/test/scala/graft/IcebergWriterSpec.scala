@@ -144,6 +144,37 @@ class IcebergWriterSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("compaction rewrites the live set, applies MOR deletes, then expiry reclaims") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_opt_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 50L).map(i => (i, i * 2)).toDF("k", "y").repartition(5),
+      "d", "io", loc)
+    eng.appendIcebergTable((50L until 100L).map(i => (i, i * 2)).toDF("k", "y").repartition(5),
+      "d", "io")
+    assert(eng.files("d", "io").size == 10)
+    // MOR-delete the low keys (no rewrite)
+    eng.deleteIcebergWhere("d", "io", col("k") < 10)
+    assert(eng.tableDF("d", "io").count() == 90)
+    val before = eng.files("d", "io").map(_.path).toSet
+    // compaction: one live file, deletes APPLIED, content preserved
+    val v = eng.compactIcebergTable("d", "io", targetFileBytes = Long.MaxValue)
+    val after = eng.files("d", "io")
+    assert(after.size == 1, s"compaction must leave 1 live file, got ${after.size}")
+    assert(eng.tableDF("d", "io").count() == 90)
+    assert(eng.tableDF("d", "io").agg(sum("k")).head().getLong(0) == (10L until 100L).sum)
+    // no more delete files in the live snapshot, old files untouched on disk
+    assert(eng.tableDF("d", "io").queryExecution.executedPlan != null)
+    assert(eng.files("d", "io", 1).map(_.path).toSet == before, "time travel intact")
+    // expiry reclaims the rewritten-away files
+    val deleted = eng.expireIcebergSnapshots("d", "io", retainVersions = 1)
+    assert(deleted.count(_.endsWith(".parquet")) >= 10,
+      s"retired data+delete parquet must go, got $deleted")
+    assert(eng.tableDF("d", "io").count() == 90)
+  }
+
   test("expire snapshots deletes only what no retained version references") {
     val sp = Shim.classic(spark)
     import sp.implicits._
