@@ -161,6 +161,141 @@ object Multimodal {
   final case class AudioEnergy(doc_id: Long, n_samples: Int,
       energy: Long, max_win_energy: Long)
 
+  final case class ImageStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL PNG pixel decode with the JDK alone: IHDR parse, IDAT
+    * concatenation, zlib inflate (`java.util.zip.Inflater`), and the
+    * full five-filter scanline reconstruction (None/Sub/Up/Average/
+    * Paeth) — then per-channel pixel sums, the feature-extraction
+    * primitive (mean brightness, channel balance) an image curation
+    * pipeline filters on. 8-bit truecolor (color type 2, the fixture
+    * shape) only; anything else — and any corrupt byte — degrades to
+    * zeros, never throws. Per-row cost is O(pixels) with O(2×
+    * scanline) memory; decoding a 100 TB image corpus stays
+    * map-only.
+    */
+  def decodePngStats(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val zero = (0, 0, 0L, 0L, 0L)
+    if (bytes.length < 8 ||
+      (bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' || bytes(3) != 'G')
+      return zero
+    def be32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= bytes.length) {
+      val len = be32(i)
+      if (len < 0 || i + 8 + len > bytes.length) return zero
+      val tag = new String(bytes, i + 4, 4, "US-ASCII")
+      tag match {
+        case "IHDR" if len >= 13 =>
+          w = be32(i + 8); h = be32(i + 12)
+          bitDepth = bytes(i + 16) & 0xff; colorType = bytes(i + 17) & 0xff
+        case "IDAT" => idat.write(bytes, i + 8, len)
+        case _      => ()
+      }
+      i += 8 + len + 4 // skip CRC
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2) return zero
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
+    try {
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return zero // truncated
+        off += n
+      }
+      if (off < raw.length) return zero
+    } catch { case _: java.util.zip.DataFormatException => return zero }
+    finally inflater.end()
+
+    // five-filter scanline reconstruction (PNG spec §9)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val filter = raw(rowOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val rawB = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prior(x)
+        val c = if (x >= bpp) prior(x - bpp) else 0
+        val recon = filter match {
+          case 0 => rawB
+          case 1 => rawB + a
+          case 2 => rawB + b
+          case 3 => rawB + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return zero // unknown filter: corrupt
+        }
+        cur(x) = recon & 0xff
+        x += 1
+      }
+      x = 0
+      while (x < stride) {
+        x % bpp match {
+          case 0 => sr += cur(x)
+          case 1 => sg += cur(x)
+          case _ => sb += cur(x)
+        }
+        prior(x) = cur(x)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  /** media(doc_id, img) -> [[ImageStats]] rows via
+    * [[decodePngStats]]; non-PNG rows (the JPEG half of the fixture)
+    * are filtered out upstream by the caller. Narrow per-partition
+    * decode, no shuffle.
+    */
+  def imageStats(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ImageStats]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, r, g, b) = decodePngStats(bytes)
+          ImageStats(id, w, h, r, g, b)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[imageStats]] over the PNG half of the image
+    * fixture: pixel (x,y) is `(doc_id*31 + x*7 + y) & 0xffffff` by
+    * construction, so the oracle regenerates every pixel and sums
+    * the same channels the Spark side reconstructs from the real
+    * zlib-compressed, filtered scanlines.
+    */
+  def sqlImageStats: String =
+    """WITH p AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+      |           FROM documents WHERE doc_id % 2 = 0),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (SELECT doc_id, w, h, (doc_id * 31 + x * 7 + y) % 16777216 AS rgb FROM ys)
+      |SELECT doc_id, CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+      |  CAST(SUM(rgb // 65536) AS BIGINT) AS sum_r,
+      |  CAST(SUM((rgb // 256) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM(rgb % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Windowed signal energy over a WAV's 16-bit PCM payload: total
     * sum of squared samples plus the maximum energy over
     * non-overlapping `window`-sample frames — the standard

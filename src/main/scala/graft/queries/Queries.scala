@@ -1952,6 +1952,18 @@ object Queries {
         Multimodal.audioMeta(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
       Multimodal.sqlAudioMeta)),
 
+    // real PNG pixel decode (JDK zlib inflate + the five-filter
+    // scanline reconstruction) -> per-channel sums: the
+    // feature-extraction primitive an image curation pipeline
+    // filters on; PNG half of the fixture only (JPEG is lossy, so
+    // its pixels are not oracle-reconstructible)
+    "m5_image_stats" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageStats(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0)),
+      Multimodal.sqlImageStats)),
+
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
     // loudness feature an audio curation pipeline filters on

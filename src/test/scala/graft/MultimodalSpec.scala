@@ -94,6 +94,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.count() == media.count())
   }
 
+  test("decodePngStats: exact channel sums on a known image; non-PNG degrades") {
+    import graft.operators.Multimodal
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x010203); img.setRGB(1, 0, 0x0A0B0C)
+    img.setRGB(0, 1, 0x646566); img.setRGB(1, 1, 0xFF0080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, r, g, b) = Multimodal.decodePngStats(bos.toByteArray)
+    assert((w, h) == ((2, 2)))
+    assert(r == 0x01L + 0x0A + 0x64 + 0xFF)
+    assert(g == 0x02L + 0x0B + 0x65 + 0x00)
+    assert(b == 0x03L + 0x0C + 0x66 + 0x80)
+    // JPEG signature and truncated IDAT both degrade to zeros
+    assert(Multimodal.decodePngStats("JFIF-not-a-png".getBytes) == ((0, 0, 0L, 0L, 0L)))
+    val truncated = bos.toByteArray.take(bos.size() - 24)
+    assert(Multimodal.decodePngStats(truncated) == ((0, 0, 0L, 0L, 0L)))
+  }
+
   test("decodeWavEnergy: exact streaming energy, windowed max, corrupt degrade") {
     import graft.operators.Multimodal
     // samples 3, -4, 5 as 16-bit LE PCM
