@@ -1065,4 +1065,50 @@ object Dedup {
         coalesce(col("__d"), lit(false)).as("is_dup"))
       .orderBy("vec_id")
   }
+
+  /** C4-style EXACT LINE dedup, at sub-document granularity: the
+    * corpus is cut into `window`-token pseudo-sentences and each
+    * distinct line keeps exactly its FIRST occurrence (global
+    * (doc_id, position) order — deterministic at any parallelism);
+    * every later repetition is the removable boilerplate this
+    * filter exists for. Returns per-document (n_lines, n_kept).
+    *
+    * Scale shape: one narrow chunking pass, ONE shuffle on the line
+    * text for the first-occurrence aggregate, one shuffle-on-line
+    * join back, one per-doc aggregate — cost O(lines), never pairs.
+    * Reference filter: C4 (Raffel et al. 2020) deduplicates
+    * three-sentence spans the same way.
+    */
+  def lineDedupStats(docs: DataFrame, window: Int = 8): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = ceil(size(toks) / lit(window.toDouble)).cast("long")
+    val key = col("doc_id") * lit(1000000L) + col("pos")
+    val e = docs.filter(size(toks) > 0)
+      .select(col("doc_id"), explode(sequence(lit(0L), nChunks - 1)).as("ci"),
+        toks.as("toks"))
+      .select(col("doc_id"), (col("ci") + 1).as("pos"),
+        concat_ws(" ",
+          slice(col("toks"), (col("ci") * window + 1).cast("int"), lit(window))).as("line"))
+      .withColumn("k", key)
+    val first = e.groupBy("line").agg(min(col("k")).as("fk"))
+    e.join(first, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("k") === col("fk"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[lineDedupStats]]. */
+  def sqlLineDedupStats(window: Int = 8): String =
+    s"""WITH t AS (SELECT doc_id, ${graft.functions.CrossHash.sqlTokens("text")} AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks) / $window.0) AS BIGINT))) AS ci
+       |      FROM t WHERE len(toks) > 0),
+       |e AS (SELECT doc_id, ci + 1 AS pos,
+       |        array_to_string(toks[(ci*$window+1):(ci*$window+$window)], ' ') AS line FROM c),
+       |k AS (SELECT doc_id, pos, line, doc_id * 1000000 + pos AS k FROM e),
+       |f AS (SELECT line, MIN(k) AS fk FROM k GROUP BY line)
+       |SELECT k.doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN k.k = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM k JOIN f ON k.line = f.line
+       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
 }

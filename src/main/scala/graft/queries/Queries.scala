@@ -1606,6 +1606,15 @@ object Queries {
     // token-budget domain mixing: each source capped at a token
     // budget via an integer-exact content-hash keep fraction — the
     // mixture-rebalancing step of a training-data pipeline
+    // C4-style exact line dedup at sub-document granularity: each
+    // distinct 8-token pseudo-sentence keeps only its globally-first
+    // occurrence — one shuffle on the line text, one join back,
+    // cost O(lines) never pairs
+    "d22_line_dedup" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.lineDedupStats(t(spark, sf, "documents")),
+      Dedup.sqlLineDedupStats())),
+
     "d21_token_budget" -> ((
       (spark: SparkSession, sf: String) =>
         Sampling.tokenBudgetSample(t(spark, sf, "documents"), budgetTokens = 2000L),

@@ -374,4 +374,16 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(joins.isEmpty, "eval grams must not be broadcast on the bloom path")
   }
+
+  test("line dedup keeps only the globally-first occurrence of each pseudo-sentence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),  // lines: [a..h], [x y]
+      (2L, "a b c d e f g h z"),    // [a..h] duplicates doc 1 pos 1
+      (3L, "")                      // empty: no lines, no row
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.lineDedupStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L))))
+  }
 }
