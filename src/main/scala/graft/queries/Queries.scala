@@ -925,6 +925,29 @@ object Queries {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // partitioned Iceberg WRITE through the oracle gate: identity
+    // values live in each data_file's manifest partition record, and
+    // the filtered read must both prune to the matching partition and
+    // return exactly the oracle's rows
+    "g35_iceberg_partitioned" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_part_rt"
+        eng.writeIcebergTable(o, "default", "ice_part_rt", loc,
+          partitionBy = Seq("o_orderpriority"))
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_part_rt
+            |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi incremental read (the g22 Iceberg mirror): only the file
     // slices that are live at the newer instant and absent at the
     // older one — here replacecommit 003's fg3 (the odd rows); the

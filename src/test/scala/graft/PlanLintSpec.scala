@@ -30,8 +30,12 @@ class PlanLintSpec extends AnyFunSuite {
   //    token-LENGTH domain (≤ distinct lengths / bucket width rows),
   //    bounded by the value domain, not the corpus — the two-level
   //    cumulative-distribution design
+  //  - s17: the PCA-reduced brute-force top-k — same 1-row-query-side
+  //    broadcast shape as s1 (the filter on the unique vec_id bounds
+  //    the build side at one row, but that's not aggregate-provable)
   private val mayNestedLoop = Set(
-    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s6_ann_quantized", "q16_recursive_cte",
+    "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s6_ann_quantized", "s17_pca_topk",
+    "q16_recursive_cte",
     "t5_length_quantiles",
     "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical")
 
