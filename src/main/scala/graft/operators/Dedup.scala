@@ -1079,7 +1079,8 @@ object Dedup {
     * Reference filter: C4 (Raffel et al. 2020) deduplicates
     * three-sentence spans the same way.
     */
-  def lineDedupStats(docs: DataFrame, window: Int = 8): DataFrame = {
+  def lineDedupStats(docs: DataFrame, window: Int = 8,
+      hashLines: Boolean = false): DataFrame = {
     val toks = tokens(col("text"))
     val nChunks = ceil(size(toks) / lit(window.toDouble)).cast("long")
     val key = col("doc_id") * lit(1000000L) + col("pos")
@@ -1090,8 +1091,14 @@ object Dedup {
         concat_ws(" ",
           slice(col("toks"), (col("ci") * window + 1).cast("int"), lit(window))).as("line"))
       .withColumn("k", key)
-    val first = e.groupBy("line").agg(min(col("k")).as("fk"))
-    e.join(first, "line")
+      // the 100 TB path shuffles an 8-byte line HASH instead of the
+      // line text (C4 does the same) — both the aggregate and the
+      // join key shrink ~10x; the exact-text variant exists for the
+      // oracle gate, and the spec proves the two agree on real data
+      .withColumn("lk", if (hashLines) xxhash64(col("line")) else col("line"))
+      .drop("line")
+    val first = e.groupBy("lk").agg(min(col("k")).as("fk"))
+    e.join(first, "lk")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("k") === col("fk"), 1L).otherwise(0L)).as("n_kept"))

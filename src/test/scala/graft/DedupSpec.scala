@@ -385,5 +385,13 @@ class DedupSpec extends AnyFunSuite {
     val got = graft.operators.Dedup.lineDedupStats(docs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L))))
+    // the hashed-shuffle scale variant agrees with the exact-text one
+    // on the real fixture corpus (8-byte keys instead of line text)
+    val corpus = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val exact = graft.operators.Dedup.lineDedupStats(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = graft.operators.Dedup.lineDedupStats(corpus, hashLines = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed == exact)
   }
 }
