@@ -78,7 +78,13 @@ object DeltaLogWriter {
     */
   def commitWith(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
       partitionBy: Seq[String], removePaths: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      forceVersion: Option[Long] = None): Long = {
+    // forceVersion: test seam simulating a STALE READ — the writer
+    // believes this is the next free version even though a
+    // concurrent winner may already hold it (the race window between
+    // listing and rename, impossible to hit deterministically from
+    // outside)
     val root = location.stripSuffix("/")
     val logDir = new Path(s"$root/_delta_log")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -89,13 +95,18 @@ object DeltaLogWriter {
     val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
     // a cleaned log may hold ONLY a checkpoint — the version sequence
     // continues from it, never restarts
-    val version = fs.listStatus(logDir).toSeq.flatMap(_.getPath.getName match {
+    val listedVersion = fs.listStatus(logDir).toSeq.flatMap(_.getPath.getName match {
       case CommitRe(v)     => Some(v.toLong)
       case CheckpointRe(v) => Some(v.toLong)
       case _               => None
     }).maxOption.map(_ + 1L).getOrElse(0L)
+    val version = forceVersion.getOrElse(listedVersion)
 
-    val sub = s"v$version"
+    // the data subdirectory is named by version PLUS a random token:
+    // two writers racing the same version must never share (and
+    // overwrite) each other's data directory — only the committed
+    // JSON decides which files become part of the table
+    val sub = s"v${version}_${java.util.UUID.randomUUID().toString.take(8)}"
     val out = s"$root/$sub"
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(out)
@@ -166,14 +177,40 @@ object DeltaLogWriter {
     }
     val body = (metaLine ++ txnLine ++ removes ++ adds).mkString("", "\n", "\n")
 
-    // atomic publish: write to a temp name, rename into place
-    val tmp = new Path(logDir, f".${version}%020d.json.tmp")
-    val dst = new Path(logDir, f"${version}%020d.json")
-    val os = fs.create(tmp, true)
-    try os.write(body.getBytes("UTF-8")) finally os.close()
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"commit $version already published at $dst")
-    version
+    // atomic publish: write to a temp name, rename into place. A
+    // lost rename race (another writer took this version) is
+    // RETRYABLE for blind appends — the adds reference only files
+    // this writer just created, so re-publishing the same actions at
+    // the next version is exactly optimistic concurrency control.
+    // Commits that REMOVE files or carry txn marks must NOT retry
+    // blindly: their read-set may have been invalidated by the
+    // winning commit (removes) or the replay-detection check must
+    // re-run (txn) — those surface the conflict to the caller.
+    val retryable = removePaths.isEmpty && txn.isEmpty && metaLine.isEmpty
+    var attempt = 0
+    var v = version
+    while (true) {
+      val tmp = new Path(logDir, f".${v}%020d.json.$attempt.tmp")
+      val dst = new Path(logDir, f"${v}%020d.json")
+      val os = fs.create(tmp, true)
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      if (fs.rename(tmp, dst)) return v
+      fs.delete(tmp, false)
+      if (!retryable || attempt >= 4)
+        throw new IllegalStateException(
+          s"commit $v already published at $dst" +
+            (if (retryable) " after 5 attempts" else
+              " — re-resolve and reapply (remove/txn commits are not blindly retryable)"))
+      // re-list for the next free version; the winner may have
+      // advanced it by more than one
+      v = math.max(v + 1, fs.listStatus(logDir).toSeq.flatMap(_.getPath.getName match {
+        case CommitRe(x)     => Some(x.toLong)
+        case CheckpointRe(x) => Some(x.toLong)
+        case _               => None
+      }).maxOption.map(_ + 1L).getOrElse(v + 1))
+      attempt += 1
+    }
+    v // unreachable
   }
 
   /** Write a CHECKPOINT of the table's current state: one parquet

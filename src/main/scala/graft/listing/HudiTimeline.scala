@@ -138,7 +138,8 @@ object HudiTimelineWriter {
 
     // data files: write with the partition layout, then move each
     // part file to its Hudi slice name under the partition dir
-    val tmp = s"$root/.tmp_$instant"
+    // unique per commit attempt — racing writers must not share it
+    val tmp = s"$root/.tmp_${instant}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     def walk(p: Path): Seq[Path] =

@@ -141,16 +141,20 @@ object IcebergWriter {
     // partitioned; the identity values ALSO go into each data_file's
     // spec-required partition record, which is what the resolver and
     // the planner prune on)
+    // unique per commit ATTEMPT: two writers racing the same
+    // sequence number must never share (and overwrite) a data dir —
+    // only the published metadata decides whose files join the table
+    val dataDir = s"$root/data_s${seq}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w0 = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
-      .parquet(s"$root/data_s$seq")
+      .parquet(dataDir)
     def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walkParquet(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
         else Nil
       }
-    val parts = walkParquet(new Path(s"$root/data_s$seq")).sortBy(_.getPath.toString)
+    val parts = walkParquet(new Path(dataDir)).sortBy(_.getPath.toString)
 
     // field ids by schema position (stable across appends with the
     // same schema — the caller's contract, as in Iceberg itself)

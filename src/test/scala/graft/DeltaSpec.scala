@@ -279,14 +279,14 @@ class DeltaSpec extends AnyFunSuite {
     eng.appendDeltaTable((1000L until 1100L).toDF("x").coalesce(1), "d", "dw")
     val before = eng.files("d", "dw").map(_.path)
     assert(before.size == 2)
-    val lowFile = before.find(_.contains("/v0/")).get
+    val lowFile = before.find(_.contains("/v0_")).get
 
     val v = eng.deleteDeltaWhere("d", "dw", col("x") >= 1050L)
     assert(v == 2L)
     val after = eng.files("d", "dw").map(_.path)
     // the low-range file is PROVABLY unaffected: same physical file, no rewrite
     assert(after.contains(lowFile), s"untouched file must survive as-is: $after")
-    assert(after.size == 2 && after.exists(_.contains("/v2/")),
+    assert(after.size == 2 && after.exists(_.contains("/v2_")),
       s"affected file must be rewritten under v2: $after")
     // row semantics: exactly the matching rows are gone
     val xs = eng.tableDF("d", "dw").select("x").collect().map(_.getLong(0)).toSet
@@ -309,7 +309,7 @@ class DeltaSpec extends AnyFunSuite {
     eng.appendDeltaTable((1000L until 1100L).map(i => (i, 1L)).toDF("x", "flag").coalesce(1),
       "d", "up")
     val before = eng.files("d", "up").map(_.path)
-    val lowFile = before.find(_.contains("/v0/")).get
+    val lowFile = before.find(_.contains("/v0_")).get
     val v = eng.updateDeltaWhere("d", "up", col("x") >= 1050L, Map("flag" -> lit(9L)))
     assert(v == 2L)
     val after = eng.files("d", "up").map(_.path)
@@ -335,7 +335,7 @@ class DeltaSpec extends AnyFunSuite {
       "d", "m", loc)
     eng.appendDeltaTable((1000L until 1100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
       "d", "m")
-    val lowFile = eng.files("d", "m").map(_.path).find(_.contains("/v0/")).get
+    val lowFile = eng.files("d", "m").map(_.path).find(_.contains("/v0_")).get
     // source: update two high keys, insert two brand-new keys
     val src = Seq((1050L, "new1050"), (1099L, "new1099"),
       (5000L, "ins5000"), (5001L, "ins5001")).toDF("k", "v")
@@ -464,6 +464,33 @@ class DeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retyped"))
     // time travel reads the PRE-evolution schema at v0
     assert(eng.tableDF("d", "ev", 2).columns.toSeq == Seq("x"))
+  }
+
+  test("blind appends retry past a lost commit race; remove commits surface it") {
+    import spark.implicits._
+    import graft.listing.{DeltaLogResolver, DeltaLogWriter}
+    val loc = s"/root/repo/target/delta_occ_${System.nanoTime()}"
+    DeltaLogWriter.commit(spark, loc, (0L until 10L).toDF("x").coalesce(1))
+    DeltaLogWriter.commit(spark, loc, (10L until 20L).toDF("x").coalesce(1))
+    // forceVersion simulates the stale read of a lost race: this
+    // writer believes 1 is free, but versions 1 AND 2 are taken —
+    // a blind append retries forward and lands at 3
+    val v = DeltaLogWriter.commitWith(spark, loc,
+      (20L until 30L).toDF("x").coalesce(1), Nil, Nil, forceVersion = Some(1L))
+    assert(v == 2L, s"append must land at the next free version, got $v")
+    assert(new DeltaLogResolver(spark).dataFilesDetailed(loc).size == 3)
+    assert(spark.read.parquet(
+      new DeltaLogResolver(spark).dataFilesDetailed(loc).map(_.path): _*).count() == 30)
+    // a remove-carrying commit must NOT blindly retry: its read-set
+    // may have been invalidated by the winner — the conflict surfaces
+    val victim = new DeltaLogResolver(spark).dataFilesDetailed(loc).head.path
+    val e = intercept[IllegalStateException] {
+      DeltaLogWriter.commitWith(spark, loc, (90L until 95L).toDF("x").coalesce(1),
+        Nil, removePaths = Seq(victim), forceVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("not blindly retryable"))
+    assert(new DeltaLogResolver(spark).dataFilesDetailed(loc).size == 3,
+      "the failed conflicting commit must not have changed the table")
   }
 
   test("classifier: DELTA via table_type or the Spark provider parameter") {
