@@ -258,6 +258,133 @@ object Multimodal {
     (w, h, sr, sg, sb)
   }
 
+  /** Decoded RGB pixels of an 8-bit truecolor PNG, row-major packed
+    * ints — same decode pipeline as [[decodePngStats]] but
+    * materializing the bitmap (for the operators that need pixel
+    * access, e.g. [[imageResize]]). Unsupported/corrupt input ->
+    * (0, 0, empty).
+    */
+  def decodePngPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val zero = (0, 0, Array.empty[Int])
+    if (bytes.length < 8 ||
+      (bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' || bytes(2) != 'N' || bytes(3) != 'G')
+      return zero
+    def be32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= bytes.length) {
+      val len = be32(i)
+      if (len < 0 || i + 8 + len > bytes.length) return zero
+      new String(bytes, i + 4, 4, "US-ASCII") match {
+        case "IHDR" if len >= 13 =>
+          w = be32(i + 8); h = be32(i + 12)
+          bitDepth = bytes(i + 16) & 0xff; colorType = bytes(i + 17) & 0xff
+        case "IDAT" => idat.write(bytes, i + 8, len)
+        case _      => ()
+      }
+      i += 8 + len + 4
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2) return zero
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (stride + 1))
+    try {
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return zero
+        off += n
+      }
+      if (off < raw.length) return zero
+    } catch { case _: java.util.zip.DataFormatException => return zero }
+    finally inflater.end()
+    val px = new Array[Int](w * h)
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val filter = raw(rowOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val rawB = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prior(x)
+        val c = if (x >= bpp) prior(x - bpp) else 0
+        val recon = filter match {
+          case 0 => rawB
+          case 1 => rawB + a
+          case 2 => rawB + b
+          case 3 => rawB + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rawB + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return zero
+        }
+        cur(x) = recon & 0xff
+        x += 1
+      }
+      x = 0
+      while (x < w) {
+        px(y * w + x) = (cur(x * 3) << 16) | (cur(x * 3 + 1) << 8) | cur(x * 3 + 2)
+        prior(x * 3) = cur(x * 3); prior(x * 3 + 1) = cur(x * 3 + 1)
+        prior(x * 3 + 2) = cur(x * 3 + 2)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  final case class ResizedImage(doc_id: Long, thumb: Seq[Long])
+
+  /** Nearest-neighbor RESIZE to a `t`×`t` thumbnail over real decoded
+    * PNG pixels — the normalization step every vision-data pipeline
+    * runs before feature extraction. Source index = `floor(dst*src/t)`
+    * (the standard convention, mirrored exactly in the oracle). One
+    * map pass, O(pixels) per row; resizing a 100 TB image corpus
+    * never shuffles.
+    */
+  def imageResize(media: DataFrame, t: Int = 4): DataFrame = {
+    implicit val enc = Encoders.product[ResizedImage]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodePngPixels(bytes)
+          val thumb =
+            if (w == 0) Seq.empty[Long]
+            else (0 until t).flatMap { y =>
+              (0 until t).map { x =>
+                px((y * h / t) * w + (x * w / t)).toLong
+              }
+            }
+          ResizedImage(id, thumb)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[imageResize]]: regenerates the nearest-neighbor
+    * sample grid from the fixture's analytic pixels.
+    */
+  def sqlImageResize(t: Int = 4): String =
+    s"""WITH p AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+       |           FROM documents WHERE doc_id % 2 = 0),
+       |g AS (SELECT doc_id, w, h, unnest(range(0, ${t * t})) AS i FROM p),
+       |v AS (SELECT doc_id, i,
+       |        (doc_id * 31 + ((i % $t) * w // $t) * 7 + ((i // $t) * h // $t)) % 16777216 AS rgb
+       |      FROM g)
+       |SELECT doc_id, list(rgb ORDER BY i) AS thumb FROM v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** media(doc_id, img) -> [[ImageStats]] rows via
     * [[decodePngStats]]; non-PNG rows (the JPEG half of the fixture)
     * are filtered out upstream by the caller. Narrow per-partition

@@ -1996,6 +1996,16 @@ object Queries {
             .filter(col("doc_id") % 2 === 0)),
       Multimodal.sqlImageStats)),
 
+    // nearest-neighbor RESIZE over real decoded PNG pixels (the
+    // vision-pipeline normalization step): map-only, exact integer
+    // sampling grid mirrored in the oracle
+    "m6_image_resize" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageResize(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0)),
+      Multimodal.sqlImageResize())),
+
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
     // loudness feature an audio curation pipeline filters on

@@ -112,6 +112,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngStats(truncated) == ((0, 0, 0L, 0L, 0L)))
   }
 
+  test("imageResize: nearest-neighbor grid over decoded pixels; corrupt -> empty") {
+    import graft.operators.Multimodal
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, x * 16 + y)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, px) = Multimodal.decodePngPixels(bos.toByteArray)
+    assert((w, h) == ((8, 4)))
+    assert(px(0) == 0 && px(1 * 8 + 2) == 2 * 16 + 1) // (x=2,y=1)
+    // 2x2 thumbnail: src = (x*8/2, y*4/2) = (0,0),(4,0),(0,2),(4,2)
+    val sp = org.apache.spark.sql.graft.Shim.classic(TestSpark.spark)
+    import sp.implicits._
+    val df = Seq((1L, bos.toByteArray), (2L, "junk".getBytes)).toDF("doc_id", "img")
+    val got = Multimodal.imageResize(df, t = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(0L, 4L * 16, 2L, 4L * 16 + 2))
+    assert(got(2L).isEmpty, "undecodable image yields an empty thumb, not a crash")
+  }
+
   test("decodeWavEnergy: exact streaming energy, windowed max, corrupt degrade") {
     import graft.operators.Multimodal
     // samples 3, -4, 5 as 16-bit LE PCM
