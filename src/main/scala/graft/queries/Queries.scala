@@ -185,6 +185,29 @@ object Queries {
         |  (SELECT DISTINCT c_nationkey AS k FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
         |ORDER BY op, k""".stripMargin)),
 
+    // bag-semantics set ops (EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities — a different operator from q8's distinct
+    // forms); aggregated afterward so the oracle rows stay compact
+    "q42_setops_all" -> ((
+      (spark: SparkSession, sf: String) => {
+        val o = t(spark, sf, "orders")
+        val a = o.filter(col("o_custkey") % 10 === 1).select(col("o_orderpriority").as("p"))
+        val b = o.filter(col("o_custkey") % 10 === 2).select(col("o_orderpriority").as("p"))
+        a.exceptAll(b).groupBy("p").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+          .unionByName(a.intersectAll(b).groupBy("p").agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("intersect_all")))
+          .orderBy("op", "p")
+      },
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 10 = 1),
+        |     b AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 10 = 2)
+        |SELECT p, n, 'except_all' AS op FROM
+        |  (SELECT p, COUNT(*) AS n FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY p)
+        |UNION ALL
+        |SELECT p, n, 'intersect_all' AS op FROM
+        |  (SELECT p, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY p)
+        |ORDER BY op, p""".stripMargin)),
+
     "q9_window_rank" -> ((
       (spark: SparkSession, sf: String) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
