@@ -22,5 +22,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Queries.all.collect { case (k, (_, sql)) if sql != null => k -> sql }
+    Queries.all.collect { case (k, (_, sql)) if sql != null => k -> sql } ++
+      Queries.dynamicOracles
 }

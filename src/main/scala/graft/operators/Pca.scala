@@ -87,6 +87,34 @@ object Pca {
     emb.withColumn("pca", array(projCols.map(c => c): _*))
   }
 
+  /** DuckDB oracle for the reduced-space top-k query: the FITTED
+    * model (driver-side plain arrays) is embedded as literals —
+    * eigenvectors are not derivable in SQL, but a fitted projection
+    * is just k dot products, which is. `Double.toString` emits the
+    * shortest round-trip literal, so DuckDB re-reads the exact same
+    * doubles Spark projects with; the fold order of the projection
+    * and cosine mirrors [[transform]] / VectorFunctions.sqlCosine,
+    * making the hash compare exact after round(...,6).
+    */
+  def sqlReducedTopK(model: PcaModel, queryVecId: Long, topK: Int): String = {
+    import graft.functions.VectorFunctions
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val rows = model.components.zipWithIndex.map { case (comp, j) =>
+      val off = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      s"($j, [${comp.map(d).mkString(", ")}], ${d(off)})"
+    }
+    s"""WITH comps(j, comp, off) AS (VALUES ${rows.mkString(",\n  ")}),
+       |pr AS (SELECT e.vec_id, c.j,
+       |         ${VectorFunctions.sqlDot("e.embedding", "c.comp")} - c.off AS pj
+       |       FROM embeddings e CROSS JOIN comps c),
+       |rv AS (SELECT vec_id, list(pj ORDER BY j) AS r FROM pr GROUP BY vec_id),
+       |q AS (SELECT r AS qe FROM rv WHERE vec_id = $queryVecId)
+       |SELECT rv.vec_id, round(${VectorFunctions.sqlCosine("rv.r", "q.qe")}, 6) AS cos
+       |FROM rv CROSS JOIN q
+       |WHERE rv.vec_id <> $queryVecId
+       |ORDER BY cos DESC, rv.vec_id LIMIT $topK""".stripMargin
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
     * O(d³) per sweep on the DRIVER over a d×d covariance; d is the
     * embedding dimension (64 here), so this is microseconds, and it

@@ -18,6 +18,22 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Model fitted by the last s17_pca_topk run — published so the
+    * oracle dump (which Verify writes AFTER running every query) can
+    * embed the exact components the dumped parquet was projected
+    * with. Eigenvectors can't be re-derived in SQL, but a fitted
+    * projection is just k literal dot products.
+    */
+  @volatile private[graft] var s17Model: Option[graft.operators.Pca.PcaModel] = None
+
+  /** Oracles only known after a query has run (s17's fitted-model
+    * embed). Empty until the corresponding query executes, which
+    * matches the driver flow: Verify runs queries, then dumps SQL.
+    */
+  def dynamicOracles: Map[String, String] =
+    s17Model.map(m =>
+      "s17_pca_topk" -> graft.operators.Pca.sqlReducedTopK(m, 7L, 10)).toMap
+
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -1797,22 +1813,27 @@ object Queries {
     // only within clusters, never across the corpus
     // PCA-reduced exact top-k (the OPQ-lite scale path: one-pass
     // distributed moment accumulation, driver-side d×d Jacobi, then
-    // map-only projection — see operators.Pca). No SQL oracle:
-    // eigenvectors aren't expressible in DuckDB; the driver records
-    // the rows-only check and ClusteringSpec proves recall vs the
-    // full-dimension neighbors
+    // map-only projection — see operators.Pca). Eigenvectors aren't
+    // derivable in DuckDB, so the FITTED model (plain driver arrays)
+    // is embedded as literals in the oracle — the same
+    // embed-as-literal trick s14's ADC table uses; the slot below
+    // publishes the model the run actually used, and
+    // SparkEntry.oracleSql picks it up after Verify's query pass.
     "s17_pca_topk" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.operators.Pca
         import graft.functions.VectorFunctions
         val emb = t(spark, sf, "embeddings")
         val model = Pca.fit(emb, "embedding", k = 32)
+        s17Model = Some(model)
+        // stay in double end-to-end: the oracle replays the identical
+        // fold over the identical literals, so round(...,6) is exact
         val reduced = Pca.transform(emb, "embedding", model)
-          .select(col("vec_id"), col("pca").cast("array<float>").as("r"))
+          .select(col("vec_id"), col("pca").as("r"))
         val qe = reduced.filter(col("vec_id") === 7).select(col("r").as("qe"))
         reduced.filter(col("vec_id") =!= 7).crossJoin(broadcast(qe))
           .select(col("vec_id"),
-            round(VectorFunctions.cosineFast(col("r"), col("qe")), 6).as("cos"))
+            round(VectorFunctions.cosine(col("r"), col("qe")), 6).as("cos"))
           .orderBy(desc("cos"), col("vec_id")).limit(10)
       },
       null)),
@@ -2021,13 +2042,18 @@ object Queries {
 
     // nearest-neighbor RESIZE over real decoded PNG pixels (the
     // vision-pipeline normalization step): map-only, exact integer
-    // sampling grid mirrored in the oracle
+    // sampling grid mirrored in the oracle. Registered EXPLODED to
+    // one (doc_id, i, rgb) row per grid cell — a list-valued column
+    // crashes the pandas oracle harness's sort; imageResize keeps
+    // the array-thumb API for callers.
     "m6_image_resize" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.imageResize(
           spark.read.parquet(TestFixtures.mediaImages(spark, sf))
-            .filter(col("doc_id") % 2 === 0)),
-      Multimodal.sqlImageResize())),
+            .filter(col("doc_id") % 2 === 0))
+          .select(col("doc_id"), posexplode(col("thumb")).as(Seq("i", "rgb")))
+          .orderBy("doc_id", "i"),
+      Multimodal.sqlImageResizeRows())),
 
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
