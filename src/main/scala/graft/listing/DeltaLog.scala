@@ -62,6 +62,19 @@ object DeltaLogWriter {
   private def jstr(s: String): String =
     new ObjectMapper().writeValueAsString(s)
 
+  /** Prior table state per root: (version it reflects, data schema,
+    * partition columns). A streaming sink commits every micro-batch;
+    * without this, each commit replays the full log (checkpoint
+    * parquet read + commit tail) just to re-learn an unchanged
+    * schema. The cache is only TRUSTED when its version is exactly
+    * `version - 1` of the commit in flight — any interleaved writer
+    * (same process or external) advances the freshly-listed version
+    * past the cached one and forces a real replay, so staleness
+    * cannot corrupt a commit.
+    */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[StructType], Seq[String])]()
+
   /** Write `df` as the next commit of the Delta table at `location`
     * (version 0 creates the table and records `metaData`). Returns
     * the committed version.
@@ -102,6 +115,30 @@ object DeltaLogWriter {
     }).maxOption.map(_ + 1L).getOrElse(0L)
     val version = forceVersion.getOrElse(listedVersion)
 
+    // prior state (data schema + partition columns) through
+    // version-1 — ONE cached or replayed resolve, BEFORE the data
+    // write, because the table's own partitioning governs the
+    // layout of every later append: a streaming micro-batch passing
+    // partitionBy=Nil must still write hive-partitioned files and
+    // must never rewrite metaData with partitionColumns:[]
+    val prior: Option[(Option[StructType], Seq[String])] =
+      if (version == 0L) None
+      else Option(stateCache.get(root)).collect {
+        case (v, s, pc) if v == version - 1 => (s, pc)
+      }.orElse {
+        val st = new DeltaLogResolver(spark).commitState(root)
+        st.foreach { case (s, pc) => stateCache.put(root, (version - 1, s, pc)) }
+        st
+      }
+    val effPartitionBy: Seq[String] = prior match {
+      case Some((_, pc)) =>
+        require(partitionBy.isEmpty || partitionBy == pc,
+          s"partitionBy [${partitionBy.mkString(",")}] disagrees with the Delta " +
+            s"table's partitioning [${pc.mkString(",")}] at $root")
+        pc
+      case None => partitionBy
+    }
+
     // the data subdirectory is named by version PLUS a random token:
     // two writers racing the same version must never share (and
     // overwrite) each other's data directory — only the committed
@@ -109,11 +146,11 @@ object DeltaLogWriter {
     val sub = s"v${version}_${java.util.UUID.randomUUID().toString.take(8)}"
     val out = s"$root/$sub"
     val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(out)
+    (if (effPartitionBy.nonEmpty) writer.partitionBy(effPartitionBy: _*) else writer).parquet(out)
 
     // per-file add actions, stats from the footers just written
     val dataSchema = org.apache.spark.sql.types.StructType(
-      df.schema.filterNot(f => partitionBy.contains(f.name)))
+      df.schema.filterNot(f => effPartitionBy.contains(f.name)))
     def walk(p: Path): Seq[Path] = {
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -143,10 +180,11 @@ object DeltaLogWriter {
     def metaJson(schema: StructType): String =
       s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)},""" +
         s""""format":{"provider":"parquet"},"schemaString":${jstr(schema.json)},""" +
-        s""""partitionColumns":[${partitionBy.map(jstr).mkString(", ")}]}}"""
-    val metaLine =
-      if (version == 0L) Seq(metaJson(dataSchema))
-      else new DeltaLogResolver(spark).dataSchemaAt(root) match {
+        s""""partitionColumns":[${effPartitionBy.map(jstr).mkString(", ")}]}}"""
+    // schema the table holds AFTER this commit (for the state cache)
+    val (metaLine, committedSchema) =
+      if (version == 0L) (Seq(metaJson(dataSchema)), dataSchema)
+      else prior.flatMap(_._1) match {
         case Some(cur) =>
           val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
           val retyped = dataSchema.fields.filter(f =>
@@ -157,8 +195,11 @@ object DeltaLogWriter {
                 retyped.map(f => s"${f.name} ${curByName(f.name).simpleString}->${f.dataType.simpleString}")
                   .mkString(", "))
           val added = dataSchema.fields.filterNot(f => curByName.contains(f.name))
-          if (added.nonEmpty) Seq(metaJson(StructType(cur.fields ++ added))) else Nil
-        case None => Seq(metaJson(dataSchema))
+          if (added.nonEmpty) {
+            val merged = StructType(cur.fields ++ added)
+            (Seq(metaJson(merged)), merged)
+          } else (Nil, cur)
+        case None => (Seq(metaJson(dataSchema)), dataSchema)
       }
     val rootPath = new Path(root).toUri.getPath
     val removes = removePaths.map { p =>
@@ -194,7 +235,14 @@ object DeltaLogWriter {
       val dst = new Path(logDir, f"${v}%020d.json")
       val os = fs.create(tmp, true)
       try os.write(body.getBytes("UTF-8")) finally os.close()
-      if (fs.rename(tmp, dst)) return v
+      if (fs.rename(tmp, dst)) {
+        // publish at the expected version advances the cached state;
+        // a retried publish (another writer won a version we never
+        // replayed) just invalidates it — the next commit re-resolves
+        if (v == version) stateCache.put(root, (v, Some(committedSchema), effPartitionBy))
+        else stateCache.remove(root)
+        return v
+      }
       fs.delete(tmp, false)
       if (!retryable || attempt >= 4)
         throw new IllegalStateException(
@@ -420,6 +468,20 @@ final class DeltaLogResolver(spark: SparkSession) {
         val pc = st.partitionColumns.map(_.toLowerCase).toSet
         StructType(s.filterNot(f => pc.contains(f.name.toLowerCase)))
       }
+    }
+
+  /** Commit-time prior state in ONE log replay: (data schema if the
+    * log declares one, partition columns). The writer needs both —
+    * resolving them separately would replay the log twice per
+    * commit.
+    */
+  private[listing] def commitState(location: String)
+      : Option[(Option[StructType], Seq[String])] =
+    rawState(location, 0).map { st =>
+      val pc = st.partitionColumns.map(_.toLowerCase).toSet
+      (st.schemaString.flatMap(parseSchema).map(s =>
+        StructType(s.filterNot(f => pc.contains(f.name.toLowerCase)))),
+        st.partitionColumns)
     }
 
   /** Live data files of the selected version (latest − offset). */

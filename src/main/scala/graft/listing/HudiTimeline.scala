@@ -137,9 +137,14 @@ object HudiTimelineWriter {
     }
 
     // data files: write with the partition layout, then move each
-    // part file to its Hudi slice name under the partition dir
-    // unique per commit attempt — racing writers must not share it
-    val tmp = s"$root/.tmp_${instant}_${java.util.UUID.randomUUID().toString.take(8)}"
+    // part file to its Hudi slice name under the partition dir.
+    // The per-attempt random token covers BOTH the tmp dir and the
+    // final slice names (via the fileId): two writers racing the same
+    // instant place disjoint data files, so the ONLY contention point
+    // is the .hoodie instant rename — never a destination-file
+    // collision that would strand already-renamed slices
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"$root/.tmp_${instant}_$token"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     def walk(p: Path): Seq[Path] =
@@ -152,7 +157,7 @@ object HudiTimelineWriter {
     val tmpUri = tmpPath.toUri.getPath
     val moved = walk(tmpPath).sortBy(_.toString).zipWithIndex.map { case (p, idx) =>
       val relDir = p.getParent.toUri.getPath.stripPrefix(tmpUri).stripPrefix("/")
-      val fileId = s"f$instant-$idx"
+      val fileId = s"f$instant-$idx-$token"
       val name = s"${fileId}_0-0-0_$instant.parquet"
       val destDir = if (relDir.isEmpty) new Path(root) else new Path(s"$root/$relDir")
       fs.mkdirs(destDir)
@@ -181,12 +186,38 @@ object HudiTimelineWriter {
     val kind = if (replaceFileIds.isEmpty) "commit" else "replacecommit"
     val body = s"""{$replaceJson"partitionToWriteStats": $statsByPartition}"""
 
-    val tmpInstant = new Path(tl, s".$instant.$kind.tmp")
-    val dst = new Path(tl, s"$instant.$kind")
-    val os = fs.create(tmpInstant, true)
-    try os.write(body.getBytes("UTF-8")) finally os.close()
-    if (!fs.rename(tmpInstant, dst))
-      throw new IllegalStateException(s"instant $instant already published at $dst")
-    instant
+    // publish: the commit body references data files only by path/
+    // fileId (both token-unique), so an INSERT-only commit that loses
+    // the instant rename race republishes the SAME body at the next
+    // free instant — optimistic concurrency, like Delta's blind
+    // appends. A replacecommit's read-set (the groups it retires) may
+    // have been invalidated by the winner, so it surfaces the
+    // conflict instead.
+    var attempt = 0
+    var cur = instant
+    while (true) {
+      val tmpInstant = new Path(tl, s".$cur.$kind.$token.tmp")
+      val dst = new Path(tl, s"$cur.$kind")
+      val os = fs.create(tmpInstant, true)
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      if (fs.rename(tmpInstant, dst)) return cur
+      fs.delete(tmpInstant, false)
+      if (replaceFileIds.nonEmpty || attempt >= 4)
+        throw new IllegalStateException(
+          s"instant $cur already published at $dst" +
+            (if (replaceFileIds.isEmpty) " after 5 attempts"
+             else " — re-resolve and reapply (replacecommits are not blindly retryable)"))
+      val taken = fs.listStatus(tl).toSeq.flatMap(_.getPath.getName match {
+        case InstantRe(i, _) => Some(BigInt(i))
+        case _               => None
+      })
+      val nxt = (taken.maxOption.getOrElse(BigInt(0)) + 1).max(BigInt(cur) + 1)
+      val digits = nxt.toString
+      require(digits.length <= width,
+        s"instant $digits overflows the timeline's $width-char width at $root")
+      cur = ("0" * (width - digits.length)) + digits
+      attempt += 1
+    }
+    cur // unreachable
   }
 }

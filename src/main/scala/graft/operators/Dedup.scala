@@ -1083,7 +1083,14 @@ object Dedup {
       hashLines: Boolean = false): DataFrame = {
     val toks = tokens(col("text"))
     val nChunks = ceil(size(toks) / lit(window.toDouble)).cast("long")
-    val key = col("doc_id") * lit(1000000L) + col("pos")
+    // lexicographic struct min, NOT an arithmetic composite: a
+    // doc_id*C+pos key silently bleeds into the next doc's keyspace
+    // once a document exceeds C chunks — struct ordering has no such
+    // cliff. (hashLines=true additionally accepts the standard
+    // xxhash64-collision caveat: two distinct lines hashing equal
+    // would merge, the same trade C4 makes for the 10x smaller
+    // shuffle.)
+    val key = struct(col("doc_id"), col("pos"))
     val e = docs.filter(size(toks) > 0)
       .select(col("doc_id"), explode(sequence(lit(0L), nChunks - 1)).as("ci"),
         toks.as("toks"))
@@ -1112,7 +1119,7 @@ object Dedup {
        |      FROM t WHERE len(toks) > 0),
        |e AS (SELECT doc_id, ci + 1 AS pos,
        |        array_to_string(toks[(ci*$window+1):(ci*$window+$window)], ' ') AS line FROM c),
-       |k AS (SELECT doc_id, pos, line, doc_id * 1000000 + pos AS k FROM e),
+       |k AS (SELECT doc_id, pos, line, ROW(doc_id, pos) AS k FROM e),
        |f AS (SELECT line, MIN(k) AS fk FROM k GROUP BY line)
        |SELECT k.doc_id, COUNT(*) AS n_lines,
        |  CAST(SUM(CASE WHEN k.k = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

@@ -184,6 +184,7 @@ object Multimodal {
       ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
     var i = 8
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var methods = -1 // compression<<16 | filter<<8 | interlace: all must be 0
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= bytes.length) {
       val len = be32(i)
@@ -193,12 +194,15 @@ object Multimodal {
         case "IHDR" if len >= 13 =>
           w = be32(i + 8); h = be32(i + 12)
           bitDepth = bytes(i + 16) & 0xff; colorType = bytes(i + 17) & 0xff
+          methods = ((bytes(i + 18) & 0xff) << 16) | ((bytes(i + 19) & 0xff) << 8) |
+            (bytes(i + 20) & 0xff)
         case "IDAT" => idat.write(bytes, i + 8, len)
         case _      => ()
       }
       i += 8 + len + 4 // skip CRC
     }
-    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2) return zero
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || methods != 0)
+      return zero // incl. Adam7 interlace: it inflates to MORE than h*(stride+1)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val bpp = 3
@@ -273,6 +277,7 @@ object Multimodal {
       ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
     var i = 8
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var methods = -1 // compression<<16 | filter<<8 | interlace: all must be 0
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= bytes.length) {
       val len = be32(i)
@@ -281,12 +286,15 @@ object Multimodal {
         case "IHDR" if len >= 13 =>
           w = be32(i + 8); h = be32(i + 12)
           bitDepth = bytes(i + 16) & 0xff; colorType = bytes(i + 17) & 0xff
+          methods = ((bytes(i + 18) & 0xff) << 16) | ((bytes(i + 19) & 0xff) << 8) |
+            (bytes(i + 20) & 0xff)
         case "IDAT" => idat.write(bytes, i + 8, len)
         case _      => ()
       }
       i += 8 + len + 4
     }
-    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2) return zero
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || methods != 0)
+      return zero // incl. Adam7 interlace: it inflates to MORE than h*(stride+1)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val bpp = 3

@@ -466,6 +466,38 @@ class DeltaSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "ev", 2).columns.toSeq == Seq("x"))
   }
 
+  test("schema-evolving append to a PARTITIONED table keeps the log's partitioning") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_evo_part_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable(Seq((1L, "a"), (2L, "b")).toDF("x", "k").coalesce(1),
+      "d", "evp", loc, partitionBy = Seq("k"))
+    // the evolving append passes NO partitionBy (the streaming-sink
+    // shape) — the writer must take the table's partitioning from the
+    // log, write hive-partitioned files, and re-declare metaData with
+    // the ORIGINAL partitionColumns, not []
+    eng.appendDeltaTable(Seq((3L, "a", "y3")).toDF("x", "k", "y").coalesce(1), "d", "evp")
+    val files = eng.files("d", "evp")
+    assert(files.forall(_.partitionValues.keySet == Set("k")),
+      "appended files keep hive partitionValues")
+    val df = eng.tableDF("d", "evp")
+    assert(df.columns.toSet == Set("x", "k", "y"))
+    assert(df.filter(col("k") === "a").count() == 2)
+    assert(df.collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("k"),
+      Option(r.getAs[String]("y")))).toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "a", Some("y3"))))
+    // a later plain append still reads the evolved, partitioned state
+    eng.appendDeltaTable(Seq((4L, "b", "y4")).toDF("x", "k", "y").coalesce(1), "d", "evp")
+    assert(eng.tableDF("d", "evp").count() == 4)
+    // a CONTRADICTORY partitionBy on an existing table fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.listing.DeltaLogWriter.commit(spark, loc,
+        Seq((9L, "z", "y9")).toDF("x", "k", "y"), partitionBy = Seq("x"))
+    }
+    assert(e.getMessage.contains("disagrees"))
+  }
+
   test("blind appends retry past a lost commit race; remove commits surface it") {
     import spark.implicits._
     import graft.listing.{DeltaLogResolver, DeltaLogWriter}
