@@ -160,7 +160,8 @@ final class GlueTableEngine(
             // tables prune like Hive ones (the reference never prunes
             // Iceberg). Manifests carry no mtime; 0 = unknown.
             iceberg.dataFilesDetailed(location(meta), versionOffset)
-              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L, bounds = f.bounds))
+              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L,
+                bounds = f.bounds, rowCount = f.rowCount))
           case TableType.Delta =>
             // Same zero-extra-I/O contract as Iceberg: sizes,
             // partition values, AND per-column stats ranges all come
@@ -168,7 +169,8 @@ final class GlueTableEngine(
             // the read path's skipping tier consumes the bounds
             // without any footer reads.
             delta.dataFilesDetailed(location(meta), versionOffset)
-              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L, bounds = f.bounds))
+              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L,
+                bounds = f.bounds, rowCount = f.rowCount))
           case TableType.Hudi =>
             // COW latest-file-slice resolution from the .hoodie
             // timeline: a directory listing would double-count every
@@ -186,7 +188,8 @@ final class GlueTableEngine(
                     val Array(k, v) = seg.split("=", 2)
                     k -> java.net.URLDecoder.decode(v, "UTF-8")
                   }.toMap
-                S3FileInfo(f.path, pv, f.size, modTime = 0L, bounds = Map.empty)
+                S3FileInfo(f.path, pv, f.size, modTime = 0L, bounds = Map.empty,
+                  rowCount = None) // Hudi commit stats carry no row counts
               }
           case _ =>
             val root = lister.list(location(meta), meta.table.partitionKeys.map(_.name))
@@ -270,15 +273,19 @@ final class GlueTableEngine(
   def tableDF(database: String, table: String, versionOffset: Int = 0): DataFrame =
     readTable(database, table, versionOffset, keep = None, proxied = false)
 
-  /** Exact `COUNT(*)` from METADATA alone: sum of the parquet
-    * footers' record counts over the version's live file set — KB of
-    * driver I/O per file (parallel GETs), no Spark job, no data
-    * pages. At 100 TB this answers in listing time, where even a
-    * column-less scan is a full-cluster job. Works for every
-    * parquet-classified layout (Hive, unpartitioned, projected,
-    * Iceberg, Delta — the live set already honors snapshots/removes).
-    * Falls back to a real `count()` when the format isn't parquet or
-    * any footer is unreadable, so the answer is always exact.
+  /** Exact `COUNT(*)` from METADATA alone, cheapest source first:
+    * files whose LISTING already carries a row count (Delta
+    * add-action `stats.numRecords`, Iceberg manifest `record_count`)
+    * contribute with ZERO per-file I/O — at 10M files the log/
+    * manifest state the engine has already cached answers the whole
+    * count, where one footer GET per file would be hours of driver
+    * I/O. Only files the listing is silent about (plain Hive
+    * layouts, statless adds) fall back to parallel KB-scale footer
+    * reads; still no Spark job, no data pages. A real distributed
+    * `count()` remains the backstop when the format isn't parquet, a
+    * footer is unreadable, or the snapshot carries merge-on-read
+    * delete files (per-file counts predate the deletes, so a
+    * metadata sum would overcount).
     */
   def countRows(database: String, table: String, versionOffset: Int = 0): Long = {
     val meta = tableMetadata(database, table)
@@ -286,20 +293,28 @@ final class GlueTableEngine(
     if (infos.isEmpty) return 0L
     if (classification(meta) != "parquet")
       return tableDF(database, table, versionOffset).count()
+    // MOR deletes subtract rows that every per-file count (listing
+    // OR footer) still includes — only a real scan is exact
+    if (meta.tableType == TableType.Iceberg &&
+        iceberg.deleteFilesDetailed(location(meta), versionOffset).nonEmpty)
+      return tableDF(database, table, versionOffset).count()
+    val (known, unknown) = infos.partition(_.rowCount.isDefined)
+    val knownSum = known.flatMap(_.rowCount).sum
+    if (unknown.isEmpty) return knownSum
     val conf = hadoopConf
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, infos.size)))
+      math.min(16, math.max(1, unknown.size)))
     val counts =
       try {
         import scala.jdk.CollectionConverters._
-        val tasks = infos.map { f =>
+        val tasks = unknown.map { f =>
           new java.util.concurrent.Callable[Option[Long]] {
             override def call() = graft.listing.FooterStats.rowCount(conf, f.path)
           }
         }
         pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
       } finally pool.shutdown()
-    if (counts.forall(_.isDefined)) counts.flatten.sum
+    if (counts.forall(_.isDefined)) knownSum + counts.flatten.sum
     else tableDF(database, table, versionOffset).count()
   }
 

@@ -9,9 +9,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import scala.jdk.CollectionConverters._
 
-/** One live data file of a Delta table version. */
+/** One live data file of a Delta table version. `rowCount` is the
+  * add-action's `stats.numRecords` when present — the log already
+  * knows how many rows each file holds, so consumers (metadata
+  * COUNT(*)) never need a footer read.
+  */
 final case class DeltaDataFile(path: String, size: Long,
-    partition: Map[String, String], bounds: Map[String, ColRange])
+    partition: Map[String, String], bounds: Map[String, ColRange],
+    rowCount: Option[Long])
 
 /** Delta Lake transaction-log → data-file resolution, without a
   * Delta runtime — the Delta counterpart of
@@ -490,9 +495,18 @@ final class DeltaLogResolver(spark: SparkSession) {
     val schema = st.schemaString.flatMap(parseSchema)
     st.adds.map { case (path, size, pv, stats) =>
       DeltaDataFile(path, size, pv,
-        stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty))
+        stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty),
+        stats.flatMap(numRecordsOf))
     }.sortBy(_.path)
   }
+
+  /** `stats.numRecords` of one add action — unparseable/absent is
+    * None, never a throw (absence only costs a footer fallback).
+    */
+  private def numRecordsOf(statsJson: String): Option[Long] =
+    try Option(mapper.readTree(statsJson))
+      .flatMap(n => Option(n.get("numRecords"))).filter(_.isNumber).map(_.asLong())
+    catch { case _: Exception => None }
 
   /** The replay itself: newest checkpoint at/below the target as the
     * base state, then the commit tail in order. Loud on a gap — a

@@ -53,7 +53,8 @@ final class HadoopFileLister(hadoopConf: Configuration) extends FileLister {
     }
     val sorted = out.toSeq.sortBy(_._1) // deterministic order
     sorted.map { case (p, len, mod) =>
-      S3FileInfo(p, PartitionValues.extract(p, partitionKeys), len, mod, bounds = Map.empty)
+      S3FileInfo(p, PartitionValues.extract(p, partitionKeys), len, mod,
+        bounds = Map.empty, rowCount = None)
     }
   }
 }

@@ -60,16 +60,35 @@ object FooterStats {
       finally reader.close()
     }.getOrElse(Map.empty)
 
+  /** Test observability: footer opens made by [[rowCount]] since JVM
+    * start — lets a spec PROVE a metadata count answered from the
+    * table format's own log/manifest counts with zero footer I/O.
+    */
+  val rowCountReads = new java.util.concurrent.atomic.AtomicLong()
+
   /** Exact row count of one parquet file from its footer alone —
     * KB-scale metadata I/O, no data pages touched, no Spark job.
     * None when the footer is unreadable.
     */
-  def rowCount(conf: Configuration, path: String): Option[Long] =
+  def rowCount(conf: Configuration, path: String): Option[Long] = {
+    rowCountReads.incrementAndGet()
     Try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
       try reader.getRecordCount
       finally reader.close()
     }.toOption
+  }
+
+  /** Bounds AND row count in ONE footer open — for writers that
+    * derive add-action/manifest statistics from the files they just
+    * wrote; two separate calls would double the per-file driver GETs.
+    */
+  def readWithCount(conf: Configuration, path: String): (Map[String, ColRange], Option[Long]) =
+    Try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      try (collect(reader.getFooter.getBlocks.asScala.toSeq), Some(reader.getRecordCount))
+      finally reader.close()
+    }.getOrElse((Map.empty, None))
 
   private def collect(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData]): Map[String, ColRange] = {
     val perCol = blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)

@@ -48,7 +48,12 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     * read (empty when the manifest omits them).
     */
   final case class IcebergDataFile(path: String, size: Long,
-      partition: Map[String, String], bounds: Map[String, ColRange])
+      partition: Map[String, String], bounds: Map[String, ColRange],
+      /** Manifest `record_count` (spec-required in real manifests) —
+        * lets metadata COUNT(*) answer with zero per-file I/O; None
+        * for simplified fixtures that omit it.
+        */
+      rowCount: Option[Long])
 
   /** One live DELETE file (Iceberg v2 merge-on-read): `content` 1 =
     * position deletes (parquet rows of `file_path`, `pos`), 2 =
@@ -270,6 +275,17 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
               // time, so the size invariant still holds downstream.
               case None => -1L
             }
+            // record_count: spec-required, but absence (simplified
+            // fixtures) or a writer's explicit -1 sentinel only
+            // costs the footer fallback — never guessed
+            val rowCount: Option[Long] =
+              Option(df.getSchema.getField("record_count")).flatMap { f =>
+                df.get(f.pos()) match {
+                  case l: java.lang.Long    => Some(l.longValue())
+                  case i: java.lang.Integer => Some(i.longValue())
+                  case _                    => None
+                }
+              }.filter(_ >= 0L)
             // identity-transform partition values ride along in the
             // spec-required `partition` record; field names are the
             // partition column names. Values stringify (the engine's
@@ -301,7 +317,7 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
               }
             }.toMap
             (content, equalityCols,
-              IcebergDataFile(df.get("file_path").toString, size, partition, bounds))
+              IcebergDataFile(df.get("file_path").toString, size, partition, bounds, rowCount))
             }
           }).flatten
         }

@@ -47,6 +47,7 @@ object IcebergWriter {
   private def dataFileSchema(partSchema: Option[Schema]): Schema = {
     val b = SchemaBuilder.record("iw_data_file").fields()
       .requiredString("file_path").requiredLong("file_size_in_bytes")
+      .requiredLong("record_count") // spec-required; -1 = unknown
     val withPart = partSchema.fold(b)(ps => b.name("partition").`type`(ps).noDefault())
     withPart
       .name("lower_bounds").`type`().array().items(boundKv).noDefault()
@@ -215,10 +216,13 @@ object IcebergWriter {
 
     // 2+3. one manifest for this batch
     val entries = parts.map { st =>
-      val stats = FooterStats.read(conf, st.getPath.toString)
+      // ONE footer open per written file yields bounds AND the row
+      // count the manifest must carry (record_count)
+      val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
       val d = new GenericData.Record(dataFileS)
       d.put("file_path", st.getPath.toUri.getPath)
       d.put("file_size_in_bytes", st.getLen)
+      d.put("record_count", nRows.getOrElse(-1L))
       partSchemaOpt.foreach { ps =>
         // k=v path segments -> typed identity values
         val segs = st.getPath.getParent.toUri.getPath.split('/')

@@ -98,7 +98,15 @@ final case class S3FileInfo(
       * footer reads. Explicit at every construction site, like
       * `size`.
       */
-    bounds: Map[String, graft.listing.ColRange])
+    bounds: Map[String, graft.listing.ColRange],
+    /** Exact rows in the file when the listing source already knows
+      * (Delta add-action `stats.numRecords`, Iceberg manifest
+      * `record_count`) — metadata COUNT(*) then needs ZERO per-file
+      * I/O. None means "source doesn't say" (plain Hive listings,
+      * Hudi commit stats); consumers fall back to footer reads.
+      * Explicit at every construction site, like `size`.
+      */
+    rowCount: Option[Long])
 
 /** Engine configuration (reference: src/types.ts:42-49 — defaults
   * maxEntries=100, both TTLs 3600000 ms). `proxyAddress` replicates

@@ -137,12 +137,17 @@ class DeltaSpec extends AnyFunSuite {
     }
     val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
     sc.addSparkListener(listener)
+    val footerReads0 = graft.listing.FooterStats.rowCountReads.get()
     try {
       assert(engine.countRows("default", "delta_lineitem") == want)
       // time travel counts too: v1 has both files
       assert(engine.countRows("default", "delta_lineitem", 1) == wantV1)
       Thread.sleep(1000) // listener events are async
       assert(jobs.get() == 0, s"metadata count launched ${jobs.get()} Spark job(s)")
+      // the log's add-action stats already carry numRecords: the
+      // count must come from cached log state with ZERO footer I/O
+      val footerReads = graft.listing.FooterStats.rowCountReads.get() - footerReads0
+      assert(footerReads == 0L, s"metadata count read $footerReads parquet footer(s)")
     } finally sc.removeSparkListener(listener)
   }
 

@@ -34,8 +34,13 @@ class IcebergWriterSpec extends AnyFunSuite {
     // incremental read = exactly the appended batch
     assert(eng.tableDFIncremental("d", "iw", 1, 0).agg(min("k"), max("k")).head()
       .toSeq == Seq(1000L, 1099L))
-    // metadata count over live files
+    // metadata count comes from the manifests' record_count with
+    // ZERO footer I/O (the writer records it from the one footer
+    // open it already makes per written file)
+    val footerReads0 = graft.listing.FooterStats.rowCountReads.get()
     assert(eng.countRows("d", "iw") == 200L)
+    val footerReads = graft.listing.FooterStats.rowCountReads.get() - footerReads0
+    assert(footerReads == 0L, s"metadata count read $footerReads parquet footer(s)")
   }
 
   test("merge-on-read deletes: zero rewrites, position and equality variants") {
@@ -65,6 +70,11 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "imd").count() == 90 - 18) // 9 of each grp under k<90
     // time travel: the pre-delete snapshots still see everything
     assert(eng.tableDF("d", "imd", 2).count() == 100)
+    // metadata COUNT(*) must NOT trust per-file counts under MOR
+    // deletes (they predate the deletes): it falls back to the scan
+    // and stays exact
+    assert(eng.countRows("d", "imd") == 72L)
+    assert(eng.countRows("d", "imd", 2) == 100L)
   }
 
   test("self-written manifest bounds skip files with footers disabled") {
