@@ -911,21 +911,23 @@ object Dedup {
     * generation: near-duplicate PAIRS become duplicate CLUSTERS, and
     * one representative per cluster survives (see [[canonicalKeep]]).
     *
-    * Algorithm: iterative min-label propagation. Every node starts
-    * labelled with itself; each round every node takes the minimum of
-    * its own label and its neighbours' labels; fixpoint = each node
-    * carries the smallest node id in its component. Rounds needed =
+    * Algorithm: HYBRID. Phase 1 is iterative min-label propagation —
+    * every node starts labelled with itself, each round takes the
+    * minimum of its own and its neighbours' labels; rounds needed =
     * graph diameter, and near-duplicate components are near-cliques
-    * (diameter 1–3 in practice), so the loop converges in a handful of
-    * rounds. Each round is one shuffle join (edges x labels) + one
-    * min-aggregation; `localCheckpoint` truncates the growing lineage
-    * so round N's plan does not replay rounds 1..N-1. At 100 TB the
-    * same loop runs with reliable checkpointing; for adversarial
-    * long-path graphs the alternating large-star/small-star rounds of
-    * Kiveris et al. ("Connected Components in MapReduce and Beyond",
-    * SoCC'14) bound rounds by O(log^2 n) — not needed for dedup
-    * graphs, and each of its rounds costs the same join + agg as one
-    * of ours.
+    * (diameter 1–3 in practice), so real dedup graphs converge in a
+    * handful of the CHEAPEST possible rounds (one shuffle join + one
+    * min-aggregation each; `localCheckpoint` truncates lineage so
+    * round N never replays rounds 1..N-1). A graph still moving
+    * after [[MinLabelRounds]] rounds is diameter-pathological (long
+    * chains), and phase 2 switches to the alternating
+    * large-star/small-star contraction of Kiveris et al. ("Connected
+    * Components in MapReduce and Beyond", SoCC'14,
+    * [[alternatingComponents]]), whose round count is O(log² n) on
+    * ANY graph — a 10k-node path that would blow a diameter bound
+    * converges in a few dozen contraction rounds. Still fail-loud:
+    * exhausting the total budget raises rather than returning
+    * silently split clusters.
     *
     * The companion DuckDB oracle is a recursive CTE propagating labels
     * downhill (`WHERE r.lbl < e.dst`): the component-minimum reaches
@@ -953,12 +955,8 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    // maxRounds is a diameter bound; dedup graphs converge in ~2-4
-    // rounds. Min-label propagation needs at most graph-diameter
-    // rounds, so hitting the bound without converging means a
-    // pathological chain — returning the partial labels would be
-    // WRONG clusters, so fail (checked after the loop).
-    while (!converged && rounds < maxRounds) {
+    val diameterBudget = math.min(MinLabelRounds, maxRounds)
+    while (!converged && rounds < diameterBudget) {
       val viaNeighbours = und
         .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
         .select(col("src").as("node"), col("lbl"))
@@ -971,11 +969,113 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (converged)
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    else
+      // diameter exceeds the cheap-phase budget: contract instead of
+      // failing — O(log² n) rounds on any graph shape
+      alternatingComponents(pairs, maxRounds - rounds)
+  }
+
+  /** Rounds of plain min-label propagation [[connectedComponents]]
+    * attempts before switching to the contraction algorithm — deep
+    * enough that every realistic near-dup graph (diameter 1–4)
+    * converges without ever paying a contraction round's extra cost.
+    */
+  private[graft] val MinLabelRounds = 8
+
+  /** Connected components by ALTERNATING large-star/small-star
+    * contraction (Kiveris et al., SoCC'14): per round, large-star
+    * links every neighbour larger than `u` to `u`'s minimum
+    * neighbourhood label, then small-star links `u` and its smaller
+    * neighbours to that minimum; the edge set converges to stars
+    * rooted at each component's minimum id in O(log² n) rounds on ANY
+    * graph — path graphs included, where plain propagation needs
+    * diameter rounds. Output matches [[connectedComponents]]:
+    * `(doc_id, cluster_id = component-min id)`.
+    *
+    * Scale shape: each round is two groupBy-min aggregations and two
+    * joins over the CURRENT edge set, which only shrinks (toward one
+    * edge per non-root node); `localCheckpoint` truncates lineage
+    * per round. Convergence is detected by a decimal-sum signature
+    * (count, Σu, Σv — exact, no float loss) and then CONFIRMED with
+    * an exact set-difference before declaring the fixpoint, so a
+    * signature collision can never end the loop early with wrong
+    * clusters; the budget exhausting raises rather than returning
+    * partial labels.
+    */
+  private[graft] def alternatingComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val nodes = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    // canonical orientation u > v; self loops contribute nothing
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    // large-star: from BOTH orientations of each edge, every
+    // neighbour v > u relinks to m(u) = min(N(u) ∪ {u}); edges where
+    // v < u re-emerge from v's own group, so no adjacency is lost
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nbrs.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: per larger endpoint u (all its neighbours are < u
+    // under the canonical orientation), link u and every non-minimum
+    // neighbour to m = min(N(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val viaV = e.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val viaU = m.select(col("u"), col("m").as("v"))
+      viaV.union(viaU).filter(col("u") =!= col("v")).distinct()
+    }
+    def sig(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+        Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prevSig = sig(edges)
+    var converged = edges.isEmpty // a pair-free input is already done
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = sig(next)
+      // signature equality is the cheap gate; the exact set diff (two
+      // distinct sets of equal size, one-way subset ⇒ equal) is the
+      // proof — convergence is never declared off a sum collision
+      converged = nextSig == prevSig && next.exceptAll(edges).isEmpty
+      prevSig = nextSig
+      edges = next
+      rounds += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds rounds — " +
-        "graph diameter exceeds the bound; raise maxRounds or pre-contract the graph " +
-        "(returning partial labels would silently split clusters)")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      s"alternatingComponents did not converge within $maxRounds rounds — " +
+        "raise maxRounds (returning partial labels would silently split clusters)")
+    // the fixpoint must be STAR-shaped (one edge per non-root, roots
+    // never on the u side) — a one-off structural check that makes
+    // any early-stop bug loud instead of silently mislabeling
+    if (!edges.isEmpty) {
+      val multiEdge = edges.groupBy("u").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).isEmpty
+      val rootsAreLeaves = edges.select("u")
+        .intersect(edges.select(col("v").as("u"))).isEmpty
+      if (!multiEdge || !rootsAreLeaves) throw new IllegalStateException(
+        "alternatingComponents converged to a non-star edge set — internal invariant violated")
+    }
+    // fixpoint = stars rooted at component minima: every non-root
+    // node holds exactly (node, min); roots label themselves
+    nodes.join(edges.select(col("u").as("node"), col("v").as("lbl")), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("lbl"), col("node")).as("cluster_id"))
   }
 
   /** Duplicate clusters over the near-duplicate pair graph at exact

@@ -263,6 +263,33 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.length == 12 && labels.forall(_.getLong(1) == 0L))
   }
 
+  test("contraction phase: a 10k-node chain converges where diameter-bound propagation cannot") {
+    import spark.implicits._
+    // diameter 9999 — plain min-label would need ~10k rounds; the
+    // hybrid switches to large-star/small-star after MinLabelRounds
+    // and contracts in O(log² n) rounds
+    val n = 10000L
+    val path = (0L until n).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    val labels = Dedup.connectedComponents(path)
+    assert(labels.count() == n)
+    assert(labels.filter(col("cluster_id") =!= 0L).isEmpty,
+      "every chain node must label to the component minimum 0")
+  }
+
+  test("alternating contraction labels branchy multi-component graphs correctly") {
+    import spark.implicits._
+    // three components incl. a cycle and duplicate/reversed pairs
+    val pairs = Seq((5L, 9L), (9L, 1L), (2L, 7L), (7L, 2L), (8L, 3L),
+      (3L, 4L), (4L, 8L)).toDF("a", "b")
+    val got = Dedup.alternatingComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(5L -> 1L, 9L -> 1L, 1L -> 1L,
+      2L -> 2L, 7L -> 2L, 8L -> 3L, 3L -> 3L, 4L -> 3L))
+    // empty input stays empty
+    assert(Dedup.alternatingComponents(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().isEmpty)
+  }
+
   test("connected components of an empty pair list are empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
