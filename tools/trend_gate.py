@@ -37,9 +37,13 @@ def load(path):
         # driver-shaped artifact (BENCH_r{N}.json): the bench JSON line
         # is embedded in the captured process tail
         import re
-        m = re.search(r'\{"metric".*\}', d["tail"])
-        if m:
-            d = json.loads(m.group(0))
+        # prefer a complete line that carries per-query timings; the
+        # short pointer line graft.Bench now prints LAST also matches
+        # {"metric"...} but has no "queries" key
+        cands = [json.loads(m) for m in re.findall(r'\{"metric".*\}', d["tail"])]
+        full = next((c for c in cands if "queries" in c), None)
+        if full is not None:
+            d = full
         else:
             # The tail capture keeps the LAST N bytes, so the summary
             # line can be head-truncated (round 8's artifact): the line
@@ -60,6 +64,13 @@ def load(path):
                           f"salvaged {len(qs)} per-query timings from the tail")
                     d = {"value": float(mv.group(1)) if mv else sum(qs.values()),
                          "queries": qs}
+                elif cands:
+                    # only the short pointer line survived: read the
+                    # per-query file it names (same-box runs)
+                    qf = cands[-1].get("queries_file")
+                    if qf and os.path.exists(qf):
+                        with open(qf) as f2:
+                            d = json.load(f2)
     if "queries" not in d:
         sys.exit(f"{path}: not a bench artifact (no 'queries' key)")
     return d
