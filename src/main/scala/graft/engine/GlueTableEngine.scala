@@ -69,6 +69,11 @@ final class GlueTableEngine(
   // same TTL/invalidation family as the listing.
   private val deleteCache = new TtlCache[Seq[IcebergSnapshotResolver#IcebergDeleteFile]](
     config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
+  // Canonical data-file path -> data sequence number per table
+  // version — scopes equality deletes (they apply only to files with
+  // a strictly smaller sequence); same TTL/invalidation family.
+  private val seqCache = new TtlCache[Map[String, Long]](
+    config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
 
   // ---------------------------------------------------------------- metadata
 
@@ -576,7 +581,14 @@ final class GlueTableEngine(
       val deletes = deleteCache.get(s"${meta.table.database}.${meta.table.name}#del#v$versionOffset") {
         iceberg.deleteFilesDetailed(location(meta), versionOffset)
       }
-      if (deletes.isEmpty) base else applyIcebergDeletes(base, deletes)
+      if (deletes.isEmpty) base
+      else {
+        val dataSeq = seqCache.get(s"${meta.table.database}.${meta.table.name}#seq#v$versionOffset") {
+          iceberg.dataFilesDetailed(location(meta), versionOffset)
+            .map(f => f.path -> f.seq).toMap // raw paths; canonicalized at join time
+        }
+        applyIcebergDeletes(base, deletes, dataSeq)
+      }
     }
   }
 
@@ -587,7 +599,8 @@ final class GlueTableEngine(
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   private def applyIcebergDeletes(df: DataFrame,
-      deletes: Seq[IcebergSnapshotResolver#IcebergDeleteFile]): DataFrame = {
+      deletes: Seq[IcebergSnapshotResolver#IcebergDeleteFile],
+      dataSeqByPath: Map[String, Long]): DataFrame = {
     var out = df
     val pos = deletes.filter(_.content == 1)
     if (pos.nonEmpty) {
@@ -600,13 +613,43 @@ final class GlueTableEngine(
           col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"), "left_anti")
         .drop("__fp", "__pos")
     }
-    deletes.filter(_.content == 2).foreach { ef =>
-      if (ef.equalityCols.isEmpty) throw new IllegalStateException(
-        s"equality delete file ${ef.path} carries no resolvable equality_ids")
-      val del = spark.read.parquet(ef.path)
-        .select(ef.equalityCols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
-      val cond = ef.equalityCols.map(c => out(c) <=> col(s"__eq_$c")).reduce(_ && _)
-      out = out.join(broadcast(del), cond, "left_anti")
+    val eqs = deletes.filter(_.content == 2)
+    if (eqs.nonEmpty) {
+      // SEQUENCE SCOPING (Iceberg spec): an equality delete applies
+      // only to data files with a STRICTLY smaller data sequence
+      // number — rows re-appended AFTER the delete must survive it.
+      // The per-row sequence comes from a tiny broadcast (path, seq)
+      // join against the generated _metadata.file_path; an unknown
+      // sequence (0, simplified fixtures) keeps the unscoped
+      // read-latest behavior, matching pre-scoping semantics.
+      val sp = Shim.classic(spark)
+      import sp.implicits._
+      val needScope = eqs.exists(_.seq > 0L) && dataSeqByPath.nonEmpty
+      if (needScope) {
+        // canonicalize with the SAME column rule used for
+        // _metadata.file_path so the two sides always agree
+        val seqDf = dataSeqByPath.toSeq.toDF("__seq_fp_raw", "__dseq")
+          .select(canonPathCol(col("__seq_fp_raw")).as("__seq_fp"), col("__dseq"))
+        out = out
+          .withColumn("__fp2", canonPathCol(col("_metadata").getField("file_path")))
+          .join(broadcast(seqDf), col("__fp2") === col("__seq_fp"), "left")
+          .drop("__fp2", "__seq_fp")
+      }
+      eqs.foreach { ef =>
+        if (ef.equalityCols.isEmpty) throw new IllegalStateException(
+          s"equality delete file ${ef.path} carries no resolvable equality_ids")
+        val del = spark.read.parquet(ef.path)
+          .select(ef.equalityCols.map(c => col(c).as(s"__eq_$c")): _*).distinct()
+        val eqCond = ef.equalityCols.map(c => out(c) <=> col(s"__eq_$c")).reduce(_ && _)
+        val cond =
+          if (needScope && ef.seq > 0L)
+            // unknown file seq (null) conservatively matches, i.e.
+            // the delete still applies — identical to pre-scoping
+            eqCond && (coalesce(col("__dseq"), lit(Long.MinValue)) < lit(ef.seq))
+          else eqCond
+        out = out.join(broadcast(del), cond, "left_anti")
+      }
+      if (needScope) out = out.drop("__dseq")
     }
     out
   }
@@ -1562,7 +1605,7 @@ final class GlueTableEngine(
   /** ≈ reference `clearCache` (src/glue-table-cache.ts:124-127). */
   def clearCache(): Unit = {
     metaCache.invalidateAll(); listingCache.invalidateAll(); typedCache.invalidateAll()
-    statsCache.invalidateAll()
+    statsCache.invalidateAll(); deleteCache.invalidateAll(); seqCache.invalidateAll()
   }
 
   /** ≈ reference `invalidateTable` (src/glue-table-cache.ts:206-215):
@@ -1575,6 +1618,7 @@ final class GlueTableEngine(
     typedCache.invalidateMatching(s"$database.$table")
     statsCache.invalidateMatching(s"$database.$table")
     deleteCache.invalidateMatching(s"$database.$table")
+    seqCache.invalidateMatching(s"$database.$table")
     inferredSchemas.keys.filter(_.startsWith(s"$database.$table#"))
       .foreach(inferredSchemas.remove)
   }

@@ -53,14 +53,21 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
         * lets metadata COUNT(*) answer with zero per-file I/O; None
         * for simplified fixtures that omit it.
         */
-      rowCount: Option[Long])
+      rowCount: Option[Long],
+      /** Data sequence number (entry-level when the manifest carries
+        * it, else the manifest's own) — scopes equality deletes, which
+        * apply only to files with a strictly smaller one. 0 = unknown.
+        */
+      seq: Long)
 
   /** One live DELETE file (Iceberg v2 merge-on-read): `content` 1 =
     * position deletes (parquet rows of `file_path`, `pos`), 2 =
     * equality deletes over `equalityCols` (field ids resolved to
     * column names through the table schema).
     */
-  final case class IcebergDeleteFile(path: String, content: Int, equalityCols: Seq[String])
+  final case class IcebergDeleteFile(path: String, content: Int, equalityCols: Seq[String],
+      /** The delete's sequence number; 0 = unknown (applies unscoped). */
+      seq: Long = 0L)
 
   /** Data files of the selected snapshot — manifests carry
     * `data_file.file_size_in_bytes` and `data_file.partition`, so the
@@ -150,12 +157,13 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   }
 
   /** Live delete files of the selected snapshot (empty for v1/COW
-    * tables). Scoping note: the resolver applies every live delete
-    * to the snapshot's whole data set rather than tracking per-file
-    * sequence numbers — exact for position deletes (they name their
-    * target file explicitly) and for the standard read-latest shape
-    * of equality deletes; sequence-scoped equality deletes over
-    * re-added rows are the known refinement.
+    * tables), each carrying its sequence number so the read path can
+    * scope equality deletes per the spec: they apply only to data
+    * files with a strictly smaller data sequence (rows re-appended
+    * AFTER the delete survive it). Position deletes name their
+    * target file explicitly, so they need no scoping. seq 0 =
+    * unknown (simplified fixtures) keeps the unscoped read-latest
+    * behavior.
     */
   def deleteFilesDetailed(location: String, versionOffset: Int = 0): Seq[IcebergDeleteFile] =
     resolveFiles(location, versionOffset)._2
@@ -217,15 +225,44 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     manifestList match {
       case None => (Nil, Nil)
       case Some(ml) =>
-        // 3. manifest-list avro → manifest_path rows
-        //    (reference: src/util/iceberg.ts:30-31).
-        val manifestPaths = readAvroField(ml, r => r.get("manifest_path").toString)
+        // 3. manifest-list avro → (manifest_path, sequence number)
+        //    rows (reference: src/util/iceberg.ts:30-31). The
+        //    sequence number scopes equality deletes (they apply
+        //    only to data files with a STRICTLY smaller one): real
+        //    manifest lists carry `sequence_number` per manifest;
+        //    this engine's own writer encodes it in the manifest
+        //    file name (`manifest[_del]_s<seq>.avro`); 0 = unknown,
+        //    which keeps the unscoped read-latest behavior.
+        val SeqName = """.*_s(\d+)\.avro$""".r
+        val manifestPaths: Seq[(String, Long)] = readAvroField(ml, { r =>
+          val p = r.get("manifest_path").toString
+          val mseq = Option(r.getSchema.getField("sequence_number")).flatMap { f =>
+            r.get(f.pos()) match {
+              case l: java.lang.Long    => Some(l.longValue())
+              case i: java.lang.Integer => Some(i.longValue())
+              case _                    => None
+            }
+          }.getOrElse(p match {
+            case SeqName(s) => s.toLong
+            case _          => 0L
+          })
+          (p, mseq)
+        })
         // 4. each manifest avro → data_file.{file_path, file_size_in_bytes}
         //    rows (reference: src/util/iceberg.ts:32-33). NOTE:
         //    GenericRecord.get(String) THROWS on a field the writer
         //    schema lacks, so probe the schema first.
-        val files = manifestPaths.flatMap { mp =>
+        val files = manifestPaths.flatMap { case (mp, mseq) =>
           readAvroField(mp, { r =>
+            // entry-level sequence_number (real v2 manifests; null =
+            // inherit the manifest's, per the inheritance rule)
+            val entrySeq = Option(r.getSchema.getField("sequence_number")).flatMap { f =>
+              r.get(f.pos()) match {
+                case l: java.lang.Long    => Some(l.longValue())
+                case i: java.lang.Integer => Some(i.longValue())
+                case _                    => None
+              }
+            }.getOrElse(mseq)
             // manifest_entry.status: 1=ADDED, 0=EXISTING, 2=DELETED —
             // a DELETED entry records a file REMOVED by this snapshot
             // (compaction, overwrite, row-delete rewrite); including
@@ -317,12 +354,13 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
               }
             }.toMap
             (content, equalityCols,
-              IcebergDataFile(df.get("file_path").toString, size, partition, bounds, rowCount))
+              IcebergDataFile(df.get("file_path").toString, size, partition, bounds,
+                rowCount, entrySeq))
             }
           }).flatten
         }
         val deletes = files.distinct.collect { case (c, eq, f) if c != 0 =>
-          IcebergDeleteFile(f.path, c, eq)
+          IcebergDeleteFile(f.path, c, eq, f.seq)
         }.sortBy(_.path)
         // Resolve any unknown sizes with one driver-side stat per
         // file. Real manifests always carry the field (required by
