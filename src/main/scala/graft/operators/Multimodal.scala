@@ -411,6 +411,39 @@ object Multimodal {
     * are filtered out upstream by the caller. Narrow per-partition
     * decode, no shuffle.
     */
+  /** [[ImageStats]] rows for the JPEG half of the corpus via the
+    * full baseline decoder ([[graft.operators.Jpeg.decodePixels]]:
+    * huffman + dequant + libjpeg-exact IDCT + fancy upsample +
+    * fixed-point color convert). Same narrow mapPartitions shape as
+    * the PNG path; non-JPEG/corrupt rows degrade to zeros.
+    * MultimodalSpec proves the decode BIT-EXACT against
+    * `javax.imageio.ImageIO.read` on the fixture encoder's output —
+    * the strongest reference a lossy format admits — while the
+    * registered query's oracle bounds the decoded channel sums
+    * against the analytic pre-encode pixels.
+    */
+  def jpegStats(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ImageStats]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = Jpeg.decodePixels(bytes)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+            i += 1
+          }
+          ImageStats(id, w, h, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   def imageStats(media: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[ImageStats]
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)

@@ -2055,6 +2055,46 @@ object Queries {
           .orderBy("doc_id", "i"),
       Multimodal.sqlImageResizeRows())),
 
+    // full baseline JPEG decode over the OTHER half of the image
+    // fixture (odd doc_ids): huffman + libjpeg-exact IDCT + fancy
+    // chroma upsample. JPEG is lossy, so the analytic pixels can't
+    // hash-match exactly; instead the query proves decode FIDELITY —
+    // per-channel decoded sums within a measured bound (worst
+    // observed 2.42/px, bound 8/px; a zeroed or garbage decode sits
+    // >100/px) of the analytic sums, both computed with exact
+    // integer arithmetic. Bit-exactness of the decoder itself is
+    // spec-proven against ImageIO (MultimodalSpec).
+    "m7_jpeg_fidelity" -> ((
+      (spark: SparkSession, sf: String) => {
+        val decoded = Multimodal.jpegStats(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 1))
+        val analytic = t(spark, sf, "documents")
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            (lit(16) + col("doc_id") % 32).cast("int").as("aw"),
+            (lit(8) + col("doc_id") % 16).cast("int").as("ah"))
+          .withColumn("x", explode(sequence(lit(0L), col("aw") - 1)))
+          .withColumn("y", explode(sequence(lit(0L), col("ah") - 1)))
+          .withColumn("rgb", (col("doc_id") * 31 + col("x") * 7 + col("y")) % 16777216)
+          .groupBy("doc_id")
+          .agg(max("aw").as("aw"), max("ah").as("ah"),
+            sum(col("rgb") / 65536 cast "long").as("ar"),
+            sum((col("rgb") / 256 cast "long") % 256).as("ag"),
+            sum(col("rgb") % 256).as("ab"))
+        decoded.join(analytic, "doc_id")
+          .select(col("doc_id"), col("width"), col("height"),
+            (col("width") === col("aw") && col("height") === col("ah") &&
+              abs(col("sum_r") - col("ar")) <= lit(8L) * col("aw") * col("ah") &&
+              abs(col("sum_g") - col("ag")) <= lit(8L) * col("aw") * col("ah") &&
+              abs(col("sum_b") - col("ab")) <= lit(8L) * col("aw") * col("ah"))
+              .as("fidelity_ok"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS height, TRUE AS fidelity_ok
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
+
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
     // loudness feature an audio curation pipeline filters on

@@ -146,4 +146,51 @@ class MultimodalSpec extends AnyFunSuite {
     // corrupt bytes degrade to zeros, never throw
     assert(Multimodal.decodeWavEnergy("nope".getBytes, 50) == ((0, 0L, 0L)))
   }
+
+  test("Jpeg.decodePixels is BIT-EXACT against ImageIO on fixture-shaped JPEGs") {
+    import graft.operators.Jpeg
+    javax.imageio.ImageIO.setUseCache(false)
+    // the fixture generator's exact encode path (javax.imageio,
+    // default quality, 4:2:0) across every (w, h) residue class
+    (1L until 65L by 2).foreach { id =>
+      val w = 16 + (id % 32).toInt
+      val h = 8 + (id % 16).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      val (dw, dh, px) = Jpeg.decodePixels(bytes)
+      assert(dw == w && dh == h, s"id=$id dims $dw x $dh != $w x $h")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == (ref.getRGB(x, y) & 0xffffff),
+          s"id=$id pixel ($x,$y): got ${px(y * w + x).toHexString}, " +
+            s"ImageIO ${(ref.getRGB(x, y) & 0xffffff).toHexString}")
+    }
+  }
+
+  test("Jpeg.decodePixels degrades on corrupt/unsupported bytes, never throws") {
+    import graft.operators.Jpeg
+    assert(Jpeg.decodePixels("not a jpeg".getBytes)._1 == 0)
+    assert(Jpeg.decodePixels(Array.empty[Byte])._1 == 0)
+    assert(Jpeg.decodePixels(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))._1 == 0)
+    // a PNG through the JPEG decoder: rejected cleanly
+    val png = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Jpeg.decodePixels(png)._1 == 0)
+    // truncated valid JPEG: degrades, no throw
+    val jb = {
+      val img = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    assert(Jpeg.decodePixels(jb.take(jb.length / 2))._1 == 0)
+  }
 }
