@@ -376,8 +376,7 @@ object Multimodal {
           ResizedImage(id, thumb)
         }
       }
-      .toDF()
-      .orderBy("doc_id")
+      .toDF() // unsorted: callers impose their own final ordering
   }
 
   /** Oracle for [[imageResize]]: regenerates the nearest-neighbor
