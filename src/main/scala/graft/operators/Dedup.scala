@@ -1225,4 +1225,74 @@ object Dedup {
        |  CAST(SUM(CASE WHEN k.k = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM k JOIN f ON k.line = f.line
        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
+  /** CROSS-document duplicated n-gram coverage (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * their NearDup/ExactSubstr analysis metric): per document, the
+    * share of its n-gram OCCURRENCES whose n-gram also appears in at
+    * least one OTHER document. High coverage = the document is mostly
+    * template/boilerplate text shared across the corpus — the rows an
+    * exact-substring dedup pass would carve up. Complements t7 (the
+    * WITHIN-document repeat signal) and d22 (fixed-window line dedup):
+    * this one slides, so shared spans are caught at any alignment.
+    *
+    * Returns `(doc_id, n_ngrams, n_dup, dup_frac)` for every document
+    * with ≥ n tokens, ordered by doc_id.
+    *
+    * Scale shape: one narrow positional-shingle explode, a map-side-
+    * combined groupBy (doc_id, gram) — repeats within a doc collapse
+    * BEFORE the shuffle — then one groupBy(gram) for the document
+    * frequency and one semi-join back; cost is O(token count), never
+    * pairs. `hashGrams=true` shuffles the 8-byte xxhash64 of each
+    * gram instead of its text — the 100 TB shape, ~10x smaller
+    * exchanges, accepting the standard hash-collision caveat (two
+    * distinct grams colliding would count as shared); the exact-text
+    * default exists for the oracle gate and DedupSpec proves the two
+    * variants agree on real data.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5,
+      hashGrams: Boolean = false): DataFrame = {
+    val t = tokens(col("text"))
+    // POSITIONAL shingles (repeats kept): every occurrence counts
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws("_", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs
+      .select(col("doc_id"), explode(grams).as("g"))
+      .withColumn("gk", if (hashGrams) xxhash64(col("g")) else col("g"))
+      .groupBy("doc_id", "gk").agg(count(lit(1)).as("c"))
+    // document frequency per gram; occ is already distinct per
+    // (doc, gram), so count(*) IS the number of docs carrying it
+    val shared = occ.groupBy("gk").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gk")
+    val dup = occ.join(shared, Seq("gk"), "left_semi")
+      .groupBy("doc_id").agg(sum(col("c")).as("n_dup"))
+    occ.groupBy("doc_id").agg(sum(col("c")).as("n_ngrams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_ngrams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dupNgramCoverage]] (exact-text variant). */
+  def sqlDupNgramCoverage(n: Int = 5): String = {
+    val parts = (0 until n).map(j => s"t[i+$j]").mkString(" || '_' || ")
+    s"""WITH tok AS (SELECT doc_id, ${graft.functions.CrossHash.sqlTokens("text")} AS t FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |        THEN [$parts for i in range(1, len(t) - ${n - 2})]
+       |        ELSE [] END) AS gk FROM tok),
+       |occ AS (SELECT doc_id, gk, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+       |shared AS (SELECT gk FROM occ GROUP BY gk HAVING count(*) >= 2),
+       |base AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams FROM occ GROUP BY 1),
+       |d AS (SELECT occ.doc_id, CAST(sum(c) AS BIGINT) AS n_dup
+       |      FROM occ JOIN shared USING (gk) GROUP BY 1)
+       |SELECT base.doc_id, n_ngrams,
+       |  coalesce(n_dup, 0)::BIGINT AS n_dup,
+       |  round(coalesce(n_dup, 0)::DOUBLE / n_ngrams::DOUBLE, 6) AS dup_frac
+       |FROM base LEFT JOIN d ON base.doc_id = d.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+  }
 }

@@ -514,6 +514,85 @@ object TextAnalysis {
        |       THEN round(1 - n_uniq::DOUBLE / n_ngrams, 6) ELSE 0.0 END AS rep_ratio
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality-rule audit (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1): per SOURCE, how many documents pass each
+    * individual rule and all of them together —
+    *   - `n_words_ok`   token count in [20, 1000] (fixture-scaled
+    *                    bounds; Gopher uses [50, 100k]);
+    *   - `n_wordlen_ok` mean word length in [3, 10] characters;
+    *   - `n_alpha_ok`   ≥ 80% of words contain a letter;
+    *   - `n_stop_ok`    ≥ 2 stopword occurrences;
+    *   - `n_rep_ok`     duplicate 3-gram occurrence share ≤ 50%
+    *                    (the t7 repetition signal as a gate);
+    *   - `n_pass`       every rule at once.
+    * Thresholds compare in INTEGER arithmetic (`3·n ≤ Σlen ≤ 10·n`,
+    * `5·alpha ≥ 4·n`, `2·uniq ≥ n`) so no float rounding can ever
+    * disagree between engines at a boundary.
+    *
+    * Scale shape: one narrow codegen'd pass computes every flag, then
+    * ONE groupBy(source) aggregate — a single shuffle of one row per
+    * (partition, source) after partial aggregation, at any corpus
+    * size.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (a, w) => a + length(w).cast("long"))
+    val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(t, w => w.isin(stopwords: _*))).cast("long")
+    val nGrams = greatest(nTok - lit(2), lit(0L))
+    val nUniq = size(shinglesFast(col("text"), 3)).cast("long")
+    val wordsOk = nTok >= 20L && nTok <= 1000L
+    val wordlenOk = nTok > 0L && sumLen >= nTok * 3L && sumLen <= nTok * 10L
+    val alphaOk = nTok > 0L && nAlpha * 5L >= nTok * 4L
+    val stopOk = nStop >= 2L
+    val repOk = nGrams === 0L || nUniq * 2L >= nGrams
+    def cnt(c: Column, name: String) =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    docs
+      .select(col("source"), wordsOk.as("w"), wordlenOk.as("l"),
+        alphaOk.as("a"), stopOk.as("s"), repOk.as("r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("w"), "n_words_ok"), cnt(col("l"), "n_wordlen_ok"),
+        cnt(col("a"), "n_alpha_ok"), cnt(col("s"), "n_stop_ok"),
+        cnt(col("r"), "n_rep_ok"),
+        cnt(col("w") && col("l") && col("a") && col("s") && col("r"), "n_pass"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[gopherRules]] — same integer-arithmetic
+    * thresholds over the same whitespace tokens.
+    */
+  def sqlGopherRules: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT source, ${sqlTokens("text")} AS t, text FROM documents),
+       |m AS (SELECT source,
+       |  len(t)::BIGINT AS n_tok,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(t, w -> len(w)::BIGINT)), (a, b) -> a + b) AS sum_len,
+       |  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+       |  len(list_filter(t, w -> list_contains([$stopList], w)))::BIGINT AS n_stop,
+       |  greatest(len(t) - 2, 0)::BIGINT AS n_grams,
+       |  len(${sqlShinglesOf("t", 3)})::BIGINT AS n_uniq
+       |  FROM tok),
+       |f AS (SELECT source,
+       |  (n_tok >= 20 AND n_tok <= 1000) AS w,
+       |  (n_tok > 0 AND sum_len >= n_tok * 3 AND sum_len <= n_tok * 10) AS l,
+       |  (n_tok > 0 AND n_alpha * 5 >= n_tok * 4) AS a,
+       |  (n_stop >= 2) AS s,
+       |  (n_grams = 0 OR n_uniq * 2 >= n_grams) AS r
+       |  FROM m)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(w::BIGINT)::BIGINT AS n_words_ok,
+       |  sum(l::BIGINT)::BIGINT AS n_wordlen_ok,
+       |  sum(a::BIGINT)::BIGINT AS n_alpha_ok,
+       |  sum(s::BIGINT)::BIGINT AS n_stop_ok,
+       |  sum(r::BIGINT)::BIGINT AS n_rep_ok,
+       |  sum((w AND l AND a AND s AND r)::BIGINT)::BIGINT AS n_pass
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def sqlLangid: String = {
     val dt = sqlDistinctTokens("text")
     def score(lang: String, words: Seq[String]) = {

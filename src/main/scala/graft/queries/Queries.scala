@@ -1677,6 +1677,17 @@ object Queries {
         Dedup.lineDedupStats(t(spark, sf, "documents")),
       Dedup.sqlLineDedupStats())),
 
+    // cross-document duplicated n-gram coverage (Lee et al. 2021's
+    // exact-substring analysis signal): the share of each doc's
+    // 5-gram occurrences shared with another document — sliding, so
+    // shared spans register at ANY alignment, unlike d22's fixed
+    // windows. hashGrams=true is the 100 TB shuffle shape
+    // (spec-proven equal).
+    "d23_dup_ngrams" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.dupNgramCoverage(t(spark, sf, "documents")),
+      Dedup.sqlDupNgramCoverage())),
+
     "d21_token_budget" -> ((
       (spark: SparkSession, sf: String) =>
         Sampling.tokenBudgetSample(t(spark, sf, "documents"), budgetTokens = 2000L),
@@ -1974,6 +1985,13 @@ object Queries {
     "t2_quality" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.quality(t(spark, sf, "documents")),
       TextAnalysis.sqlQuality)),
+
+    // Gopher-rule audit (Rae et al. 2021): per-source pass counts for
+    // each individual quality rule and their conjunction — integer-
+    // arithmetic thresholds, one narrow pass + one tiny aggregate
+    "t14_gopher_rules" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.gopherRules(t(spark, sf, "documents")),
+      TextAnalysis.sqlGopherRules)),
 
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),

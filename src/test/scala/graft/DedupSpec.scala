@@ -421,4 +421,32 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(hashed == exact)
   }
+
+  test("duplicated n-gram coverage counts cross-doc occurrences; hashed variant agrees") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e x y z w q"),  // grams 1-6; 'a b c d e' shared with doc 2
+      (2L, "p a b c d e r s t"),    // 5 grams, 1 shared
+      (3L, "m n o")                 // < n tokens: no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramCoverage(tiny)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((6L, 1L)), 2L -> ((5L, 1L))))
+    // a within-doc repeat counts every occurrence once it is shared
+    val rep = Seq(
+      (1L, "a b c d e f a b c d e"),  // 'a b c d e' occurs twice here
+      (2L, "a b c d e z z z z")
+    ).toDF("doc_id", "text")
+    val got2 = Dedup.dupNgramCoverage(rep)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2(1L) == ((7L, 2L)))  // both occurrences of the shared gram
+    assert(got2(2L) == ((5L, 1L)))
+    // the 8-byte-key scale variant agrees with exact text on the fixture
+    val corpus = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val exact = Dedup.dupNgramCoverage(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = Dedup.dupNgramCoverage(corpus, hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed == exact)
+  }
 }

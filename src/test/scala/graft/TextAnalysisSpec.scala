@@ -125,6 +125,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(after < before)
   }
 
+  test("gopher rules flag each failure mode independently") {
+    import spark.implicits._
+    // 25 varied tokens (passes all); 5 tokens (fails only word count);
+    // 25 copies of a 24-letter word (fails mean word length, stopwords,
+    // repetition); 25 copies of "dup" (fails stopwords + repetition)
+    val sane = ("the quick brown fox jumps over the lazy dog and runs far " +
+      "away into deep dark woods where owls hoot all night long very loud")
+    val short = "the and big cat dog"
+    val long = Seq.fill(25)("pneumonoultramicroscopic").mkString(" ")
+    val rep = Seq.fill(25)("dup").mkString(" ")
+    val docs = Seq(
+      (1L, sane, "s1"), (2L, short, "s1"), (3L, long, "s2"), (4L, rep, "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // s1: sane passes everything; short fails only word count
+    assert(got("s1") == ((2L, 1L, 2L, 2L, 2L, 2L, 1L)))
+    // s2: both pass word count + alpha; long fails wordlen; both fail
+    // stopwords and repetition (a single distinct trigram each)
+    assert(got("s2") == ((2L, 2L, 1L, 2L, 0L, 0L, 0L)))
+  }
+
   test("bpePairs ranking is total-ordered (count desc, then lexicographic)") {
     import spark.implicits._
     val docs = Seq((1L, "b c"), (2L, "a b"), (3L, "a b b c")).toDF("doc_id", "text")
