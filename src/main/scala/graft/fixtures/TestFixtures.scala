@@ -49,6 +49,19 @@ object TestFixtures {
     }
   }
 
+  /** Events staged as a four-file directory for the FILE STREAMING
+    * source (which refuses a bare file path): build-once per scale
+    * factor, ts conversion already applied so the streamed schema is
+    * a clean timestamp.
+    */
+  def eventsStreamDir(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_stream4"
+    ensure(sfDir, "events_stream4") {
+      events(spark, sfDir).repartition(4).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Total bytes of the data files under a local fixture dir. */
   private def dirBytes(dir: String): Long = {
     def walk(f: File): Long =

@@ -1993,6 +1993,55 @@ object Queries {
       (spark: SparkSession, sf: String) => TextAnalysis.gopherRules(t(spark, sf, "documents")),
       TextAnalysis.sqlGopherRules)),
 
+    // STRUCTURED STREAMING in the driver gate: q13's aggregation run
+    // through the REAL incremental path — file streaming source →
+    // watermarked tumbling-window aggregate → memory sink, driven to
+    // completion. Complete output mode re-emits every window at the
+    // final trigger, so the bounded replay's answer IS the batch
+    // answer and the DuckDB oracle applies unchanged.
+    "st1_stream_hourly" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val res = EventStreams.runToCompletion(
+          EventStreams.hourlyCounts(EventStreams.eventsFileStream(spark, sf)),
+          "st1_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
+        res.select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"), col("n"), col("sv").cast("double").as("sv"))
+          .orderBy("h", "event_type")
+      },
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
+
+    // Streaming EXACTLY-ONCE Delta ingest in the driver gate: the
+    // documents corpus staged as four files, streamed one file per
+    // micro-batch through the idempotent txn sink (four Delta
+    // versions), then read back through the engine's Delta log
+    // resolver and aggregated — source offsets, per-batch commits,
+    // and the lakehouse read path all on the oracle-checked path.
+    "st2_stream_ingest" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val docs = t(spark, sf, "documents")
+        val run = java.lang.Long.toHexString(System.nanoTime())
+        val tmp = System.getProperty("java.io.tmpdir")
+        val stage = s"$tmp/graft_st2_stage_$run"
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val loc = s"$tmp/graft_st2_delta_$run"
+        val q = EventStreams.deltaIngest(stream, loc, appId = "st2")
+        try q.processAllAvailable() finally q.stop()
+        val resolver = new graft.listing.DeltaLogResolver(spark)
+        spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),
       TextAnalysis.sqlLangid)),

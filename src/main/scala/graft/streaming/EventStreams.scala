@@ -78,6 +78,21 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Bounded `readStream` over the events fixture: the batch reader's
+    * rows (ts-type dispatch already applied) staged ONCE per scale
+    * factor into a four-file directory — the file streaming source
+    * requires a directory, and four files with `maxFilesPerTrigger=1`
+    * drive four REAL micro-batches through source offsets and the
+    * state store instead of one degenerate batch. So a registered
+    * query exercises the actual incremental path end-to-end and still
+    * terminates.
+    */
+  def eventsFileStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val staged = graft.fixtures.TestFixtures.eventsStreamDir(spark, sfDir)
+    val schema = spark.read.parquet(staged).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(staged)
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded file source and return the final memory-sink contents
     * (used by tests and the batch-equivalence check).
