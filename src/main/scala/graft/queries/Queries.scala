@@ -224,6 +224,42 @@ object Queries {
         |  (SELECT p, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY p)
         |ORDER BY op, p""".stripMargin)),
 
+    // LATERAL correlated subquery join (top-2 customers per nation):
+    // Catalyst decorrelates the per-row ORDER BY/LIMIT subquery into
+    // a window-ranked join — one shuffle, never a per-row re-scan
+    "q43_lateral" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "nation").createOrReplaceTempView("q43_nation")
+        t(spark, sf, "customer").createOrReplaceTempView("q43_customer")
+        spark.sql(
+          """SELECT n.n_name, l.c_name, l.c_acctbal
+            |FROM q43_nation n,
+            | LATERAL (SELECT c_name, c_acctbal FROM q43_customer c
+            |          WHERE c.c_nationkey = n.n_nationkey
+            |          ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+            |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin)
+      },
+      """SELECT n.n_name, l.c_name, l.c_acctbal
+        |FROM nation n,
+        | LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |          WHERE c.c_nationkey = n.n_nationkey
+        |          ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin)),
+
+    // ordered string aggregation: ANSI LISTAGG ... WITHIN GROUP in
+    // Spark, the equivalent ordered string_agg in DuckDB — the
+    // deterministic ORDER BY inside the aggregate is the point
+    "q44_listagg" -> ((
+      (spark: SparkSession, sf: String) => {
+        t(spark, sf, "nation").createOrReplaceTempView("q44_nation")
+        spark.sql(
+          """SELECT n_regionkey,
+            |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+            |FROM q44_nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      },
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
     "q9_window_rank" -> ((
       (spark: SparkSession, sf: String) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
