@@ -2050,6 +2050,38 @@ object Queries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
 
+    // STATEFUL streaming (mapGroupsWithState) in the driver gate:
+    // per-user cumulative profiles over four real micro-batches.
+    // Every accumulator is order-insensitive, so the stream's answer
+    // is the batch answer however the files split; update-mode memory
+    // sink keeps every per-batch emission, and the final state per
+    // user is the row with the largest (strictly increasing) count.
+    "st3_stream_profile" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+        import sp.implicits._
+        val ev = EventStreams.eventsFileStream(spark, sf)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            (dec2("value") * 100).cast("long").as("cents"))
+          .as[EventStreams.CentEvent]
+        val res = EventStreams.runToCompletion(
+          EventStreams.userProfiles(ev).toDF(),
+          "st3_mem", org.apache.spark.sql.streaming.OutputMode.Update())
+        res.groupBy("user_id")
+          .agg(max_by(
+            struct(col("n_events"), col("sum_cents"), col("first_us"), col("last_us")),
+            col("n_events")).as("s"))
+          .select(col("user_id"), col("s.n_events").as("n_events"),
+            col("s.sum_cents").as("sum_cents"),
+            col("s.first_us").as("first_us"), col("s.last_us").as("last_us"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Streaming EXACTLY-ONCE Delta ingest in the driver gate: the
     // documents corpus staged as four files, streamed one file per
     // micro-batch through the idempotent txn sink (four Delta

@@ -63,6 +63,37 @@ object EventStreams {
       }
   }
 
+  final case class CentEvent(user_id: Long, us: Long, cents: Long)
+  final case class UserProfile(user_id: Long, n_events: Long, sum_cents: Long,
+      first_us: Long, last_us: Long)
+  // public: the state encoder's generated code must reach the fields
+  final case class ProfState(n: Long, cents: Long, first: Long, last: Long)
+
+  /** Stateful per-user profile over an event stream
+    * (mapGroupsWithState): cumulative count, exact cent sum, first/
+    * last event time. Every accumulator is ORDER-INSENSITIVE, so the
+    * result is identical however the source splits micro-batches —
+    * which is what makes this registrable against a batch oracle
+    * (unlike gap-sessionization, whose state transitions depend on
+    * cross-batch arrival order). State is one record per user,
+    * partitioned by key.
+    */
+  def userProfiles(events: Dataset[CentEvent]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[ProfState, UserProfile](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CentEvent], state: GroupState[ProfState]) =>
+          var s = state.getOption.getOrElse(ProfState(0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { e =>
+            s = ProfState(s.n + 1, s.cents + e.cents,
+              math.min(s.first, e.us), math.max(s.last, e.us))
+          }
+          state.update(s)
+          UserProfile(user, s.n, s.cents, s.first, s.last)
+      }
+  }
+
   /** Streaming exact dedup on a key column: emits each key's first
     * arrival and drops later copies, with state bounded by the
     * watermark via `dropDuplicatesWithinWatermark` — a duplicate
@@ -99,10 +130,18 @@ object EventStreams {
     */
   def runToCompletion(stream: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = stream.sparkSession
-    val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val q = runToCompletionQuery(stream, name, mode)
     try { q.processAllAvailable() } finally q.stop()
     spark.table(name)
   }
+
+  /** The started memory-sink query itself — for callers (tests) that
+    * feed a MemoryStream between explicit `processAllAvailable` calls
+    * to control micro-batch boundaries.
+    */
+  def runToCompletionQuery(stream: DataFrame, name: String,
+      mode: OutputMode): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
 
   /** Streaming NEAR-duplicate ingest filter — the ingest-path
     * counterpart of the batch incremental dedup (d11): each

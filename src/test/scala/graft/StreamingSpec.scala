@@ -139,6 +139,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("userProfiles state is order-insensitive across adversarial batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      EventStreams.CentEvent]
+    val q = EventStreams.runToCompletionQuery(
+      EventStreams.userProfiles(mem.toDS()).toDF(), "prof_out", OutputMode.Update())
+    try {
+      // LATER events arrive in the FIRST batch — a time-ordered
+      // sessionizer would miscount; order-insensitive accumulators
+      // must not care
+      mem.addData(EventStreams.CentEvent(1L, 5000L, 300L),
+        EventStreams.CentEvent(2L, 9000L, 50L))
+      q.processAllAvailable()
+      mem.addData(EventStreams.CentEvent(1L, 1000L, 100L),
+        EventStreams.CentEvent(1L, 3000L, 200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("prof_out")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n_events"), col("sum_cents"), col("first_us"),
+        col("last_us")), col("n_events")).as("s"))
+      .select(col("user_id"), col("s.*")).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(last.toSeq == Seq((1L, 3L, 600L, 1000L, 5000L), (2L, 1L, 50L, 9000L, 9000L)))
+  }
+
   test("streaming dedup keeps one row per key within the watermark horizon") {
     val batchDf = spark.read.parquet(streamDir)
     // duplicate the whole stream (same event_ids arrive twice in one
