@@ -48,7 +48,8 @@ object Bench {
     // both measure write throughput, and folding that into a
     // query-latency total misstates both.
     val writeOps = Set("g14_compact", "p3_ingest_pipeline", "g31_delta_write",
-      "g32_iceberg_write", "g34_hudi_write", "g35_iceberg_partitioned")
+      "g32_iceberg_write", "g34_hudi_write", "g35_iceberg_partitioned",
+      "st2_stream_ingest") // st2 stages + streams a fresh Delta table per run
     // Optional subset filter (comma-separated names): lets a drift
     // bisect run an older round's exact query set in one session, so
     // per-session effects (warm-pass size, JVM/codegen state) are

@@ -56,7 +56,15 @@ object CrossHash {
   /** Distinct word-token hashes. */
   def tokenHashes(text: Column): Column = transform(distinctTokens(text), charFold(_))
 
-  /** Distinct word n-gram shingles joined with '_'. */
+  /** Distinct word n-gram shingles joined with '_'.
+    *
+    * PERF NOTE (test/ground-truth use only — prod paths take
+    * [[shinglesFast]]): the lambda captures `tokens(text)`, and a
+    * captured EXPRESSION re-evaluates per transform element — n
+    * re-splits per gram index. Materialize the token array as a
+    * column first if this shape ever moves to a hot path (the d23
+    * operator does exactly that, 9s → 0.9s at sf0.1).
+    */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,

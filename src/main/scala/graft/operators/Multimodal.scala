@@ -155,6 +155,167 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class GifFrameStats(doc_id: Long, frame: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL GIF pixel decode with the JDK alone: logical-screen /
+    * image-descriptor walk (shared shape with [[decodeGifFrames]]),
+    * global+local color tables, sub-block reassembly, and a full
+    * variable-width LSB-first LZW decompression ([[gifLzwDecode]]) —
+    * then palette-mapped per-channel pixel sums PER FRAME, the
+    * curation feature for animated media. Returns one tuple per frame
+    * `(frame, w, h, sumR, sumG, sumB)`; any corrupt byte degrades to
+    * Nil (fail-to-empty, like the PNG path's zeros — never throws).
+    * Interlaced frames sum identically (row order doesn't change a
+    * sum), so no deinterlace pass is needed. Per-row cost is
+    * O(pixels); a 100 TB GIF corpus decodes map-only.
+    */
+  def decodeGifPixels(bytes: Array[Byte]): Seq[(Int, Int, Int, Long, Long, Long)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 14 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return Nil
+    val gctLen = if ((u8(10) & 0x80) != 0) 1 << ((u8(10) & 0x07) + 1) else 0
+    if (13 + 3 * gctLen > bytes.length) return Nil
+    val gct = java.util.Arrays.copyOfRange(bytes, 13, 13 + 3 * gctLen)
+    var i = 13 + 3 * gctLen
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long, Long)]
+    var frame = 0
+    var ok = true
+    def skipSubBlocks(): Boolean = {
+      while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+      if (i < bytes.length) { i += 1; true } else false
+    }
+    while (ok && i < bytes.length && u8(i) != 0x3b) {
+      u8(i) match {
+        case 0x21 =>
+          i += 2; ok = skipSubBlocks()
+        case 0x2c if i + 10 <= bytes.length =>
+          val fw = le16(i + 5); val fh = le16(i + 7)
+          val packed = u8(i + 9)
+          val lctLen = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+          val palOff = i + 10
+          i = palOff + 3 * lctLen
+          val pal =
+            if (lctLen > 0 && i <= bytes.length)
+              java.util.Arrays.copyOfRange(bytes, palOff, palOff + 3 * lctLen)
+            else gct
+          if (i >= bytes.length || pal.isEmpty || fw <= 0 || fh <= 0) ok = false
+          else {
+            val minCode = u8(i); i += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (ok && i < bytes.length && u8(i) != 0) {
+              val n = u8(i)
+              if (i + 1 + n > bytes.length) ok = false
+              else { data.write(bytes, i + 1, n); i += 1 + n }
+            }
+            if (!ok || i >= bytes.length) ok = false
+            else {
+              i += 1 // sub-block terminator
+              val idx = gifLzwDecode(data.toByteArray, minCode, fw * fh)
+              if (idx == null) ok = false
+              else {
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var p = 0
+                while (p < idx.length) {
+                  val ci = (idx(p) & 0xff) * 3
+                  if (ci + 2 < pal.length) {
+                    sr += pal(ci) & 0xff; sg += pal(ci + 1) & 0xff; sb += pal(ci + 2) & 0xff
+                  }
+                  p += 1
+                }
+                out += ((frame, fw, fh, sr, sg, sb))
+                frame += 1
+              }
+            }
+          }
+        case _ => ok = false
+      }
+    }
+    if (ok) out.toSeq else Nil
+  }
+
+  /** GIF-flavor LZW: variable-width codes read LSB-first, clear/EOI
+    * control codes, 12-bit dictionary cap with deferred clear.
+    * Prefix/suffix-array dictionary — no per-entry byte-array
+    * concatenation, O(output) total work. Returns exactly `nPixels`
+    * indices, or null on any corrupt stream (bad code, truncation,
+    * short output).
+    */
+  private def gifLzwDecode(data: Array[Byte], minCodeSize: Int, nPixels: Int): Array[Byte] = {
+    if (minCodeSize < 2 || minCodeSize > 11 || nPixels <= 0) return null
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](nPixels)
+    var outN = 0
+    var dictSize = eoi + 1
+    var codeSize = minCodeSize + 1
+    var prev = -1
+    var first = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var done = false
+    while (!done && outN < nPixels) {
+      if (bitPos + codeSize > totalBits) return null // truncated stream
+      var code = 0
+      var b = 0
+      while (b < codeSize) {
+        code |= ((data((bitPos + b) >> 3) >> ((bitPos + b) & 7)) & 1) << b
+        b += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        var sp = 0
+        var c = code
+        if (c == dictSize && prev >= 0) { // KwKwK: string(prev)+first(prev)
+          stack(sp) = first.toByte; sp += 1; c = prev
+        } else if (c >= dictSize) return null
+        while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return null // a control code inside a chain
+        first = c
+        stack(sp) = c.toByte; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          if (outN < nPixels) { out(outN) = stack(sp); outN += 1 }
+        }
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte; dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (outN == nPixels) out else null
+  }
+
+  /** media(doc_id, gif: binary) -> per-frame palette-mapped channel
+    * sums via [[decodeGifPixels]]. Narrow per-partition decode, one
+    * output row per animation frame, no shuffle but the presentation
+    * sort.
+    */
+  def gifPixelStats(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[GifFrameStats]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("gif"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGifPixels(bytes).map { case (f, w, h, sr, sg, sb) =>
+            GifFrameStats(id, f, w, h, sr, sg, sb)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame")
+  }
+
   final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
       duration_ms: Long, peak: Int)
 

@@ -2230,6 +2230,43 @@ object Queries {
         |  CAST(8 + doc_id % 16 AS INTEGER) AS height, TRUE AS fidelity_ok
         |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
+    // REAL GIF pixel decode (LZW + palette) fidelity: per-frame
+    // channel sums from graft's own decoder (bit-exact vs ImageIO,
+    // spec-proven) EXACTLY equal to the analytic generation-time
+    // pixels — fixture frames carry < 256 distinct colors, so the
+    // writer's palette is lossless (spec measures 0.00/px deviation)
+    "m8_gif_fidelity" -> ((
+      (spark: SparkSession, sf: String) => {
+        val decoded = Multimodal.gifPixelStats(
+          spark.read.parquet(TestFixtures.mediaVideo(spark, sf)))
+        val analytic = t(spark, sf, "documents")
+          .select(col("doc_id"),
+            (lit(10) + col("doc_id") % 8).cast("int").as("aw"),
+            (lit(8) + col("doc_id") % 4).cast("int").as("ah"),
+            (lit(2) + col("doc_id") % 6).as("nf"))
+          .withColumn("frame", explode(sequence(lit(0L), col("nf") - 1)))
+          .withColumn("frame", col("frame").cast("int"))
+          .withColumn("x", explode(sequence(lit(0L), col("aw").cast("long") - 1)))
+          .withColumn("y", explode(sequence(lit(0L), col("ah").cast("long") - 1)))
+          .withColumn("rgb",
+            (col("doc_id") * 31 + col("frame") * 13 + col("x") * 7 + col("y")) % 16777216)
+          .groupBy("doc_id", "frame")
+          .agg(max("aw").as("aw"), max("ah").as("ah"),
+            sum((col("rgb") / 65536).cast("long")).as("ar"),
+            sum((col("rgb") / 256).cast("long") % 256).as("ag"),
+            sum(col("rgb") % 256).as("ab"))
+        decoded.join(analytic, Seq("doc_id", "frame"))
+          .select(col("doc_id"), col("frame"), col("width"), col("height"),
+            (col("width") === col("aw") && col("height") === col("ah") &&
+              col("sum_r") === col("ar") && col("sum_g") === col("ag") &&
+              col("sum_b") === col("ab")).as("fidelity_ok"))
+          .orderBy("doc_id", "frame")
+      },
+      """SELECT doc_id, CAST(unnest(range(0, 2 + doc_id % 6)) AS INTEGER) AS frame,
+        |  CAST(10 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 4 AS INTEGER) AS height, TRUE AS fidelity_ok
+        |FROM documents ORDER BY doc_id, frame""".stripMargin)),
+
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
     // loudness feature an audio curation pipeline filters on

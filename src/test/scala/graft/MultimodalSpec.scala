@@ -80,6 +80,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifFrames("GIF89a".getBytes) == ((0, 0, 0)))
   }
 
+  test("decodeGifPixels is BIT-EXACT against ImageIO's GIF reader, per frame") {
+    javax.imageio.ImageIO.setUseCache(false)
+    // same construction as the media_gif fixture (palette-quantized
+    // truecolor through the JDK sequence writer)
+    def gifBytes(id: Long): Array[Byte] = {
+      val w = 10 + (id % 8).toInt; val h = 8 + (id % 4).toInt; val nf = 2 + (id % 6).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      for (f <- 0 until nf) {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, ((id * 31 + f * 13 + x * 7 + y) & 0xffffff).toInt)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    var worstDevPerPx = 0.0
+    for (id <- 0L until 40L) {
+      val bytes = gifBytes(id)
+      val got = Multimodal.decodeGifPixels(bytes)
+      // ground truth: ImageIO's own reader, frame by frame
+      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      assert(got.length == n, s"id=$id frames ${got.length} != $n")
+      for (f <- 0 until n) {
+        val img = reader.read(f)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        }
+        val (gf, gw, gh, gr, gg, gb) = got(f)
+        assert((gf, gw, gh) == ((f, img.getWidth, img.getHeight)), s"id=$id f=$f geom")
+        assert((gr, gg, gb) == ((sr, sg, sb)), s"id=$id f=$f sums ($gr,$gg,$gb) != ($sr,$sg,$sb)")
+        // palette-quantization deviation from the ANALYTIC pixels
+        // (bounds the m8 fidelity threshold)
+        val w = 10 + (id % 8).toInt; val h = 8 + (id % 4).toInt
+        var ar = 0L; var ag = 0L; var ab = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = ((id * 31 + f * 13 + x * 7 + y) & 0xffffff).toInt
+          ar += (rgb >> 16) & 0xff; ag += (rgb >> 8) & 0xff; ab += rgb & 0xff
+        }
+        val px = (w * h).toDouble
+        worstDevPerPx = math.max(worstDevPerPx, math.max(math.abs(gr - ar) / px,
+          math.max(math.abs(gg - ag) / px, math.abs(gb - ab) / px)))
+      }
+      reader.dispose()
+    }
+    info(f"worst palette-quantization deviation: $worstDevPerPx%.2f per pixel per channel")
+    // fixture frames carry < 256 distinct colors, so the JDK writer's
+    // palette is LOSSLESS — m8 asserts exact equality on this basis
+    assert(worstDevPerPx == 0.0,
+      f"palette no longer lossless ($worstDevPerPx%.2f/px) — m8's exact-equality oracle breaks")
+    // corrupt bytes degrade to Nil, never throw
+    assert(Multimodal.decodeGifPixels("GIF89a garbage".getBytes) == Nil)
+    val trunc = gifBytes(3L).take(40)
+    assert(Multimodal.decodeGifPixels(trunc) == Nil)
+  }
+
   test("imageMeta recovers generation-time dimensions from media fixture bytes") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
