@@ -106,7 +106,8 @@ object IcebergWriter {
     * sequence number.
     */
   def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
-      partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false): Long = {
+      partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false,
+      summary: Map[String, String] = Map.empty): Long = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -282,7 +283,15 @@ object IcebergWriter {
     val schemaJson = idFields.map { case (id, name, tp) =>
       s"""{"id": $id, "name": ${mapper.writeValueAsString(name)}, "type": "$tp"}"""
     }.mkString("[", ", ", "]")
-    val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}}"""
+    // spec snapshot `summary` (operation + caller extras) — the
+    // standard place a streaming sink records its (appId, batchId)
+    // txn high-water mark for exactly-once replay detection
+    val summaryJson =
+      (Map("operation" -> (if (rewriteAll) "replace" else "append")) ++ summary)
+        .map { case (k, v) =>
+          s"${mapper.writeValueAsString(k)}: ${mapper.writeValueAsString(v)}"
+        }.mkString("{", ", ", "}")
+    val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}, "summary": $summaryJson}"""
     val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
     val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
       s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "identity", """ +
@@ -390,6 +399,38 @@ object IcebergWriter {
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"snapshot $seq already published at $dst")
     seq
+  }
+
+  /** Highest batch id the given streaming app has committed into the
+    * table — read from the snapshots' `summary` maps in the LATEST
+    * metadata json. None for a fresh table or a foreign app. The
+    * exactly-once contract mirrors Delta's txn actions: commit IFF
+    * `batchId > lastTxn`.
+    */
+  def lastTxn(spark: SparkSession, location: String, appId: String): Option[Long] = {
+    val metaDir = new Path(s"${location.stripSuffix("/")}/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    if (!fs.exists(metaDir)) return None
+    val latest = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption
+    val marks = latest.toSeq.flatMap { n =>
+      Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq).flatMap { s =>
+        for {
+          sm <- Option(s.get("summary"))
+          app <- Option(sm.get("graft-txn-app")).map(_.asText()) if app == appId
+          b <- Option(sm.get("graft-txn-batch")).map(_.asText().toLong)
+        } yield b
+      }
+    }
+    marks.maxOption
   }
 
   private def writeAvro(fs: org.apache.hadoop.fs.FileSystem, path: Path,

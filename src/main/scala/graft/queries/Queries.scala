@@ -2038,9 +2038,10 @@ object Queries {
     "st1_stream_hourly" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.streaming.EventStreams
-        val res = EventStreams.runToCompletion(
-          EventStreams.hourlyCounts(EventStreams.eventsFileStream(spark, sf)),
-          "st1_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.hourlyCounts(EventStreams.eventsFileStream(spark, sf)),
+            "st1_mem", org.apache.spark.sql.streaming.OutputMode.Complete()))
         res.select(
           date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
           col("event_type"), col("n"), col("sv").cast("double").as("sv"))
@@ -2065,9 +2066,10 @@ object Queries {
           .select(col("user_id"), unix_micros(col("ts")).as("us"),
             (dec2("value") * 100).cast("long").as("cents"))
           .as[EventStreams.CentEvent]
-        val res = EventStreams.runToCompletion(
-          EventStreams.userProfiles(ev).toDF(),
-          "st3_mem", org.apache.spark.sql.streaming.OutputMode.Update())
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.userProfiles(ev).toDF(),
+            "st3_mem", org.apache.spark.sql.streaming.OutputMode.Update()))
         res.groupBy("user_id")
           .agg(max_by(
             struct(col("n_events"), col("sum_cents"), col("first_us"), col("last_us")),
@@ -2109,6 +2111,33 @@ object Queries {
       },
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // the ICEBERG twin of st2: same staged four-file stream, each
+    // micro-batch one append snapshot (exactly-once via the snapshot
+    // summary's txn mark), read back through the manifest resolver
+    "st4_stream_iceberg" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val docs = t(spark, sf, "documents")
+        val run = java.lang.Long.toHexString(System.nanoTime())
+        val tmp = System.getProperty("java.io.tmpdir")
+        val stage = s"$tmp/graft_st4_stage_$run"
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val loc = s"$tmp/graft_st4_iceberg_$run"
+        val q = EventStreams.icebergIngest(stream, loc, appId = "st4")
+        try q.processAllAvailable() finally q.stop()
+        val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+          .sparkContext.hadoopConfiguration
+        val resolver = new graft.listing.IcebergSnapshotResolver(conf)
+        spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),

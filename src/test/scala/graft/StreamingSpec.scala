@@ -139,6 +139,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("streaming iceberg sink is exactly-once under batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = s"/root/repo/target/stream_iceberg_${System.nanoTime()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.icebergIngest(mem.toDF().toDF("id", "v"), loc, appId = "spec-ice")
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
+    val resolver = new graft.listing.IcebergSnapshotResolver(conf)
+    def ids = spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+    assert(graft.listing.IcebergWriter.lastTxn(spark, loc, "spec-ice").contains(1L))
+    // REPLAY batch 1 (recovery scenario): recognized and skipped
+    assert(!EventStreams.commitIcebergBatchIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), loc, "spec-ice", 1L))
+    assert(ids == Seq(1L, 2L, 3L), "replay must not duplicate rows")
+    // a genuinely new batch id commits; a foreign app has its own marks
+    assert(EventStreams.commitIcebergBatchIdempotent(
+      Seq((4L, "d")).toDF("id", "v"), loc, "spec-ice", 2L))
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    assert(graft.listing.IcebergWriter.lastTxn(spark, loc, "other-app").isEmpty)
+  }
+
   test("userProfiles state is order-insensitive across adversarial batch splits") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
