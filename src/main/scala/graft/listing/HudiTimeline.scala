@@ -112,7 +112,8 @@ object HudiTimelineWriter {
     */
   def commit(spark: org.apache.spark.sql.SparkSession, location: String,
       df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String] = Nil,
-      replaceFileIds: Map[String, Seq[String]] = Map.empty): String = {
+      replaceFileIds: Map[String, Seq[String]] = Map.empty,
+      extraMetadata: Map[String, String] = Map.empty): String = {
     val root = location.stripSuffix("/")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
       .sparkContext.hadoopConfiguration
@@ -184,7 +185,17 @@ object HudiTimelineWriter {
         s""""partitionToReplaceFileIds": $m, """
       }
     val kind = if (replaceFileIds.isEmpty) "commit" else "replacecommit"
-    val body = s"""{$replaceJson"partitionToWriteStats": $statsByPartition}"""
+    // `extraMetadata` is Hudi's own slot for writer bookkeeping (the
+    // streaming checkpoint key lives there in real Hudi) — the
+    // exactly-once sink records its (appId, batchId) mark here
+    val extraJson =
+      if (extraMetadata.isEmpty) ""
+      else {
+        val m = extraMetadata.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+          .mkString("{", ", ", "}")
+        s""""extraMetadata": $m, """
+      }
+    val body = s"""{$extraJson$replaceJson"partitionToWriteStats": $statsByPartition}"""
 
     // publish: the commit body references data files only by path/
     // fileId (both token-unique), so an INSERT-only commit that loses
@@ -219,5 +230,31 @@ object HudiTimelineWriter {
       attempt += 1
     }
     cur // unreachable
+  }
+
+  /** Highest batch id the given streaming app has recorded in any
+    * completed instant's `extraMetadata` — the replay-detection read
+    * for [[graft.streaming.EventStreams.commitHudiBatchIdempotent]].
+    * None for a fresh table or a foreign app.
+    */
+  def lastTxn(spark: org.apache.spark.sql.SparkSession, location: String,
+      appId: String): Option[Long] = {
+    val tl = new Path(s"${location.stripSuffix("/")}/.hoodie")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = tl.getFileSystem(conf)
+    if (!fs.exists(tl)) return None
+    val mapper = new ObjectMapper()
+    fs.listStatus(tl).toSeq
+      .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches())
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        for {
+          em <- Option(node.get("extraMetadata"))
+          app <- Option(em.get("graft-txn-app")).map(_.asText()) if app == appId
+          b <- Option(em.get("graft-txn-batch")).map(_.asText().toLong)
+        } yield b
+      }.maxOption
   }
 }

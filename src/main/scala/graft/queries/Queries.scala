@@ -2139,6 +2139,33 @@ object Queries {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // the HUDI leg of the streaming-ingest trio: per-micro-batch
+    // completed instants with the txn mark in extraMetadata, read
+    // back through the timeline resolver (latest file slices)
+    "st5_stream_hudi" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val docs = t(spark, sf, "documents")
+        val run = java.lang.Long.toHexString(System.nanoTime())
+        val tmp = System.getProperty("java.io.tmpdir")
+        val stage = s"$tmp/graft_st5_stage_$run"
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val loc = s"$tmp/graft_st5_hudi_$run"
+        val q = EventStreams.hudiIngest(stream, loc, appId = "st5")
+        try q.processAllAvailable() finally q.stop()
+        val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+          .sparkContext.hadoopConfiguration
+        val resolver = new graft.listing.HudiTimelineResolver(conf)
+        spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "source")
+      },
+      """SELECT lang, source, COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),
       TextAnalysis.sqlLangid)),

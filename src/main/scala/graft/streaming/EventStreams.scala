@@ -353,6 +353,34 @@ object EventStreams {
       commitIcebergBatchIdempotent(batch.toDF(), location, appId, batchId); ()
     }.start()
 
+  /** Commit one micro-batch into a HUDI COW table IFF its (appId,
+    * batchId) mark isn't already recorded — the trio-completing
+    * idempotence contract, with the mark in the commit's
+    * `extraMetadata` (where Hudi's own streaming checkpoint lives).
+    */
+  def commitHudiBatchIdempotent(df: DataFrame, location: String,
+      appId: String, batchId: Long): Boolean = {
+    import graft.listing.HudiTimelineWriter
+    if (HudiTimelineWriter.lastTxn(df.sparkSession, location, appId).exists(_ >= batchId)) false
+    else {
+      HudiTimelineWriter.commit(df.sparkSession, location, df,
+        extraMetadata = Map("graft-txn-app" -> appId, "graft-txn-batch" -> batchId.toString))
+      true
+    }
+  }
+
+  /** Streaming Hudi sink with EXACTLY-ONCE table contents — insert-
+    * only commits, one completed instant per micro-batch; replays are
+    * recognized by the extraMetadata mark and skipped. Completes the
+    * Delta/Iceberg/Hudi streaming-ingest trio.
+    */
+  def hudiIngest(docs: DataFrame, location: String,
+      appId: String = "graft-hudi-stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      commitHudiBatchIdempotent(batch.toDF(), location, appId, batchId); ()
+    }.start()
+
   /** Watermark-finalized windowed aggregates committed EXACTLY-ONCE
     * into a Delta table — the composed shape a metrics pipeline
     * runs: [[hourlyCounts]] in APPEND output mode emits each window

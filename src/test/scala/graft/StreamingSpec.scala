@@ -166,6 +166,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.listing.IcebergWriter.lastTxn(spark, loc, "other-app").isEmpty)
   }
 
+  test("streaming hudi sink is exactly-once under batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = s"/root/repo/target/stream_hudi_${System.nanoTime()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = EventStreams.hudiIngest(mem.toDF().toDF("id", "v"), loc, appId = "spec-hudi")
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
+    val resolver = new graft.listing.HudiTimelineResolver(conf)
+    def ids = spark.read.parquet(resolver.dataFilesDetailed(loc).map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+    assert(graft.listing.HudiTimelineWriter.lastTxn(spark, loc, "spec-hudi").contains(1L))
+    assert(!EventStreams.commitHudiBatchIdempotent(
+      Seq((3L, "c")).toDF("id", "v"), loc, "spec-hudi", 1L))
+    assert(ids == Seq(1L, 2L, 3L), "replay must not duplicate rows")
+    assert(EventStreams.commitHudiBatchIdempotent(
+      Seq((4L, "d")).toDF("id", "v"), loc, "spec-hudi", 2L))
+    assert(ids == Seq(1L, 2L, 3L, 4L))
+    assert(graft.listing.HudiTimelineWriter.lastTxn(spark, loc, "other").isEmpty)
+  }
+
   test("userProfiles state is order-insensitive across adversarial batch splits") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
