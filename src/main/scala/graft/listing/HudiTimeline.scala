@@ -245,16 +245,21 @@ object HudiTimelineWriter {
     val fs = tl.getFileSystem(conf)
     if (!fs.exists(tl)) return None
     val mapper = new ObjectMapper()
-    fs.listStatus(tl).toSeq
+    // NEWEST instant first, stop at the app's first mark: a given
+    // app's batch ids increase along the timeline, so the most recent
+    // marked instant carries its high-water mark — steady-state this
+    // is one read per micro-batch, not O(timeline)
+    val newestFirst = fs.listStatus(tl).toSeq
       .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches())
-      .flatMap { st =>
-        val in = fs.open(st.getPath)
-        val node = try mapper.readTree(in) finally in.close()
-        for {
-          em <- Option(node.get("extraMetadata"))
-          app <- Option(em.get("graft-txn-app")).map(_.asText()) if app == appId
-          b <- Option(em.get("graft-txn-batch")).map(_.asText().toLong)
-        } yield b
-      }.maxOption
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+    newestFirst.iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val node = try mapper.readTree(in) finally in.close()
+      for {
+        em <- Option(node.get("extraMetadata"))
+        app <- Option(em.get("graft-txn-app")).map(_.asText()) if app == appId
+        b <- Option(em.get("graft-txn-batch")).map(_.asText().toLong)
+      } yield b
+    }.nextOption()
   }
 }

@@ -413,8 +413,23 @@ object IcebergWriter {
       .sparkContext.hadoopConfiguration
     val fs = metaDir.getFileSystem(conf)
     if (!fs.exists(metaDir)) return None
-    val latest = fs.listStatus(metaDir).toSeq
+    // per-micro-batch read: stay O(1), not O(versions). This writer
+    // names its jsons v<seq>.metadata.json, so when every json
+    // matches that pattern ONE read (the max seq) suffices — and that
+    // json carries every prior snapshot. Foreign naming falls back to
+    // the read-all content sort.
+    val jsons = fs.listStatus(metaDir).toSeq
       .filter(_.getPath.getName.endsWith(".json"))
+    val VName = """v(\d+)\.metadata\.json""".r
+    val named = jsons.flatMap(st => st.getPath.getName match {
+      case VName(sq) => Some((sq.toLong, st))
+      case _         => None
+    })
+    val candidates =
+      if (named.size == jsons.size && named.nonEmpty)
+        Seq(named.maxBy(_._1)._2)
+      else jsons
+    val latest = candidates
       .map { st =>
         val in = fs.open(st.getPath)
         try mapper.readTree(in) finally in.close()

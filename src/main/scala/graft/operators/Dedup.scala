@@ -1268,13 +1268,18 @@ object Dedup {
       .select(col("doc_id"), explode(grams).as("g"))
       .withColumn("gk", if (hashGrams) xxhash64(col("g")) else col("g"))
       .groupBy("doc_id", "gk").agg(count(lit(1)).as("c"))
-    // document frequency via an unordered count-over-window on the
-    // gram key: occ is distinct per (doc, gram), so the partition
-    // count IS the number of docs carrying the gram — one shuffle,
-    // no second occ computation, no join back
-    val nd = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("gk"))
-    occ.withColumn("nd", nd)
+    // document frequency per gram (occ is distinct per (doc, gram),
+    // so count(*) IS the doc count), joined back on the gram key.
+    // DELIBERATELY an aggregate + join, NOT a count-over-window: the
+    // aggregate partial-combines map-side and AQE splits a skewed
+    // join partition, so a boilerplate gram carried by millions of
+    // documents never serializes one task — a window partition has
+    // no such mitigation. occ feeds both sides; localCheckpoint
+    // materializes it once (alias-renumbered exchanges defeat
+    // ReuseExchange here) instead of re-shingling the corpus.
+    val occC = occ.localCheckpoint()
+    val byG = occC.groupBy("gk").agg(count(lit(1)).as("nd"))
+    occC.join(byG, "gk")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_ngrams"),
         sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
