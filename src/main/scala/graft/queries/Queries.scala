@@ -901,6 +901,22 @@ object Queries {
         |FROM lineitem WHERE l_orderkey % 2 = 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Delta incremental read — the third leg of the g22/g33
+    // symmetry: the file-set diff between v0 (even file only) and v1
+    // (+ odd file) plans EXACTLY the added file from cached log
+    // state; cost is the delta, not the table
+    "g36_delta_incremental" -> ((
+      (spark: SparkSession, sf: String) => {
+        TestFixtures.engineFor(spark, sf)
+          .tableDFIncremental("default", "delta_lineitem", fromOffset = 2, toOffset = 1)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(dec2("l_quantity")).cast("double").as("q"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |FROM lineitem WHERE l_orderkey % 2 = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Delta-log table (beyond-reference: the reference's classifier
     // declares DELTA but can never return it): latest version = v2,
     // whose log REMOVED the even-orderkey file — the live set is odds
