@@ -62,6 +62,19 @@ object TestFixtures {
     out
   }
 
+  /** Documents staged as a four-file directory for the streaming-
+    * ingest gate queries (st2/st4/st5) — build-once per scale factor;
+    * the corpus is re-written per query otherwise.
+    */
+  def docsStreamDir(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/docs_stream4"
+    ensure(sfDir, "docs_stream4") {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(4).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Total bytes of the data files under a local fixture dir. */
   private def dirBytes(dir: String): Long = {
     def walk(f: File): Long =

@@ -200,7 +200,15 @@ object Multimodal {
             if (lctLen > 0 && i <= bytes.length)
               java.util.Arrays.copyOfRange(bytes, palOff, palOff + 3 * lctLen)
             else gct
-          if (i >= bytes.length || pal.isEmpty || fw <= 0 || fh <= 0) ok = false
+          // dimension sanity BEFORE any allocation: fw*fh overflows
+          // Int past 2^31 (descriptor dims go to 65535 each), and a
+          // corrupt 60-byte file claiming a 2-gigapixel frame must
+          // degrade to Nil, not OOM the executor on the output
+          // buffer. 2^26 px (192 MB of sums) is far above any real
+          // animation frame.
+          val nPix = fw.toLong * fh.toLong
+          if (i >= bytes.length || pal.isEmpty || fw <= 0 || fh <= 0 ||
+              nPix > (1L << 26)) ok = false
           else {
             val minCode = u8(i); i += 1
             val data = new java.io.ByteArrayOutputStream()

@@ -539,7 +539,7 @@ object TextAnalysis {
     val t = tokens(col("text"))
     val nTok = size(t).cast("long")
     val sumLen = aggregate(t, lit(0L), (a, w) => a + length(w).cast("long"))
-    val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val nAlpha = size(filter(t, w => w.rlike("[a-zA-Z]"))).cast("long")
     val nStop = size(filter(t, w => w.isin(stopwords: _*))).cast("long")
     val nGrams = greatest(nTok - lit(2), lit(0L))
     val nUniq = size(shinglesFast(col("text"), 3)).cast("long")
@@ -571,7 +571,7 @@ object TextAnalysis {
        |m AS (SELECT source,
        |  len(t)::BIGINT AS n_tok,
        |  list_reduce(list_prepend(0::BIGINT, list_transform(t, w -> len(w)::BIGINT)), (a, b) -> a + b) AS sum_len,
-       |  len(list_filter(t, w -> regexp_matches(w, '[a-z]')))::BIGINT AS n_alpha,
+       |  len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS n_alpha,
        |  len(list_filter(t, w -> list_contains([$stopList], w)))::BIGINT AS n_stop,
        |  greatest(len(t) - 2, 0)::BIGINT AS n_grams,
        |  len(${sqlShinglesOf("t", 3)})::BIGINT AS n_uniq

@@ -61,6 +61,26 @@ object Queries {
 
   private def dec2(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Shared staging for the streaming-ingest gate trio (st2/st4/st5):
+    * the corpus staged ONCE per scale factor as four files (one per
+    * micro-batch), plus a FIXED per-format table dir under the
+    * fixture root, deleted before each run — deterministic rebuild,
+    * no tmpdir leak, and the sink genuinely re-streams every run
+    * instead of no-op replaying its own old marks.
+    */
+  private def stagedDocStream(spark: SparkSession, sf: String,
+      tag: String): (DataFrame, String) = {
+    val docs = t(spark, sf, "documents")
+    val stage = TestFixtures.docsStreamDir(spark, sf)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val loc = s"${TestFixtures.root(sf)}/stream_ingest_$tag"
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    (stream, loc)
+  }
+
   // ================================================================ core SQL
 
   val core: Map[String, (Q, String)] = Map(
@@ -2109,14 +2129,7 @@ object Queries {
     "st2_stream_ingest" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.streaming.EventStreams
-        val docs = t(spark, sf, "documents")
-        val run = java.lang.Long.toHexString(System.nanoTime())
-        val tmp = System.getProperty("java.io.tmpdir")
-        val stage = s"$tmp/graft_st2_stage_$run"
-        docs.repartition(4).write.mode("overwrite").parquet(stage)
-        val stream = spark.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-        val loc = s"$tmp/graft_st2_delta_$run"
+        val (stream, loc) = stagedDocStream(spark, sf, "delta")
         val q = EventStreams.deltaIngest(stream, loc, appId = "st2")
         try q.processAllAvailable() finally q.stop()
         val resolver = new graft.listing.DeltaLogResolver(spark)
@@ -2134,14 +2147,7 @@ object Queries {
     "st4_stream_iceberg" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.streaming.EventStreams
-        val docs = t(spark, sf, "documents")
-        val run = java.lang.Long.toHexString(System.nanoTime())
-        val tmp = System.getProperty("java.io.tmpdir")
-        val stage = s"$tmp/graft_st4_stage_$run"
-        docs.repartition(4).write.mode("overwrite").parquet(stage)
-        val stream = spark.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-        val loc = s"$tmp/graft_st4_iceberg_$run"
+        val (stream, loc) = stagedDocStream(spark, sf, "iceberg")
         val q = EventStreams.icebergIngest(stream, loc, appId = "st4")
         try q.processAllAvailable() finally q.stop()
         val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -2161,14 +2167,7 @@ object Queries {
     "st5_stream_hudi" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.streaming.EventStreams
-        val docs = t(spark, sf, "documents")
-        val run = java.lang.Long.toHexString(System.nanoTime())
-        val tmp = System.getProperty("java.io.tmpdir")
-        val stage = s"$tmp/graft_st5_stage_$run"
-        docs.repartition(4).write.mode("overwrite").parquet(stage)
-        val stream = spark.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage)
-        val loc = s"$tmp/graft_st5_hudi_$run"
+        val (stream, loc) = stagedDocStream(spark, sf, "hudi")
         val q = EventStreams.hudiIngest(stream, loc, appId = "st5")
         try q.processAllAvailable() finally q.stop()
         val conf = org.apache.spark.sql.graft.Shim.classic(spark)

@@ -142,6 +142,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels("GIF89a garbage".getBytes) == Nil)
     val trunc = gifBytes(3L).take(40)
     assert(Multimodal.decodeGifPixels(trunc) == Nil)
+    // dimension bomb: a 30-byte file claiming a 65535x65535 frame must
+    // degrade BEFORE allocating the multi-GB output buffer
+    val bomb = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      2, 0, 2, 0, 0x80.toByte, 0, 0,            // LSD: 2x2, GCT of 2 entries
+      1, 2, 3, 4, 5, 6,                          // the 2-entry palette
+      0x2c, 0, 0, 0, 0,                          // image descriptor at (0,0)
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, // 65535 x 65535
+      0, 2, 0, 0x3b)                             // no LCT, minCode, empty data
+    assert(Multimodal.decodeGifPixels(bomb) == Nil)
   }
 
   test("imageMeta recovers generation-time dimensions from media fixture bytes") {
