@@ -1226,6 +1226,69 @@ object Dedup {
        |FROM k JOIN f ON k.line = f.line
        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
 
+  /** Directed near-CONTAINMENT pairs: (a, b) where
+    * C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` — the
+    * asymmetric overlap that catches an EXCERPT or quoted block
+    * living inside a larger document, which symmetric Jaccard misses
+    * whenever the container is much bigger than the containee (at
+    * |B| = 10|A|, full containment is only J ≈ 0.1). The standard
+    * dedup pass for quote/boilerplate-inclusion mining.
+    *
+    * Prefix lemma (containment form of AllPairs, Chaudhuri et al.
+    * ICDE'06): if |A∩B| ≥ t|A| then the first |A| − ceil(t|A|) + 1
+    * smallest shingle hashes of A must hit B somewhere — so the
+    * candidate join is A-prefix hashes × the FULL posting list (the
+    * containee side prunes, the container side cannot). Verification
+    * is the exact two-pointer overlap on the sorted hash arrays.
+    *
+    * Scale: candidate volume is Σ_h df_pref(h)·df(h); at 0.8 the
+    * prefix is ~20% of each doc's shingles, and the posting-list side
+    * partial-combines nothing — for boilerplate-heavy corpora compose
+    * with the d7 path's df-ascending prefix order / HLL budget guard
+    * before running corpus-wide. Pinned partition counts keep the
+    * KB-row high-fanout stages wide (see [[pinned]]).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val mult = pairMult(docs, docs.count())
+    val base = spread(docs).select(
+      col("doc_id"),
+      sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+      .filter(col("nh") > 0)
+      .localCheckpoint() // feeds prefix, posting list, AND verification
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
+    val pref = pinned(base.select(col("doc_id").as("a"), col("nh").as("na"),
+      explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
+    val posting = pinned(base.select(col("doc_id").as("b"), explode(col("hs")).as("h")), col("h"))
+    val cand = pref.join(posting.hint("SHUFFLE_MERGE"), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b", "na").distinct()
+    val withA = pinnedWide(cand, mult, col("a"))
+      .join(pinnedWide(base.select(col("doc_id").as("a"), col("hs").as("ha")), mult, col("a")), "a")
+    pinnedWide(withA, mult, col("b"))
+      .join(pinnedWide(base.select(col("doc_id").as("b"), col("hs").as("hb")), mult, col("b")), "b")
+      .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
+      .withColumn("cont", col("ov") / col("na").cast("double"))
+      .filter(col("cont") >= threshold)
+      .select(col("a"), col("b"), round(col("cont"), 6).as("cont"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB oracle for [[containmentPairs]] (brute-force over shingle
+    * strings, like d7's).
+    */
+  def sqlContainmentPairs(n: Int = 3, threshold: Double = 0.8): String =
+    s"""WITH tok AS (SELECT doc_id, ${graft.functions.CrossHash.sqlTokens("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${graft.functions.CrossHash.sqlShinglesOf("t", n)} AS s FROM tok
+       |       WHERE len(t) >= $n),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS cont
+       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+       |SELECT a, b, round(cont, 6) AS cont FROM p WHERE cont >= $threshold
+       |ORDER BY a, b""".stripMargin
+
   /** CROSS-document duplicated n-gram coverage (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better" —
     * their NearDup/ExactSubstr analysis metric): per document, the

@@ -1749,6 +1749,15 @@ object Queries {
         Dedup.lineDedupStats(t(spark, sf, "documents")),
       Dedup.sqlLineDedupStats())),
 
+    // directed near-containment pairs: excerpt/quote mining — the
+    // asymmetric overlap Jaccard misses when the container dwarfs
+    // the containee; containee-side prefix filter, exact two-pointer
+    // verification
+    "d24_containment" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.containmentPairs(t(spark, sf, "documents")),
+      Dedup.sqlContainmentPairs())),
+
     // cross-document duplicated n-gram coverage (Lee et al. 2021's
     // exact-substring analysis signal): the share of each doc's
     // 5-gram occurrences shared with another document — sliding, so

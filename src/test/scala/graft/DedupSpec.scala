@@ -422,6 +422,34 @@ class DedupSpec extends AnyFunSuite {
     assert(hashed == exact)
   }
 
+  test("containment pairs equal brute force; catches the excerpt Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is an exact excerpt of doc 1 (J = 4/13 ≈ 0.31, C = 1.0)
+    val tiny = Seq(
+      (1L, "a b c d e f g h i j k l m n o"),
+      (2L, "c d e f g h"),
+      (3L, "z y x w v u")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(tiny, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0)))
+    // corpus-wide: prefix-filtered result equals the quadratic truth
+    val corpus = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val sh = corpus.select(col("doc_id"),
+      graft.functions.CrossHash.shingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") =!= col("y.doc_id"))
+      .withColumn("cont", size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+        size(col("x.s")))
+      .filter(col("cont") >= 0.8)
+      .select(col("x.doc_id"), col("y.doc_id"), round(col("cont"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = Dedup.containmentPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute)
+  }
+
   test("duplicated n-gram coverage counts cross-doc occurrences; hashed variant agrees") {
     import spark.implicits._
     val tiny = Seq(
