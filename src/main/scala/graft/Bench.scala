@@ -78,6 +78,13 @@ object Bench {
       // billed to) whichever query runs next — observed q10 at 30s in
       // the sf1 suite vs 0.6s in isolation. The GC runs between
       // timings, so no query's own work is hidden.
+      // Drop cached/localCheckpoint blocks the previous query left in
+      // the block manager (CC label rounds, signature frames): pinned
+      // storage memory squeezes execution memory for whoever runs
+      // next — observed as multi-x erratic swings in the pair-op
+      // family at sf1, not as a clean per-query cost.
+      val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

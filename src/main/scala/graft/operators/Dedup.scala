@@ -1241,15 +1241,23 @@ object Dedup {
     * containee side prunes, the container side cannot). Verification
     * is the exact two-pointer overlap on the sorted hash arrays.
     *
-    * Scale: candidate volume is Σ_h df_pref(h)·df(h); at 0.8 the
-    * prefix is ~20% of each doc's shingles, and the posting-list side
-    * partial-combines nothing — for boilerplate-heavy corpora compose
-    * with the d7 path's df-ascending prefix order / HLL budget guard
-    * before running corpus-wide. Pinned partition counts keep the
-    * KB-row high-fanout stages wide (see [[pinned]]).
+    * Scale: candidate volume is Σ_h df_pref(h)·df(h), so the prefix
+    * takes the AllPairs df-ASCENDING order (each containee's prefix
+    * carries its RAREST shingles), a positional filter drops
+    * candidates whose matched prefix can no longer reach t·|A|, and
+    * verification is the exact two-pointer overlap. Pinned partition
+    * counts keep the KB-row high-fanout stages wide (see [[pinned]]).
+    * GRAM LENGTH is the real volume lever for containment — B's side
+    * can't prefix-prune and has no length bound, so candidate volume
+    * is Σ_h df_pref(h)·df(h) and df is everything: on the sf1 corpus
+    * 3-grams carry df≈91 (37M verification pairs, 47s), 5-grams
+    * df≈1.1 (587 pairs, instant). Excerpt mining wants long grams
+    * anyway (Lee et al. 2021 dedup at 50 tokens); n=5 is the floor
+    * where a flat vocabulary stops generating accidental shares.
     */
-  def containmentPairs(docs: DataFrame, n: Int = 3,
+  def containmentPairs(docs: DataFrame, n: Int = 5,
       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val mult = pairMult(docs, docs.count())
     val base = spread(docs).select(
       col("doc_id"),
@@ -1258,12 +1266,28 @@ object Dedup {
       .filter(col("nh") > 0)
       .localCheckpoint() // feeds prefix, posting list, AND verification
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
-    val pref = pinned(base.select(col("doc_id").as("a"), col("nh").as("na"),
-      explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
+    val exploded = base.select(col("doc_id"), col("nh"), explode(col("hs")).as("h"))
+    val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val pref = pinned(
+      exploded.join(dfCounts, "h")
+        .withColumn("p", row_number().over(w) - lit(1))
+        .filter(col("p") < plen)
+        .select(col("doc_id").as("a"), col("nh").as("na"), col("p").as("pa"), col("h")),
+      col("h"))
     val posting = pinned(base.select(col("doc_id").as("b"), explode(col("hs")).as("h")), col("h"))
-    val cand = pref.join(posting.hint("SHUFFLE_MERGE"), Seq("h"))
-      .filter(col("a") =!= col("b"))
-      .select("a", "b", "na").distinct()
+    // positional filter: matched prefix hits c plus everything of A
+    // past the deepest matched prefix position must still reach t·|A|
+    val cand = pinnedWide(
+      pref.join(posting.hint("SHUFFLE_MERGE"), Seq("h"))
+        .filter(col("a") =!= col("b"))
+        .select("a", "b", "na", "pa"),
+      mult, col("a"), col("b"))
+      .groupBy("a", "b", "na")
+      .agg(count(lit(1)).as("c"), max(col("pa")).as("pam"))
+      .filter(col("c") + (col("na") - col("pam") - lit(1)) >=
+        ceil(col("na") * lit(threshold) - lit(1e-9)))
+      .select("a", "b", "na")
     val withA = pinnedWide(cand, mult, col("a"))
       .join(pinnedWide(base.select(col("doc_id").as("a"), col("hs").as("ha")), mult, col("a")), "a")
     pinnedWide(withA, mult, col("b"))
@@ -1278,7 +1302,7 @@ object Dedup {
   /** DuckDB oracle for [[containmentPairs]] (brute-force over shingle
     * strings, like d7's).
     */
-  def sqlContainmentPairs(n: Int = 3, threshold: Double = 0.8): String =
+  def sqlContainmentPairs(n: Int = 5, threshold: Double = 0.8): String =
     s"""WITH tok AS (SELECT doc_id, ${graft.functions.CrossHash.sqlTokens("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, ${graft.functions.CrossHash.sqlShinglesOf("t", n)} AS s FROM tok
        |       WHERE len(t) >= $n),

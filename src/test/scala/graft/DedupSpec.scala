@@ -424,19 +424,19 @@ class DedupSpec extends AnyFunSuite {
 
   test("containment pairs equal brute force; catches the excerpt Jaccard misses") {
     import spark.implicits._
-    // doc 2 is an exact excerpt of doc 1 (J = 4/13 ≈ 0.31, C = 1.0)
+    // doc 2 is an exact excerpt of doc 1 (J = 2/13 ≈ 0.15, C = 1.0)
     val tiny = Seq(
       (1L, "a b c d e f g h i j k l m n o"),
       (2L, "c d e f g h"),
-      (3L, "z y x w v u")
+      (3L, "z y x w v u p q r s t")
     ).toDF("doc_id", "text")
-    val got = Dedup.containmentPairs(tiny, n = 3, threshold = 0.8)
+    val got = Dedup.containmentPairs(tiny, n = 5, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((2L, 1L, 1.0)))
     // corpus-wide: prefix-filtered result equals the quadratic truth
     val corpus = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val sh = corpus.select(col("doc_id"),
-      graft.functions.CrossHash.shingles(col("text"), 3).as("s"))
+      graft.functions.CrossHash.shingles(col("text"), 5).as("s"))
       .filter(size(col("s")) > 0)
     val brute = sh.as("x").join(sh.as("y"),
         col("x.doc_id") =!= col("y.doc_id"))
