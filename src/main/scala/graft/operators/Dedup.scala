@@ -1393,4 +1393,125 @@ object Dedup {
        |FROM base LEFT JOIN d ON base.doc_id = d.doc_id
        |ORDER BY base.doc_id""".stripMargin
   }
+
+  /** EXACT edit-distance near-duplicate pairs: every unordered pair
+    * with Levenshtein distance <= `k` over the raw text, found
+    * without the quadratic join — the Ed-Join family (Xiao, Wang &
+    * Lin, VLDB'08) re-expressed at word-gram grain. Character edit
+    * distance is the dedup predicate MinHash can't express (Jaccard
+    * is order- and position-blind; two docs can share every shingle
+    * yet sit hundreds of edits apart) and is what near-identical
+    * boilerplate and OCR/encoding-noise variants actually satisfy.
+    *
+    * Candidate generation is three tiers, together PROVABLY complete
+    * for the `levenshtein(a,b) <= k` predicate:
+    *
+    *  - One character edit rewrites at most two adjacent word tokens
+    *    (the worst case is a space edit merging/splitting a word
+    *    pair), so it removes at most n+1 of a doc's distinct word
+    *    n-gram types; k edits remove at most k(n+1). Hence
+    *    `|G_A ∩ G_B| >= max(g_A, g_B) - k(n+1)` for the distinct
+    *    n-gram sets, and by the AllPairs prefix lemma (on any shared
+    *    total order) two docs within k edits where EITHER side has
+    *    more than k(n+1) distinct n-grams must share a hash inside
+    *    both (k(n+1)+1)-prefixes. Tier 1 is that prefix self-join at
+    *    n=5 over all docs (plain ascending-hash order: 5-gram df is
+    *    ~1 even on a flat vocabulary, so no df pass is needed).
+    *  - Pairs invisible to tier 1 have BOTH sides' g5 <= k(n+1).
+    *    Tier 2 re-runs the prefix filter at n=3 over just those short
+    *    docs, in the df-ASCENDING order (3-gram df is high on flat
+    *    vocabularies — the d24 lesson — and the short subset is a
+    *    fraction of the corpus, so the df pass is cheap).
+    *  - Docs short on BOTH gram scales (g5 <= 6k and g3 <= 4k) fall
+    *    to tier 3: an all-pairs join bucketed by `len(text) div
+    *    (k+1)`, each left row probing its own and both neighbor
+    *    buckets — complete because ed <= k forces |len_a - len_b| <=
+    *    k < bucket width. The tier-3 population is tiny/repetitive
+    *    docs only, so the per-bucket quadratic is bounded.
+    *
+    * Verification is Spark's banded `levenshtein(l, r, threshold)` —
+    * O(k·len) per pair, returns -1 past the bound — after the
+    * |Δlen| <= k length filter that ed <= k implies. Tiers only
+    * ADMIT candidates; the predicate is decided solely by the exact
+    * distance, so the result equals the quadratic oracle.
+    *
+    * Returns `(a, b, dist)`, a < b, one row per qualifying pair.
+    *
+    * Scale: tier 1 shuffles (k(n+1)+1) 8-byte prefix hashes per doc
+    * and its candidate volume is Σ_h df_pref(h)² with df_pref ≈ 1 at
+    * 5-gram grain; tiers 2/3 touch only the short-doc minority. No
+    * stage is corpus-quadratic.
+    */
+  def editDistancePairs(docs: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (n1, n2) = (5, 3)
+    val p1 = k * (n1 + 1) + 1
+    val p2 = k * (n2 + 1) + 1
+    val mult = pairMult(docs, docs.count())
+    val base = spread(docs).select(col("doc_id"), col("text"),
+        length(col("text")).as("len"),
+        sortedShingleHashes64Fast(col("text"), n1).as("g5"),
+        sortedShingleHashes64Fast(col("text"), n2).as("g3"))
+      .withColumn("n5", size(col("g5")))
+      .withColumn("n3", size(col("g3")))
+      .localCheckpoint() // feeds all three tiers + verification
+    val lenClose = abs(col("la") - col("lb")) <= lit(k)
+    // tier 1: 5-gram (k(n1+1)+1)-prefix self-join, hash order
+    val pref1 = pinned(base.select(col("doc_id"), col("len"),
+      explode(slice(col("g5"), lit(1), lit(p1))).as("h")), col("h"))
+    val c1 = pref1.select(col("doc_id").as("a"), col("len").as("la"), col("h"))
+      .join(pref1.select(col("doc_id").as("b"), col("len").as("lb"), col("h"))
+        .hint("SHUFFLE_MERGE"), Seq("h"))
+      .filter(col("a") < col("b") && lenClose)
+      .select("a", "b")
+    // tier 2: short docs, 3-gram df-ascending prefix
+    val short = base.filter(col("n5") < lit(p1))
+    val exploded = short.select(col("doc_id"), col("len"), explode(col("g3")).as("h"))
+    val dfc = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val pref2 = pinned(
+      exploded.join(dfc, "h")
+        .withColumn("p", row_number().over(w))
+        .filter(col("p") <= lit(p2))
+        .select(col("doc_id"), col("len"), col("h")),
+      col("h"))
+    val c2 = pref2.select(col("doc_id").as("a"), col("len").as("la"), col("h"))
+      .join(pref2.select(col("doc_id").as("b"), col("len").as("lb"), col("h"))
+        .hint("SHUFFLE_MERGE"), Seq("h"))
+      .filter(col("a") < col("b") && lenClose)
+      .select("a", "b")
+    // tier 3: tiny docs, |Δlen|<=k via width-(k+1) length buckets
+    val tiny = base.filter(col("n5") < lit(p1) && col("n3") < lit(p2))
+      .withColumn("bk", floor(col("len") / lit(k + 1)))
+    val c3 = tiny.select(col("doc_id").as("a"), col("len").as("la"),
+        explode(array(col("bk") - lit(1), col("bk"), col("bk") + lit(1))).as("bk"))
+      .join(tiny.select(col("doc_id").as("b"), col("len").as("lb"), col("bk")), Seq("bk"))
+      .filter(col("a") < col("b") && lenClose)
+      .select("a", "b")
+    val cand = c1.union(c2).union(c3).distinct()
+    val withA = pinnedWide(cand, mult, col("a"))
+      .join(pinnedWide(base.select(col("doc_id").as("a"), col("text").as("ta")),
+        mult, col("a")), "a")
+    pinnedWide(withA, mult, col("b"))
+      .join(pinnedWide(base.select(col("doc_id").as("b"), col("text").as("tb")),
+        mult, col("b")), "b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB oracle for [[editDistancePairs]] (quadratic with the
+    * implied |Δlen| <= k prefilter — pure optimization, the predicate
+    * is the distance alone).
+    */
+  def sqlEditDistancePairs(k: Int = 4): String =
+    s"""WITH p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    levenshtein(a.text, b.text) AS dist
+       |  FROM documents a JOIN documents b
+       |    ON a.doc_id < b.doc_id
+       |   AND abs(len(a.text) - len(b.text)) <= $k)
+       |SELECT a, b, dist::BIGINT AS dist FROM p WHERE dist <= $k
+       |ORDER BY a, b""".stripMargin
 }

@@ -1758,6 +1758,14 @@ object Queries {
         Dedup.containmentPairs(t(spark, sf, "documents")),
       Dedup.sqlContainmentPairs())),
 
+    // exact Levenshtein near-dup pairs (Ed-Join family): the
+    // position-aware dedup predicate Jaccard/MinHash can't express —
+    // complete tiered word-gram prefix filter, banded-DP verification
+    "d26_edit_pairs" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.editDistancePairs(t(spark, sf, "documents")),
+      Dedup.sqlEditDistancePairs())),
+
     // cross-document duplicated n-gram coverage (Lee et al. 2021's
     // exact-substring analysis signal): the share of each doc's
     // 5-gram occurrences shared with another document — sliding, so

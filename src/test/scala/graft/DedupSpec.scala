@@ -422,6 +422,40 @@ class DedupSpec extends AnyFunSuite {
     assert(hashed == exact)
   }
 
+  test("edit-distance pairs equal brute force; every tier fires") {
+    import spark.implicits._
+    // tier 3: tiny docs (no 5-grams, <17 distinct 3-grams) one edit
+    // apart that share NO word gram at all — the prefix tiers are
+    // blind to them by construction
+    // tier 2: ~15-token docs (g5 < 25) with one word substituted
+    // tier 1: long docs with one word substituted
+    val longA = (1 to 40).map(i => s"w$i").mkString(" ")
+    val longB = longA.replace("w20", "w99")
+    val tiny = Seq(
+      (1L, "abc"), (2L, "abd"),                  // tier 3, dist 1
+      (3L, "p q r s t u v w x y z a b c n"),     // tier 2 pair:
+      (4L, "p q r s t u v w x y z a b c m"),     //   dist 1
+      (5L, longA), (6L, longB),                  // tier 1, dist 2
+      (7L, "completely unrelated text here okay")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(tiny, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 2L)))
+    // corpus-wide: tiered result equals the quadratic truth
+    val corpus = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val brute = corpus.as("x").join(corpus.as("y"),
+        col("x.doc_id") < col("y.doc_id") &&
+          abs(length(col("x.text")) - length(col("y.text"))) <= 4)
+      .withColumn("dist", levenshtein(col("x.text"), col("y.text"), 4).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tiered = Dedup.editDistancePairs(corpus, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tiered == brute)
+  }
+
   test("containment pairs equal brute force; catches the excerpt Jaccard misses") {
     import spark.implicits._
     // doc 2 is an exact excerpt of doc 1 (J = 2/13 ≈ 0.15, C = 1.0)
