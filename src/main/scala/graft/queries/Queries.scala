@@ -386,7 +386,7 @@ object Queries {
           .withColumn("prev", lag(col("ts"), 1).over(w))
           .withColumn("ns",
             when(col("prev").isNull ||
-              unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1).otherwise(0))
+              unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev")) > gapUs, 1).otherwise(0))
           .withColumn("sid", sum(col("ns"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         x.groupBy("user_id", "sid").agg(count(lit(1)).as("n_events"))
@@ -417,9 +417,9 @@ object Queries {
         val intervals = ev
           .filter(col("event_type") === "purchase" && col("user_id") % 199 === 0)
           .select(col("event_id").as("interval_id"),
-            unix_micros(col("ts")).as("lo"),
-            (unix_micros(col("ts")) + lit(w)).as("hi"))
-        val points = ev.select(col("event_id"), unix_micros(col("ts")).as("t"))
+            unix_micros(col("ts").cast("timestamp")).as("lo"),
+            (unix_micros(col("ts").cast("timestamp")) + lit(w)).as("hi"))
+        val points = ev.select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
         RangeJoin.pointInInterval(intervals, points, bucketWidth = w)
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct("event_id").as("n_events"),
@@ -477,7 +477,7 @@ object Queries {
           .select("user_id", "ts")
         graft.operators.AsOfJoin.joinPrior(purchases, clicks, "user_id", "ts")
           .select(col("event_id"), col("user_id"),
-            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+            (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("asof_ts"))).as("gap_us"))
           .orderBy("event_id")
       },
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
@@ -636,6 +636,56 @@ object Queries {
         |FROM orders WHERE o_custkey % 100 = 7
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // time-interval RANGE frame: per event, trailing-1-hour stats for
+    // the same user. The frame keys on integer MICROSECONDS
+    // (unix_micros/epoch_us) so both engines bound the frame with
+    // exact integer compares — interval literals would route through
+    // each engine's own calendar arithmetic. One shuffle on user_id;
+    // the running frame is a single sort-based window pass.
+    "q45_range_interval" -> ((
+      (spark: SparkSession, sf: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        t(spark, sf, "events").filter(col("user_id") % 50 === 7)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_hr"),
+            min(col("value")).over(w).as("min_hr"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_hr,
+        |  min(value) OVER w AS min_hr
+        |FROM events WHERE user_id % 50 = 7
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // forward-fill (LOCF): carry each user's last observed purchase
+    // amount onto every later event — last_value IGNORE NULLS over a
+    // running ROWS frame, null before the first observation. The
+    // observed value passes through unchanged (no float arithmetic),
+    // so the fill is bit-exact across engines. The time-series gap
+    // repair every feature pipeline needs; one user-keyed window.
+    "q46_forward_fill" -> ((
+      (spark: SparkSession, sf: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(spark, sf, "events").filter(col("user_id") % 50 === 3)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+              .over(w).as("last_purchase"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER w AS last_purchase
+        |FROM events WHERE user_id % 50 = 3
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)),
 
     // fixed-width histogram via shared floor arithmetic (identical
     // IEEE ops in both engines — no engine-internal width_bucket
@@ -2116,7 +2166,7 @@ object Queries {
         val sp = org.apache.spark.sql.graft.Shim.classic(spark)
         import sp.implicits._
         val ev = EventStreams.eventsFileStream(spark, sf)
-          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
             (dec2("value") * 100).cast("long").as("cents"))
           .as[EventStreams.CentEvent]
         val res = EventStreams.withStatePartitions(spark, 8)(
