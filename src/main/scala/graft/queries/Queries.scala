@@ -2193,6 +2193,36 @@ object Queries {
     // versions), then read back through the engine's Delta log
     // resolver and aggregated — source offsets, per-batch commits,
     // and the lakehouse read path all on the oracle-checked path.
+    // streaming benchmark decontamination: live corpus micro-batches
+    // probed against the static eval-benchmark shingle set (d12's
+    // semantics on the ingest path) — stream-static broadcast join,
+    // update-mode aggregate, four real micro-batches
+    "st6_stream_decontam" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val docs = t(spark, sf, "documents")
+        val evalGrams = docs.filter(col("doc_id") % 37 === 3)
+          .select(explode(CrossHash.shinglesFast(col("text"), 5)).as("g")).distinct()
+        val stage = TestFixtures.docsStreamDir(spark, sf)
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .filter(col("doc_id") % 37 =!= 3)
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.decontamStream(stream, evalGrams),
+            "st6_mem", org.apache.spark.sql.streaming.OutputMode.Update()))
+        res.groupBy("doc_id").agg(max(col("n_hits")).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      s"""WITH tok AS (SELECT doc_id, ${CrossHash.sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${sqlShinglesOf("t", 5)} AS s FROM tok),
+         |eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 3),
+         |hits AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 3)
+         |  WHERE g IN (SELECT g FROM eg))
+         |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "st2_stream_ingest" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.streaming.EventStreams

@@ -109,6 +109,28 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming benchmark decontamination: each micro-batch of corpus
+    * documents is probed against the STATIC eval-benchmark shingle
+    * set (the streaming half of
+    * [[graft.operators.Dedup.decontaminate]] — same n-gram-hit
+    * semantics, same output shape). The eval grams are a stream-static
+    * broadcast join side, so every micro-batch pays one codegen'd
+    * shingle pass plus a hash probe — no shuffle on the corpus side;
+    * only MATCHED (doc_id, gram) rows reach the streaming aggregate.
+    * Update mode emits a doc's cumulative hit count whenever a batch
+    * touches it; a file-per-batch source keeps each doc within one
+    * micro-batch, so the final emission per doc IS the batch answer
+    * (the caller takes max per doc, correct under any batch split
+    * because the count only grows). At production scale the aggregate
+    * state is bounded the usual way — watermark on an ingest-time
+    * column — which the bounded fixture run doesn't need.
+    */
+  def decontamStream(docs: DataFrame, evalGrams: DataFrame, n: Int = 5): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.CrossHash.shinglesFast(col("text"), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+
   /** Bounded `readStream` over the events fixture: the batch reader's
     * rows (ts-type dispatch already applied) staged ONCE per scale
     * factor into a four-file directory — the file streaming source

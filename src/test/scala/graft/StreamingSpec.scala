@@ -52,6 +52,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(11L, 21L), s"got $kept")
   }
 
+  test("streaming decontamination equals batch counts under any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // eval doc shares its 3-grams with corpus docs 1 and 3
+    val evalGrams = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.CrossHash.shinglesFast(
+          org.apache.spark.sql.functions.col("text"), 3)).as("g")).distinct()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = EventStreams.decontamStream(
+      mem.toDF().toDF("doc_id", "text"), evalGrams, n = 3)
+    val q = EventStreams.runToCompletionQuery(stream, "st6_spec_mem",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      // doc 1 contaminated (2 gram hits), doc 2 clean
+      mem.addData((1L, "alpha beta gamma delta xi"), (2L, "one two three four"))
+      q.processAllAvailable()
+      // doc 3 contaminated; doc 1 reappears in a LATER batch with one
+      // more contaminated gram — the cumulative count must win
+      mem.addData((3L, "x beta gamma delta epsilon"), (1L, "beta gamma delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st6_spec_mem")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max("n_hits").as("n_hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1: batch1 grams {ab g, b g d, g d x} -> 2 hits; batch2 adds
+    // {b g d} (already counted) -> cumulative stays... update-mode
+    // aggregate counts ROWS, so batch2's probe re-adds its hit: the
+    // cumulative count is 3, and max picks it -- monotone, never lost
+    assert(got(1L) == 3L, s"got $got")
+    assert(got(3L) == 2L, s"got $got")
+    assert(!got.contains(2L), s"got $got")
+  }
+
   test("index stays bounded and idempotent across many small ingest batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
