@@ -303,6 +303,78 @@ object TextAnalysis {
        |      / n_tok::DOUBLE, 6) AS surprisal
        |FROM agg, t ORDER BY doc_id""".stripMargin
 
+  /** Per-document cross-entropy under a corpus BIGRAM language model
+    * with add-one smoothing — the conditional upgrade of
+    * [[surprisal]]'s unigram score and the shape of the
+    * perplexity-filter signal CCNet/Gopher pipelines compute with a
+    * trained LM: `H(doc) = -(1/n) Σ ln((c(w1,w2)+1) / (c(w1)+V))`
+    * over the doc's adjacent token pairs, `c` corpus counts, `V` the
+    * corpus vocabulary size. Rare CONTINUATIONS score high even when
+    * every token is individually common — the fluency signal a
+    * unigram model cannot see.
+    *
+    * Cross-engine exactness: the two ln-sums each fold over a SORTED
+    * count list (the [[surprisal]] trick), a fixed association both
+    * engines reproduce; the two sums stay separate until the final
+    * subtraction.
+    *
+    * Scale shape: one token shuffle for unigram counts, one
+    * pair-window shuffle for bigram counts, a term-keyed join back
+    * (model tables can hold billions of terms — never broadcast;
+    * only the 1-row vocab total broadcasts), bounded per-doc sorts.
+    */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val uni = tok.groupBy("term").agg(count(lit(1)).as("c1"))
+    val bg = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val withC12 = bg.withColumn("c12",
+      count(lit(1)).over(Window.partitionBy("w1", "w2")))
+    val joined = withC12.join(uni, col("w1") === col("term")).drop("term")
+    val vocab = tok.agg(countDistinct(col("term")).as("v"))
+    joined.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("c1"))).as("c1s"),
+        sort_array(collect_list(col("c12"))).as("c12s"),
+        count(lit(1)).as("n_bg"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n_bg"),
+        round(
+          (aggregate(col("c1s"), lit(0.0),
+            (s, c) => s + log((c + col("v")).cast("double"))) -
+            aggregate(col("c12s"), lit(0.0),
+              (s, c) => s + log((c + lit(1L)).cast("double"))))
+            / col("n_bg").cast("double"),
+          6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bigramCrossEntropy]]. */
+  def sqlBigramCrossEntropy: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |uni AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term),
+       |tt AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       |bg AS (SELECT doc_id,
+       |    unnest([t[i] for i in range(1, len(t))]) AS w1,
+       |    unnest([t[i+1] for i in range(1, len(t))]) AS w2
+       |  FROM tt WHERE len(t) >= 2),
+       |bgc AS (SELECT doc_id, w1, count(*) OVER (PARTITION BY w1, w2) AS c12 FROM bg),
+       |j AS (SELECT doc_id, c12, c1 FROM bgc JOIN uni ON bgc.w1 = uni.term),
+       |agg AS (SELECT doc_id, list_sort(list(c1)) AS c1s,
+       |    list_sort(list(c12)) AS c12s, count(*) AS n_bg
+       |  FROM j GROUP BY doc_id),
+       |vv AS (SELECT count(DISTINCT term) AS v FROM tok)
+       |SELECT doc_id, n_bg,
+       |  round((list_reduce(list_prepend(0.0, [ln((c + v)::DOUBLE) for c in c1s]), (s, x) -> s + x)
+       |       - list_reduce(list_prepend(0.0, [ln((c + 1)::DOUBLE) for c in c12s]), (s, x) -> s + x))
+       |      / n_bg::DOUBLE, 6) AS xent
+       |FROM agg, vv ORDER BY doc_id""".stripMargin
+
   /** Adjacent-token pair frequencies — the statistic a BPE tokenizer
     * trainer recomputes every merge round (Sennrich et al. 2016,
     * "Neural Machine Translation of Rare Words with Subword Units").

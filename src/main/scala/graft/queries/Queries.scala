@@ -2113,6 +2113,14 @@ object Queries {
       (spark: SparkSession, sf: String) => TextAnalysis.surprisal(t(spark, sf, "documents")),
       TextAnalysis.sqlSurprisal)),
 
+    // conditional (bigram, add-one-smoothed) cross-entropy — the
+    // fluency signal unigram surprisal can't see: rare CONTINUATIONS
+    // of common words score high; same sorted-fold determinism
+    "t15_bigram_xent" -> ((
+      (spark: SparkSession, sf: String) =>
+        TextAnalysis.bigramCrossEntropy(t(spark, sf, "documents")),
+      TextAnalysis.sqlBigramCrossEntropy)),
+
     // the BPE-trainer inner statistic: adjacent-pair frequencies in
     // one zip+explode+count (the full merge loop is bpeTrain,
     // spec-tested — each round is exactly this query plus a narrow
