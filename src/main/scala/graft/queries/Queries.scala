@@ -1612,6 +1612,104 @@ object Queries {
          |  WHERE g IN (SELECT g FROM eg))
          |SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the full curation funnel end-to-end, per-source audit of every
+    // stage: quality gate (t2's score) -> near-dup drop (d3's exact
+    // Jaccard>=0.8 pairs, keep the smaller doc_id) -> benchmark
+    // decontamination (d12's 5-gram hit) -> per-source token budget
+    // (d21's content-hash slice). One registered query a user can
+    // point at a corpus to get the drop-off at each gate — the report
+    // every training-data pipeline reviews before a run. Every stage
+    // reuses the already-oracle-proven operator; the funnel composes
+    // them with left-anti joins (never materializing intermediate
+    // corpora) and the audit is five small per-source aggregates
+    // joined broadcast-style.
+    "p4_curation_funnel" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        val corpus = docs.filter(col("doc_id") % 37 =!= 3)
+        val evalD = docs.filter(col("doc_id") % 37 === 3)
+        val q = corpus.filter(TextAnalysis.qualityCol(col("text")) >= 0.655)
+        val dropB = Dedup.minhashPairs(q.select(col("doc_id"), col("text")), 0.8)
+          .select(col("b").as("doc_id")).distinct()
+        val dd = q.join(dropB, Seq("doc_id"), "left_anti")
+        val evalGrams = evalD
+          .select(explode(CrossHash.shinglesFast(col("text"), 5)).as("g")).distinct()
+        val contam = dd
+          .select(col("doc_id"), explode(CrossHash.shinglesFast(col("text"), 5)).as("g"))
+          .join(broadcast(evalGrams), "g").select("doc_id").distinct()
+        val clean = dd.join(contam, Seq("doc_id"), "left_anti")
+        val toks = clean.select(col("source"),
+          size(CrossHash.tokens(col("text"))).cast("long").as("tok"),
+          (CrossHash.charFold(col("text")) % 10000L).as("bucket"))
+        val lims = toks.groupBy("source").agg(sum("tok").as("total"))
+          .select(col("source"),
+            least(lit(10000L), expr("(500L * 10000L) div total")).as("lim"))
+        val kept = toks.join(broadcast(lims), "source")
+          .filter(col("bucket") < col("lim"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("tok").as("tokens_kept"))
+        val fIn = corpus.groupBy("source").agg(count(lit(1)).as("n_in"))
+        val fQ = q.groupBy("source").agg(count(lit(1)).as("n_q"))
+        val fD = dd.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+        val fC = clean.groupBy("source").agg(count(lit(1)).as("n_clean"))
+        fIn.join(fQ, Seq("source"), "left")
+          .join(fD, Seq("source"), "left")
+          .join(fC, Seq("source"), "left")
+          .join(lims, Seq("source"), "left")
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_in"),
+            coalesce(col("n_q"), lit(0L)).as("n_q"),
+            coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+            coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+            coalesce(col("lim"), lit(10000L)).as("lim"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("source")
+      },
+      {
+        val stop = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+        s"""WITH corpus AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS t
+           |    FROM documents WHERE doc_id % 37 <> 3),
+           |q AS (SELECT doc_id, source, text, t FROM corpus
+           |  WHERE round(0.4 * least(1.0, len(t)::DOUBLE / 20.0)
+           |      + 0.3 * (len(list_filter(t, w -> w IN ($stop)))::DOUBLE / len(t)::DOUBLE)
+           |      + 0.3 * (len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)::DOUBLE), 6)
+           |    >= 0.655),
+           |sh3 AS (SELECT doc_id, ${sqlShinglesOf("t", 3)} AS s FROM q),
+           |dropb AS (SELECT DISTINCT b.doc_id AS doc_id
+           |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+           |dd AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dropb)),
+           |evtok AS (SELECT ${sqlTokens("text")} AS t FROM documents WHERE doc_id % 37 = 3),
+           |eg AS (SELECT DISTINCT unnest(${sqlShinglesOf("t", 5)}) AS g FROM evtok),
+           |contam AS (SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_id, unnest(${sqlShinglesOf("t", 5)}) AS g FROM dd)
+           |  WHERE g IN (SELECT g FROM eg)),
+           |clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |toks AS (SELECT source, len(t)::BIGINT AS tok,
+           |    ${graft.functions.CrossHash.sqlCharFold("text")} % 10000 AS bucket FROM clean),
+           |lims AS (SELECT source,
+           |    CAST(least(10000, (500 * 10000) // sum(tok)) AS BIGINT) AS lim
+           |  FROM toks GROUP BY source),
+           |kept AS (SELECT t.source, count(*) AS n_kept, CAST(sum(t.tok) AS BIGINT) AS tokens_kept
+           |  FROM toks t JOIN lims USING (source) WHERE t.bucket < lim GROUP BY t.source),
+           |fin AS (SELECT source, count(*) AS n_in FROM corpus GROUP BY source),
+           |fq AS (SELECT source, count(*) AS n_q FROM q GROUP BY source),
+           |fd AS (SELECT source, count(*) AS n_dedup FROM dd GROUP BY source),
+           |fc AS (SELECT source, count(*) AS n_clean FROM clean GROUP BY source)
+           |SELECT fin.source, n_in,
+           |  coalesce(n_q, 0)::BIGINT AS n_q,
+           |  coalesce(n_dedup, 0)::BIGINT AS n_dedup,
+           |  coalesce(n_clean, 0)::BIGINT AS n_clean,
+           |  coalesce(lim, 10000)::BIGINT AS lim,
+           |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+           |  coalesce(tokens_kept, 0)::BIGINT AS tokens_kept
+           |FROM fin LEFT JOIN fq USING (source) LEFT JOIN fd USING (source)
+           |  LEFT JOIN fc USING (source) LEFT JOIN lims USING (source)
+           |  LEFT JOIN kept USING (source)
+           |ORDER BY fin.source""".stripMargin
+      })),
+
     // the streaming-ingest trio composed end-to-end in batch mode
     // (EventStreams.nearDupIngest + searchIngest semantics): a fresh
     // batch (every 5th doc) is near-dup-filtered against the persisted
