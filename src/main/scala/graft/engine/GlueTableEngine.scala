@@ -978,6 +978,23 @@ final class GlueTableEngine(
     v
   }
 
+  /** RESTORE a registered Delta table to an earlier version as a new
+    * commit (`RESTORE TABLE ... TO VERSION AS OF` semantics —
+    * [[graft.listing.DeltaLogWriter.restore]]): after this, the
+    * latest read equals the time-travel read at `versionOffset` (as
+    * counted BEFORE the restore), history stays intact, and nothing
+    * is deleted from storage until VACUUM. Pure metadata. Returns
+    * the new version.
+    */
+  def restoreDeltaTable(database: String, table: String, versionOffset: Int): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val v = graft.listing.DeltaLogWriter.restore(spark, location(meta), versionOffset)
+    invalidateTable(database, table)
+    v
+  }
+
   /** Write `df` as a NEW Iceberg v2 table (snapshot 1, Avro
     * manifests with real footer-derived bounds) at `location` and
     * register it — the Iceberg counterpart of [[writeDeltaTable]].
@@ -1331,6 +1348,22 @@ final class GlueTableEngine(
     * [[expireIcebergSnapshots]]); earlier snapshots still
     * time-travel. Returns the new sequence number.
     */
+  /** ROLLBACK a registered Iceberg table to an earlier snapshot as a
+    * new snapshot ([[graft.listing.IcebergWriter.rollback]]): after
+    * this, the latest read equals the time-travel read at
+    * `snapshotOffset` (counted BEFORE the rollback); history stays
+    * intact and expire reclaims orphans later. Pure metadata.
+    * Returns the new sequence number.
+    */
+  def rollbackIcebergTable(database: String, table: String, snapshotOffset: Int): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.rollback(spark, location(meta), snapshotOffset)
+    invalidateTable(database, table)
+    v
+  }
+
   def compactIcebergTable(database: String, table: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")

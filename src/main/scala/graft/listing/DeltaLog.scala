@@ -374,6 +374,79 @@ object DeltaLogWriter {
     stale.size
   }
 
+  /** RESTORE the table to an earlier version AS A NEW COMMIT (the
+    * Delta `RESTORE TABLE ... TO VERSION AS OF` shape): the published
+    * commit removes every currently-live file absent from the target
+    * version and re-adds every target-version file no longer live —
+    * so readers atomically flip back to the old data, the history
+    * stays intact (every pre-restore version still time-travels,
+    * including the state being rolled back), and nothing is deleted
+    * from storage (VACUUM reclaims the orphans later, same as any
+    * rewrite). Re-added files carry their ORIGINAL stats JSON from
+    * the target state, so file skipping keeps working after the
+    * rollback. If the target version's schema differs (the restore
+    * crosses a schema evolution), the commit re-declares the target
+    * metaData so reads resolve against the restored shape.
+    *
+    * `versionOffset` counts back from the latest version (the g26
+    * time-travel convention): offset 1 restores the table to the
+    * state just before its last commit.
+    *
+    * Scale: pure metadata — two log replays (cached/checkpointed) and
+    * one commit JSON; no data file is read or written. Publishes
+    * WITHOUT retry: a restore is a read-set commit (its removes were
+    * computed against the replayed current state), so losing the
+    * version race surfaces the conflict rather than clobbering the
+    * winner's commit.
+    */
+  def restore(spark: SparkSession, location: String, versionOffset: Int): Long = {
+    require(versionOffset > 0, s"restore needs a positive offset, got $versionOffset")
+    val root = location.stripSuffix("/")
+    val resolver = new DeltaLogResolver(spark)
+    val cur = resolver.rawState(root, 0).getOrElse(
+      throw new IllegalStateException(s"cannot restore $location: no Delta log"))
+    val tgt = resolver.rawState(root, versionOffset).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore $location: no version at offset $versionOffset"))
+    require(cur.partitionColumns == tgt.partitionColumns,
+      s"restore across a partitioning change is not supported at $root " +
+        s"(${tgt.partitionColumns.mkString(",")} -> ${cur.partitionColumns.mkString(",")})")
+    val curPaths = cur.adds.map(_._1).toSet
+    val tgtPaths = tgt.adds.map(_._1).toSet
+    val removes = cur.adds.collect { case (p, _, _, _) if !tgtPaths(p) =>
+      s"""{"remove":{"path":${jstr(p)},"dataChange":true}}"""
+    }
+    val adds = tgt.adds.collect { case (p, size, pv, stats) if !curPaths(p) =>
+      val pvJson = pv.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+      s"""{"add":{"path":${jstr(p)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
+        stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+    }
+    val metaLine =
+      if (cur.schemaString == tgt.schemaString) Nil
+      else tgt.schemaString.toSeq.map { ss =>
+        s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)},""" +
+          s""""format":{"provider":"parquet"},"schemaString":${jstr(ss)},""" +
+          s""""partitionColumns":[${tgt.partitionColumns.map(jstr).mkString(", ")}]}}"""
+      }
+    val body = (metaLine ++ removes ++ adds).mkString("", "\n", "\n")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val logDir = new Path(s"$root/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val version = cur.version + 1
+    val tmp = new Path(logDir, f".${version}%020d.json.restore.tmp")
+    val dst = new Path(logDir, f"${version}%020d.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"restore lost the publish race at $dst — re-resolve and retry the restore")
+    }
+    stateCache.remove(root) // schema may have flipped; next commit re-resolves
+    version
+  }
+
   /** [[checkpoint]] when the latest version is a multiple of
     * `every` — the standard commit-interval policy a streaming sink
     * calls after each batch. Returns the checkpointed version, if

@@ -312,6 +312,69 @@ object IcebergWriter {
     seq
   }
 
+  /** ROLLBACK the table to an earlier snapshot as a NEW snapshot
+    * (Iceberg's `rollback_to_snapshot` shape, expressed in this
+    * writer's append-only metadata model): the published snapshot's
+    * manifest-list IS the target snapshot's — the rolled-back file
+    * set becomes current again without rewriting, re-listing, or even
+    * re-reading any manifest. Earlier snapshots (including the one
+    * being rolled back) still time-travel through the preserved
+    * snapshots array, and `expireIcebergSnapshots` reclaims orphaned
+    * data later, exactly like any replace. Schemas and partition
+    * specs carry over verbatim from the current metadata. The
+    * snapshot summary records `operation: rollback` plus the target
+    * snapshot id, the observability hook a real pipeline audits.
+    *
+    * `snapshotOffset` counts back from the current snapshot (the g7
+    * time-travel convention): offset 1 reinstates the state just
+    * before the last commit. Pure metadata: one JSON read, one
+    * atomic JSON publish.
+    */
+  def rollback(spark: SparkSession, location: String, snapshotOffset: Int): Long = {
+    require(snapshotOffset > 0, s"rollback needs a positive offset, got $snapshotOffset")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(
+        throw new IllegalStateException(s"cannot rollback $location: no Iceberg metadata"))
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val snaps = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    require(snapshotOffset < snaps.size,
+      s"cannot rollback $location: offset $snapshotOffset outside ${snaps.size} snapshots")
+    val target = snaps(snaps.size - 1 - snapshotOffset)
+    val targetId = target.get("snapshot-id").asLong()
+    val targetMl = target.get("manifest-list").asText()
+    val snapJson =
+      s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(targetMl)}, """ +
+        s""""summary": {"operation": "rollback", "rolled-back-to": "$targetId"}}"""
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq,
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": ${mapper.writeValueAsString(prior.get("schemas"))},
+         |"partition-specs": ${mapper.writeValueAsString(prior.get("partition-specs"))},
+         |"snapshots": [${(snaps.map(mapper.writeValueAsString) :+ snapJson).mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"rollback lost the publish race at $dst — re-resolve and retry")
+    }
+    seq
+  }
+
   private val delFileS: Schema = SchemaBuilder.record("iw_delete_file").fields()
     .requiredString("file_path").requiredLong("file_size_in_bytes")
     .requiredInt("content")

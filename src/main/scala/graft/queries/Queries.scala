@@ -1026,6 +1026,56 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Delta RESTORE through the oracle gate: write evens, append
+    // odds, delete the low half, then RESTORE to the pre-delete
+    // version — the latest read must equal the full table again (the
+    // oracle over ALL orders proves the rollback, not a time-travel
+    // read). History stays intact; pure metadata commit.
+    "g37_delta_restore" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_restore_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_restore_rt", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_restore_rt")
+        eng.deleteDeltaWhere("default", "delta_restore_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        eng.restoreDeltaTable("default", "delta_restore_rt", 1)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_restore_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Iceberg ROLLBACK through the oracle gate (the g37 twin): write
+    // evens, append odds, MOR-delete the low priorities, then roll
+    // back to the pre-delete snapshot — the latest read must equal
+    // the full table again, through a snapshot whose manifest-list is
+    // literally the target's (zero manifests rewritten)
+    "g38_iceberg_rollback" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_rollback_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_rollback_rt", loc)
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1), "default", "ice_rollback_rt")
+        eng.deleteIcebergWhere("default", "ice_rollback_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        eng.rollbackIcebergTable("default", "ice_rollback_rt", 1)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_rollback_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Iceberg WRITE path through the oracle gate (the g31 mirror):
     // write evens as snapshot 1, append odds as snapshot 2, read back
     "g32_iceberg_write" -> ((

@@ -230,6 +230,43 @@ class DeltaSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(f.path).toUri.getPath).exists()))
   }
 
+  test("restore flips the table back as a new commit; history intact") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_restore_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 50L).map(i => (i, i * 2)).toDF("x", "y").coalesce(1),
+      "d", "rst", loc)
+    eng.appendDeltaTable((50L until 100L).map(i => (i, i * 2)).toDF("x", "y").coalesce(1),
+      "d", "rst")                                      // v1: 100 rows
+    eng.deleteDeltaWhere("d", "rst", col("x") < 25) // v2: 75 rows
+    assert(eng.tableDF("d", "rst").count() == 75)
+    // restore to the state before the delete (offset 1 from latest)
+    val v = eng.restoreDeltaTable("d", "rst", 1)
+    assert(v == 3L)
+    // latest == the pre-delete state, exactly
+    assert(eng.tableDF("d", "rst").count() == 100)
+    assert(eng.tableDF("d", "rst").agg(sum("x")).head().getLong(0) == 4950L)
+    // history intact: the rolled-back state still time-travels
+    assert(eng.tableDF("d", "rst", 1).count() == 75)
+    assert(eng.tableDF("d", "rst", 2).count() == 100)
+    // restored adds kept their stats: selective scan prunes to 1 of
+    // the 2 original files (disjoint x ranges)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query("SELECT x FROM glue.d.rst WHERE x >= 50")
+      assert(df.collect().length == 50)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"restored stats must prune to 1 file, got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // restore-of-restore: going back to the deleted state also works
+    val v2 = eng.restoreDeltaTable("d", "rst", 1)
+    assert(v2 == 4L && eng.tableDF("d", "rst").count() == 75)
+  }
+
   test("vacuum deletes only files unreferenced by every retained version") {
     import spark.implicits._
     val loc = s"/root/repo/target/delta_vac_${System.nanoTime()}"

@@ -43,6 +43,32 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(footerReads == 0L, s"metadata count read $footerReads parquet footer(s)")
   }
 
+  test("rollback reinstates an earlier snapshot's file set; history intact") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_rollback_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "irb", loc)
+    eng.appendIcebergTable(
+      (1000L until 1100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1), "d", "irb")
+    // s3: MOR-delete the low half
+    eng.deleteIcebergWhere("d", "irb", col("k") < 50)
+    assert(eng.tableDF("d", "irb").count() == 150)
+    // rollback to the pre-delete state (offset 1 from current)
+    val v = eng.rollbackIcebergTable("d", "irb", 1)
+    assert(v == 4L)
+    assert(eng.tableDF("d", "irb").count() == 200)
+    assert(eng.tableDF("d", "irb").agg(min("k")).head().getLong(0) == 0L)
+    // history intact: the deleted state and the first snapshot still travel
+    assert(eng.tableDF("d", "irb", 1).count() == 150)
+    assert(eng.tableDF("d", "irb", 3).count() == 100)
+    // rollback of the rollback: back to the MOR-deleted state
+    val v2 = eng.rollbackIcebergTable("d", "irb", 1)
+    assert(v2 == 5L && eng.tableDF("d", "irb").count() == 150)
+  }
+
   test("merge-on-read deletes: zero rewrites, position and equality variants") {
     val sp = Shim.classic(spark)
     import sp.implicits._
