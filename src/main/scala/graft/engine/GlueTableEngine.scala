@@ -1292,6 +1292,23 @@ final class GlueTableEngine(
     v
   }
 
+  /** ROLLBACK a registered Hudi table to an earlier instant as a new
+    * replacecommit ([[graft.listing.HudiTimelineWriter.rollback]]):
+    * after this, the latest read equals the time-travel read at
+    * `versionOffset` (counted BEFORE the rollback); the timeline
+    * stays append-only so every prior state still travels, and
+    * [[cleanHudiTable]] reclaims orphaned slices later. Pure
+    * metadata. Returns the published instant.
+    */
+  def rollbackHudiTable(database: String, table: String, versionOffset: Int): String = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    val v = graft.listing.HudiTimelineWriter.rollback(spark, location(meta), versionOffset)
+    invalidateTable(database, table)
+    v
+  }
+
   /** COPY-ON-WRITE upsert by `key`: file groups whose FOOTER key
     * range intersects the source span are retired via a
     * replacecommit and rewritten (existing rows minus updated keys,

@@ -232,6 +232,80 @@ object HudiTimelineWriter {
     cur // unreachable
   }
 
+  /** ROLLBACK the table to an earlier instant as a NEW replacecommit
+    * (Hudi's savepoint+restore outcome, expressed timeline-forward so
+    * history stays intact — real Hudi's restore deletes instants; the
+    * append-only form keeps every pre-rollback state time-travelable,
+    * matching the Delta RESTORE / Iceberg rollback siblings): the
+    * published instant retires every file group absent from the
+    * target state via `partitionToReplaceFileIds`, and re-points
+    * every group whose latest slice changed back to its target-time
+    * slice via `partitionToWriteStats` (later instants win per file
+    * group, so re-adding the OLD path restores the old slice —
+    * nothing is copied or rewritten). Pure metadata: two timeline
+    * replays and one atomic instant publish; `cleanHudiTable`
+    * reclaims orphaned slices later. A rollback is a read-set
+    * replacecommit, so losing the instant race surfaces the conflict
+    * (no blind retry). Returns the published instant.
+    */
+  def rollback(spark: org.apache.spark.sql.SparkSession, location: String,
+      versionOffset: Int): String = {
+    require(versionOffset > 0, s"rollback needs a positive offset, got $versionOffset")
+    val root = location.stripSuffix("/")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val tl = new Path(s"$root/.hoodie")
+    val fs = tl.getFileSystem(conf)
+    val existing = (if (fs.exists(tl)) fs.listStatus(tl).toSeq else Nil)
+      .flatMap(_.getPath.getName match {
+        case InstantRe(i, _) => Some(i)
+        case _               => None
+      })
+    require(versionOffset < existing.size,
+      s"cannot rollback $location: offset $versionOffset outside ${existing.size} instants")
+    val resolver = new HudiTimelineResolver(conf)
+    val cur = resolver.dataFilesDetailed(root, 0)
+    val tgt = resolver.dataFilesDetailed(root, versionOffset)
+    val curById = cur.map(f => f.fileId -> f).toMap
+    val tgtIds = tgt.map(_.fileId).toSet
+    val rootUri = new Path(root).toUri.getPath
+    def rel(abs: String): String = {
+      val u = new Path(abs).toUri.getPath
+      if (u.startsWith(rootUri)) u.stripPrefix(rootUri).stripPrefix("/") else abs
+    }
+    val retire = cur.filterNot(f => tgtIds(f.fileId))
+    val reAdd = tgt.filter(f => curById.get(f.fileId).forall(_.path != f.path))
+    val replaceJson = retire.groupBy(_.partitionPath).map { case (part, fsz) =>
+      s"${jstr(part)}: [${fsz.map(f => jstr(f.fileId)).mkString(", ")}]"
+    }.mkString("{", ", ", "}")
+    val statsJson = reAdd.groupBy(_.partitionPath).map { case (part, fsz) =>
+      val stats = fsz.map { f =>
+        s"""{"fileId": ${jstr(f.fileId)}, "path": ${jstr(rel(f.path))}, "fileSizeInBytes": ${f.size}}"""
+      }
+      s"${jstr(part)}: [${stats.mkString(", ")}]"
+    }.mkString("{", ", ", "}")
+    val body =
+      s"""{"extraMetadata": {"rollback.target.offset": ${jstr(versionOffset.toString)}}, """ +
+        s""""partitionToReplaceFileIds": $replaceJson, "partitionToWriteStats": $statsJson}"""
+    val width = existing.map(_.length).maxOption.getOrElse(14)
+    val next = existing.map(BigInt(_)).maxOption.getOrElse(BigInt(0)) + 1
+    val digits = next.toString
+    require(digits.length <= width,
+      s"instant $digits overflows the timeline's $width-char width at $root")
+    val instant = ("0" * (width - digits.length)) + digits
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmpInstant = new Path(tl, s".$instant.replacecommit.$token.tmp")
+    val dst = new Path(tl, s"$instant.replacecommit")
+    val os = fs.create(tmpInstant, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmpInstant, dst)) {
+      fs.delete(tmpInstant, false)
+      throw new IllegalStateException(
+        s"rollback lost the instant race at $dst — re-resolve and retry")
+    }
+    instant
+  }
+
   /** Highest batch id the given streaming app has recorded in any
     * completed instant's `extraMetadata` — the replay-detection read
     * for [[graft.streaming.EventStreams.commitHudiBatchIdempotent]].

@@ -1136,6 +1136,32 @@ object Queries {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Hudi ROLLBACK through the oracle gate (completing the g37/g38
+    // trio): write evens, append odds, upsert the low keys to zero,
+    // then roll back to the pre-upsert instant — the latest read must
+    // equal the untouched table, with the rewritten file group
+    // re-pointed at its OLD slice (not just new groups dropped)
+    "g39_hudi_rollback" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_rollback_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_rollback_rt", loc)
+        eng.appendHudiTable(o.filter(col("o_orderkey") % 2 === 1), "default", "hudi_rollback_rt")
+        eng.upsertHudi("default", "hudi_rollback_rt",
+          o.filter(col("o_orderkey") < 100).withColumn("o_totalprice", lit(0.0)),
+          "o_orderkey")
+        eng.rollbackHudiTable("default", "hudi_rollback_rt", 1)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.hudi_rollback_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // partitioned Iceberg WRITE through the oracle gate: identity
     // values live in each data_file's manifest partition record, and
     // the filtered read must both prune to the matching partition and

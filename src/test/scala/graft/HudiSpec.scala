@@ -105,6 +105,34 @@ class HudiSpec extends AnyFunSuite {
       .toSeq == Seq(1000L, 1099L))
   }
 
+  test("rollback reinstates an earlier instant's slices; timeline intact") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_rb_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
+      "d", "hrb", loc)
+    eng.appendHudiTable((1000L until 1100L).map(i => (i, s"old$i")).toDF("k", "v").coalesce(1),
+      "d", "hrb")
+    // instant 3: upsert rewrites the low group's slice (same fileId
+    // family retired + replaced) — the case where rollback must
+    // re-point a group to its OLD slice, not just drop a new group
+    eng.upsertHudi("d", "hrb",
+      (0L until 10L).map(i => (i, s"new$i")).toDF("k", "v").coalesce(1), "k")
+    assert(eng.tableDF("d", "hrb").count() == 200)
+    assert(eng.tableDF("d", "hrb").filter(col("v").startsWith("new")).count() == 10)
+    // rollback to the pre-upsert state
+    eng.rollbackHudiTable("d", "hrb", 1)
+    assert(eng.tableDF("d", "hrb").count() == 200)
+    assert(eng.tableDF("d", "hrb").filter(col("v").startsWith("new")).count() == 0)
+    assert(eng.tableDF("d", "hrb").filter(col("v") === "old5").count() == 1)
+    // timeline intact: the upserted state still travels (offset 1 =
+    // just before the rollback instant)
+    assert(eng.tableDF("d", "hrb", 1).filter(col("v").startsWith("new")).count() == 10)
+    // rollback of the rollback: forward again to the upserted state
+    eng.rollbackHudiTable("d", "hrb", 1)
+    assert(eng.tableDF("d", "hrb").filter(col("v").startsWith("new")).count() == 10)
+  }
+
   test("upsert retires only key-intersecting file groups; others keep their files") {
     import spark.implicits._
     val loc = s"/root/repo/target/hudi_ups_${System.nanoTime()}"
