@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g is measured-optimal for this single-JVM local[32] shape:
+  // larger heaps INVERT — G1's young generation scales with the heap
+  // and multi-second young collections land mid-query (d11 warm reps:
+  // 3.6-4.3s at 8g, ~5s at 16g, 7-38s erratic at 48g; ParallelGC at
+  // 24g worse still). Suite-length pressure is handled by trimming
+  // the status-store retention (Bench) and unpersisting leftover
+  // blocks between queries, not by growing the heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

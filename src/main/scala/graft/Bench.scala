@@ -38,6 +38,13 @@ object Bench {
       // session-wide off switch.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the status store retains per-execution metadata even with the
+      // UI off; at 150 queries x warm+timed passes the defaults hold
+      // thousands of execution/job/stage snapshots on a heap the
+      // queries also need
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

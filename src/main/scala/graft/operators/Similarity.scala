@@ -168,6 +168,101 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN RECALL AUDIT: for a fixed panel of query vectors
+    * (`vec_id < nQueries` — a deterministic, scale-invariant panel:
+    * audit cost is O(panel × corpus), never corpus-quadratic),
+    * measure recall@k of the plain one-bucket LSH probe AND the
+    * hamming-1 multiprobe against the exact brute-force top-k. The
+    * measurement every ANN deployment runs before trusting an index:
+    * the plain-vs-multiprobe delta IS the documented recovery of
+    * neighbors that crossed one hyperplane ([[lshTopKMultiprobe]]).
+    *
+    * All three rankings use the same rounded-cosine (cos DESC,
+    * vec_id) order the s1/s2 gate queries already prove
+    * cross-engine-exact, so the top-k SETS — and therefore the
+    * recall — are deterministic, not just the scores.
+    *
+    * Scale: the panel broadcasts (nQueries rows); truth is one
+    * codegen'd scan × panel with a per-query WindowGroupLimit; the
+    * probe sides touch only the probed buckets. One small shuffle
+    * per ranking.
+    */
+  def recallAudit(emb: DataFrame, nQueries: Int = 32, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      bucketId(col("embedding")).cast("long").as("bucket"))
+    val queries = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("qb"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    def topkIds(cand: DataFrame): DataFrame =
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("query_id", "vec_id")
+    def scored(joined: DataFrame): DataFrame =
+      joined.filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
+    val truth = topkIds(scored(withBucket.crossJoin(broadcast(queries))))
+    val lsh = topkIds(scored(
+      withBucket.join(broadcast(queries), col("bucket") === col("qb"))))
+    val flips = array((lit(0L) +: (0 until LshPlanes).map(j => lit(1L << j))): _*)
+    val probes = queries
+      .select(col("query_id"), col("qe"), col("qb"), explode(flips).as("flip"))
+      .select(col("query_id"), col("qe"),
+        col("qb").bitwiseXOR(col("flip")).as("bucket"))
+    val mp = topkIds(scored(withBucket.join(broadcast(probes), Seq("bucket"))))
+    val hitsL = truth.join(lsh, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits_lsh"))
+    val hitsM = truth.join(mp, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits_probe"))
+    queries.select("query_id")
+      .join(hitsL, Seq("query_id"), "left")
+      .join(hitsM, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+        coalesce(col("hits_probe"), lit(0L)).as("hits_probe"),
+        round(coalesce(col("hits_lsh"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("recall_lsh"),
+        round(coalesce(col("hits_probe"), lit(0L)).cast("double") / lit(k.toDouble), 6)
+          .as("recall_probe"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB oracle for [[recallAudit]]. */
+  def sqlRecallAudit(nQueries: Int = 32, k: Int = 10,
+      planes: Int = LshPlanes): String = {
+    import graft.functions.VectorFunctions.{sqlDot, sqlNorm}
+    val cos = s"round(${sqlDot("e.embedding", "q.qe")} / (${sqlNorm("e.embedding")} * ${sqlNorm("q.qe")}), 6)"
+    val flipList = (0 until planes).map(1L << _).mkString(", ")
+    s"""WITH eb AS (SELECT vec_id, embedding, ${sqlBucketId("embedding", planes)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM eb WHERE vec_id < $nQueries),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY $cos DESC, e.vec_id) AS rn
+       |  FROM eb e, q WHERE e.vec_id <> q.query_id) WHERE rn <= $k),
+       |lsh AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY $cos DESC, e.vec_id) AS rn
+       |  FROM eb e, q WHERE e.vec_id <> q.query_id AND e.bucket = q.qb) WHERE rn <= $k),
+       |mp AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY $cos DESC, e.vec_id) AS rn
+       |  FROM eb e, q WHERE e.vec_id <> q.query_id
+       |    AND (e.bucket = q.qb OR xor(e.bucket::BIGINT, q.qb::BIGINT) IN ($flipList))) WHERE rn <= $k),
+       |hl AS (SELECT t.query_id, count(*) AS hits_lsh FROM truth t
+       |  JOIN lsh USING (query_id, vec_id) GROUP BY 1),
+       |hm AS (SELECT t.query_id, count(*) AS hits_probe FROM truth t
+       |  JOIN mp USING (query_id, vec_id) GROUP BY 1)
+       |SELECT q.query_id,
+       |  coalesce(hits_lsh, 0)::BIGINT AS hits_lsh,
+       |  coalesce(hits_probe, 0)::BIGINT AS hits_probe,
+       |  round(coalesce(hits_lsh, 0)::DOUBLE / $k, 6) AS recall_lsh,
+       |  round(coalesce(hits_probe, 0)::DOUBLE / $k, 6) AS recall_probe
+       |FROM q LEFT JOIN hl ON q.query_id = hl.query_id
+       |  LEFT JOIN hm ON q.query_id = hm.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   /** Symmetric int8 quantization of an embedding column — the
     * standard 4× memory cut before ANN serving (each vector scaled by
     * its own max-abs into [-127, 127]). Narrow per-row transform; at

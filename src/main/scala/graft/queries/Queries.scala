@@ -2235,6 +2235,16 @@ object Queries {
          |FROM eb e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // ANN recall audit: recall@10 of the one-bucket LSH probe and
+    // the hamming-1 multiprobe vs the exact brute top-k, over a
+    // fixed 32-query panel — the index-quality report a deployment
+    // runs before trusting an approximate index; the plain-vs-probe
+    // delta IS the one-hyperplane recovery
+    "s18_recall_audit" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.recallAudit(t(spark, sf, "embeddings")),
+      Similarity.sqlRecallAudit())),
+
     // deterministic seed-vector coarse quantizer -> exactly
     // replicable in DuckDB (mean-centroid ivfTopK stays recall-tested
     // in DedupSpec)
