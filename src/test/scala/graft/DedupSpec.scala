@@ -456,6 +456,50 @@ class DedupSpec extends AnyFunSuite {
     assert(tiered == brute)
   }
 
+  test("edit-distance pairs equal brute force on adversarial random corpora") {
+    import spark.implicits._
+    // seeded random corpora with PLANTED mutants at <= 4 char edits,
+    // biased toward the filter's worst cases: space edits (merge/
+    // split words), short docs, repeated words. Equality with the
+    // quadratic truth proves tier completeness AND soundness.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "run", "the", "of",
+      "x", "table", "row", "scan", "fast")
+    for (seed <- Seq(7L, 13L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 30).map { i =>
+        val n = 1 + rnd.nextInt(60)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val mutants = (0 until 12).map { j =>
+        val (_, src) = base(rnd.nextInt(base.size))
+        var s = src
+        val edits = 1 + rnd.nextInt(4)
+        for (_ <- 0 until edits if s.nonEmpty) {
+          val p = rnd.nextInt(s.length)
+          rnd.nextInt(3) match {
+            case 0 => s = s.substring(0, p) + s.substring(math.min(p + 1, s.length)) // delete
+            case 1 => s = s.substring(0, p) + (if (rnd.nextBoolean()) " " else "q") + s.substring(p) // insert (space-biased)
+            case 2 => s = s.substring(0, p) + (if (rnd.nextBoolean()) " " else "z") + s.substring(math.min(p + 1, s.length)) // substitute
+          }
+        }
+        ((100 + j).toLong, s)
+      }
+      val docs = (base ++ mutants).toDF("doc_id", "text")
+      val brute = docs.as("x").join(docs.as("y"),
+          col("x.doc_id") < col("y.doc_id") &&
+            abs(length(col("x.text")) - length(col("y.text"))) <= 4)
+        .withColumn("dist", levenshtein(col("x.text"), col("y.text"), 4).cast("long"))
+        .filter(col("dist") >= 0L)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val tiered = Dedup.editDistancePairs(docs, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(tiered == brute,
+        s"seed=$seed missing=${brute -- tiered} extra=${tiered -- brute}")
+      assert(brute.nonEmpty, s"seed=$seed planted mutants produced no pairs")
+    }
+  }
+
   test("containment pairs equal brute force; catches the excerpt Jaccard misses") {
     import spark.implicits._
     // doc 2 is an exact excerpt of doc 1 (J = 2/13 ≈ 0.15, C = 1.0)

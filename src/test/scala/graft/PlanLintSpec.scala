@@ -33,8 +33,13 @@ class PlanLintSpec extends AnyFunSuite {
   //  - s17: the PCA-reduced brute-force top-k — same 1-row-query-side
   //    broadcast shape as s1 (the filter on the unique vec_id bounds
   //    the build side at one row, but that's not aggregate-provable)
+  //  - s18: the recall audit's TRUTH stage is deliberately
+  //    panel × corpus — a fixed nQueries-row broadcast side (bounded
+  //    by the literal `vec_id < 32` filter, not aggregate-provable),
+  //    the same shape as s1 widened from one query to the panel
   private val mayNestedLoop = Set(
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s6_ann_quantized", "s17_pca_topk",
+    "s18_recall_audit",
     "q16_recursive_cte",
     "t5_length_quantiles",
     "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical")
