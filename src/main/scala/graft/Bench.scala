@@ -28,6 +28,27 @@ object Bench {
         f"[bench] REFUSING quiet run: load1=$load1%.2f > $quietCap%.2f — drain the box first")
       sys.exit(3)
     }
+    // Box-speed CANARY: a fixed single-thread integer spin, timed
+    // after one warm rep. Guest-visible load/steal CANNOT see host
+    // frequency state (measured: the identical r9 query subset on
+    // identical code ran 67.6s / 75.2s / 95.3s across one day at
+    // idle-100%/steal-0 — a ~1.4x host clock swing). Recording the
+    // canary makes every artifact self-describing about the box it
+    // ran on, and trend_gate normalizes by it when both artifacts
+    // carry one — a measured correction in place of the prose
+    // adjudications rounds 8/9 needed.
+    val canaryMs: Long = {
+      def spin(): Long = {
+        var x = 0x9E3779B97F4A7C15L; var i = 0
+        val t0 = System.nanoTime()
+        while (i < 400000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        val dt = (System.nanoTime() - t0) / 1000000L
+        if (x == 42L) System.err.println("") // sink: defeat DCE
+        dt
+      }
+      spin(); spin() // JIT warm, then measure
+    }
+    System.err.println(s"[bench] canary_ms=$canaryMs")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,7 +132,7 @@ object Bench {
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs}"""
     println(summary)
     // The driver captures only the process TAIL, so the full line can
     // be head-truncated in BENCH_r{N}.json (observed rounds 8/9;
@@ -123,7 +144,7 @@ object Bench {
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"queries_file":"target/bench_summary.json"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"queries_file":"target/bench_summary.json"}""")
     spark.stop()
   }
 }
