@@ -77,7 +77,7 @@ object Bench {
     // query-latency total misstates both.
     val writeOps = Set("g14_compact", "p3_ingest_pipeline", "g31_delta_write",
       "g32_iceberg_write", "g34_hudi_write", "g35_iceberg_partitioned",
-      "g37_delta_restore", "g38_iceberg_rollback", "g39_hudi_rollback",
+      "g37_delta_restore", "g38_iceberg_rollback", "g39_hudi_rollback", "g40_delta_evolution",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run
       "st2_stream_ingest", "st4_stream_iceberg", "st5_stream_hudi")
     // Optional subset filter (comma-separated names): lets a drift

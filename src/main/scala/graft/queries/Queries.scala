@@ -1136,6 +1136,37 @@ object Queries {
         |    AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ADDITIVE SCHEMA EVOLUTION through the oracle gate: v0 writes
+    // two columns, v1 appends a batch carrying a third — the merged
+    // read must surface the new column with nulls for v0's rows
+    // (spec-proven since r9; this makes the contract hash-checked in
+    // CORRECTNESS too). The oracle derives the same union in SQL.
+    "g40_delta_evolution" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders")
+        val loc = s"${TestFixtures.root(sf)}/delta_evo_rt"
+        eng.writeDeltaTable(
+          o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+          "default", "delta_evo_rt", loc)
+        eng.appendDeltaTable(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              dec2("o_totalprice").cast("double").as("price")),
+          "default", "delta_evo_rt")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  count(price) AS n_priced,
+            |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_evo_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi ROLLBACK through the oracle gate (completing the g37/g38
     // trio): write evens, append odds, upsert the low keys to zero,
     // then roll back to the pre-upsert instant — the latest read must
