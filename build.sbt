@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the status-store retention (Bench) and unpersisting leftover
   // blocks between queries, not by growing the heap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 147 queries x warm+timed passes generate thousands of codegen'd
+  // classes; the 240m default code cache fills mid-suite, the JIT
+  // stops compiling, and lambda-heavy projections (the charFold
+  // content-hash family) silently run interpreted at 3x. The cache
+  // is reserved virtual space, not committed memory.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -141,6 +141,20 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt
     }
+    // end-of-run all-core canary: the start canary alone cannot see a
+    // host that sags DURING the ~10-minute suite (observed: heavies
+    // +45% mid-run under a healthy start canary). The pair records
+    // the box-speed envelope the artifact was measured in.
+    val canaryEndMs: Long = {
+      val n = cpus.toInt
+      val times = new java.util.concurrent.atomic.AtomicLongArray(n)
+      val ts = (0 until n).map { i =>
+        new Thread(() => times.set(i, spinOnce(400000000)))
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (0 until n).map(times.get).max
+    }
+    System.err.println(s"[bench] canary_end_ms=$canaryEndMs")
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // headline value is POISONED (-1) whenever any query failed: a
@@ -150,7 +164,7 @@ object Bench {
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs}"""
     println(summary)
     // The driver captures only the process TAIL, so the full line can
     // be head-truncated in BENCH_r{N}.json (observed rounds 8/9;
@@ -162,7 +176,7 @@ object Bench {
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"queries_file":"target/bench_summary.json"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"queries_file":"target/bench_summary.json"}""")
     spark.stop()
   }
 }
