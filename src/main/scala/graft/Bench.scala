@@ -130,6 +130,13 @@ object Bench {
       // storage memory squeezes execution memory for whoever runs
       // next — observed as multi-x erratic swings in the pair-op
       // family at sf1, not as a clean per-query cost.
+      // INVARIANT this sweep relies on: every query rebuilds its
+      // frames from scratch, so nothing retained across query
+      // boundaries is localCheckpointed. A localCheckpointed RDD has
+      // TRUNCATED lineage — unpersisting one makes it unrecomputable
+      // (missing-block errors on next use). If cross-query caching is
+      // ever introduced, skip RDDs whose lineage was truncated
+      // (rdd.getCheckpointFile / isLocallyCheckpointed) here.
       val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
@@ -165,18 +172,27 @@ object Bench {
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs}"""
+    // The driver captures only a BOUNDED WINDOW of process output, so
+    // any single placement of the summary can be truncated away
+    // (observed rounds 8-10; `parsed: null`): the full per-query line
+    // is long enough to be HEAD-truncated by tail capture, and a line
+    // printed only last can be followed by runner epilogue. Defense in
+    // depth, all carrying the same headline numbers:
+    //  1. a SHORT self-describing line as the FIRST stdout line Bench
+    //     emits (everything before this point writes to stderr),
+    //  2. the full per-query summary line,
+    //  3. the same short line again as the LAST stdout line,
+    //  4. the full summary persisted to target/bench_summary.json —
+    //     the artifact of record for local trend_gate comparisons.
+    val shortLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"queries_file":"target/bench_summary.json"}"""
+    println(shortLine)
     println(summary)
-    // The driver captures only the process TAIL, so the full line can
-    // be head-truncated in BENCH_r{N}.json (observed rounds 8/9;
-    // `parsed: null`). Persist the summary to a file AND print a
-    // short, self-describing JSON line LAST — short enough to always
-    // survive tail capture, carrying the headline number plus the
-    // pointer to the per-query file.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"queries_file":"target/bench_summary.json"}""")
+    println(shortLine)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -220,8 +220,17 @@ object Dedup {
     val exploded = base.select(col("doc_id"), col("nh"), explode(col("hs")).as("h"))
     val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    // shuffle_hash hint, two reasons: (1) the df table is
+    // corpus-sized — a runtime broadcast "upgrade" would build a
+    // multi-million-row driver-side hash relation (and OOM outright
+    // at 100 TB vocabulary sizes); (2) AQE's size estimate for the
+    // post-agg side sits near the broadcast threshold at bench SFs,
+    // so leaving the choice to runtime made the plan FLIP between
+    // executions — the d3 bimodality of rounds 9/10 (isolated reps
+    // 5.4s vs 17.4s on identical code+data). Pinning the strategy
+    // pins the latency.
     val pref = pinned(
-      exploded.join(dfCounts, "h") // shuffle join: df table is corpus-sized, never broadcast
+      exploded.join(dfCounts.hint("shuffle_hash"), "h")
         .withColumn("p", row_number().over(w) - lit(1))
         .filter(col("p") < plen)
         .select("doc_id", "nh", "p", "h"),
@@ -285,10 +294,22 @@ object Dedup {
     */
   private def verifyPairsSides(cand: DataFrame, shA: DataFrame, shB: DataFrame,
       mult: Int, threshold: Double): DataFrame = {
+    // shuffle_hash hints on the SIGNATURE sides: both sides arrive
+    // pre-partitioned on the join key (pinnedWide), so a shuffled
+    // hash join reuses those exchanges and builds its per-partition
+    // hash table from the doc-count-sized signature slice. Left to
+    // AQE the join flips to broadcast when the signature table's
+    // estimate dips under the threshold — a driver-side build of
+    // every signature ARRAY (the widest data in the operator), the
+    // slow mode of the d3 bimodality, and a guaranteed driver OOM at
+    // corpus scale. The hint also skips the sort a merge join would
+    // impose on the candidate side.
     val withA = pinnedWide(cand, mult, col("a"))
-      .join(pinnedWide(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a")), "a")
+      .join(pinnedWide(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a"))
+        .hint("shuffle_hash"), "a")
     pinnedWide(withA, mult, col("b"))
-      .join(pinnedWide(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b")), "b")
+      .join(pinnedWide(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b"))
+        .hint("shuffle_hash"), "b")
       .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
       .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)

@@ -169,6 +169,18 @@ object Multimodal {
     * Interlaced frames sum identically (row order doesn't change a
     * sum), so no deinterlace pass is needed. Per-row cost is
     * O(pixels); a 100 TB GIF corpus decodes map-only.
+    *
+    * Transparency: the Graphics Control Extension preceding a frame
+    * is parsed, and when its transparent-color flag is set, pixels
+    * carrying that palette index are EXCLUDED from the frame's sums
+    * (they contribute no color of their own — the palette entry
+    * behind a transparent index is arbitrary encoder garbage).
+    * Disposal/compositing is deliberately NOT applied: sums here are
+    * per-frame OWN-PIXEL statistics (the curation feature), not sums
+    * of the composited animation state an on-screen renderer (or
+    * ImageIO's frame accumulation) would show — for GIFs using
+    * partial frames with disposal methods the two definitions
+    * legitimately differ.
     */
   def decodeGifPixels(bytes: Array[Byte]): Seq[(Int, Int, Int, Long, Long, Long)] = {
     def u8(i: Int) = bytes(i) & 0xff
@@ -182,6 +194,11 @@ object Multimodal {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long, Long)]
     var frame = 0
     var ok = true
+    // transparent palette index from the Graphics Control Extension
+    // (label 0xF9) that precedes the next image descriptor; -1 = none.
+    // Per the spec a GCE's scope is exactly one following rendering
+    // block, so it resets after each frame.
+    var transIdx = -1
     def skipSubBlocks(): Boolean = {
       while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
       if (i < bytes.length) { i += 1; true } else false
@@ -189,6 +206,12 @@ object Multimodal {
     while (ok && i < bytes.length && u8(i) != 0x3b) {
       u8(i) match {
         case 0x21 =>
+          // GCE layout: 0x21 0xF9 0x04 <packed> <delay lo> <delay hi>
+          // <transparent index> 0x00 — packed bit 0 is the
+          // transparent-color flag
+          if (i + 1 < bytes.length && u8(i + 1) == 0xf9 &&
+              i + 7 < bytes.length && u8(i + 2) == 4)
+            transIdx = if ((u8(i + 3) & 0x01) != 0) u8(i + 6) else -1
           i += 2; ok = skipSubBlocks()
         case 0x2c if i + 10 <= bytes.length =>
           val fw = le16(i + 5); val fh = le16(i + 7)
@@ -226,14 +249,16 @@ object Multimodal {
                 var sr = 0L; var sg = 0L; var sb = 0L
                 var p = 0
                 while (p < idx.length) {
-                  val ci = (idx(p) & 0xff) * 3
-                  if (ci + 2 < pal.length) {
+                  val px = idx(p) & 0xff
+                  val ci = px * 3
+                  if (px != transIdx && ci + 2 < pal.length) {
                     sr += pal(ci) & 0xff; sg += pal(ci + 1) & 0xff; sb += pal(ci + 2) & 0xff
                   }
                   p += 1
                 }
                 out += ((frame, fw, fh, sr, sg, sb))
                 frame += 1
+                transIdx = -1 // GCE scope ends with its rendering block
               }
             }
           }

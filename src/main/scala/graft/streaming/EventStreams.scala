@@ -347,6 +347,19 @@ object EventStreams {
     * snapshot `summary` map (the spec's place for writer metadata).
     * Returns true when a commit happened, false for a recognized
     * replay.
+    *
+    * SINGLE-WRITER assumption (Iceberg and Hudi variants only): the
+    * mark check here is check-then-commit, NOT atomic with the
+    * publish — `lastTxn` reads the table state BEFORE the commit
+    * lands. Structured Streaming guarantees one active writer per
+    * (query, checkpoint), which is the deployment shape these sinks
+    * serve; two INDEPENDENT writers replaying the same (appId,
+    * batchId) could both pass the check and double-append. The Delta
+    * sink is stronger — its txn mark rides inside the atomically-
+    * renamed commit file, so the last-writer-wins rename arbitrates
+    * concurrent replays. To harden this pair the same way, the mark
+    * re-validation would fold into the metadata-pointer CAS/rename
+    * each writer already performs at publish.
     */
   def commitIcebergBatchIdempotent(df: DataFrame, location: String,
       appId: String, batchId: Long): Boolean = {

@@ -153,6 +153,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels(bomb) == Nil)
   }
 
+  test("GCE transparent index excluded from frame sums; scope ends with its frame") {
+    // Hand-authored GIF89a, 4x1 frame, 2-entry GCT, pixel indices
+    // [0,1,0,1]. LZW at minCode=2 with a CLEAR before every pixel
+    // code, so every code is 3 bits wide: [4,0,4,1,4,0,4,1,5] packed
+    // LSB-first = 0x04 0x43 0x30 0x05.
+    val lzw = Array[Byte](4, 0x04, 0x43, 0x30, 0x05, 0) // sub-block + terminator
+    def gif(frames: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+        4, 0, 1, 0, 0x80.toByte, 0, 0,           // LSD 4x1, GCT 2 entries
+        10, 20, 30,                              // color 0
+        200.toByte, 100, 50))                    // color 1
+      frames.foreach(bos.write)
+      bos.write(0x3b); bos.toByteArray
+    }
+    val desc = Array[Byte](0x2c, 0, 0, 0, 0, 4, 0, 1, 0, 0, 2) ++ lzw
+    val gceT = Array[Byte](0x21, 0xf9.toByte, 4, 0x01, 0, 0, 1, 0) // transparent idx 1
+    // transparency on: the two index-1 pixels contribute nothing
+    assert(Multimodal.decodeGifPixels(gif(gceT ++ desc)) ==
+      Seq((0, 4, 1, 20L, 40L, 60L)))
+    // no GCE: all four pixels counted
+    assert(Multimodal.decodeGifPixels(gif(desc)) ==
+      Seq((0, 4, 1, 420L, 240L, 160L)))
+    // GCE with the transparency FLAG off: index byte must be ignored
+    val gceOff = Array[Byte](0x21, 0xf9.toByte, 4, 0x00, 0, 0, 1, 0)
+    assert(Multimodal.decodeGifPixels(gif(gceOff ++ desc)) ==
+      Seq((0, 4, 1, 420L, 240L, 160L)))
+    // scope: a GCE governs only the NEXT frame — frame 2 is opaque
+    assert(Multimodal.decodeGifPixels(gif(gceT ++ desc, desc)) ==
+      Seq((0, 4, 1, 20L, 40L, 60L), (1, 4, 1, 420L, 240L, 160L)))
+    // cross-check the hand-rolled container against ImageIO's reader
+    val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif(gceT ++ desc))))
+    val img = reader.read(0)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (x <- 0 until 4) {
+      val argb = img.getRGB(x, 0)
+      if ((argb >>> 24) != 0) { // ImageIO reports the transparent px as alpha 0
+        sr += (argb >> 16) & 0xff; sg += (argb >> 8) & 0xff; sb += argb & 0xff
+      }
+    }
+    reader.dispose()
+    assert((sr, sg, sb) == ((20L, 40L, 60L)))
+  }
+
   test("imageMeta recovers generation-time dimensions from media fixture bytes") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._

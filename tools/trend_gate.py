@@ -127,7 +127,10 @@ def main():
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
-        if n < args.floor or o <= 0:
+        # floor uses the same canary normalization as the ratio, so a
+        # query sits on the same side of the floor regardless of box
+        # speed (raw-n floors flickered near the boundary)
+        if n * scale < args.floor or o <= 0:
             continue
         r = n * scale / o
         limit, reason = ALLOW.get(q, (args.ratio, None))
