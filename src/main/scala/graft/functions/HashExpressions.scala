@@ -258,6 +258,37 @@ object HashOps {
     c >= need
   }
 
+  /** [[sortedOverlapData]] over plain JVM arrays — the dense
+    * AllPairs kernel ([[graft.operators.Dedup.denseJaccardPairs]])
+    * runs outside codegen and holds its signatures as Array[Long].
+    */
+  def sortedOverlapArr(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  /** [[sortedOverlapAtLeast]] over plain JVM arrays, same early-exit
+    * bound.
+    */
+  def sortedOverlapAtLeastArr(a: Array[Long], b: Array[Long], need: Int): Boolean = {
+    if (need <= 0) return true
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (c + math.min(a.length - i, b.length - j) < need) return false
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c >= need
+  }
+
   def cosineData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0

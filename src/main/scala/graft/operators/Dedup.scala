@@ -702,42 +702,83 @@ object Dedup {
   }
 
   /** All-pairs exact verification for corpora where prefix filtering
-    * degenerates (see [[ngramJaccardPairs]]): broadcast the
-    * signature table, BroadcastNestedLoopJoin every a<b
-    * length-compatible pair, verify with the allocation-free sorted
-    * merge. No candidate row is ever shuffled — the only exchange in
-    * the plan is the broadcast itself, so the cost is pure codegen'd
-    * CPU: measured at sf1, ~2.5e9 cheap length checks + ~1.2e9
-    * overlap merges across 32 cores, vs 3.2e9 rows through a
-    * shuffle + two hash aggregates for the same answer.
+    * degenerates (see [[ngramJaccardPairs]]): the AllPairs
+    * length-window scan (Bayardo et al. WWW'07 §3.2). The signature
+    * table — already bounded to the broadcast budget by the selector
+    * — is collected SORTED BY (nh, doc_id) and broadcast; each
+    * partition then probes it per document with a binary search to
+    * the doc's own sort position and a contiguous scan of only the
+    * window that the t-length filter admits
+    * (nh_x <= nh_y <= nh_x/t, y after x in the sort order).
+    *
+    * vs the previous BroadcastNestedLoopJoin formulation: BNLJ must
+    * EVALUATE its condition on every (x, y) — ~2.5e9 a<b/length
+    * checks at sf1 — because Spark's nested-loop build side carries
+    * no exploitable order. Sorting the broadcast side makes both the
+    * id-order dedup (scan starts after x's own position, so each
+    * unordered pair is enumerated exactly once, from its shorter
+    * member) and the length filter (scan stops at the first y with
+    * nh_y*t > nh_x — the window is contiguous in the sort) FREE:
+    * only the ~31% of pairs inside the window (measured, sf1
+    * length distribution) are touched at all, each going straight to
+    * the early-exit overlap bound + exact division the prefix path's
+    * verifier applies — so the two plans admit identical pairs
+    * (DedupSpec proves equality against brute force). This is the
+    * documented mapPartitions exception: the win IS the imperative
+    * access pattern over the sorted broadcast array, inexpressible
+    * as a declarative join condition. Still no shuffle of candidate
+    * rows; parallelism = the spread() partitioning of the probe side.
     */
   private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = spread(docs).select(
       col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
       .filter(col("nh") > 0)
-    // The ENTIRE verification lives in the join condition, ordered
-    // cheap-first (And short-circuits in codegen): id order, length
-    // filter, early-exit overlap bound (jac >= t ⟺ ov >= t(na+nb)/
-    // (1+t); conservative -1e-6 slack), and only for the rare pairs
-    // passing that, the exact double-division test the prefix path's
-    // verifier applies — so the two plans admit bit-identical pairs.
-    // A post-join filter instead would get PUSHED into the condition
-    // ahead of the cheap conjuncts (observed: the full overlap merge
-    // ran first on every length-surviving pair), and a projected
-    // output row would materialize both signature arrays per pair.
-    val ov = sortedOverlapFast(col("ha"), col("hb")).cast("double")
-    val need = ceil((col("na") + col("nb")).cast("double") * lit(threshold / (1 + threshold))
-      - lit(1e-6)).cast("int")
-    base.select(col("doc_id").as("a"), col("hs").as("ha"), col("nh").as("na"))
-      .join(broadcast(base.select(
-          col("doc_id").as("b"), col("hs").as("hb"), col("nh").as("nb"))),
-        col("a") < col("b") &&
-          greatest(col("na"), col("nb")) * lit(threshold) <= least(col("na"), col("nb")) + lit(1e-9) &&
-          sortedOverlapAtLeastFast(col("ha"), col("hb"), need) &&
-          ov / ((col("na") + col("nb")).cast("double") - ov) >= lit(threshold))
-      .select(col("a"), col("b"),
-        round(ov / ((col("na") + col("nb")).cast("double") - ov), 6).as("jac"))
+    val typed = base.as[(Long, Array[Long], Int)]
+    // driver-side materialization is the broadcast the BNLJ paid too,
+    // selector-guarded to maxBytes; sorted once, by (nh, doc_id)
+    val index: Array[(Long, Array[Long], Int)] =
+      typed.collect().sortBy(r => (r._3, r._1))
+    val bc = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.broadcast(index)
+    val t = threshold
+    val needFrac = threshold / (1 + threshold)
+    val pairs = typed.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id, ha, na) =>
+        // first index AFTER this doc in the (nh, doc_id) order
+        var lo = 0; var hi = all.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val m = all(mid)
+          if (m._3 < na || (m._3 == na && m._1 <= id)) lo = mid + 1 else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = lo
+        var inWindow = true
+        while (inWindow && i < all.length) {
+          val (idB, hb, nb) = all(i)
+          // same 1e-9 slack as the join formulation, so the admitted
+          // candidate set is unchanged; nh ascending makes the first
+          // failure terminal
+          if (nb * t > na + 1e-9) inWindow = false
+          else {
+            val need = math.ceil((na + nb) * needFrac - 1e-6).toInt
+            if (graft.functions.HashOps.sortedOverlapAtLeastArr(ha, hb, need)) {
+              val ov = graft.functions.HashOps.sortedOverlapArr(ha, hb).toDouble
+              val jac = ov / (na + nb - ov)
+              if (jac >= t) out += ((math.min(id, idB), math.max(id, idB), jac))
+            }
+            i += 1
+          }
+        }
+        out
+      }
+    }
+    pairs.toDF("a", "b", "jac")
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
       .orderBy("a", "b")
   }
 

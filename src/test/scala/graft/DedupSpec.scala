@@ -84,11 +84,15 @@ class DedupSpec extends AnyFunSuite {
     val pref3 = pairs(Dedup.ngramJaccardPairsDfOrdered(docs, 3, 0.8))
     assert(dense3 == pref3)
     // the measured selector picks dense on this flat-vocabulary
-    // fixture: no candidate row is shuffled — the pair loop is a
-    // broadcast nested-loop join over the signature table
+    // fixture: no candidate row is shuffled — the pair loop is the
+    // sorted-length-window AllPairs scan over the broadcast signature
+    // index (a MapPartitions kernel; no join operator, and the only
+    // exchange is the probe-side spread)
     val auto = Dedup.ngramJaccardPairs(docs, 2, 0.5)
     val plan = auto.queryExecution.sparkPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("MapPartitions"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan.take(800))
   }
 
   test("default (df-ordered) path matches inverted truth on a Zipf corpus") {

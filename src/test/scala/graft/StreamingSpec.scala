@@ -253,6 +253,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.toSeq == Seq((1L, 3L, 600L, 1000L, 5000L), (2L, 1L, 50L, 9000L, 9000L)))
   }
 
+  test("userProfiles under the RocksDB state store: identical results, bounded heap") {
+    // Proves the st-family's stateful operators run unchanged on the
+    // SPILLABLE state backend: RocksDBStateStoreProvider keeps state
+    // off-heap/on-disk per key-range, which is the 100 TB answer to
+    // state that outgrows executor memory (the default
+    // HDFSBackedStateStoreProvider holds every key in a JVM map).
+    // Same query, same data, same answers — only the provider flips.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def runProfiles(sink: String): Seq[(Long, Long, Long, Long, Long)] = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        EventStreams.CentEvent]
+      val q = EventStreams.runToCompletionQuery(
+        EventStreams.userProfiles(mem.toDS()).toDF(), sink, OutputMode.Update())
+      try {
+        mem.addData(EventStreams.CentEvent(1L, 5000L, 300L),
+          EventStreams.CentEvent(2L, 9000L, 50L))
+        q.processAllAvailable()
+        mem.addData(EventStreams.CentEvent(1L, 1000L, 100L),
+          EventStreams.CentEvent(1L, 3000L, 200L),
+          EventStreams.CentEvent(3L, 7000L, 25L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n_events"), col("sum_cents"), col("first_us"),
+          col("last_us")), col("n_events")).as("s"))
+        .select(col("user_id"), col("s.*")).orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    }
+    val baseline = runProfiles("prof_mem_base")
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocks)
+    val onRocks =
+      try runProfiles("prof_rocksdb")
+      finally prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    assert(onRocks == baseline && baseline.nonEmpty,
+      s"RocksDB state store changed results: $onRocks vs $baseline")
+    assert(baseline == Seq((1L, 3L, 600L, 1000L, 5000L), (2L, 1L, 50L, 9000L, 9000L),
+      (3L, 1L, 25L, 7000L, 7000L)))
+  }
+
   test("streaming dedup keeps one row per key within the watermark horizon") {
     val batchDf = spark.read.parquet(streamDir)
     // duplicate the whole stream (same event_ids arrive twice in one
