@@ -199,6 +199,53 @@ object TestFixtures {
     out
   }
 
+  /** JPEGs with a MIXED coding process, one per document: doc_id % 4
+    * == 3 is written PROGRESSIVE (ImageIO's JPEG writer with
+    * progressive mode on → SOF2), everything else baseline (SOF0/1)
+    * — the corpus shape the m9 decode-coverage query audits: the
+    * baseline decoder fully decodes 3/4 of the corpus and
+    * deliberately degrades the progressive quarter, and both counts
+    * derive from doc_id arithmetic for the oracle.
+    */
+  def mediaJpegMix(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/media_jmix"
+    ensure(sfDir, "media_jmix") {
+      import org.apache.spark.sql.Encoders
+      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+        .repartition(32)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val writer = javax.imageio.ImageIO.getImageWritersBySuffix("jpg").next()
+          val res = it.map { id =>
+            val w = 16 + (id % 32).toInt
+            val h = 8 + (id % 16).toInt
+            val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, ((id * 31 + x * 7 + y) & 0xffffff).toInt); x += 1 }
+              y += 1
+            }
+            val param = writer.getDefaultWriteParam
+            if (id % 4 == 3)
+              param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+            ios.close()
+            (id, bos.toByteArray)
+          }
+          res // the shared writer lives for the partition; disposed with the JVM
+        }(tupleEnc)
+        .toDF("doc_id", "img")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Real RIFF/WAVE files, one per document: 16-bit little-endian PCM
     * with doc_id-derived parameters (rate = 8000 + (id%4)*4000,
     * channels = 1 + id%2, frames = 100 + id%50) and a planted peak

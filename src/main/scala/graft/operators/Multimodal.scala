@@ -93,6 +93,69 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Classify a JPEG's coding process from its first SOF marker —
+    * the marker walk of [[decodeImageHeader]], keeping the SOF code
+    * instead of the dimensions. `baseline` (SOF0/SOF1) is what
+    * [[graft.operators.Jpeg.decodePixels]] fully decodes;
+    * `progressive` (SOF2) and `other` (differential / arithmetic /
+    * lossless SOFs) deliberately degrade to empty there. Exposed so
+    * the DECODE-COVERAGE of a corpus is a first-class, queryable
+    * stat: a corpus drifting toward progressive encoders shows up as
+    * a rising degraded count in the m9 gate query, not as silently
+    * empty pixel stats.
+    */
+  def jpegSofClass(bytes: Array[Byte]): String = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return "not_jpeg"
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) i += 1
+      else {
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2
+        else {
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) return m match {
+            case 0xc0 | 0xc1 => "baseline"
+            case 0xc2 => "progressive"
+            case _ => "other"
+          }
+          i += 2 + be16(i + 2)
+        }
+      }
+    }
+    "not_jpeg"
+  }
+
+  /** Decode-coverage audit over a JPEG corpus: per SOF class
+    * ([[jpegSofClass]]), how many documents the full pixel decoder
+    * actually decoded vs degraded to empty. Two independent
+    * measurements per row — the marker-level classification and the
+    * actual decode outcome (width > 0) — so a decoder regression on
+    * a supposedly-supported class is visible too, not just corpus
+    * drift toward unsupported encodings. Narrow per-partition decode
+    * + one tiny aggregate over (classes × outcomes); at 100 TB the
+    * shuffle carries a handful of partial-count rows per task.
+    */
+  def jpegCoverage(media: DataFrame): DataFrame = {
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (_, bytes) =>
+          (jpegSofClass(bytes), Jpeg.decodePixels(bytes)._1 > 0)
+        }
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
+      .toDF("kind", "decoded")
+      .groupBy("kind") // declarative agg: map-side combine, codegen'd
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("decoded"), 0L).otherwise(1L)).as("n_degraded"))
+      .orderBy("kind")
+  }
+
   final case class FrameMeta(doc_id: Long, width: Int, height: Int, n_frames: Int, n_sampled: Int)
 
   /** Walk a GIF's real block structure: logical screen descriptor for

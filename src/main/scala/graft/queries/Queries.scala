@@ -2658,6 +2658,27 @@ object Queries {
         |  CAST(8 + doc_id % 4 AS INTEGER) AS height, TRUE AS fidelity_ok
         |FROM documents ORDER BY doc_id, frame""".stripMargin)),
 
+    // JPEG decode-coverage audit over a MIXED-encoder corpus (3/4
+    // baseline, 1/4 progressive by construction): per SOF class, how
+    // many docs the pixel decoder decoded vs degraded-to-empty. This
+    // is the visibility query for the decoder's deliberate
+    // progressive/arithmetic degradation — a corpus drifting toward
+    // progressive encoders moves rows from (baseline, decoded) to
+    // (progressive, degraded) and the oracle hash catches it, where
+    // before the drift only showed as silently-empty m7 stats.
+    "m9_jpeg_coverage" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.jpegCoverage(
+          spark.read.parquet(TestFixtures.mediaJpegMix(spark, sf))),
+      """SELECT 'baseline' AS kind, count(*) AS n_docs, count(*) AS n_decoded,
+        |  0::BIGINT AS n_degraded
+        |FROM documents WHERE doc_id % 4 <> 3
+        |UNION ALL
+        |SELECT 'progressive' AS kind, count(*) AS n_docs, 0::BIGINT AS n_decoded,
+        |  count(*) AS n_degraded
+        |FROM documents WHERE doc_id % 4 = 3
+        |ORDER BY kind""".stripMargin)),
+
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
     // loudness feature an audio curation pipeline filters on

@@ -84,4 +84,77 @@ class LakehouseDifferentialSpec extends AnyFunSuite {
     assert(eng.countRows("d", "diff_i") == want3.size.toLong)
     assert(eng.countRows("d", "diff_h") == want2.size.toLong)
   }
+
+  test("rolling back the same mutation returns all three formats to the identical state") {
+    // The cross-format leg the per-format rollback specs (g37/g38/g39
+    // in isolation) can't see: same rows, same logical mutation, one
+    // logical rollback each — the three readers must agree
+    // row-for-row again, and Delta's re-added files must keep their
+    // stats so file skipping survives the restore
+    // (DeltaLog.restore's skipping-survives claim, asserted
+    // behaviorally below via the scan's numFiles metric).
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val stamp = System.nanoTime()
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+
+    def base = (0L until 100L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(2)
+    def appendBatch = (100L until 150L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1)
+    def upsertBatch = (0L until 10L).map(k => (k, s"u$k")).toDF("k", "v").coalesce(1)
+    val deltaLoc = s"/root/repo/target/lhroll_d_$stamp"
+
+    eng.writeDeltaTable(base, "d", "roll_d", deltaLoc)
+    eng.writeIcebergTable(base, "d", "roll_i", s"/root/repo/target/lhroll_i_$stamp")
+    eng.writeHudiTable(base, "d", "roll_h", s"/root/repo/target/lhroll_h_$stamp")
+    eng.appendDeltaTable(appendBatch, "d", "roll_d")
+    eng.appendIcebergTable(appendBatch, "d", "roll_i")
+    eng.appendHudiTable(appendBatch, "d", "roll_h")
+    val preMutation = expect(0L until 150L, Set.empty, Set.empty)
+
+    // the mutation being rolled back: row-level upsert of keys 0..9,
+    // expressed in each format's native shape (Delta MERGE rewrites
+    // the stats-intersecting files; Hudi native upsert; Iceberg the
+    // MOR equivalence — equality-delete + append, TWO snapshots)
+    eng.mergeDelta("d", "roll_d", upsertBatch, "k")
+    eng.upsertHudi("d", "roll_h", upsertBatch, "k")
+    eng.deleteIcebergMatching("d", "roll_i", upsertBatch.select("k"), Seq("k"))
+    eng.appendIcebergTable(upsertBatch, "d", "roll_i")
+    val mutated = expect(0L until 150L, (0L until 10L).toSet, Set.empty)
+    Seq("roll_d", "roll_i", "roll_h").foreach { t =>
+      assert(rows(eng.tableDF("d", t)) == mutated, s"$t diverges after upsert") }
+
+    // one LOGICAL rollback each: Delta/Hudi one version; Iceberg two
+    // snapshots because its MOR upsert published two
+    eng.restoreDeltaTable("d", "roll_d", 1)
+    eng.rollbackIcebergTable("d", "roll_i", 2)
+    eng.rollbackHudiTable("d", "roll_h", 1)
+    Seq("roll_d", "roll_i", "roll_h").foreach { t =>
+      assert(rows(eng.tableDF("d", t)) == preMutation, s"$t diverges after rollback") }
+    Seq("roll_d", "roll_i", "roll_h").foreach { t =>
+      assert(eng.countRows("d", t) == preMutation.size.toLong, s"$t countRows after rollback") }
+
+    // Delta's restore re-added the MERGE-removed files: the restore
+    // commit itself (latest log JSON) must carry stats on every add
+    // action it publishes
+    val logDir = new java.io.File(s"$deltaLoc/_delta_log")
+    val lastCommit = logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .maxBy(_.getName)
+    val addLines = scala.io.Source.fromFile(lastCommit).getLines()
+      .filter(_.contains("\"add\"")).toSeq
+    assert(addLines.nonEmpty, "restore commit re-added no files")
+    assert(addLines.forall(_.contains("\"stats\"")),
+      "restore dropped stats from re-added files")
+    // ...and skipping still prunes: k >= 100 lives in exactly the one
+    // appended file (of 3 live files)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = eng.query("SELECT k, v FROM glue.d.roll_d WHERE k >= 100")
+      assert(df.collect().length == 50)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"stats skipping broke after restore: scanned ${scans.head.metrics("numFiles").value} files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

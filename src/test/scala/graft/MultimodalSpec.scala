@@ -153,6 +153,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels(bomb) == Nil)
   }
 
+  test("jpegSofClass separates baseline from progressive; decoder coverage matches") {
+    javax.imageio.ImageIO.setUseCache(false)
+    def jpeg(progressive: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, (x * 7 + y) & 0xffffff)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("jpg").next()
+      val param = writer.getDefaultWriteParam
+      if (progressive) param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val base = jpeg(progressive = false)
+    val prog = jpeg(progressive = true)
+    assert(Multimodal.jpegSofClass(base) == "baseline")
+    assert(Multimodal.jpegSofClass(prog) == "progressive")
+    assert(Multimodal.jpegSofClass("not a jpeg".getBytes) == "not_jpeg")
+    // decode outcomes line up with the classification: baseline
+    // decodes, progressive deliberately degrades to empty
+    assert(graft.operators.Jpeg.decodePixels(base)._1 == 24)
+    assert(graft.operators.Jpeg.decodePixels(prog)._1 == 0)
+  }
+
   test("GCE transparent index excluded from frame sums; scope ends with its frame") {
     // Hand-authored GIF89a, 4x1 frame, 2-entry GCT, pixel indices
     // [0,1,0,1]. LZW at minCode=2 with a CLEAR before every pixel
