@@ -355,6 +355,107 @@ object TestFixtures {
     out
   }
 
+  /** Real AVI (RIFF) containers, one per document, video stream coded
+    * MJPG: every frame is a complete baseline JPEG in its own `00dc`
+    * chunk — the classic motion-JPEG layout, and the one video
+    * container a pure-JVM pipeline can both WRITE (ImageIO emits the
+    * frames, the RIFF walls are hand-built here) and fully DECODE
+    * (graft.operators.Jpeg). All stream parameters derive from doc_id
+    * so the oracle recomputes them without parsing:
+    * w = 16 + id%16, h = 8 + id%8, frames = 3 + id%5,
+    * usPerFrame = 20000*(1 + id%4) (so duration_ms is exact integer
+    * math), frame-f pixel (x,y) = (id*31 + f*13 + x*7 + y) & 0xffffff
+    * — the same generator as the GIF fixture, so the analytic
+    * channel-sum oracle carries over. A standard `idx1` index is
+    * appended so the file is a well-formed player-seekable AVI, not
+    * just a chunk soup.
+    */
+  def mediaAvi(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/media_avi"
+    ensure(sfDir, "media_avi") {
+      import org.apache.spark.sql.Encoders
+      val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id").as[Long](Encoders.scalaLong)
+        .repartition(32)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val writer = javax.imageio.ImageIO.getImageWritersBySuffix("jpg").next()
+          it.map { id =>
+            val w = 16 + (id % 16).toInt
+            val h = 8 + (id % 8).toInt
+            val nFrames = 3 + (id % 5).toInt
+            val usPerFrame = 20000 * (1 + (id % 4).toInt)
+            val frames = (0 until nFrames).map { f =>
+              val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, ((id * 31 + f * 13 + x * 7 + y) & 0xffffff).toInt); x += 1 }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              writer.setOutput(ios)
+              writer.write(null, new javax.imageio.IIOImage(img, null, null),
+                writer.getDefaultWriteParam)
+              ios.close()
+              bos.toByteArray
+            }
+            (id, buildAvi(w, h, usPerFrame, frames))
+          }
+        }(tupleEnc)
+        .toDF("doc_id", "avi")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Assemble a minimal well-formed AVI around pre-encoded MJPEG
+    * frames: RIFF('AVI ') → LIST hdrl (avih, LIST strl (strh vids/
+    * MJPG, strf BITMAPINFOHEADER)) → LIST movi (one word-aligned
+    * `00dc` chunk per frame) → idx1 (keyframe entries, offsets
+    * relative to the movi 'movi' fourcc per the OpenDML convention).
+    */
+  private[graft] def buildAvi(w: Int, h: Int, usPerFrame: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + body.length) ++ fcc(kind) ++ body
+
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10 /* AVIF_HASINDEX */) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+      le32(usPerFrame) /* dwScale */ ++ le32(1000000) /* dwRate */ ++ le32(0) ++
+      le32(frames.length) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ fcc("MJPG") ++
+      le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+
+    val moviChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", moviChunks.flatten.toArray)
+    // idx1 offsets: from the 'movi' fourcc (offset 8 within the LIST)
+    // to each chunk's fourcc — first chunk sits at 4
+    val offsets = moviChunks.scanLeft(4)(_ + _.length).init
+    val idx1 = chunk("idx1", offsets.zip(frames).flatMap { case (off, f) =>
+      fcc("00dc") ++ le32(0x10 /* AVIIF_KEYFRAME */) ++ le32(off) ++ le32(f.length)
+    }.toArray)
+
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    bb.write(fcc("RIFF")); bb.write(le32(body.length)); bb.write(body)
+    bb.toByteArray
+  }
+
   /** CSV copy of orders (reference declares CSV tables TODO; we
     * support them via the classification parameter).
     */

@@ -156,6 +156,132 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  final case class AviMeta(doc_id: Long, width: Int, height: Int, n_frames: Int,
+                           us_per_frame: Int, duration_ms: Long, codec: String)
+
+  /** Walk a real AVI's RIFF structure for the stream metadata a video
+    * curation pipeline filters on before ever touching frame bytes:
+    * dimensions, frame count, frame period (`avih.dwMicroSecPerFrame`)
+    * and the video codec fourcc (`strh.fccHandler`). Pure byte walk —
+    * header chunks only, no frame payload is read, so at 100 TB this
+    * is a metadata-rate pass over column bytes (and with parquet
+    * column pruning the frame-heavy `movi` bytes still ride along in
+    * the same cell — the reason meta extraction is its own narrow
+    * query rather than a side effect of decode). Corrupt or non-AVI
+    * bytes degrade to a (0,0,0,0,0,"") row, never an exception.
+    */
+  private[graft] def parseAviHeader(bytes: Array[Byte]): (Int, Int, Int, Int, String) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def four(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    val bad = (0, 0, 0, 0, "")
+    if (bytes.length < 12 || four(0) != "RIFF" || four(8) != "AVI ") return bad
+    var w = 0; var h = 0; var n = 0; var usp = 0; var codec = ""
+    // recursive chunk walk bounded by declared sizes; LIST bodies
+    // nest, everything else is skipped by size (word-aligned)
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = four(i)
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz > to) return // truncated: keep what we have
+        if (id == "LIST") {
+          val kind = four(i + 8)
+          if (kind == "hdrl" || kind == "strl") walk(i + 12, i + 8 + sz)
+        } else if (id == "avih" && sz >= 40) {
+          usp = le32(i + 8); n = le32(i + 8 + 16); w = le32(i + 8 + 32); h = le32(i + 8 + 36)
+        } else if (id == "strh" && sz >= 8 && four(i + 8) == "vids") {
+          codec = four(i + 12)
+        }
+        i += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length)
+    (w, h, n, usp, codec)
+  }
+
+  def aviMeta(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[AviMeta]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("avi"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, n, usp, codec) = parseAviHeader(bytes)
+          AviMeta(id, w, h, n, usp, n.toLong * usp / 1000, codec)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Extract the MJPEG frame payloads from an AVI's `movi` list:
+    * every `##dc`/`##db` chunk body is one complete JPEG. Returns
+    * frames in stream order; non-AVI bytes → empty.
+    */
+  def aviFramePayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def four(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 12 || four(0) != "RIFF" || four(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = four(i)
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz > to) return
+        if (id == "LIST") {
+          val kind = four(i + 8)
+          if (kind == "movi" || kind == "rec ") walk(i + 12, i + 8 + sz, inMovi = true)
+        } else if (inMovi && id.length == 4 &&
+                   (id.endsWith("dc") || id.endsWith("db"))) {
+          out += java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + sz)
+        }
+        i += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    out.toSeq
+  }
+
+  final case class VideoFrameStats(doc_id: Long, frame: Int, width: Int, height: Int,
+                                   sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Frame-sample + decode over MJPEG AVIs: every `stride`-th frame's
+    * JPEG payload through the full [[Jpeg.decodePixels]] baseline
+    * decoder, emitting exact per-frame channel sums — the feature row
+    * a video training pipeline computes per sampled frame. One narrow
+    * mapPartitions (container walk + entropy decode fused per record,
+    * no shuffle until the caller aggregates); a corrupt container or
+    * an undecodable frame degrades to a (0,0) dimension row so a bad
+    * record filters instead of failing the stage.
+    */
+  def aviFrameStats(media: DataFrame, stride: Int): DataFrame = {
+    implicit val enc = Encoders.product[VideoFrameStats]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("avi"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          aviFramePayloads(bytes).zipWithIndex
+            .collect { case (jpeg, f) if f % stride == 0 =>
+              val (w, h, px) = Jpeg.decodePixels(jpeg)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+                i += 1
+              }
+              VideoFrameStats(id, f, w, h, sr, sg, sb)
+            }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame")
+  }
+
   final case class FrameMeta(doc_id: Long, width: Int, height: Int, n_frames: Int, n_sampled: Int)
 
   /** Walk a GIF's real block structure: logical screen descriptor for

@@ -2679,6 +2679,66 @@ object Queries {
         |FROM documents WHERE doc_id % 4 = 3
         |ORDER BY kind""".stripMargin)),
 
+    // VIDEO container metadata: walk a real AVI's RIFF header chunks
+    // (avih dims/frame-count/frame-period, strh codec fourcc) without
+    // touching frame payloads — the filter row a video pipeline
+    // computes before spending decode on anything. All fields derive
+    // from doc_id at generation time, so the oracle recomputes them
+    // arithmetically and the hash proves the byte walk.
+    "m10_video_meta" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.aviMeta(
+          spark.read.parquet(TestFixtures.mediaAvi(spark, sf))),
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+        |  CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+        |  CAST(20000 * (1 + doc_id % 4) AS INTEGER) AS us_per_frame,
+        |  CAST((3 + doc_id % 5) * 20 * (1 + doc_id % 4) AS BIGINT) AS duration_ms,
+        |  'MJPG' AS codec
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // VIDEO frame-sample + full pixel decode: every 2nd MJPEG frame
+    // out of the AVI movi list through the baseline JPEG entropy
+    // decoder, per-frame channel sums cross-checked against the
+    // generation-time analytic sums (within JPEG's lossy tolerance,
+    // the m7 bound). This is the end-to-end video path — container
+    // walk, frame sampling, codec decode, feature row — fused in one
+    // narrow pass.
+    "m11_video_frames" -> ((
+      (spark: SparkSession, sf: String) => {
+        val decoded = Multimodal.aviFrameStats(
+          spark.read.parquet(TestFixtures.mediaAvi(spark, sf)), stride = 2)
+        val analytic = t(spark, sf, "documents")
+          .select(col("doc_id"),
+            (lit(16) + col("doc_id") % 16).cast("int").as("aw"),
+            (lit(8) + col("doc_id") % 8).cast("int").as("ah"),
+            (lit(3) + col("doc_id") % 5).as("nf"))
+          .withColumn("frame", explode(sequence(lit(0L), col("nf") - 1, lit(2L))))
+          .withColumn("frame", col("frame").cast("int"))
+          .withColumn("x", explode(sequence(lit(0L), col("aw").cast("long") - 1)))
+          .withColumn("y", explode(sequence(lit(0L), col("ah").cast("long") - 1)))
+          .withColumn("rgb",
+            (col("doc_id") * 31 + col("frame") * 13 + col("x") * 7 + col("y")) % 16777216)
+          .groupBy("doc_id", "frame")
+          .agg(max("aw").as("aw"), max("ah").as("ah"),
+            sum((col("rgb") / 65536).cast("long")).as("ar"),
+            sum((col("rgb") / 256).cast("long") % 256).as("ag"),
+            sum(col("rgb") % 256).as("ab"))
+        decoded.join(analytic, Seq("doc_id", "frame"))
+          .select(col("doc_id"), col("frame"), col("width"), col("height"),
+            (col("width") === col("aw") && col("height") === col("ah") &&
+              abs(col("sum_r") - col("ar")) <= lit(8L) * col("aw") * col("ah") &&
+              abs(col("sum_g") - col("ag")) <= lit(8L) * col("aw") * col("ah") &&
+              abs(col("sum_b") - col("ab")) <= lit(8L) * col("aw") * col("ah"))
+              .as("fidelity_ok"))
+          .orderBy("doc_id", "frame")
+      },
+      """SELECT doc_id, CAST(unnest(range(0, 3 + doc_id % 5, 2)) AS INTEGER) AS frame,
+        |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS height, TRUE AS fidelity_ok
+        |FROM documents ORDER BY doc_id, frame""".stripMargin)),
+
     // windowed PCM energy: one streaming byte pass per file (O(1)
     // memory, no samples array), exact integer arithmetic — the
     // loudness feature an audio curation pipeline filters on

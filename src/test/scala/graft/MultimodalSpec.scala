@@ -153,6 +153,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifPixels(bomb) == Nil)
   }
 
+  test("AVI: header walk recovers stream params; movi payloads decode; corrupt degrades") {
+    // one real MJPEG AVI through the same builder the fixture uses
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("jpg").next()
+    val (w, h, nFrames, usp) = (20, 12, 4, 40000)
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (f * 13 + x * 7 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+      ios.close()
+      bos.toByteArray
+    }
+    val avi = graft.fixtures.TestFixtures.buildAvi(w, h, usp, frames)
+
+    // meta: dims/frame-count/period from avih, codec from strh
+    assert(Multimodal.parseAviHeader(avi) == ((w, h, nFrames, usp, "MJPG")))
+
+    // payload walk returns the EXACT encoded frame bytes in order
+    val payloads = Multimodal.aviFramePayloads(avi)
+    assert(payloads.map(_.toSeq) == frames.map(_.toSeq))
+
+    // each extracted payload decodes bit-exact vs ImageIO through the
+    // baseline decoder m11 uses
+    payloads.zipWithIndex.foreach { case (jpeg, f) =>
+      val (dw, dh, px) = graft.operators.Jpeg.decodePixels(jpeg)
+      assert((dw, dh) == ((w, h)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      var i = 0; var same = true
+      for (y <- 0 until h; x <- 0 until w) {
+        if ((img.getRGB(x, y) & 0xffffff) != (px(i) & 0xffffff)) same = false
+        i += 1
+      }
+      assert(same, s"frame $f pixels diverge from ImageIO")
+    }
+
+    // corrupt: truncated container and non-RIFF bytes degrade, never throw
+    assert(Multimodal.aviFramePayloads("not an avi".getBytes) == Nil)
+    assert(Multimodal.aviFramePayloads(avi.take(40)) == Nil)
+    assert(Multimodal.parseAviHeader("junk".getBytes) == ((0, 0, 0, 0, "")))
+    assert(Multimodal.parseAviHeader(avi.take(60)) == ((0, 0, 0, 0, "")))
+  }
+
   test("jpegSofClass separates baseline from progressive; decoder coverage matches") {
     javax.imageio.ImageIO.setUseCache(false)
     def jpeg(progressive: Boolean): Array[Byte] = {
