@@ -62,6 +62,50 @@ object TestFixtures {
     out
   }
 
+  /** Events staged as four TIME-ORDERED files (event-time quartiles,
+    * one file each, strictly increasing modification times so the
+    * file stream source replays them oldest-first). A stream-stream
+    * join's watermark drops rows that arrive after the watermark has
+    * passed their join window — with a time-ordered replay (the shape
+    * of any real ingest: arrival tracks event time) a 1-hour
+    * watermark never drops a legitimate row, so the streaming join is
+    * batch-exact AND state is genuinely evicted as the replay
+    * advances. The random 4-way split of [[eventsStreamDir]] would
+    * instead put near-max timestamps in the first micro-batch and
+    * silently discard most of the remaining three.
+    */
+  def eventsStreamTimeOrderedDir(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_stream_ts4"
+    ensure(sfDir, "events_stream_ts4") {
+      val ev = events(spark, sfDir)
+      val quart = ev.select(ntile(4).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id")))
+          .as("q4"), col("*"))
+      quart.persist()
+      try {
+        Files.createDirectories(Paths.get(out))
+        (1 to 4).foreach { q =>
+          val tmp = s"$out/.build_q$q"
+          quart.filter(col("q4") === q).drop("q4")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+            .getOrElse(sys.error(s"no data file under $tmp"))
+          val dest = new File(s"$out/quartile_$q.parquet")
+          Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes in quartile order —
+          // FileStreamSource sorts pending files by modification
+          // time, so arrival order == event-time order
+          require(dest.setLastModified(1000000000000L + q * 60000L),
+            s"cannot stamp mtime on $dest")
+          org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
+        }
+      } finally { quart.unpersist(); () }
+    }
+    out
+  }
+
   /** Documents staged as a four-file directory for the streaming-
     * ingest gate queries (st2/st4/st5) — build-once per scale factor;
     * the corpus is re-written per query otherwise.

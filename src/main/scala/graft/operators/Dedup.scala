@@ -70,14 +70,26 @@ object Dedup {
     * of hash map per task, 32 concurrently = GC collapse; measured
     * 446s, vs 242s with 8x the partitions). The multiplier therefore
     * scales QUADRATICALLY with corpus rows (matching the candidate
-    * volume), clamped to [1, 32]; one metadata-only `count()` of the
+    * volume), clamped to [1, 16]; one metadata-only `count()` of the
     * corpus pays for it. Overridable per session via
     * `graft.pair.partitions.mult` (the corpus-side stages always keep
     * the session's partitioning).
+    *
+    * The clamp is MEASURED, at two scales: the quadratic growth is
+    * what rescues the sf1 aggregate from GC collapse (above), but
+    * past the point where per-task state fits comfortably, extra
+    * partitions are pure scheduling overhead — at sf3 (150k docs,
+    * formula unclamped = 57) d3 runs 16.3-17.2 s at mult 8-16 vs
+    * ~25 s at 32 and ~76 s at 64, and d5 is flat (49-65 s) across
+    * 8-32 because its cost is the 1.5B-row result, not the shuffle
+    * (bench_history/sf3_r11_dedup.json + NOTES.md, round 11). On a
+    * real cluster the equivalent ceiling is a small multiple of the
+    * executor-core count — the point where every core already has
+    * several waves of work per stage.
     */
   private def pairMult(df: DataFrame, nDocs: Long): Int =
     df.sparkSession.conf.getOption("graft.pair.partitions.mult").map(_.toInt).getOrElse {
-      math.min(32, math.max(1, math.ceil(math.pow(nDocs / 20000.0, 2)).toInt))
+      math.min(16, math.max(1, math.ceil(math.pow(nDocs / 20000.0, 2)).toInt))
     }
 
   /** Job-free per-file row counts for sizing [[pairMult]]: when every

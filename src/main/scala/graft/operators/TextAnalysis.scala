@@ -475,6 +475,155 @@ object TextAnalysis {
     docs.select(col("doc_id"), toks.as("toks"))
   }
 
+  /** Per-document segmentation report of a trained BPE vocabulary:
+    * base token count and the count after applying the learned merge
+    * table ([[bpeApply]]) — the compression a tokenizer-training run
+    * checks before freezing a vocab. Map-only at any scale.
+    */
+  def bpeApplyStats(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val base = tokens(col("text"))
+    val folded = rules.foldLeft(base) { case (acc, (a, b)) => mergeAdjacent(acc, a, b) }
+    docs.select(col("doc_id"), size(base).as("n_base"), size(folded).as("n_merged"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeApplyStats]], replaying the FITTED merge
+    * table (s17-style dynamic oracle: the learned rules are embedded
+    * as literals; the iterative training itself is not SQL, but a
+    * fitted merge table's application is). The greedy left-to-right
+    * non-reentrant fold of [[mergeAdjacent]] is reproduced with
+    * string `replace`: tokens are each WRAPPED in single spaces and
+    * concatenated (`' a  b  c '` — double space between tokens), so
+    * the pattern `' a  b '` consumes exactly one adjacent pair and
+    * the scan resumes at the next token's own wrap — a just-merged
+    * token can't re-match as the left half within the same rule, and
+    * later rules see merged tokens (`a_b`) like any other. Spaces
+    * can never occur INSIDE a token (the tokenizer splits on space),
+    * so the encoding is collision-free for any corpus.
+    */
+  def sqlBpeApplyStats(rules: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val base = s"' ' || array_to_string(${sqlTokens("text")}, '  ') || ' '"
+    val folded = rules.foldLeft(base) { case (e, (a, b)) =>
+      s"replace($e, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}_${esc(b)} ')"
+    }
+    s"""SELECT doc_id,
+       |  CAST(len(${sqlTokens("text")}) AS INTEGER) AS n_base,
+       |  CAST(len(list_filter(string_split($folded, ' '), t -> len(t) > 0)) AS INTEGER) AS n_merged
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Surface features for the trained document classifier — the
+    * fastText-style signal set a CCNet/GPT-3-style quality or
+    * language filter distills into a linear scorer. Every feature is
+    * a ratio of integer counts (or a min with a constant), so Spark
+    * and DuckDB compute bit-identical doubles; the SQL mirrors are in
+    * [[sqlClassifierScores]]. Order matters: the fitted weight vector
+    * is positional over this sequence.
+    */
+  private def classifierFeatures: Seq[Column] = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    Seq(
+      least(lit(1.0), nTok / lit(20.0)),
+      when(size(t) > 0, size(filter(t, w => w.isin(stopwords: _*))).cast("double") / nTok)
+        .otherwise(lit(0.0)),
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        length(col("text")).cast("double"),
+      when(size(t) > 0, size(array_distinct(t)).cast("double") / nTok).otherwise(lit(0.0)),
+      when(size(t) > 0, length(array_join(t, "")).cast("double") / nTok / lit(10.0))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Train a logistic-regression classifier (label: `lang = 'en'`)
+    * on the `doc_id % 5 < 4` split by full-batch gradient descent —
+    * the distributed shape of fastText-as-quality-filter training
+    * (CCNet; GPT-3's Wikipedia-vs-CommonCrawl classifier): each of
+    * the fixed `iters` rounds is ONE `treeAggregate` over the
+    * persisted feature vectors accumulating the d+1-dim gradient —
+    * at 1000 executors that moves O(partitions × d) doubles per
+    * round, never rows, and the feature pass itself is narrow
+    * codegen'd column work. Returns `[bias, w1..wd]`.
+    */
+  def fitDocClassifier(docs: DataFrame, iters: Int = 40, lr: Double = 2.0): Array[Double] = {
+    val sp = org.apache.spark.sql.graft.Shim.classic(docs.sparkSession)
+    import sp.implicits._
+    val feats = docs.filter(col("doc_id") % 5 < 4)
+      .select((col("lang") === "en").cast("double").as("y"),
+        array(classifierFeatures: _*).as("x"))
+      .as[(Double, Seq[Double])].rdd
+      .map { case (y, x) => (y, x.toArray) }
+    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = classifierFeatures.size
+      val w = new Array[Double](d + 1)
+      var it = 0
+      while (it < iters) {
+        val (grad, n) = feats.treeAggregate((new Array[Double](d + 1), 0L))(
+          seqOp = { case ((g, c), (y, x)) =>
+            var z = w(0)
+            var i = 0
+            while (i < d) { z += w(i + 1) * x(i); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-z))
+            val err = p - y
+            g(0) += err
+            i = 0
+            while (i < d) { g(i + 1) += err * x(i); i += 1 }
+            (g, c + 1L)
+          },
+          combOp = { case ((g1, c1), (g2, c2)) =>
+            var i = 0
+            while (i < g1.length) { g1(i) += g2(i); i += 1 }
+            (g1, c1 + c2)
+          })
+        var i = 0
+        while (i < w.length) { w(i) -= lr * grad(i) / n; i += 1 }
+        it += 1
+      }
+      w
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score the HELD-OUT split (`doc_id % 5 = 4`) with a fitted
+    * classifier: one narrow pass emitting the raw logit (monotone in
+    * the class probability — reported instead of sigmoid so the
+    * cross-engine compare never depends on `exp` rounding). The
+    * logit fold is strictly left-to-right so the oracle replays the
+    * identical double arithmetic from the identical weight literals.
+    */
+  def classifierScores(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val logit = classifierFeatures.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (f, i)) => acc + lit(w(i + 1)) * f
+    }
+    docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("label"),
+        round(logit, 6).as("logit"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[classifierScores]] with the fitted weights
+    * embedded as shortest-round-trip literals (s17-style dynamic
+    * oracle — training is iterative Scala, a fitted linear scorer is
+    * SQL). Feature arithmetic and fold order mirror
+    * [[classifierFeatures]]/[[classifierScores]] exactly.
+    */
+  def sqlClassifierScores(w: Array[Double]): String = {
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val stop = stopwords.map(s => s"'$s'").mkString(", ")
+    val fs = Seq(
+      "least(1.0, len(t)::DOUBLE / 20.0)",
+      s"CASE WHEN len(t) > 0 THEN len(list_filter(t, w -> w IN ($stop)))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END",
+      "len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)::DOUBLE",
+      "CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END",
+      "CASE WHEN len(t) > 0 THEN len(array_to_string(t, ''))::DOUBLE / len(t)::DOUBLE / 10.0 ELSE 0.0 END")
+    val logit = fs.zipWithIndex.foldLeft(d(w(0))) {
+      case (acc, (f, i)) => s"($acc + ${d(w(i + 1))} * $f)"
+    }
+    s"""WITH tok AS (SELECT doc_id, lang, text, ${sqlTokens("text")} AS t FROM documents)
+       |SELECT doc_id, CAST(lang = 'en' AS INT) AS label, round($logit, 6) AS logit
+       |FROM tok WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[tfidfTopTerms]] (over `documents`, reported
     * for `doc_id < limitDocs` — the corpus-wide scores are unchanged
     * by the reporting filter).

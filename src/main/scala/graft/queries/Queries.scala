@@ -26,13 +26,25 @@ object Queries {
     */
   @volatile private[graft] var s17Model: Option[graft.operators.Pca.PcaModel] = None
 
+  /** Merge table learned by the last t16_bpe_apply run (same
+    * fitted-model-embed contract as [[s17Model]]).
+    */
+  @volatile private[graft] var t16Rules: Option[Seq[(String, String)]] = None
+
+  /** Weights fitted by the last t17_classifier run. */
+  @volatile private[graft] var t17Weights: Option[Array[Double]] = None
+
   /** Oracles only known after a query has run (s17's fitted-model
     * embed). Empty until the corresponding query executes, which
     * matches the driver flow: Verify runs queries, then dumps SQL.
     */
   def dynamicOracles: Map[String, String] =
     s17Model.map(m =>
-      "s17_pca_topk" -> graft.operators.Pca.sqlReducedTopK(m, 7L, 10)).toMap
+      "s17_pca_topk" -> graft.operators.Pca.sqlReducedTopK(m, 7L, 10)).toMap ++
+      t16Rules.map(r =>
+        "t16_bpe_apply" -> TextAnalysis.sqlBpeApplyStats(r)).toMap ++
+      t17Weights.map(w =>
+        "t17_classifier" -> TextAnalysis.sqlClassifierScores(w)).toMap
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -2501,6 +2513,40 @@ object Queries {
       """SELECT lang, source, COUNT(*) AS n_docs
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // STREAM-STREAM interval join in the driver gate: purchases
+    // joined to the same user's views in the preceding hour, two
+    // watermarked sides over a TIME-ORDERED four-file replay (see
+    // eventsStreamTimeOrderedDir — arrival tracks event time, so the
+    // 1h watermark never drops a legitimate row and join state is
+    // genuinely evicted as the replay advances). The joined pairs
+    // land append-mode in the sink; the per-user rollup below is
+    // batch work over the sink table.
+    "st7_stream_join" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val stage = TestFixtures.eventsStreamTimeOrderedDir(spark, sf)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.viewPurchaseJoin(stream),
+            "st7_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        res.groupBy(col("p_user").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_id")).as("n_purchases"),
+            sum((col("p_value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      """SELECT p.user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases,
+        |  CAST(SUM(CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND p.event_type = 'purchase'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)),
+
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),
       TextAnalysis.sqlLangid)),
@@ -2517,6 +2563,38 @@ object Queries {
     "t5_length_quantiles" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.lengthQuantiles(t(spark, sf, "documents")),
       TextAnalysis.sqlLengthQuantiles())),
+
+    // FULL BPE training (t13 is one frequency round; this is the
+    // loop): learn 20 merge rules over the corpus — one pair-count
+    // aggregate + one narrow rewrite per round, one row to the
+    // driver per round — then re-tokenize with the learned table and
+    // report per-doc compression. Oracle is dynamic (the fitted
+    // merge table embedded as literals, s17-style); the greedy fold
+    // is replayed in SQL via the wrapped-token replace encoding.
+    "t16_bpe_apply" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        val rules = TextAnalysis.bpeTrain(docs, merges = 20).map(_._1)
+        t16Rules = Some(rules)
+        TextAnalysis.bpeApplyStats(docs, rules)
+      },
+      null)),
+
+    // TRAINED quality/language classifier (CCNet / GPT-3-style
+    // distilled linear filter): logistic regression fitted by
+    // distributed full-batch gradient descent on the 4/5 train
+    // split, scored on the held-out 1/5. Oracle is dynamic: the
+    // fitted weights embedded as literals over bit-exact ratio
+    // features; the reported score is the raw logit so the compare
+    // never depends on exp() rounding.
+    "t17_classifier" -> ((
+      (spark: SparkSession, sf: String) => {
+        val docs = t(spark, sf, "documents")
+        val w = TextAnalysis.fitDocClassifier(docs)
+        t17Weights = Some(w)
+        TextAnalysis.classifierScores(docs, w)
+      },
+      null)),
 
     // top-k vocabulary by document frequency
     "t6_vocab_df" -> ((

@@ -131,6 +131,38 @@ object EventStreams {
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
 
+  /** STREAM-STREAM event-time interval join: purchases matched to
+    * the same user's views in the preceding hour — the attribution
+    * join every event pipeline runs, expressed as Structured
+    * Streaming's two-sided stateful join. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark derives a state watermark for EACH side and evicts
+    * buffered rows as the global watermark advances: state is
+    * O(events within the join horizon), not O(stream history), at
+    * any scale. Matches emit eagerly in append mode (inner join
+    * never waits for the watermark). Correctness over a bounded
+    * replay needs arrival order to track event time (true of any
+    * real ingest) — see
+    * [[graft.fixtures.TestFixtures.eventsStreamTimeOrderedDir]];
+    * under that ordering the streamed result equals the batch join
+    * exactly, while state is genuinely evicted as the replay
+    * advances.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+  }
+
   /** Bounded `readStream` over the events fixture: the batch reader's
     * rows (ts-type dispatch already applied) staged ONCE per scale
     * factor into a four-file directory — the file streaming source

@@ -174,6 +174,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream-stream interval join is batch-exact and evicts state as the watermark advances") {
+    val stage = TestFixtures.eventsStreamTimeOrderedDir(spark, TestSpark.sfDir)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val joined = EventStreams.viewPurchaseJoin(stream)
+    val q = EventStreams.withStatePartitions(spark, 8)(
+      EventStreams.runToCompletionQuery(joined, "ssj_out", OutputMode.Append()))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_out").select("p_id", "v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val ev = TestFixtures.events(spark, TestSpark.sfDir)
+    val want = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "view").as("v"),
+        col("v.user_id") === col("p.user_id") &&
+          col("v.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR") &&
+          col("v.ts") <= col("p.ts"))
+      .select(col("p.event_id"), col("v.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"stream join produced ${got.size} pairs, batch ${want.size}")
+
+    // the time-ordered replay advances the watermark between
+    // micro-batches, so buffered join state must actually be evicted
+    // (not just bounded in theory)
+    val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted any join state")
+  }
+
   test("streaming iceberg sink is exactly-once under batch replay") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -125,6 +125,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(after < before)
   }
 
+  test("bpeApplyStats matches a pure-Scala greedy-fold reference on a randomized corpus") {
+    import spark.implicits._
+    // tiny alphabet so merges chain and re-merge across rules
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(13)
+      (id, Seq.fill(n)("abc".charAt(rnd.nextInt(3)).toString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrain(docs, merges = 8).map(_._1)
+    assert(rules.nonEmpty)
+    def refApply(toks: Seq[String]): Seq[String] =
+      rules.foldLeft(toks) { case (ts, (a, b)) =>
+        ts.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ s"${a}_$b"
+          else acc :+ x
+        }
+      }
+    val want = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+      (r.getLong(0), toks.size, refApply(toks).size)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.bpeApplyStats(docs, rules)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
+  test("trained classifier separates the labeled classes on the held-out split") {
+    import spark.implicits._
+    // en docs: stopword-rich running text; others: stopword-free
+    val docs = (0L until 50L).map { id =>
+      if (id % 2 == 0)
+        (id, "the cat and the dog is in a house of wonder to behold", "en")
+      else
+        (id, "gato perro casa calle cielo mar tierra fuego agua luz", "es")
+    }.toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.fitDocClassifier(docs, iters = 60, lr = 2.0)
+    val scored = TextAnalysis.classifierScores(docs, w)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val (pos, neg) = scored.partition(_._1 == 1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // perfect separation on this linearly-separable fixture
+    assert(pos.map(_._2).min > neg.map(_._2).max,
+      s"classifier failed to separate: $scored")
+  }
+
   test("gopher rules flag each failure mode independently") {
     import spark.implicits._
     // 25 varied tokens (passes all); 5 tokens (fails only word count);
