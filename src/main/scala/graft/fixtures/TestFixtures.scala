@@ -106,6 +106,48 @@ object TestFixtures {
     out
   }
 
+  /** The time-ordered replay plus a fifth PUNCTUATION file: one
+    * sentinel event (user_id = -1) 48 h past the corpus maximum.
+    * Append-mode session windows only emit once the watermark passes
+    * a session's end; the sentinel advances the watermark past every
+    * real session so a bounded replay flushes them all — the
+    * file-based stand-in for the heartbeat/punctuation events a
+    * production bus carries for exactly this reason.
+    */
+  def eventsStreamSessionDir(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_stream_sess5"
+    ensure(sfDir, "events_stream_sess5") {
+      val src = eventsStreamTimeOrderedDir(spark, sfDir)
+      Files.createDirectories(Paths.get(out))
+      (1 to 4).foreach { q =>
+        val dest = new File(s"$out/quartile_$q.parquet")
+        Files.copy(Paths.get(s"$src/quartile_$q.parquet"), dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(dest.setLastModified(1000000000000L + q * 60000L),
+          s"cannot stamp mtime on $dest")
+      }
+      val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+      import sp.implicits._
+      val maxTs = events(spark, sfDir).agg(org.apache.spark.sql.functions.max("ts"))
+        .collect().head.getTimestamp(0)
+      val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000),
+        -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = s"$out/.build_sentinel"
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error(s"no data file under $tmp"))
+      val dest = new File(s"$out/sentinel_5.parquet")
+      Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      require(dest.setLastModified(1000000000000L + 5 * 60000L),
+        s"cannot stamp mtime on $dest")
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
+    }
+    out
+  }
+
   /** Documents staged as a four-file directory for the streaming-
     * ingest gate queries (st2/st4/st5) — build-once per scale factor;
     * the corpus is re-written per query otherwise.

@@ -78,4 +78,105 @@ object EventAnalytics {
        |SELECT cohort, week_offset, count(DISTINCT user_id) AS n_users
        |FROM x WHERE week_offset <= $maxOffset
        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin
+
+  /** Fixed-point unit for [[pageRank]]: ranks are BIGINTs in units of
+    * 1e-12, so every operation is integer arithmetic.
+    */
+  private val PrUnit = 1000000000000L
+
+  /** PageRank over the bipartite view graph (users <-> viewed items,
+    * items taken from the event props' `k` and mapped to the negative
+    * id space so the two node namespaces can never collide) — the
+    * attention-centrality ranking an event pipeline feeds back into
+    * curation and recommendation. Damping 0.85, `iters` fixed power
+    * iterations, top 20 nodes by rank.
+    *
+    * EXACT fixed-point arithmetic: ranks are BIGINT multiples of
+    * 1e-12; each neighbor contribution is `rank div deg` (integer
+    * division), the per-node sum is an exact BIGINT aggregate
+    * (order-insensitive, so shuffle/combine order can never perturb
+    * the result), and damping is `(3*r0 + 17*sum) div 20` — 0.15 and
+    * 0.85 as exact rationals. The oracle replays the identical
+    * integer ops, so the compare is bit-exact with no float epsilon.
+    *
+    * Scale shape: each iteration is ONE edge-rank equi-join plus one
+    * dst-keyed aggregate (map-side combined) — the GraphX/Pregel plan
+    * re-expressed relationally; edges and degrees are computed once
+    * and persisted, ranks are materialized per round so the plan
+    * never grows with iteration count. At 100 TB the join shuffles
+    * edges on src, partial-sums contributions before the dst
+    * shuffle, and AQE handles hub skew; nothing is ever collected to
+    * the driver but the final top-k.
+    */
+  def pageRank(events: DataFrame, iters: Int = 5): DataFrame = {
+    val ev = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"),
+        (-(get_json_object(col("props"), "$.k").cast("long") + lit(1L))).as("it"))
+      .distinct()
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .union(ev.select(col("it").as("src"), col("u").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val nCount = nodes.count()
+    val r0 = PrUnit / nCount
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = nodes.select(col("node"), lit(r0).as("rank")).persist()
+    try {
+      (1 to iters).foreach { _ =>
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("s"))
+        val next = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"(3L * ${r0}L + 17L * coalesce(s, 0L)) div 20L").as("rank"))
+          .persist()
+        next.count() // materialize before dropping the parent round
+        ranks.unpersist()
+        ranks = next
+      }
+      // the top-k is the only driver-side materialization (20 rows);
+      // rebuilt as a local DataFrame so the returned plan doesn't
+      // re-run the iterations after the caches below are dropped
+      val top = ranks.orderBy(desc("rank"), col("node")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
+      import sp.implicits._
+      top.toDF("node", "rank")
+    } finally {
+      ranks.unpersist(); edges.unpersist(); nodes.unpersist(); deg.unpersist()
+      ()
+    }
+  }
+
+  /** DuckDB oracle for [[pageRank]] — the power iteration unrolled to
+    * `iters` CTE stages over the same integer fixed-point ops (`//`
+    * is BIGINT division in DuckDB, `div` in Spark; inputs are always
+    * non-negative so truncation == floor in both).
+    */
+  def sqlPageRank(iters: Int = 5): String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id AS u,
+         |    -(CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS it
+         |  FROM events WHERE event_type = 'view'),
+         |e AS (SELECT u AS src, it AS dst FROM ev
+         |      UNION ALL SELECT it AS src, u AS dst FROM ev),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, $PrUnit // (SELECT COUNT(*) FROM n) AS rank FROM n)""".stripMargin
+    val stages = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST((3 * ($PrUnit // (SELECT COUNT(*) FROM n)) + 17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+         |    FROM e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT 20"
+  }
 }

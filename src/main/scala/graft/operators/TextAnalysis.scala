@@ -513,6 +513,73 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** KMV (K-minimum-values) distinct-cardinality sketch per source:
+    * the k smallest distinct token hashes estimate the vocabulary as
+    * `(k-1) * P / h_k` (Bar-Yossef et al., "Counting distinct
+    * elements in a data stream") — the sketch family a 100 TB profile
+    * pass runs instead of exact COUNT(DISTINCT). Unlike HLL, KMV over
+    * a DETERMINISTIC hash is exactly replayable in SQL, so the gate
+    * hash-checks the sketch itself, not a tolerance band. The exact
+    * count rides along for the audit.
+    *
+    * Scale shape: dedup to (source, hash) is a vocabulary-scale
+    * shuffle (never document-scale); the min-k is a bounded-rank
+    * window that Spark rewrites to WindowGroupLimit — per-partition
+    * partial top-k before the shuffle — so the sketch state per group
+    * is k values end-to-end, the same property that makes KMV
+    * mergeable across executors.
+    */
+  /** Multiplier for KMV's uniformizing round: charFold is a
+    * polynomial rolling hash, so SHORT tokens land clustered at
+    * small values — fine for equality, fatal for an estimator that
+    * reads the k-th minimum as a uniform order statistic. One
+    * multiplicative round `(h * A) mod P` (A invertible mod the
+    * prime P) is a bijection that spreads any value set
+    * pseudo-uniformly over [0, P); products stay under 2^63 (h &lt; P
+    * ~ 1e9, A ~ 1e9 -> &lt; 1e18) so BOTH engines compute it exactly,
+    * with no overflow wrap to disagree on.
+    */
+  private val KmvA = 961748927L
+
+  def kmvCardinality(docs: DataFrame, k: Int = 64): DataFrame = {
+    import graft.functions.CrossHash
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("source"), explode(CrossHash.distinctTokens(col("text"))).as("w"))
+      .select(col("source"),
+        ((CrossHash.charFold(col("w")) * lit(KmvA)) % lit(CrossHash.P)).as("h"))
+      .distinct()
+    val exact = tok.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val mink = tok
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("source").agg(max("h").as("kth_hash"), count(lit(1)).as("n_small"))
+    exact.join(mink, "source")
+      .select(col("source"), col("n_exact"), col("kth_hash"),
+        when(col("n_small") < k, col("n_exact").cast("double"))
+          .otherwise(round(
+            lit(((k - 1).toLong * CrossHash.P).toDouble) / col("kth_hash").cast("double"), 6))
+          .as("est"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[kmvCardinality]]. */
+  def sqlKmvCardinality(k: Int = 64): String = {
+    import graft.functions.CrossHash
+    s"""WITH tok AS (
+       |  SELECT DISTINCT source, CAST((${CrossHash.sqlCharFold("w")} * $KmvA) % ${CrossHash.P} AS BIGINT) AS h
+       |  FROM (SELECT source, unnest(${CrossHash.sqlDistinctTokens("text")}) AS w FROM documents)),
+       |ex AS (SELECT source, COUNT(*) AS n_exact FROM tok GROUP BY source),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM tok),
+       |km AS (SELECT source, MAX(h) AS kth_hash, COUNT(*) AS n_small
+       |       FROM r WHERE rn <= $k GROUP BY source)
+       |SELECT ex.source, ex.n_exact, km.kth_hash,
+       |  CASE WHEN km.n_small < $k THEN CAST(ex.n_exact AS DOUBLE)
+       |       ELSE round(CAST(${(k - 1).toLong * CrossHash.P} AS DOUBLE) / CAST(km.kth_hash AS DOUBLE), 6)
+       |  END AS est
+       |FROM ex JOIN km ON ex.source = km.source ORDER BY ex.source""".stripMargin
+  }
+
   /** Surface features for the trained document classifier — the
     * fastText-style signal set a CCNet/GPT-3-style quality or
     * language filter distills into a linear scorer. Every feature is

@@ -2547,6 +2547,61 @@ object Queries {
         | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)),
 
+    // NATIVE session windows through the gate (q14's semantics via
+    // session_window + watermark instead of mapGroupsWithState):
+    // append mode emits one final row per merged session; the
+    // punctuation sentinel (user -1, filtered below) pushes the
+    // watermark past the last real session so the bounded replay
+    // flushes everything.
+    "st8_session_window" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val stage = TestFixtures.eventsStreamSessionDir(spark, sf)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.sessionWindows(stream),
+            "st8_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        res.filter(col("user_id") =!= -1)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n_events"), col("sum_cents"))
+          .orderBy("user_id", "session_start")
+      },
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM o)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // KMV distinct-cardinality sketch per source — the sketch the
+    // 100 TB profile pass runs instead of exact COUNT(DISTINCT);
+    // deterministic hash makes the sketch itself hash-checkable.
+    "t19_kmv_cardinality" -> ((
+      (spark: SparkSession, sf: String) =>
+        TextAnalysis.kmvCardinality(t(spark, sf, "documents")),
+      TextAnalysis.sqlKmvCardinality())),
+
+    // PageRank over the bipartite user<->item view graph in exact
+    // BIGINT fixed-point (1e-12 units): every per-iteration op is
+    // integer arithmetic, so shuffle order can never perturb the
+    // result and the unrolled-CTE oracle is bit-exact.
+    "q47_pagerank" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.pageRank(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlPageRank())),
+
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),
       TextAnalysis.sqlLangid)),

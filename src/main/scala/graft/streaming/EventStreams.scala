@@ -131,6 +131,30 @@ object EventStreams {
       .join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
 
+  /** NATIVE session windows (streaming analog of q14 via Spark's
+    * `session_window` instead of hand-rolled state): per-user gap
+    * sessions, each window closing `gap` after its last event.
+    * Sessions merge across micro-batches in the state store and emit
+    * in APPEND mode once the watermark passes their end — so the
+    * output is one final row per session, and state is bounded by
+    * the watermark horizon at any scale. A bounded replay needs a
+    * watermark push past the last real session to flush it — see
+    * [[graft.fixtures.TestFixtures.eventsStreamSessionDir]]'s
+    * punctuation sentinel. Boundary semantics (spec-pinned): an
+    * event exactly `gap` after the previous one still MERGES — the
+    * window [start, start+gap] is closed on the right — so the batch
+    * oracle breaks sessions on a STRICT `> gap` step, the same
+    * boundary q14's hand-rolled sessionizer uses.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sum_cents"))
+
   /** STREAM-STREAM event-time interval join: purchases matched to
     * the same user's views in the preceding hour — the attribution
     * join every event pipeline runs, expressed as Structured

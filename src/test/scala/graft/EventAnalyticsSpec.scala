@@ -43,4 +43,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
       ("2024-01-08", 0L, 1L)))
   }
+
+  test("pageRank matches a pure-Scala integer power iteration on a hand graph") {
+    // star: users 1..4 all view item 7 (node -8); user 1 also views
+    // item 2 (node -3) — the hub item must rank highest
+    val ev = Seq(
+      (1L, "view", ts(1), """{"k": 7}"""), (2L, "view", ts(1), """{"k": 7}"""),
+      (3L, "view", ts(1), """{"k": 7}"""), (4L, "view", ts(1), """{"k": 7}"""),
+      (1L, "view", ts(2), """{"k": 2}"""),
+      (9L, "purchase", ts(1), """{"k": 7}""") // non-view: excluded
+    ).toDF("user_id", "event_type", "ts", "props")
+    val got = EventAnalytics.pageRank(ev, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // reference: same fixed-point ops in plain Scala
+    val edges = Seq((1L, -8L), (2L, -8L), (3L, -8L), (4L, -8L), (1L, -3L))
+      .flatMap { case (u, i) => Seq((u, i), (i, u)) }
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val r0 = 1000000000000L / nodes.size
+    var rank = nodes.map(_ -> r0).toMap
+    (1 to 5).foreach { _ =>
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = nodes.map(n => n -> (3L * r0 + 17L * s.getOrElse(n, 0L)) / 20L).toMap
+    }
+    val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+    assert(got == want)
+    assert(got.head._1 == -8L, "hub item should rank first")
+  }
 }

@@ -203,6 +203,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(removed > 0, "watermark never evicted any join state")
   }
 
+  test("native session windows: stream equals batch; gap boundary merges, past-gap breaks") {
+    val stage = TestFixtures.eventsStreamSessionDir(spark, TestSpark.sfDir)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val got = EventStreams.withStatePartitions(spark, 8)(
+      EventStreams.runToCompletion(
+        EventStreams.sessionWindows(stream), "sw_out", OutputMode.Append()))
+      .filter(col("user_id") =!= -1)
+      .orderBy("user_id", "session_start").collect()
+
+    // batch session_window over the same events (sentinel excluded)
+    val want = TestFixtures.events(spark, TestSpark.sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sum_cents"))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.toSeq == want.toSeq,
+      s"stream ${got.length} sessions, batch ${want.length}")
+
+    // boundary semantics: exactly-gap-apart events MERGE (the session
+    // window is right-closed); one microsecond past the gap breaks —
+    // this pins the strict-> break the oracle uses
+    import spark.implicits._
+    def sess(ts2: String) = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf(ts2)))
+      .toDF("user_id", "ts")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect().length
+    assert(sess("2024-01-01 10:30:00") == 1, "exactly-gap-apart events must merge")
+    assert(sess("2024-01-01 10:30:00.000001") == 2, "past-gap events must not merge")
+  }
+
   test("streaming iceberg sink is exactly-once under batch replay") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -151,6 +151,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("KMV sketch: exact below k, estimate within 30% above it") {
+    import spark.implicits._
+    // 'small' source: 10 distinct tokens (< k=64) -> exact path;
+    // 'big' source: 2000 distinct tokens -> sketch path
+    val small = (1L to 5L).map(i =>
+      (i, s"tok${i * 2} tok${i * 2 + 1}", "small"))
+    val big = (100L to 149L).map(i =>
+      (i, (0 until 40).map(j => s"w${(i - 100) * 40 + j}").mkString(" "), "big"))
+    val docs = (small ++ big).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.kmvCardinality(docs, k = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got("small") == ((10L, 10.0))) // exact path below k
+    val (exact, est) = got("big")
+    assert(exact == 2000L)
+    assert(math.abs(est - exact.toDouble) / exact < 0.30,
+      s"KMV estimate $est too far from exact $exact")
+  }
+
   test("trained classifier separates the labeled classes on the held-out split") {
     import spark.implicits._
     // en docs: stopword-rich running text; others: stopword-free
