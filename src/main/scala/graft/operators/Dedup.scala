@@ -1449,6 +1449,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MAXIMAL cross-document duplicated span per document — the
+    * localization d23's coverage RATIO can't give: where d23 says
+    * "38% of this doc's n-grams are shared", this returns the longest
+    * contiguous run of shared n-gram positions, i.e. the longest
+    * substring (in tokens) that an exact-substring dedup pass (Lee et
+    * al. 2021's ExactSubstr) would carve out, plus where it starts.
+    * A doc whose duplication is one long boilerplate block and a doc
+    * with the same ratio sprinkled as short phrases need different
+    * treatment; this is the signal that tells them apart.
+    *
+    * Returns `(doc_id, max_span, span_start)` for EVERY document —
+    * `max_span` in tokens (run + n - 1), 0 when nothing is shared;
+    * ties broken toward the earliest start.
+    *
+    * Scale shape: d23's plan (positional shingle explode, doc-gram
+    * collapse before the shuffle, aggregate+join df — AQE-splittable,
+    * no gram window) plus one row_number window PARTITIONED BY
+    * doc_id over the doc's own duplicated positions (the classic
+    * gaps-and-islands `pos - row_number` trick) — per-doc state only,
+    * never corpus-wide.
+    */
+  def maxDupSpan(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("toks")
+    val posGrams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => struct(i.as("pos"),
+          concat_ws("_", (0 until n).map(j => element_at(t, i + lit(j))): _*).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+    val occ = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(posGrams).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val occC = occ.localCheckpoint()
+    // shared = grams carried by >= 2 documents (aggregate + join, as
+    // in dupNgramCoverage — boilerplate grams never serialize a task)
+    val shared = occC.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select("g")
+    val runs = occC.join(shared, Seq("g"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+      .agg(count(lit(1)).cast("int").as("run"), min("pos").as("start"))
+    val best = runs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("run"), col("start"))))
+      .filter(col("rk") === 1)
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("run") + lit(n - 1), lit(0)).as("max_span"),
+        coalesce(col("start"), lit(0)).as("span_start"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[maxDupSpan]]. */
+  def sqlMaxDupSpan(n: Int = 5): String = {
+    val parts = (0 until n).map(j => s"t[i+$j]").mkString(" || '_' || ")
+    s"""WITH tok AS (SELECT doc_id, ${graft.functions.CrossHash.sqlTokens("text")} AS t FROM documents),
+       |pg AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |    THEN [struct_pack(pos := i, g := $parts) for i in range(1, len(t) - ${n - 2})]
+       |    ELSE [] END) AS u FROM tok)),
+       |shared AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+       |           GROUP BY g HAVING count(*) >= 2),
+       |f AS (SELECT doc_id, pos FROM pg WHERE g IN (SELECT g FROM shared)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+       |runs AS (SELECT doc_id, grp, CAST(count(*) AS INTEGER) AS run,
+       |         min(pos) AS start FROM r GROUP BY 1, 2),
+       |best AS (SELECT doc_id, run, start,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY run DESC, start) AS rk
+       |         FROM runs)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(b.run + ${n - 1}, 0) AS INTEGER) AS max_span,
+       |  CAST(coalesce(b.start, 0) AS INTEGER) AS span_start
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[dupNgramCoverage]] (exact-text variant). */
   def sqlDupNgramCoverage(n: Int = 5): String = {
     val parts = (0 until n).map(j => s"t[i+$j]").mkString(" || '_' || ")

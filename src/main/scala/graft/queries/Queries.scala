@@ -1179,6 +1179,88 @@ object Queries {
         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Delta VACUUM through the oracle gate: the delete rewrite
+    // strands the pre-delete files logically; vacuum with a 1-version
+    // horizon physically deletes them (require() proves files really
+    // went), and the CURRENT read must be byte-identical to before —
+    // retention must never touch the live version's data.
+    "g41_delta_vacuum" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_vacuum_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_vacuum_rt", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_vacuum_rt")
+        eng.deleteDeltaWhere("default", "delta_vacuum_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        val deleted = eng.vacuumDeltaTable("default", "delta_vacuum_rt", retainVersions = 1)
+        require(deleted.nonEmpty, "vacuum deleted nothing — the delete rewrite left no strays?")
+        eng.invalidateTable("default", "delta_vacuum_rt")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_vacuum_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Iceberg snapshot EXPIRE through the oracle gate (the g41 twin):
+    // three snapshots (append, append, MOR delete); a 1-snapshot
+    // horizon drops the older metadata JSONs, unreachable manifests
+    // and unreferenced data files, while the retained snapshot's
+    // MOR-merged read stays exact — delete files referenced by the
+    // live snapshot must survive expiry.
+    "g42_iceberg_expire" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_expire_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_expire_rt", loc)
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1), "default", "ice_expire_rt")
+        eng.deleteIcebergWhere("default", "ice_expire_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        val deleted = eng.expireIcebergSnapshots("default", "ice_expire_rt", retainVersions = 1)
+        require(deleted.nonEmpty, "expire deleted nothing — no snapshots beyond the horizon?")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_expire_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Hudi CLEAN through the oracle gate (completing the retention
+    // trio): the clustering replacecommit retires every original file
+    // group; clean with a 1-instant horizon physically deletes the
+    // retired slices, and the post-clean read is still the FULL table
+    // — clustering is layout-only, clean must only take what the
+    // live slices no longer reference.
+    "g43_hudi_clean" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_clean_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_clean_rt", loc)
+        eng.appendHudiTable(o.filter(col("o_orderkey") % 2 === 1), "default", "hudi_clean_rt")
+        eng.compactHudiTable("default", "hudi_clean_rt")
+        val deleted = eng.cleanHudiTable("default", "hudi_clean_rt", retainInstants = 1)
+        require(deleted.nonEmpty, "clean deleted nothing — clustering retired no groups?")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.hudi_clean_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi ROLLBACK through the oracle gate (completing the g37/g38
     // trio): write evens, append odds, upsert the low keys to zero,
     // then roll back to the pre-upsert instant — the latest read must
@@ -2043,6 +2125,15 @@ object Queries {
       (spark: SparkSession, sf: String) =>
         Dedup.dupNgramCoverage(t(spark, sf, "documents")),
       Dedup.sqlDupNgramCoverage())),
+
+    // the localization d23's ratio can't give: the longest contiguous
+    // cross-document duplicated token span per doc (ExactSubstr's
+    // carve target) via the gaps-and-islands window over duplicated
+    // shingle positions
+    "d25_max_dup_span" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.maxDupSpan(t(spark, sf, "documents")),
+      Dedup.sqlMaxDupSpan())),
 
     "d21_token_budget" -> ((
       (spark: SparkSession, sf: String) =>

@@ -559,4 +559,27 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(hashed == exact)
   }
+
+  test("max duplicated span localizes the longest shared block, ignores within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the 8-token block "s1..s8" (4 consecutive
+      // 5-gram positions) at different offsets; doc 1 also shares a
+      // lone 5-gram "q1..q5" with doc 3 (run of 1)
+      (1L, "a s1 s2 s3 s4 s5 s6 s7 s8 b q1 q2 q3 q4 q5 c"),
+      (2L, "x y s1 s2 s3 s4 s5 s6 s7 s8"),
+      (3L, "q1 q2 q3 q4 q5 z z2 z3"),
+      // doc 4 repeats its own gram twice but shares nothing: span 0
+      (4L, "r1 r2 r3 r4 r5 m r1 r2 r3 r4 r5"),
+      (5L, "u1 u2 u3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.maxDupSpan(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((8, 2)),
+      s"doc 1 should report the 8-token block at pos 2, got ${got(1L)}")
+    assert(got(2L) == ((8, 3)))
+    assert(got(3L) == ((5, 1)))
+    assert(got(4L) == ((0, 0)), "within-doc repeats are not cross-doc duplication")
+    assert(got(5L) == ((0, 0)), "short docs have no grams")
+  }
 }
