@@ -11,12 +11,18 @@ package graft.operators
   * output can be spec-checked pixel-for-pixel against `ImageIO.read`
   * (MultimodalSpec) — the strongest oracle a lossy format admits.
   *
-  * Supported: 8-bit baseline (SOF0) and extended-sequential (SOF1)
-  * huffman scans, 1 or 3 components, chroma sampling 1x1 / 2x1 /
-  * 2x2. Anything else — progressive, arithmetic coding, 12-bit,
-  * exotic sampling, corrupt bytes — degrades to (0, 0, empty),
-  * never throws: at 100 TB a bad record must be a filterable row,
-  * not a dead stage.
+  * Supported: 8-bit baseline (SOF0), extended-sequential (SOF1) and
+  * PROGRESSIVE (SOF2) huffman scans, 1 or 3 components, chroma
+  * sampling 1x1 / 2x1 / 2x2. Progressive decode accumulates
+  * unquantized coefficients across scans (DC first/refine with
+  * successive approximation, AC first/refine with EOB runs and the
+  * correction-bit walk of ITU T.81 §G.2), then runs the same
+  * dequantize + IDCT + upsample + convert tail as baseline — the
+  * entropy stages are lossless, so a progressive re-encode of the
+  * same coefficients reconstructs bit-identically. Anything else —
+  * arithmetic coding, 12-bit, hierarchical, exotic sampling, corrupt
+  * bytes — degrades to (0, 0, empty), never throws: at 100 TB a bad
+  * record must be a filterable row, not a dead stage.
   *
   * Scale shape: pure per-record byte kernel (no allocation beyond
   * the component planes), driven from `mapPartitions` like the PNG
