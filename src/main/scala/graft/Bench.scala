@@ -182,14 +182,27 @@ object Bench {
     // depth, all carrying the same headline numbers:
     //  1. a SHORT self-describing line as the FIRST stdout line Bench
     //     emits (everything before this point writes to stderr),
-    //  2. the full per-query summary line,
-    //  3. the same short line again as the LAST stdout line,
-    //  4. the full summary persisted to target/bench_summary.json —
-    //     the artifact of record for local trend_gate comparisons.
+    //  2. the full per-query summary line (legacy consumers),
+    //  3. the per-query map re-emitted as SELF-DELIMITING CHUNKS of
+    //     <= ~25 entries each (~0.8 KB/line): tail capture truncates
+    //     whole lines from the HEAD, so short lines near the END
+    //     survive intact where one long line loses its head —
+    //     trend_gate reassembles {"metric":"queries_chunk",...} lines,
+    //  4. the same short line again as the LAST stdout line,
+    //  5. the full summary persisted to target/bench_summary.json —
+    //     the artifact of record for local trend_gate comparisons
+    //     (the short line carries its path).
     val shortLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"queries_file":"target/bench_summary.json"}"""
     println(shortLine)
     println(summary)
+    val chunks = results.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (grp, idx) =>
+      val part = grp.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      println(
+        s"""{"metric":"queries_chunk","part":$idx,"parts":${chunks.size},"queries":$part}""")
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))

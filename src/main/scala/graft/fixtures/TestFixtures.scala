@@ -288,9 +288,9 @@ object TestFixtures {
   /** JPEGs with a MIXED coding process, one per document: doc_id % 4
     * == 3 is written PROGRESSIVE (ImageIO's JPEG writer with
     * progressive mode on → SOF2), everything else baseline (SOF0/1)
-    * — the corpus shape the m9 decode-coverage query audits: the
-    * baseline decoder fully decodes 3/4 of the corpus and
-    * deliberately degrades the progressive quarter, and both counts
+    * — the corpus shape the m9 decode-coverage query audits: both
+    * classes now fully decode (the SOF2 path landed in r12), so the
+    * gate asserts zero degraded rows per class, and both counts
     * derive from doc_id arithmetic for the oracle.
     */
   def mediaJpegMix(spark: SparkSession, sfDir: String): String = {

@@ -113,7 +113,38 @@ object HudiTimelineWriter {
   def commit(spark: org.apache.spark.sql.SparkSession, location: String,
       df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String] = Nil,
       replaceFileIds: Map[String, Seq[String]] = Map.empty,
-      extraMetadata: Map[String, String] = Map.empty): String = {
+      extraMetadata: Map[String, String] = Map.empty): String =
+    commitInternal(spark, location, df, partitionBy, replaceFileIds,
+      extraMetadata, txn = None, onBeforePublish = () => ())
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: only txn commits recognize replays"))
+
+  /** [[commit]] with an (appId, batchId) txn mark folded into the
+    * ATOMIC instant publish — exactly-once under CONCURRENT replaying
+    * writers, matching the Delta sink's guarantee. The replay check
+    * reads the SAME timeline listing the target instant derives from,
+    * and the instant rename-CAS validates that listing: a successful
+    * rename at instant N proves every instant < N was already visible
+    * to the check (no commit can land at an instant >= N until N is
+    * taken), while a lost rename re-lists, re-checks the mark, and
+    * either aborts as a recognized replay (returns None, deleting
+    * this call's never-published slices) or retries at the next free
+    * instant. `onBeforePublish` is a test-injection point (fires
+    * between mark check and CAS) for the race spec in StreamingSpec.
+    */
+  def commitTxn(spark: org.apache.spark.sql.SparkSession, location: String,
+      df: org.apache.spark.sql.DataFrame, appId: String, batchId: Long,
+      partitionBy: Seq[String] = Nil,
+      onBeforePublish: () => Unit = () => ()): Option[String] =
+    commitInternal(spark, location, df, partitionBy, Map.empty,
+      Map("graft-txn-app" -> appId, "graft-txn-batch" -> batchId.toString),
+      txn = Some((appId, batchId)), onBeforePublish = onBeforePublish)
+
+  private def commitInternal(spark: org.apache.spark.sql.SparkSession, location: String,
+      df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String],
+      replaceFileIds: Map[String, Seq[String]],
+      extraMetadata: Map[String, String],
+      txn: Option[(String, Long)], onBeforePublish: () => Unit): Option[String] = {
     val root = location.stripSuffix("/")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
       .sparkContext.hadoopConfiguration
@@ -121,10 +152,22 @@ object HudiTimelineWriter {
     val fs = tl.getFileSystem(conf)
     fs.mkdirs(tl)
 
+    def listInstants(): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(tl).toSeq
+        .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches())
+
+    // replay check BEFORE paying the data write; sound because any
+    // commit that lands after this listing forces our instant rename
+    // to lose, and the retry path re-checks
+    val initialListing = listInstants()
+    if (txn.exists { case (appId, batchId) =>
+        timelineMark(fs, initialListing, appId).exists(_ >= batchId) })
+      return None
+
     // next instant: numeric successor of the newest completed one,
     // padded to the timeline's existing width (instants sort as
     // STRINGS — mixed widths would reorder the timeline)
-    val existing = fs.listStatus(tl).toSeq.flatMap(_.getPath.getName match {
+    val existing = initialListing.flatMap(_.getPath.getName match {
       case InstantRe(i, _) => Some(i)
       case _               => None
     })
@@ -211,14 +254,31 @@ object HudiTimelineWriter {
       val dst = new Path(tl, s"$cur.$kind")
       val os = fs.create(tmpInstant, true)
       try os.write(body.getBytes("UTF-8")) finally os.close()
-      if (fs.rename(tmpInstant, dst)) return cur
+      onBeforePublish()
+      if (fs.rename(tmpInstant, dst)) return Some(cur)
       fs.delete(tmpInstant, false)
       if (replaceFileIds.nonEmpty || attempt >= 4)
         throw new IllegalStateException(
           s"instant $cur already published at $dst" +
             (if (replaceFileIds.isEmpty) " after 5 attempts"
              else " — re-resolve and reapply (replacecommits are not blindly retryable)"))
-      val taken = fs.listStatus(tl).toSeq.flatMap(_.getPath.getName match {
+      val listing = listInstants()
+      // txn replay re-check against the SAME listing the retry
+      // instant derives from — the winner that beat us to `cur` may
+      // have been a replay of this very batch
+      val superseded = txn.exists { case (appId, batchId) =>
+        timelineMark(fs, listing, appId).exists(_ >= batchId)
+      }
+      if (superseded) {
+        // drop this call's never-published slices: readers resolve
+        // data files through the timeline and cannot see them, so
+        // deleting just skips the wait for cleanHudiTable
+        moved.foreach { case (_, _, rel, _) =>
+          fs.delete(new Path(s"$root/$rel"), false)
+        }
+        return None
+      }
+      val taken = listing.flatMap(_.getPath.getName match {
         case InstantRe(i, _) => Some(BigInt(i))
         case _               => None
       })
@@ -229,7 +289,26 @@ object HudiTimelineWriter {
       cur = ("0" * (width - digits.length)) + digits
       attempt += 1
     }
-    cur // unreachable
+    None // unreachable
+  }
+
+  /** Highest batch id `appId` has recorded in the given completed
+    * instants' `extraMetadata` — NEWEST first, stopping at the first
+    * mark (a given app's batch ids increase along the timeline).
+    * Shared by [[lastTxn]] and [[commitTxn]]'s in-loop replay check.
+    */
+  private def timelineMark(fs: org.apache.hadoop.fs.FileSystem,
+      instants: Seq[org.apache.hadoop.fs.FileStatus], appId: String): Option[Long] = {
+    val mapper = new ObjectMapper()
+    instants.sortBy(_.getPath.getName)(Ordering[String].reverse).iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val node = try mapper.readTree(in) finally in.close()
+      for {
+        em <- Option(node.get("extraMetadata"))
+        app <- Option(em.get("graft-txn-app")).map(_.asText()) if app == appId
+        b <- Option(em.get("graft-txn-batch")).map(_.asText().toLong)
+      } yield b
+    }.nextOption()
   }
 
   /** ROLLBACK the table to an earlier instant as a NEW replacecommit
@@ -318,22 +397,11 @@ object HudiTimelineWriter {
       .sparkContext.hadoopConfiguration
     val fs = tl.getFileSystem(conf)
     if (!fs.exists(tl)) return None
-    val mapper = new ObjectMapper()
-    // NEWEST instant first, stop at the app's first mark: a given
-    // app's batch ids increase along the timeline, so the most recent
-    // marked instant carries its high-water mark — steady-state this
-    // is one read per micro-batch, not O(timeline)
-    val newestFirst = fs.listStatus(tl).toSeq
-      .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches())
-      .sortBy(_.getPath.getName)(Ordering[String].reverse)
-    newestFirst.iterator.flatMap { st =>
-      val in = fs.open(st.getPath)
-      val node = try mapper.readTree(in) finally in.close()
-      for {
-        em <- Option(node.get("extraMetadata"))
-        app <- Option(em.get("graft-txn-app")).map(_.asText()) if app == appId
-        b <- Option(em.get("graft-txn-batch")).map(_.asText().toLong)
-      } yield b
-    }.nextOption()
+    // NEWEST instant first, stop at the app's first mark — steady-
+    // state this is one read per micro-batch, not O(timeline)
+    timelineMark(fs,
+      fs.listStatus(tl).toSeq
+        .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches()),
+      appId)
   }
 }

@@ -103,29 +103,131 @@ object IcebergWriter {
 
   /** Append `df` as a new snapshot of the Iceberg table at
     * `location` (first commit creates the table). Returns the new
-    * sequence number.
+    * sequence number. The publish is a rename-CAS on the versioned
+    * metadata file: losing the race on an APPEND re-reads the table
+    * state and retries (a blind append is always reapplicable, like
+    * Delta appends and Hudi insert-only commits), while a REWRITE
+    * surfaces the conflict — its read-set (the file set it replaces)
+    * may have been invalidated by the winner.
     */
   def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
       partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false,
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty): Long =
+    commitInternal(spark, location, df, partitionBy, rewriteAll, summary,
+      txn = None, onBeforePublish = () => ())
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: only txn commits recognize replays"))
+
+  /** [[commit]] with an (appId, batchId) txn mark folded into the
+    * ATOMIC publish — exactly-once that survives CONCURRENT replaying
+    * writers, matching the Delta sink's guarantee (where the mark
+    * rides inside the atomically-renamed commit file). The replay
+    * check parses the SAME metadata read the new sequence number
+    * derives from, and the rename-CAS publish validates that read: a
+    * writer that loses the race re-reads, re-checks the mark, and
+    * either aborts as a recognized replay (returns None, deleting its
+    * never-published files) or retries its append against the new
+    * state. Any interleaving of two writers replaying the same batch
+    * therefore appends it exactly once — spec-proven in StreamingSpec
+    * via `onBeforePublish`, a test-injection point that fires between
+    * the mark check and the CAS.
+    */
+  def commitTxn(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
+      appId: String, batchId: Long, partitionBy: Seq[String] = Nil,
+      onBeforePublish: () => Unit = () => ()): Option[Long] =
+    commitInternal(spark, location, df, partitionBy, rewriteAll = false,
+      summary = Map("graft-txn-app" -> appId, "graft-txn-batch" -> batchId.toString),
+      txn = Some((appId, batchId)), onBeforePublish = onBeforePublish)
+
+  private def commitInternal(spark: SparkSession, location: String,
+      df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String],
+      rewriteAll: Boolean, summary: Map[String, String],
+      txn: Option[(String, Long)], onBeforePublish: () => Unit): Option[Long] = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
       .sparkContext.hadoopConfiguration
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
+    // unique per commit CALL: two writers racing the same sequence
+    // number must never share (and overwrite) a data dir, manifest,
+    // or manifest list — only the published metadata decides whose
+    // files join the table
+    val token = java.util.UUID.randomUUID().toString.take(8)
 
     // previous state: metadata json with the max last-sequence-number
-    val prior = fs.listStatus(metaDir).toSeq
-      .filter(_.getPath.getName.endsWith(".json"))
-      .map { st =>
-        val in = fs.open(st.getPath)
-        try mapper.readTree(in) finally in.close()
+    def readPrior(): Option[com.fasterxml.jackson.databind.JsonNode] =
+      fs.listStatus(metaDir).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val in = fs.open(st.getPath)
+          try mapper.readTree(in) finally in.close()
+        }
+        .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+        .headOption
+
+    // field ids by schema position (stable across appends with the
+    // same schema — the caller's contract, as in Iceberg itself)
+    val idFields = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      icebergType(f.dataType).map(tp => (i + 1, f.name, tp))
+    }
+
+    // data files + this batch's manifest are written ONCE, by the
+    // first attempt that passes the replay check; retried publishes
+    // reuse them (only the manifest LIST and metadata json bind to
+    // the re-read prior state)
+    var dataDir: String = null
+    var manifestPath: String = null
+
+    var attempt = 0
+    while (attempt < 5) {
+      val prior = readPrior()
+      // replay check against the SAME read `seq` derives from — the
+      // CAS below validates that read, so a mark published by a
+      // racing winner is seen here on the retry and never
+      // double-appended
+      val replay = txn.exists { case (appId, batchId) =>
+        txnMarks(prior, appId).exists(_ >= batchId)
       }
-      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
-      .headOption
-    val seq = prior.flatMap(n => Option(n.get("last-sequence-number")).map(_.asLong()))
-      .getOrElse(0L) + 1L
+      if (replay) {
+        // a racing writer committed this batch: drop this call's
+        // never-published files (readers resolve through metadata
+        // and cannot see them; deleting just skips the expiry wait)
+        if (dataDir != null) fs.delete(new Path(dataDir), true)
+        if (manifestPath != null) fs.delete(new Path(manifestPath), false)
+        return None
+      }
+      val seq = prior.flatMap(n => Option(n.get("last-sequence-number")).map(_.asLong()))
+        .getOrElse(0L) + 1L
+      val out = commitAttempt(spark, fs, root, metaDir, df, partitionBy,
+        rewriteAll, summary, token, prior, seq, idFields,
+        dataDir, manifestPath, onBeforePublish)
+      out match {
+        case Right(published) => return Some(published)
+        case Left((dd, mp)) =>
+          dataDir = dd; manifestPath = mp
+          if (rewriteAll)
+            throw new IllegalStateException(
+              s"snapshot $seq already published at $root — this rewrite's " +
+                "read-set may be invalid; re-resolve and retry")
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not publish to $root after 5 attempts (persistent publish races)")
+  }
+
+  /** One publish attempt against one observed prior state. Returns
+    * Right(seq) on success; Left((dataDir, manifestPath)) when the
+    * rename-CAS lost (the written-once artifacts carry to the retry).
+    */
+  private def commitAttempt(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: String, metaDir: Path, df: org.apache.spark.sql.DataFrame,
+      partitionBy: Seq[String], rewriteAll: Boolean, summary: Map[String, String],
+      token: String, prior: Option[com.fasterxml.jackson.databind.JsonNode], seq: Long,
+      idFields: Array[(Int, String, String)],
+      dataDir0: String, manifestPath0: String,
+      onBeforePublish: () => Unit): Either[(String, String), Long] = {
     val priorSnapshots: Seq[String] = prior.toSeq.flatMap { n =>
       Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq
         .map(mapper.writeValueAsString))
@@ -139,30 +241,6 @@ object IcebergWriter {
           .map(r => r.get("manifest_path").toString))
     }
 
-    // 1. data files (Hive k=v layout under the snapshot dir when
-    // partitioned; the identity values ALSO go into each data_file's
-    // spec-required partition record, which is what the resolver and
-    // the planner prune on)
-    // unique per commit ATTEMPT: two writers racing the same
-    // sequence number must never share (and overwrite) a data dir —
-    // only the published metadata decides whose files join the table
-    val dataDir = s"$root/data_s${seq}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val w0 = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
-      .parquet(dataDir)
-    def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walkParquet(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
-        else Nil
-      }
-    val parts = walkParquet(new Path(dataDir)).sortBy(_.getPath.toString)
-
-    // field ids by schema position (stable across appends with the
-    // same schema — the caller's contract, as in Iceberg itself)
-    val idFields = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
-      icebergType(f.dataType).map(tp => (i + 1, f.name, tp))
-    }
     // ids are POSITIONAL, so an appended batch whose columns are
     // reordered, renamed, or retyped would silently bind manifest
     // bounds to the wrong field ids — enforce exact-schema appends
@@ -215,11 +293,42 @@ object IcebergWriter {
     val dataFileS = dataFileSchema(partSchemaOpt)
     val entryS = entrySchema(dataFileS)
 
-    // 2+3. one manifest for this batch
-    val entries = parts.map { st =>
-      // ONE footer open per written file yields bounds AND the row
-      // count the manifest must carry (record_count)
-      val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+
+    // 1. data files (Hive k=v layout under the snapshot dir when
+    // partitioned; the identity values ALSO go into each data_file's
+    // spec-required partition record, which is what the resolver and
+    // the planner prune on) — written ONCE per commit call; a
+    // lost-CAS retry reuses them (the entries bind only to the data,
+    // never to the prior state)
+    val (dataDir, manifestPath) =
+      if (dataDir0 != null) {
+        // lost-CAS retry: the data + entries carry over, but the
+        // manifest must be re-homed under the NEW seq — its name's
+        // trailing `_s<seq>` is what scopes equality deletes against
+        // it, and the retry publishes at a later sequence number
+        val mp = s"$root/metadata/manifest_${token}_s$seq.avro"
+        if (manifestPath0 != mp) fs.rename(new Path(manifestPath0), new Path(mp))
+        (dataDir0, mp)
+      } else {
+        val dd = s"$root/data_s${seq}_$token"
+        val w0 = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+          .parquet(dd)
+        def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            if (st.isDirectory) walkParquet(st.getPath)
+            else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+            else Nil
+          }
+        val parts = walkParquet(new Path(dd)).sortBy(_.getPath.toString)
+
+        // 2+3. one manifest for this batch
+        val entries = parts.map { st =>
+          // ONE footer open per written file yields bounds AND the row
+          // count the manifest must carry (record_count)
+          val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
       val d = new GenericData.Record(dataFileS)
       d.put("file_path", st.getPath.toUri.getPath)
       d.put("file_size_in_bytes", st.getLen)
@@ -259,13 +368,22 @@ object IcebergWriter {
       d.put("lower_bounds", lows); d.put("upper_bounds", highs)
       d.put("null_value_counts", nulls)
       d.put("nan_value_counts", new java.util.ArrayList[GenericRecord]())
-      val e = new GenericData.Record(entryS)
-      e.put("data_file", d)
-      e
-    }
-    val manifestPath = s"$root/metadata/manifest_s$seq.avro"
-    writeAvro(fs, new Path(manifestPath), entryS, entries)
-    val mlPath = s"$root/metadata/ml_s$seq.avro"
+          val e = new GenericData.Record(entryS)
+          e.put("data_file", d)
+          e
+        }
+        // token BEFORE the _s<seq> suffix: the resolver parses the
+        // manifest's sequence number from the trailing `_s<seq>.avro`
+        // (it scopes equality deletes), and a racing writer must
+        // never overwrite another's manifest
+        val mp = s"$root/metadata/manifest_${token}_s$seq.avro"
+        writeAvro(fs, new Path(mp), entryS, entries)
+        (dd, mp)
+      }
+    // the manifest LIST binds to the observed prior state, so each
+    // attempt writes its own (token-unique: a racing writer must
+    // never overwrite the list a published snapshot references)
+    val mlPath = s"$root/metadata/ml_s${seq}_$token.avro"
     // a REWRITE snapshot (compaction / MOR-delete application)
     // replaces the whole live set: its manifest list carries ONLY
     // the new manifest, so retired data and delete files simply stop
@@ -303,13 +421,22 @@ object IcebergWriter {
          |"schemas": [{"schema-id": 0, "fields": $schemaJson}],
          |"partition-specs": [{"spec-id": 0, "fields": $specJson}],
          |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin
-    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    // token-unique tmp: racing writers must not overwrite each
+    // other's staged body either
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.$token.tmp")
     val dst = new Path(metaDir, s"v$seq.metadata.json")
     val os = fs.create(tmp, true)
     try os.write(body.getBytes("UTF-8")) finally os.close()
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"snapshot $seq already published at $dst")
-    seq
+    onBeforePublish()
+    if (fs.rename(tmp, dst)) Right(seq)
+    else {
+      // lost the CAS: another writer published v$seq first — drop
+      // this attempt's staged body + manifest list and report the
+      // written-once artifacts back for the retry
+      fs.delete(tmp, false)
+      fs.delete(new Path(mlPath), false)
+      Left((dataDir, manifestPath))
+    }
   }
 
   /** ROLLBACK the table to an earlier snapshot as a NEW snapshot
@@ -499,7 +626,18 @@ object IcebergWriter {
       }
       .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
       .headOption
-    val marks = latest.toSeq.flatMap { n =>
+    txnMarks(latest, appId).maxOption
+  }
+
+  /** Txn marks `appId` has recorded in a metadata json's snapshot
+    * summaries — the replay-detection read shared by [[lastTxn]] and
+    * [[commitTxn]]'s in-loop check (the latter parses the same
+    * JsonNode its sequence number derives from, which is what makes
+    * the mark check atomic with the rename-CAS publish).
+    */
+  private def txnMarks(metadata: Option[com.fasterxml.jackson.databind.JsonNode],
+      appId: String): Seq[Long] =
+    metadata.toSeq.flatMap { n =>
       Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq).flatMap { s =>
         for {
           sm <- Option(s.get("summary"))
@@ -508,8 +646,6 @@ object IcebergWriter {
         } yield b
       }
     }
-    marks.maxOption
-  }
 
   private def writeAvro(fs: org.apache.hadoop.fs.FileSystem, path: Path,
       schema: Schema, rows: Seq[GenericRecord]): Unit = {

@@ -109,7 +109,12 @@ object EventAnalytics {
     * the driver but the final top-k.
     */
   def pageRank(events: DataFrame, iters: Int = 5): DataFrame = {
+    // rows whose props carry no numeric `k` are dropped, not mapped to
+    // a shared NULL item node: a NULL node would receive rank, and
+    // Spark and DuckDB order NULLs differently in the final top-k, so
+    // one malformed row could break the bit-exact compare
     val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
       .select(col("user_id").as("u"),
         (-(get_json_object(col("props"), "$.k").cast("long") + lit(1L))).as("it"))
       .distinct()
@@ -160,7 +165,8 @@ object EventAnalytics {
       s"""WITH ev AS (
          |  SELECT DISTINCT user_id AS u,
          |    -(CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS it
-         |  FROM events WHERE event_type = 'view'),
+         |  FROM events WHERE event_type = 'view'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
          |e AS (SELECT u AS src, it AS dst FROM ev
          |      UNION ALL SELECT it AS src, u AS dst FROM ev),
          |n AS (SELECT DISTINCT src AS node FROM e),

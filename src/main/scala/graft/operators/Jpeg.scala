@@ -210,6 +210,54 @@ object Jpeg {
     var pred = 0
   }
 
+  /** Natural position for zigzag index `k`, tolerant of the corrupt
+    * over-run positions libjpeg pads its natural-order table for
+    * (k > 63 clamps to 63 instead of crashing the record).
+    */
+  private def zigzagAt(k: Int): Int = if (k < 64) Zigzag(k) else 63
+
+  /** Parse one DQT segment into `qt` (zigzag order, as stored).
+    * Returns false on malformed table ids.
+    */
+  private def parseDqt(bytes: Array[Byte], seg: Int, len: Int,
+      qt: Array[Array[Int]]): Boolean = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var p = seg
+    while (p < seg + len - 2) {
+      val pq = u8(p) >> 4; val tq = u8(p) & 15
+      if (tq > 3) return false
+      var k = 0
+      if (pq == 0) { while (k < 64) { qt(tq)(k) = u8(p + 1 + k); k += 1 }; p += 65 }
+      else { while (k < 64) { qt(tq)(k) = be16(p + 1 + 2 * k); k += 1 }; p += 129 }
+    }
+    true
+  }
+
+  /** Parse one DHT segment into the DC/AC table slots. Returns false
+    * on malformed table ids.
+    */
+  private def parseDht(bytes: Array[Byte], seg: Int, len: Int,
+      dcHuff: Array[Huff], acHuff: Array[Huff]): Boolean = {
+    def u8(i: Int) = bytes(i) & 0xff
+    var p = seg
+    while (p < seg + len - 2) {
+      val tc = u8(p) >> 4; val th = u8(p) & 15
+      if (th > 3 || tc > 1) return false
+      val bits = new Array[Int](17)
+      var n = 0
+      var l = 1
+      while (l <= 16) { bits(l) = u8(p + l); n += bits(l); l += 1 }
+      val vals = new Array[Int](n)
+      var k = 0
+      while (k < n) { vals(k) = u8(p + 17 + k); k += 1 }
+      val tab = new Huff(bits, vals)
+      if (tc == 0) dcHuff(th) = tab else acHuff(th) = tab
+      p += 17 + n
+    }
+    true
+  }
+
   /** Decode to (width, height, row-major packed 0xRRGGBB). */
   def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val zero = (0, 0, Array.empty[Int])
@@ -239,30 +287,9 @@ object Jpeg {
         val seg = i + 4
         m match {
           case 0xdb => // DQT
-            var p = seg
-            while (p < seg + len - 2) {
-              val pq = u8(p) >> 4; val tq = u8(p) & 15
-              if (tq > 3) return None
-              var k = 0
-              if (pq == 0) { while (k < 64) { qt(tq)(k) = u8(p + 1 + k); k += 1 }; p += 65 }
-              else { while (k < 64) { qt(tq)(k) = be16(p + 1 + 2 * k); k += 1 }; p += 129 }
-            }
+            if (!parseDqt(bytes, seg, len, qt)) return None
           case 0xc4 => // DHT
-            var p = seg
-            while (p < seg + len - 2) {
-              val tc = u8(p) >> 4; val th = u8(p) & 15
-              if (th > 3 || tc > 1) return None
-              val bits = new Array[Int](17)
-              var n = 0
-              var l = 1
-              while (l <= 16) { bits(l) = u8(p + l); n += bits(l); l += 1 }
-              val vals = new Array[Int](n)
-              var k = 0
-              while (k < n) { vals(k) = u8(p + 17 + k); k += 1 }
-              val tab = new Huff(bits, vals)
-              if (tc == 0) dcHuff(th) = tab else acHuff(th) = tab
-              p += 17 + n
-            }
+            if (!parseDht(bytes, seg, len, dcHuff, acHuff)) return None
           case 0xc0 | 0xc1 => // SOF0/1 baseline & extended sequential
             if (u8(seg) != 8) return None // 8-bit only
             h = be16(seg + 1); w = be16(seg + 3)
@@ -272,8 +299,10 @@ object Jpeg {
               val o = seg + 6 + 3 * c
               Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 15, u8(o + 2))
             }.toArray
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive / arithmetic / hierarchical
+          case 0xc2 => // SOF2: progressive — its own multi-scan walk
+            return decodeProg0(bytes)
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // arithmetic / hierarchical / lossless
           case 0xdd => restartInterval = be16(seg) // DRI
           case 0xda => // SOS
             if (comps == null) return None
@@ -381,7 +410,14 @@ object Jpeg {
       mcu += 1
     }
 
-    // upsample chroma to full resolution + color convert
+    planesToRgb(comps, planes, planeW, w, h, hmax, vmax)
+  }
+
+  /** Shared decode tail: chroma upsample to full resolution + color
+    * convert (grayscale passthrough for 1-component images).
+    */
+  private def planesToRgb(comps: Array[Component], planes: Array[Array[Int]],
+      planeW: Array[Int], w: Int, h: Int, hmax: Int, vmax: Int): Option[(Int, Int, Array[Int])] = {
     val out = new Array[Int](w * h)
     if (comps.length == 1) {
       var y = 0
@@ -413,6 +449,331 @@ object Jpeg {
     }.toArray
     yccToRgb(full, w, h, out)
     Some((w, h, out))
+  }
+
+  /** Progressive (SOF2) decode: its own marker walk because scans
+    * repeat — DHT/DQT/DRI segments may appear between any two SOS
+    * segments, and every SOS carries its own spectral band (Ss..Se)
+    * and successive-approximation position (Ah, Al). Coefficients
+    * accumulate unquantized (natural order, scaled by `<< Al`) in
+    * per-component whole-image buffers across scans — the same
+    * d_coef_controller shape libjpeg uses — then dequantize + IDCT +
+    * upsample + convert through the shared baseline tail. The entropy
+    * stages are lossless, so the reconstruction is bit-identical to a
+    * sequential encode of the same quantized coefficients.
+    */
+  private def decodeProg0(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val dcHuff = new Array[Huff](4)
+    val acHuff = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var hmax = 0; var vmax = 0
+    var mcusX = 0; var mcusY = 0
+    var restartInterval = 0
+    var coefs: Array[Array[Int]] = null // per comp: blocks-raster x 64, natural order
+    var blocksW: Array[Int] = null // MCU-padded block stride per comp
+    var blocksH: Array[Int] = null
+
+    var i = 2
+    var done = false
+    while (!done && i + 2 <= bytes.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) done = true // EOI
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      else {
+        if (i + 4 > bytes.length) return None
+        val len = be16(i + 2)
+        val seg = i + 4
+        var nextI = i + 2 + len
+        m match {
+          case 0xdb => if (!parseDqt(bytes, seg, len, qt)) return None
+          case 0xc4 => if (!parseDht(bytes, seg, len, dcHuff, acHuff)) return None
+          case 0xdd => restartInterval = be16(seg)
+          case 0xc2 =>
+            if (u8(seg) != 8) return None // 8-bit only
+            h = be16(seg + 1); w = be16(seg + 3)
+            val nc = u8(seg + 5)
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            comps = (0 until nc).map { c =>
+              val o = seg + 6 + 3 * c
+              Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 15, u8(o + 2))
+            }.toArray
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            if (hmax < 1 || hmax > 2 || vmax < 1 || vmax > 2) return None
+            comps.foreach { cmp =>
+              if (cmp.h < 1 || cmp.v < 1 || hmax % cmp.h != 0 || vmax % cmp.v != 0) return None
+            }
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            blocksW = comps.map(c => mcusX * c.h)
+            blocksH = comps.map(c => mcusY * c.v)
+            coefs = comps.indices.map(ci => new Array[Int](blocksW(ci) * blocksH(ci) * 64)).toArray
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // second frame / arithmetic / hierarchical
+          case 0xda => // one scan
+            if (comps == null) return None
+            val ns = u8(seg)
+            if (ns < 1 || ns > comps.length) return None
+            val scanCis = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = u8(seg + 1 + 2 * c); val tt = u8(seg + 2 + 2 * c)
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0) return None
+              comps(ci).dcTab = tt >> 4
+              comps(ci).acTab = tt & 15
+              scanCis(c) = ci
+              c += 1
+            }
+            val ss = u8(seg + 1 + 2 * ns)
+            val se = u8(seg + 2 + 2 * ns)
+            val ahal = u8(seg + 3 + 2 * ns)
+            val pos = decodeProgScan(bytes, seg + 4 + 2 * ns, scanCis,
+              ss, se, ahal >> 4, ahal & 15, comps, coefs, blocksW,
+              mcusX, mcusY, hmax, vmax, dcHuff, acHuff, restartInterval, w, h)
+            if (pos < 0) return None
+            nextI = pos
+          case _ => () // APPn/COM/...: skip
+        }
+        i = nextI
+      }
+    }
+    if (comps == null || coefs == null) return None
+
+    // dequantize + IDCT every (MCU-padded) block into sample planes,
+    // then the shared upsample/convert tail
+    val planeW = comps.indices.map(ci => blocksW(ci) * 8).toArray
+    val planes = comps.indices.map(ci => new Array[Int](planeW(ci) * blocksH(ci) * 8)).toArray
+    val deq = new Array[Int](64)
+    val blk = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      // quant table de-zigzagged to natural positions once per comp
+      val q = qt(comps(ci).tq)
+      val qNat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qNat(Zigzag(k)) = q(k); k += 1 }
+      val cArr = coefs(ci)
+      val bW = blocksW(ci)
+      val nB = bW * blocksH(ci)
+      var b = 0
+      while (b < nB) {
+        val base = b * 64
+        k = 0
+        while (k < 64) { deq(k) = cArr(base + k) * qNat(k); k += 1 }
+        idct8x8(deq, blk)
+        val px0 = (b % bW) * 8
+        val py0 = (b / bW) * 8
+        var yy = 0
+        while (yy < 8) {
+          System.arraycopy(blk, yy * 8, planes(ci), (py0 + yy) * planeW(ci) + px0, 8)
+          yy += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    planesToRgb(comps, planes, planeW, w, h, hmax, vmax)
+  }
+
+  /** Decode one progressive scan's entropy data into the coefficient
+    * buffers (ITU T.81 §G.2; control flow mirrors libjpeg's jdphuff
+    * decode_mcu_DC/AC_first/refine). Returns the offset of the next
+    * marker after the scan, or -1 on corrupt data.
+    */
+  private def decodeProgScan(bytes: Array[Byte], start: Int,
+      scanCis: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      comps: Array[Component], coefs: Array[Array[Int]], blocksW: Array[Int],
+      mcusX: Int, mcusY: Int, hmax: Int, vmax: Int,
+      dcHuff: Array[Huff], acHuff: Array[Huff],
+      restartInterval: Int, w: Int, h: Int): Int = {
+    // scan-header validity: DC scans are Ss=Se=0 (only they may
+    // interleave); AC scans are single-component bands within 1..63
+    if (ss == 0) { if (se != 0) return -1 }
+    else if (scanCis.length != 1 || se < ss || se > 63) return -1
+
+    val br = new BitReader(bytes, start)
+    comps.foreach(_.pred = 0)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def skipRestart(): Boolean = {
+      br.align()
+      var p = br.pos
+      while (p + 1 < bytes.length && !((bytes(p) & 0xff) == 0xff &&
+        (bytes(p + 1) & 0xff) >= 0xd0 && (bytes(p + 1) & 0xff) <= 0xd7)) p += 1
+      if (p + 1 >= bytes.length) false
+      else {
+        br.pos = p + 2
+        br.hitMarker = false
+        comps.foreach(_.pred = 0)
+        eobrun = 0
+        true
+      }
+    }
+
+    def decodeDcBlock(cmp: Component, cArr: Array[Int], base: Int): Boolean = {
+      if (ah == 0) {
+        val dc = dcHuff(cmp.dcTab)
+        if (dc == null) return false
+        val t = huffDecode(br, dc)
+        if (t < 0) return false
+        cmp.pred += extend(br.receive(t), t)
+        cArr(base) = cmp.pred << al
+      } else if (br.nextBit() != 0) cArr(base) |= p1
+      true
+    }
+
+    def decodeAcFirst(cmp: Component, cArr: Array[Int], base: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val ac = acHuff(cmp.acTab)
+      if (ac == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(br, ac)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s != 0) {
+          k += r
+          if (k > 63) return false
+          cArr(base + zigzagAt(k)) = extend(br.receive(s), s) << al
+          k += 1
+        } else if (r != 15) { // EOBn: this block joins the run
+          eobrun = (1 << r) - 1
+          if (r > 0) eobrun += br.receive(r)
+          k = se + 1
+        } else k += 16 // ZRL
+      }
+      true
+    }
+
+    def refineBit(cArr: Array[Int], idx: Int): Unit = {
+      if (br.nextBit() != 0 && (cArr(idx) & p1) == 0)
+        cArr(idx) += (if (cArr(idx) >= 0) p1 else m1)
+    }
+
+    def decodeAcRefine(cmp: Component, cArr: Array[Int], base: Int): Boolean = {
+      val ac = acHuff(cmp.acTab)
+      if (ac == null) return false
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = huffDecode(br, ac)
+          if (rs < 0) return false
+          var r = rs >> 4
+          var s = 0
+          if ((rs & 15) != 0) {
+            // newly nonzero coefficient: magnitude 1 at this Al
+            s = if (br.nextBit() != 0) p1 else m1
+          } else if (r != 15) { // EOBn: rest of band is EOB logic below
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.receive(r)
+            ended = true
+          } // else ZRL: s stays 0, advance over 16 zero-history coefs
+          if (!ended) {
+            // advance over r still-zero coefs, appending correction
+            // bits to every already-nonzero coefficient passed over
+            var advancing = true
+            while (advancing && k <= se) {
+              val idx = base + zigzagAt(k)
+              if (cArr(idx) != 0) refineBit(cArr, idx)
+              else if (r == 0) advancing = false // target zero slot: k stays
+              else r -= 1
+              if (advancing) k += 1
+            }
+            if (s != 0 && k <= 63) cArr(base + zigzagAt(k)) = s
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // correction bits for the remaining nonzero coefs in the band
+        while (k <= se) {
+          val idx = base + zigzagAt(k)
+          if (cArr(idx) != 0) refineBit(cArr, idx)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    var ok = true
+    if (scanCis.length > 1) {
+      // interleaved DC scan: MCU order, h x v blocks per component
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      var sinceRestart = 0
+      while (ok && mcu < nMcus) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          if (!skipRestart()) return -1
+          sinceRestart = 0
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var c = 0
+        while (ok && c < scanCis.length) {
+          val ci = scanCis(c)
+          val cmp = comps(ci)
+          var by = 0
+          while (ok && by < cmp.v) {
+            var bx = 0
+            while (ok && bx < cmp.h) {
+              val base = ((my * cmp.v + by) * blocksW(ci) + mx * cmp.h + bx) * 64
+              ok = decodeDcBlock(cmp, coefs(ci), base)
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        sinceRestart += 1
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the component's own block raster over its
+      // ceil(sample-dims / 8) grid (NOT the MCU-padded grid)
+      val ci = scanCis(0)
+      val cmp = comps(ci)
+      val bW = (((w * cmp.h + hmax - 1) / hmax) + 7) / 8
+      val bH = (((h * cmp.v + vmax - 1) / vmax) + 7) / 8
+      var b = 0
+      val nB = bW * bH
+      var sinceRestart = 0
+      while (ok && b < nB) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          if (!skipRestart()) return -1
+          sinceRestart = 0
+        }
+        val base = ((b / bW) * blocksW(ci) + (b % bW)) * 64
+        ok =
+          if (ss == 0) decodeDcBlock(cmp, coefs(ci), base)
+          else if (ah == 0) decodeAcFirst(cmp, coefs(ci), base)
+          else decodeAcRefine(cmp, coefs(ci), base)
+        sinceRestart += 1
+        b += 1
+      }
+    }
+    // bits may only run out AFTER the last block's last request
+    if (!ok || br.hitMarker) return -1
+
+    // locate the marker that terminates this scan's entropy data
+    var p = math.max(start, br.pos - 2)
+    while (p + 1 < bytes.length) {
+      if ((bytes(p) & 0xff) == 0xff) {
+        val m2 = bytes(p + 1) & 0xff
+        if (m2 != 0x00 && !(m2 >= 0xd0 && m2 <= 0xd7)) return p
+      }
+      p += 1
+    }
+    bytes.length // no trailing marker: tolerate a truncated epilogue
   }
 
   private def huffDecode(br: BitReader, t: Huff): Int = {

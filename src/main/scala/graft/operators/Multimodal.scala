@@ -95,14 +95,15 @@ object Multimodal {
 
   /** Classify a JPEG's coding process from its first SOF marker —
     * the marker walk of [[decodeImageHeader]], keeping the SOF code
-    * instead of the dimensions. `baseline` (SOF0/SOF1) is what
-    * [[graft.operators.Jpeg.decodePixels]] fully decodes;
-    * `progressive` (SOF2) and `other` (differential / arithmetic /
-    * lossless SOFs) deliberately degrade to empty there. Exposed so
-    * the DECODE-COVERAGE of a corpus is a first-class, queryable
-    * stat: a corpus drifting toward progressive encoders shows up as
-    * a rising degraded count in the m9 gate query, not as silently
-    * empty pixel stats.
+    * instead of the dimensions. `baseline` (SOF0/SOF1) and
+    * `progressive` (SOF2) are both fully decoded by
+    * [[graft.operators.Jpeg.decodePixels]]; `other` (differential /
+    * arithmetic / lossless SOFs) deliberately degrades to empty
+    * there. Exposed so the DECODE-COVERAGE of a corpus is a
+    * first-class, queryable stat: a corpus drifting toward
+    * unsupported encoders (or a decoder regression on a supported
+    * class) shows up as a rising degraded count in the m9 gate
+    * query, not as silently empty pixel stats.
     */
   def jpegSofClass(bytes: Array[Byte]): String = {
     def u8(i: Int) = bytes(i) & 0xff

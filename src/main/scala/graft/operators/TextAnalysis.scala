@@ -461,6 +461,40 @@ object TextAnalysis {
     learned.toList
   }
 
+  /** [[bpeTrain]] on a BOUNDED deterministic sample — the scale-safe
+    * trainer shape. Tokenizer training is universally sample-based
+    * (BPE/SentencePiece vocabularies are learned from a few hundred
+    * thousand documents regardless of corpus size): running the
+    * 20-round aggregate+rewrite loop over 100 TB would be ~40 full
+    * corpus passes for a merge table a bounded sample learns
+    * identically. The sample is content-addressed
+    * ([[Sampling.hashSample]] over the text hash, modulus derived
+    * from the corpus count), so the selected docs — and therefore the
+    * learned table and its dynamic oracle — are deterministic at any
+    * parallelism and across reruns. The sample is also repartitioned
+    * to a small fixed width: at 1000 executors the training loop
+    * collapses onto a handful of tasks instead of scheduling the full
+    * scan width 40 times, while [[bpeApply]] stays corpus-wide and
+    * map-only.
+    */
+  def bpeTrainSampled(docs: DataFrame, merges: Int,
+      budgetDocs: Long): Seq[((String, String), Long)] = {
+    val n = docs.count()
+    val m = math.max(1L, n / budgetDocs).toInt
+    // localCheckpoint (not bare repartition) so the training rounds
+    // build on a FLAT LogicalRDD: a shuffle left inside the cached
+    // lineage nests an AdaptiveSparkPlanExec under each round's
+    // InMemoryRelation, and the per-round plan-description strings
+    // then grow superlinearly with rounds (measured: OOM'd an 8 GB
+    // driver at 20 rounds before any data pressure). The checkpoint
+    // also truncates the wide sampling scan, so each round schedules
+    // 16 tasks, not the source corpus's scan width.
+    val sample = Sampling.hashSample(docs, col("text"), m)
+      .repartition(16).localCheckpoint()
+    try bpeTrain(sample, merges)
+    finally { sample.unpersist(); () }
+  }
+
   /** Apply a learned merge table ([[bpeTrain]]'s output order) to a
     * document set: the rules fold left-to-right in learning order —
     * exactly how a trained BPE tokenizer segments at inference.
@@ -595,8 +629,12 @@ object TextAnalysis {
       least(lit(1.0), nTok / lit(20.0)),
       when(size(t) > 0, size(filter(t, w => w.isin(stopwords: _*))).cast("double") / nTok)
         .otherwise(lit(0.0)),
-      length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-        length(col("text")).cast("double"),
+      // guarded like its siblings: an empty document must score 0.0,
+      // not NaN (0.0/0.0), which would break the cross-engine compare
+      when(length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text")).cast("double"))
+        .otherwise(lit(0.0)),
       when(size(t) > 0, size(array_distinct(t)).cast("double") / nTok).otherwise(lit(0.0)),
       when(size(t) > 0, length(array_join(t, "")).cast("double") / nTok / lit(10.0))
         .otherwise(lit(0.0)))
@@ -680,7 +718,7 @@ object TextAnalysis {
     val fs = Seq(
       "least(1.0, len(t)::DOUBLE / 20.0)",
       s"CASE WHEN len(t) > 0 THEN len(list_filter(t, w -> w IN ($stop)))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END",
-      "len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)::DOUBLE",
+      "CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / len(text)::DOUBLE ELSE 0.0 END",
       "CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t)::DOUBLE ELSE 0.0 END",
       "CASE WHEN len(t) > 0 THEN len(array_to_string(t, ''))::DOUBLE / len(t)::DOUBLE / 10.0 ELSE 0.0 END")
     val logit = fs.zipWithIndex.foldLeft(d(w(0))) {

@@ -2619,10 +2619,16 @@ object Queries {
         val schema = spark.read.parquet(stage).schema
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
-        val res = EventStreams.withStatePartitions(spark, 8)(
-          EventStreams.runToCompletion(
-            EventStreams.viewPurchaseJoin(stream),
-            "st7_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        // registered on the ROCKSDB state store (the suite's largest
+        // streaming state: two-sided join buffers) so the gate proves
+        // the spillable production backend end-to-end, not just the
+        // in-memory default — StreamingSpec proves backend parity,
+        // this makes the hash-checked query itself run on it
+        val res = EventStreams.withRocksDbStateStore(spark)(
+          EventStreams.withStatePartitions(spark, 8)(
+            EventStreams.runToCompletion(
+              EventStreams.viewPurchaseJoin(stream),
+              "st7_mem", org.apache.spark.sql.streaming.OutputMode.Append())))
         res.groupBy(col("p_user").as("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("p_id")).as("n_purchases"),
@@ -2711,16 +2717,20 @@ object Queries {
       TextAnalysis.sqlLengthQuantiles())),
 
     // FULL BPE training (t13 is one frequency round; this is the
-    // loop): learn 20 merge rules over the corpus — one pair-count
-    // aggregate + one narrow rewrite per round, one row to the
-    // driver per round — then re-tokenize with the learned table and
-    // report per-doc compression. Oracle is dynamic (the fitted
-    // merge table embedded as literals, s17-style); the greedy fold
-    // is replayed in SQL via the wrapped-token replace encoding.
+    // loop): learn 20 merge rules from a BOUNDED deterministic
+    // hash-sample of the corpus (content-addressed, ~1k docs at this
+    // fixture scale; tokenizer training is sample-based at any real
+    // scale — the r11 full-corpus trainer was the board's one
+    // 100 TB scale-killer), then re-tokenize the WHOLE corpus with
+    // the learned table (map-only) and report per-doc compression.
+    // Oracle is dynamic (the fitted merge table embedded as
+    // literals, s17-style); the greedy fold is replayed in SQL via
+    // the wrapped-token replace encoding.
     "t16_bpe_apply" -> ((
       (spark: SparkSession, sf: String) => {
         val docs = t(spark, sf, "documents")
-        val rules = TextAnalysis.bpeTrain(docs, merges = 20).map(_._1)
+        val rules = TextAnalysis.bpeTrainSampled(docs, merges = 20,
+          budgetDocs = 1000).map(_._1)
         t16Rules = Some(rules)
         TextAnalysis.bpeApplyStats(docs, rules)
       },
@@ -2884,12 +2894,11 @@ object Queries {
 
     // JPEG decode-coverage audit over a MIXED-encoder corpus (3/4
     // baseline, 1/4 progressive by construction): per SOF class, how
-    // many docs the pixel decoder decoded vs degraded-to-empty. This
-    // is the visibility query for the decoder's deliberate
-    // progressive/arithmetic degradation — a corpus drifting toward
-    // progressive encoders moves rows from (baseline, decoded) to
-    // (progressive, degraded) and the oracle hash catches it, where
-    // before the drift only showed as silently-empty m7 stats.
+    // many docs the pixel decoder decoded vs degraded-to-empty. With
+    // the r12 progressive (SOF2) decoder both classes fully decode —
+    // the oracle asserts ZERO degraded rows in either class, so any
+    // decoder regression (or a corpus drifting toward arithmetic/
+    // hierarchical encoders) breaks the hash.
     "m9_jpeg_coverage" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.jpegCoverage(
@@ -2898,8 +2907,8 @@ object Queries {
         |  0::BIGINT AS n_degraded
         |FROM documents WHERE doc_id % 4 <> 3
         |UNION ALL
-        |SELECT 'progressive' AS kind, count(*) AS n_docs, 0::BIGINT AS n_decoded,
-        |  count(*) AS n_degraded
+        |SELECT 'progressive' AS kind, count(*) AS n_docs, count(*) AS n_decoded,
+        |  0::BIGINT AS n_degraded
         |FROM documents WHERE doc_id % 4 = 3
         |ORDER BY kind""".stripMargin)),
 

@@ -217,6 +217,23 @@ object EventStreams {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with the RocksDB state-store provider — the spillable
+    * backend a 100 TB streaming job runs on (join buffers and session
+    * state live off-heap/on-disk instead of the executor heap).
+    * Restores the prior provider afterwards so batch siblings in the
+    * same session are untouched.
+    */
+  def withRocksDbStateStore[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * bounded file source and return the final memory-sink contents
     * (used by tests and the batch-equivalence check).
@@ -404,29 +421,20 @@ object EventStreams {
     * Returns true when a commit happened, false for a recognized
     * replay.
     *
-    * SINGLE-WRITER assumption (Iceberg and Hudi variants only): the
-    * mark check here is check-then-commit, NOT atomic with the
-    * publish — `lastTxn` reads the table state BEFORE the commit
-    * lands. Structured Streaming guarantees one active writer per
-    * (query, checkpoint), which is the deployment shape these sinks
-    * serve; two INDEPENDENT writers replaying the same (appId,
-    * batchId) could both pass the check and double-append. The Delta
-    * sink is stronger — its txn mark rides inside the atomically-
-    * renamed commit file, so the last-writer-wins rename arbitrates
-    * concurrent replays. To harden this pair the same way, the mark
-    * re-validation would fold into the metadata-pointer CAS/rename
-    * each writer already performs at publish.
+    * MULTI-WRITER SAFE (r12): the mark check is folded into the
+    * atomic publish ([[graft.listing.IcebergWriter.commitTxn]]) — the
+    * replay check parses the same metadata read the sequence number
+    * derives from, and the rename-CAS validates that read, so two
+    * INDEPENDENT writers replaying the same (appId, batchId) append
+    * it exactly once under any interleaving (the race spec in
+    * StreamingSpec proves it deterministically). Matches the Delta
+    * sink's guarantee, whose mark rides inside the atomically-renamed
+    * commit file.
     */
   def commitIcebergBatchIdempotent(df: DataFrame, location: String,
-      appId: String, batchId: Long): Boolean = {
-    import graft.listing.IcebergWriter
-    if (IcebergWriter.lastTxn(df.sparkSession, location, appId).exists(_ >= batchId)) false
-    else {
-      IcebergWriter.commit(df.sparkSession, location, df,
-        summary = Map("graft-txn-app" -> appId, "graft-txn-batch" -> batchId.toString))
-      true
-    }
-  }
+      appId: String, batchId: Long): Boolean =
+    graft.listing.IcebergWriter
+      .commitTxn(df.sparkSession, location, df, appId, batchId).nonEmpty
 
   /** Streaming Iceberg sink with EXACTLY-ONCE table contents — the
     * Iceberg twin of [[deltaIngest]]: each micro-batch becomes one
@@ -448,17 +456,15 @@ object EventStreams {
     * batchId) mark isn't already recorded — the trio-completing
     * idempotence contract, with the mark in the commit's
     * `extraMetadata` (where Hudi's own streaming checkpoint lives).
+    * MULTI-WRITER SAFE like its Iceberg twin: the mark check rides
+    * the instant rename-CAS
+    * ([[graft.listing.HudiTimelineWriter.commitTxn]]), so concurrent
+    * replaying writers append the batch exactly once.
     */
   def commitHudiBatchIdempotent(df: DataFrame, location: String,
-      appId: String, batchId: Long): Boolean = {
-    import graft.listing.HudiTimelineWriter
-    if (HudiTimelineWriter.lastTxn(df.sparkSession, location, appId).exists(_ >= batchId)) false
-    else {
-      HudiTimelineWriter.commit(df.sparkSession, location, df,
-        extraMetadata = Map("graft-txn-app" -> appId, "graft-txn-batch" -> batchId.toString))
-      true
-    }
-  }
+      appId: String, batchId: Long): Boolean =
+    graft.listing.HudiTimelineWriter
+      .commitTxn(df.sparkSession, location, df, appId, batchId).nonEmpty
 
   /** Streaming Hudi sink with EXACTLY-ONCE table contents — insert-
     * only commits, one completed instant per micro-batch; replays are

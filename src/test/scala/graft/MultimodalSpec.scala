@@ -218,10 +218,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.jpegSofClass(base) == "baseline")
     assert(Multimodal.jpegSofClass(prog) == "progressive")
     assert(Multimodal.jpegSofClass("not a jpeg".getBytes) == "not_jpeg")
-    // decode outcomes line up with the classification: baseline
-    // decodes, progressive deliberately degrades to empty
-    assert(graft.operators.Jpeg.decodePixels(base)._1 == 24)
-    assert(graft.operators.Jpeg.decodePixels(prog)._1 == 0)
+    // both classes fully decode; the progressive path must be
+    // pixel-exact vs ImageIO, same as baseline — the entropy stages
+    // are lossless, so the same quantized coefficients reconstruct
+    // bit-identically through the shared IDCT/upsample/convert tail
+    for (bytes <- Seq(base, prog)) {
+      val (dw, dh, px) = graft.operators.Jpeg.decodePixels(bytes)
+      assert((dw, dh) == ((24, 16)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var i = 0
+      for (y <- 0 until 16; x <- 0 until 24) {
+        assert((img.getRGB(x, y) & 0xffffff) == (px(i) & 0xffffff),
+          s"(${x},${y}) diverges from ImageIO (progressive=${bytes eq prog})")
+        i += 1
+      }
+    }
+    // truncated progressive stream degrades, never throws
+    assert(graft.operators.Jpeg.decodePixels(prog.take(prog.length / 2))._1 == 0)
   }
 
   test("GCE transparent index excluded from frame sums; scope ends with its frame") {

@@ -291,6 +291,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.listing.HudiTimelineWriter.lastTxn(spark, loc, "other").isEmpty)
   }
 
+  test("iceberg txn commit: two CONCURRENT writers replaying one batch append it once") {
+    import spark.implicits._
+    import graft.listing.IcebergWriter
+    val loc = s"/root/repo/target/race_iceberg_${System.nanoTime()}"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // seed an unrelated batch so the race runs against a live table
+    assert(IcebergWriter.commitTxn(spark, loc,
+      Seq((0L, "z")).toDF("id", "v"), "race-app", 0L).nonEmpty)
+    // the adversarial interleaving the single-writer protocol loses:
+    // writer B passes the replay check, and BEFORE B's rename-CAS
+    // writer A commits the SAME batch. B must lose the CAS, re-read,
+    // see A's mark in the same metadata its retry seq derives from,
+    // and abort as a replay (cleaning up its unpublished files).
+    var fired = false
+    val b = IcebergWriter.commitTxn(spark, loc, batch, "race-app", 1L,
+      onBeforePublish = () => {
+        if (!fired) {
+          fired = true
+          assert(IcebergWriter.commitTxn(spark, loc, batch, "race-app", 1L).nonEmpty,
+            "writer A (the interleaved winner) must commit")
+        }
+      })
+    assert(fired)
+    assert(b.isEmpty, "writer B must recognize the replay after losing the CAS")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
+    val resolver = new graft.listing.IcebergSnapshotResolver(conf)
+    val referenced = resolver.dataFilesDetailed(loc).map(_.path).sorted
+    val ids = spark.read.parquet(referenced: _*)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(0L, 1L, 2L), "the raced batch must appear exactly once")
+    // B's abort deleted its never-published data files: everything on
+    // disk is referenced by the published metadata
+    val onDisk = walkParquet(conf, loc).filterNot(_.contains("/metadata/")).sorted
+    assert(onDisk == referenced.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).sorted)
+  }
+
+  test("hudi txn commit: two CONCURRENT writers replaying one batch append it once") {
+    import spark.implicits._
+    import graft.listing.HudiTimelineWriter
+    val loc = s"/root/repo/target/race_hudi_${System.nanoTime()}"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(HudiTimelineWriter.commitTxn(spark, loc,
+      Seq((0L, "z")).toDF("id", "v"), "race-app", 0L).nonEmpty)
+    var fired = false
+    val b = HudiTimelineWriter.commitTxn(spark, loc, batch, "race-app", 1L,
+      onBeforePublish = () => {
+        if (!fired) {
+          fired = true
+          assert(HudiTimelineWriter.commitTxn(spark, loc, batch, "race-app", 1L).nonEmpty,
+            "writer A (the interleaved winner) must commit")
+        }
+      })
+    assert(fired)
+    assert(b.isEmpty, "writer B must recognize the replay after losing the CAS")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration
+    val resolver = new graft.listing.HudiTimelineResolver(conf)
+    val referenced = resolver.dataFilesDetailed(loc).map(_.path)
+    val ids = spark.read.parquet(referenced: _*)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(0L, 1L, 2L), "the raced batch must appear exactly once")
+    // B's abort deleted its never-published slices
+    val onDisk = walkParquet(conf, loc).sorted
+    assert(onDisk == referenced.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).sorted)
+  }
+
+  /** All .parquet files under `root` (absolute URI paths). */
+  private def walkParquet(conf: org.apache.hadoop.conf.Configuration,
+      root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(conf)
+    def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toUri.getPath)
+        else Nil
+      }
+    walk(p)
+  }
+
   test("userProfiles state is order-insensitive across adversarial batch splits") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -40,11 +40,54 @@ def load(path):
         # prefer a complete line that carries per-query timings; the
         # short pointer line graft.Bench now prints LAST also matches
         # {"metric"...} but has no "queries" key
-        cands = [json.loads(m) for m in re.findall(r'\{"metric".*\}', d["tail"])]
-        full = next((c for c in cands if "queries" in c), None)
+        cands = []
+        for m in re.findall(r'\{"metric".*\}', d["tail"]):
+            try:
+                cands.append(json.loads(m))
+            except json.JSONDecodeError:
+                pass  # head-truncated long line: other placements cover it
+        full = next((c for c in cands if c.get("metric") == "total"
+                     and "queries" in c), None)
+        # chunked re-emission (r12+): short {"metric":"queries_chunk"}
+        # lines near the end of stdout survive tail capture whole where
+        # the one long summary line loses its head; reassemble them and
+        # take headline numbers from the short pointer line
+        chunks = [c for c in cands if c.get("metric") == "queries_chunk"]
+        short = next((c for c in reversed(cands)
+                      if c.get("metric") == "total" and "queries" not in c), None)
         if full is not None:
             d = full
-        else:
+        elif chunks and short is not None:
+            qs = {}
+            for c in chunks:
+                qs.update(c.get("queries", {}))
+            nparts = chunks[0].get("parts")
+            got = len({c.get("part") for c in chunks})
+            if nparts is not None and got < nparts:
+                print(f"note: {path}: reassembled {got}/{nparts} query chunks "
+                      f"(head-truncated tail); {len(qs)} timings recovered")
+            d = dict(short)
+            d["queries"] = qs
+        elif short is not None and short.get("queries_file"):
+            # only the short pointer line survived: find a persisted
+            # per-query summary whose headline value matches this run —
+            # the named queries_file (repo-relative; overwritten by
+            # every local Bench run) or an archived copy under
+            # bench_history/driver_*.json
+            root = os.path.join(os.path.dirname(__file__), "..")
+            qf = short["queries_file"]
+            cand_paths = [qf, os.path.join(root, qf)] + sorted(
+                glob.glob(os.path.join(root, "bench_history", "driver_*.json")))
+            for p2 in cand_paths:
+                if not os.path.exists(p2):
+                    continue
+                with open(p2) as f2:
+                    filed = json.load(f2)
+                # sanity: the file must be THIS run's summary
+                if abs(filed.get("value", -2) - short.get("value", -3)) < 1e-6:
+                    d = filed
+                    break
+        if "queries" not in d:
             # The tail capture keeps the LAST N bytes, so the summary
             # line can be head-truncated (round 8's artifact): the line
             # still ends with ...,"failed":K,"sf":"..."} but its start
@@ -57,7 +100,9 @@ def load(path):
             if line is not None:
                 pairs = re.findall(r'"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)', line)
                 qs = {k: float(v) for k, v in pairs
-                      if k not in ("value", "failed")}
+                      if k not in ("value", "failed", "load1", "canary_ms",
+                                   "canary_all_ms", "canary_end_ms", "part",
+                                   "parts", "n_queries")}
                 mv = re.search(r'"value":(-?\d+(?:\.\d+)?)', line)
                 if qs:
                     print(f"note: {path}: summary line head-truncated; "
