@@ -740,6 +740,14 @@ object Dedup {
     * access pattern over the sorted broadcast array, inexpressible
     * as a declarative join condition. Still no shuffle of candidate
     * rows; parallelism = the spread() partitioning of the probe side.
+    *
+    * EAGER AT CONSTRUCTION: the signature table is collected when
+    * this method is CALLED, not when the returned DataFrame first
+    * executes (the old `broadcast()` join deferred that to execution
+    * time). Callers that build the plan but never run it still pay
+    * one Spark job plus driver memory for the index — acceptable
+    * because the [[ngramJaccardPairs]] selector only routes here
+    * under the maxBytes budget, but don't construct this speculatively.
     */
   private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
@@ -1590,12 +1598,47 @@ object Dedup {
     *
     * Returns `(a, b, dist)`, a < b, one row per qualifying pair.
     *
-    * Scale: tier 1 shuffles (k(n+1)+1) 8-byte prefix hashes per doc
-    * and its candidate volume is Σ_h df_pref(h)² with df_pref ≈ 1 at
-    * 5-gram grain; tiers 2/3 touch only the short-doc minority. No
-    * stage is corpus-quadratic.
+    * Scale (tier admissions MEASURED at sf1=50k / sf3=150k docs, r12,
+    * D26Probe): tier 1 24k → 88k (3.6× for 3× docs — the PPJoin
+    * positional filter holds it BELOW the ~9× candidate-volume
+    * expectation by killing late-prefix matches between long docs);
+    * tier 2 52k → 425k (8.2×); tier 3 1.86M → 16.8M (9.0× — the
+    * per-length-bucket quadratic over tiny docs, exactly at volume
+    * expectation; the r11 NOTES 11.3× was runtime overhead, not
+    * admissions). Tier 3 is ~98% of all candidates and IS quadratic
+    * in per-bucket tiny-doc occupancy — irreducible for exact ed<=k
+    * over sub-30-token docs, whose gram bounds are vacuous by
+    * construction (that's why they fell to tier 3; measured: 14.5k
+    * tiny docs at sf3, 99.95% distinct texts, so representative
+    * collapse buys nothing). Mitigations that DO land: the banded
+    * distance is decided INLINE in the bucket join (texts ride the
+    * join; the multi-million-row candidate distinct and both text
+    * re-joins are gone — measured warm sf1 2.6 s / sf3 6.4 s, a 2.5×
+    * scaling ratio for 3× docs where r11 recorded 11.3×), and a
+    * 100 TB pipeline runs exact dedup (d1) first, shrinking the
+    * tiny-doc population tier 3 squares over.
     */
   def editDistancePairs(docs: DataFrame, k: Int = 4): DataFrame = {
+    val (c1, c2, c3v, base, mult) = editDistanceTiers(docs, k)
+    // tiers 1/2 need the text re-join before verification; tier 3
+    // arrives ALREADY verified (its bucket join carries both texts, so
+    // the banded distance is decided inline — see editDistanceTiers).
+    // A tiny-doc pair can be admitted by tier 2 as well, hence the
+    // outer distinct (dist is the same exact value on every path).
+    editDistanceVerify(c1.union(c2).distinct(), base, mult, k)
+      .union(c3v)
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** The three candidate tiers of [[editDistancePairs]], exposed
+    * package-private so the scaling probe (D26Probe) can count each
+    * tier's admissions at a given corpus size — the measurement the
+    * tier boundaries and the tier-1 positional filter were derived
+    * from. Returns (tier1, tier2, tier3, base, pairMult).
+    */
+  private[graft] def editDistanceTiers(docs: DataFrame, k: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val (n1, n2) = (5, 3)
     val p1 = k * (n1 + 1) + 1
@@ -1609,39 +1652,82 @@ object Dedup {
       .withColumn("n3", size(col("g3")))
       .localCheckpoint() // feeds all three tiers + verification
     val lenClose = abs(col("la") - col("lb")) <= lit(k)
+    // positional filter (PPJoin, Xiao et al. WWW'08 §3.2), sound on
+    // any SHARED total order over the distinct gram sets: a match at
+    // 1-based sorted positions (ia, ib) of docs with ga/gb distinct
+    // grams bounds the whole overlap by min(ia,ib)-1 elements before
+    // the match + the match + min(ga-ia, gb-ib) after it, and the
+    // tier lemma needs overlap >= max(ga,gb) - k(n+1). Late-prefix
+    // matches between long docs — exactly the candidate class that
+    // grows as the corpus fills the length histogram (the measured
+    // d26 sf1->sf3 curve: 11.3x vs ~9x volume expectation, NOTES.md)
+    // — fail this bound and never reach verification.
+    def posClose(ga: Column, gb: Column, kn1: Int) =
+      least(col("ia"), col("ib")) + least(ga - col("ia"), gb - col("ib")) >=
+        greatest(ga, gb) - lit(kn1)
     // tier 1: 5-gram (k(n1+1)+1)-prefix self-join, hash order
-    val pref1 = pinned(base.select(col("doc_id"), col("len"),
-      explode(slice(col("g5"), lit(1), lit(p1))).as("h")), col("h"))
-    val c1 = pref1.select(col("doc_id").as("a"), col("len").as("la"), col("h"))
-      .join(pref1.select(col("doc_id").as("b"), col("len").as("lb"), col("h"))
+    val pref1 = pinned(base.select(col("doc_id"), col("len"), col("n5"),
+      posexplode(slice(col("g5"), lit(1), lit(p1))).as(Seq("i0", "h"))), col("h"))
+    val c1 = pref1.select(col("doc_id").as("a"), col("len").as("la"),
+        col("n5").as("na"), (col("i0") + lit(1)).as("ia"), col("h"))
+      .join(pref1.select(col("doc_id").as("b"), col("len").as("lb"),
+        col("n5").as("nb"), (col("i0") + lit(1)).as("ib"), col("h"))
         .hint("SHUFFLE_MERGE"), Seq("h"))
-      .filter(col("a") < col("b") && lenClose)
+      .filter(col("a") < col("b") && lenClose &&
+        posClose(col("na"), col("nb"), k * (n1 + 1)))
       .select("a", "b")
-    // tier 2: short docs, 3-gram df-ascending prefix
+    // tier 2: short docs, 3-gram df-ascending prefix (the shared
+    // order is (df, h), so the positional filter applies here too)
     val short = base.filter(col("n5") < lit(p1))
-    val exploded = short.select(col("doc_id"), col("len"), explode(col("g3")).as("h"))
+    val exploded = short.select(col("doc_id"), col("len"), col("n3"), explode(col("g3")).as("h"))
     val dfc = exploded.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     val pref2 = pinned(
       exploded.join(dfc, "h")
         .withColumn("p", row_number().over(w))
         .filter(col("p") <= lit(p2))
-        .select(col("doc_id"), col("len"), col("h")),
+        .select(col("doc_id"), col("len"), col("n3"), col("p"), col("h")),
       col("h"))
-    val c2 = pref2.select(col("doc_id").as("a"), col("len").as("la"), col("h"))
-      .join(pref2.select(col("doc_id").as("b"), col("len").as("lb"), col("h"))
+    val c2 = pref2.select(col("doc_id").as("a"), col("len").as("la"),
+        col("n3").as("na"), col("p").as("ia"), col("h"))
+      .join(pref2.select(col("doc_id").as("b"), col("len").as("lb"),
+        col("n3").as("nb"), col("p").as("ib"), col("h"))
         .hint("SHUFFLE_MERGE"), Seq("h"))
-      .filter(col("a") < col("b") && lenClose)
+      .filter(col("a") < col("b") && lenClose &&
+        posClose(col("na"), col("nb"), k * (n2 + 1)))
       .select("a", "b")
-    // tier 3: tiny docs, |Δlen|<=k via width-(k+1) length buckets
+    // tier 3: tiny docs, |Δlen|<=k via width-(k+1) length buckets —
+    // verified INLINE. This tier is ~98% of all candidate volume
+    // (measured sf1/sf3, see the method scaladoc) and its bucket join
+    // already carries both texts, so deciding the banded distance in
+    // the join output skips the dominant costs of the old shape: the
+    // multi-million-row candidate distinct and the two text re-joins.
+    // Probing own + NEXT bucket covers every |Δlen| <= k < k+1 pair
+    // (the bucket delta is 0 or 1); least/greatest normalizes the
+    // unordered pair, and the caller's distinct drops the same-bucket
+    // double-find.
     val tiny = base.filter(col("n5") < lit(p1) && col("n3") < lit(p2))
       .withColumn("bk", floor(col("len") / lit(k + 1)))
     val c3 = tiny.select(col("doc_id").as("a"), col("len").as("la"),
-        explode(array(col("bk") - lit(1), col("bk"), col("bk") + lit(1))).as("bk"))
-      .join(tiny.select(col("doc_id").as("b"), col("len").as("lb"), col("bk")), Seq("bk"))
-      .filter(col("a") < col("b") && lenClose)
-      .select("a", "b")
-    val cand = c1.union(c2).union(c3).distinct()
+        col("text").as("ta"),
+        explode(array(col("bk"), col("bk") + lit(1))).as("bk"))
+      .join(tiny.select(col("doc_id").as("b"), col("len").as("lb"),
+        col("text").as("tb"), col("bk")), Seq("bk"))
+      .filter(col("a") =!= col("b") && lenClose)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("dist"))
+      .distinct()
+    (c1, c2, c3, base, mult)
+  }
+
+  /** Exact banded-Levenshtein verification of candidate (a, b) pairs
+    * against `base`'s texts — the decision stage shared by
+    * [[editDistancePairs]] and the probe.
+    */
+  private[graft] def editDistanceVerify(cand: DataFrame, base: DataFrame,
+      mult: Int, k: Int): DataFrame = {
     val withA = pinnedWide(cand, mult, col("a"))
       .join(pinnedWide(base.select(col("doc_id").as("a"), col("text").as("ta")),
         mult, col("a")), "a")
@@ -1651,7 +1737,6 @@ object Dedup {
       .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
       .filter(col("dist") >= 0L)
       .select(col("a"), col("b"), col("dist"))
-      .orderBy("a", "b")
   }
 
   /** DuckDB oracle for [[editDistancePairs]] (quadratic with the

@@ -472,10 +472,12 @@ object TextAnalysis {
     * from the corpus count), so the selected docs — and therefore the
     * learned table and its dynamic oracle — are deterministic at any
     * parallelism and across reruns. The sample is also repartitioned
-    * to a small fixed width: at 1000 executors the training loop
-    * collapses onto a handful of tasks instead of scheduling the full
-    * scan width 40 times, while [[bpeApply]] stays corpus-wide and
-    * map-only.
+    * to a small fixed width and the training loop runs under a small
+    * shuffle-partition count: at 1000 executors the loop collapses
+    * onto a handful of tasks instead of scheduling the full scan
+    * width 40 times (the 2 jobs/round are scheduling-dominated at
+    * sample scale — measured 7.5 s → ~4 s at sf0.1 from the width cut
+    * alone), while [[bpeApply]] stays corpus-wide and map-only.
     */
   def bpeTrainSampled(docs: DataFrame, merges: Int,
       budgetDocs: Long): Seq[((String, String), Long)] = {
@@ -488,11 +490,18 @@ object TextAnalysis {
     // then grow superlinearly with rounds (measured: OOM'd an 8 GB
     // driver at 20 rounds before any data pressure). The checkpoint
     // also truncates the wide sampling scan, so each round schedules
-    // 16 tasks, not the source corpus's scan width.
+    // 4 tasks, not the source corpus's scan width.
     val sample = Sampling.hashSample(docs, col("text"), m)
-      .repartition(16).localCheckpoint()
+      .repartition(4).localCheckpoint()
+    val spark = docs.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4") // per-round agg reduces a handful of pairs
     try bpeTrain(sample, merges)
-    finally { sample.unpersist(); () }
+    finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      sample.unpersist(); ()
+    }
   }
 
   /** Apply a learned merge table ([[bpeTrain]]'s output order) to a
