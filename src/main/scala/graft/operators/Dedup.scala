@@ -1511,6 +1511,111 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CARVE cross-document duplicated spans out of every document —
+    * the REWRITE half of exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * ExactSubstr removes the duplicated bytes themselves rather than
+    * dropping whole documents). [[maxDupSpan]] (d25) localizes the
+    * longest shared span; this removes EVERY maximal shared run of at
+    * least `minSpan` tokens and returns the carved document's
+    * token count, removed-token count, and a cross-engine fingerprint
+    * of the carved text — so the gate hash-checks the actual rewrite,
+    * not just the signal.
+    *
+    * Scale shape: d25's plan (positional shingle explode, aggregate+
+    * join shared-gram derivation — boilerplate grams never serialize
+    * a task, AQE-splittable) + the same per-doc gaps-and-islands
+    * window + ONE groupBy(doc_id) to pack each doc's span intervals
+    * (tiny: spans per doc, not positions) + ONE join back to the
+    * corpus; the carve itself is a pure per-row array filter over
+    * (token, position) pairs. Never corpus-wide state; every stage
+    * keys by doc_id or gram.
+    */
+  def carveDupSpans(docs: DataFrame, n: Int = 5, minSpan: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpan >= n, s"minSpan ($minSpan) must be >= the gram width ($n)")
+    val t = col("toks")
+    val posGrams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => struct(i.as("pos"),
+          concat_ws("_", (0 until n).map(j => element_at(t, i + lit(j))): _*).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+    val occ = docs
+      .select(col("doc_id"), graft.functions.CrossHash.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(posGrams).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val occC = occ.localCheckpoint()
+    val shared = occC.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select("g")
+    // maximal duplicated runs (gaps-and-islands), kept only at carve
+    // width; a run of `run` shared gram positions spans run+n-1 tokens
+    val spans = occC.join(shared, Seq("g"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+      .agg(min("pos").as("s"), (count(lit(1)) + lit(n - 1)).cast("int").as("w"))
+      .filter(col("w") >= lit(minSpan))
+      .select(col("doc_id"), struct(col("s"), (col("s") + col("w") - 1).as("e")).as("iv"))
+      .groupBy("doc_id").agg(collect_list(col("iv")).as("ivs"))
+    val ivs = coalesce(col("ivs"),
+      array().cast("array<struct<s:int,e:int>>"))
+    val toksP = transform(graft.functions.CrossHash.tokens(col("text")),
+      (x, i) => struct((i + 1).as("pos"), x.as("tok")))
+    val kept = filter(toksP, s =>
+      !exists(ivs, iv => s.getField("pos") >= iv.getField("s") &&
+        s.getField("pos") <= iv.getField("e")))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(graft.functions.CrossHash.tokens(col("text"))).cast("long").as("n_toks"),
+        (size(graft.functions.CrossHash.tokens(col("text"))) - size(kept))
+          .cast("long").as("n_removed"),
+        // empty-string hashing differs between the engines (Spark's
+        // split("") yields [""], DuckDB's ord('') doesn't), so a doc
+        // carved down to nothing pins its fingerprint to 0 explicitly
+        when(size(kept) > 0,
+          graft.functions.CrossHash.charFold(
+            array_join(transform(kept, s => s.getField("tok")), " ")))
+          .otherwise(lit(0L)).as("carved_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[carveDupSpans]] — relational replay: the
+    * d25 runs CTE at carve width, positions anti-joined against span
+    * intervals, carved text rebuilt by ordered string_agg.
+    */
+  def sqlCarveDupSpans(n: Int = 5, minSpan: Int = 12): String = {
+    val parts = (0 until n).map(j => s"t[i+$j]").mkString(" || '_' || ")
+    s"""WITH tok AS (SELECT doc_id, ${graft.functions.CrossHash.sqlTokens("text")} AS t FROM documents),
+       |pg AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |    THEN [struct_pack(pos := i, g := $parts) for i in range(1, len(t) - ${n - 2})]
+       |    ELSE [] END) AS u FROM tok)),
+       |shared AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+       |           GROUP BY g HAVING count(*) >= 2),
+       |f AS (SELECT doc_id, pos FROM pg WHERE g IN (SELECT g FROM shared)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+       |spans AS (SELECT doc_id, min(pos) AS s,
+       |            min(pos) + count(*) + ${n - 1} - 1 AS e
+       |          FROM r GROUP BY doc_id, grp
+       |          HAVING count(*) + ${n - 1} >= $minSpan),
+       |p AS (SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+       |  SELECT doc_id, unnest([struct_pack(pos := i, tok := t[i])
+       |                         for i in range(1, len(t) + 1)]) AS u FROM tok)),
+       |kept AS (SELECT p.doc_id, p.tok, p.pos FROM p
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |           WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+       |carved AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |             string_agg(tok, ' ' ORDER BY pos) AS txt
+       |           FROM kept GROUP BY doc_id)
+       |SELECT tok.doc_id, len(tok.t)::BIGINT AS n_toks,
+       |  (len(tok.t) - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+       |  CASE WHEN c.txt IS NULL THEN 0::BIGINT
+       |       ELSE ${graft.functions.CrossHash.sqlCharFold("c.txt")} END AS carved_fp
+       |FROM tok LEFT JOIN carved c ON tok.doc_id = c.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[maxDupSpan]]. */
   def sqlMaxDupSpan(n: Int = 5): String = {
     val parts = (0 until n).map(j => s"t[i+$j]").mkString(" || '_' || ")

@@ -187,6 +187,72 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** TEMPERATURE-smoothed domain mixture (α-sampling) — the standard
+    * LLM data-mix rule (GPT-3 §2.2, LLaMA §2): where [[mixtureSample]]
+    * takes caller-given rates, this DERIVES them from the corpus —
+    * domain i is drawn with probability ∝ n_i^α, so α=1 reproduces
+    * natural proportions, α=0 equalizes domains, and the usual
+    * α∈(0,1) upweights small domains without letting a giant one
+    * dominate. Per-doc keep probability for domain i at target size T
+    * is min(1, T·w_i/n_i) with w_i = n_i^α / Σ_j n_j^α.
+    *
+    * Determinism across engines: the per-domain keep probabilities
+    * are computed ONCE, driver-side, from the exact domain counts and
+    * frozen as INTEGER thresholds over the content hash
+    * (`charFold(text) mod granularity < floor(p_i·granularity)`) —
+    * returned to the caller so the oracle embeds the identical
+    * literals and no cross-engine floating-point ever sits on a
+    * comparison boundary. Content addressing keeps the rule
+    * reproducible on any engine or re-shard ([[mixtureSample]]'s
+    * property).
+    *
+    * Scale: the domain-count aggregate collects #domains rows (a mix
+    * has tens of domains, metadata-scale by definition); the sample
+    * itself is a per-row narrow filter — no shuffle at any corpus
+    * size. Returns (per-domain thresholds, per-domain audit DF with
+    * `(source, n_docs, n_kept, threshold)`).
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double, targetDocs: Long,
+      granularity: Long = 1000000L): (Map[String, Long], DataFrame) = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sumW = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val thr: Map[String, Long] = counts.map { case (s, n) =>
+      val w = math.pow(n.toDouble, alpha) / sumW
+      val p = math.min(1.0, targetDocs.toDouble * w / n.toDouble)
+      s -> math.floor(p * granularity).toLong
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tdf = thr.toSeq.toDF("source", "threshold")
+    val audit = docs.join(broadcast(tdf), Seq("source"))
+      .groupBy(col("source"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(CrossHash.charFold(col("text")) % granularity < col("threshold"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("threshold"))
+      .orderBy("source")
+    (thr, audit)
+  }
+
+  /** DuckDB oracle for [[temperatureSample]]'s audit, embedding the
+    * fitted integer thresholds as literals (the dynamic-oracle
+    * contract s17/t16/t17 use).
+    */
+  def sqlTemperatureAudit(thr: Map[String, Long],
+      granularity: Long = 1000000L): String = {
+    val cases = thr.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"WHEN '$s' THEN ${t}::BIGINT" }
+      .mkString(" ")
+    s"""WITH t AS (SELECT *, CASE source $cases END AS threshold FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN (${CrossHash.sqlCharFold("text")}) % $granularity < threshold
+       |           THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  threshold
+       |FROM t GROUP BY source, threshold ORDER BY source""".stripMargin
+  }
+
   /** Per-source audit of [[mixtureSample]]: achieved kept-counts and
     * a spot-checkable witness per source, the report a mixing run
     * emits next to its output.

@@ -623,6 +623,71 @@ object TextAnalysis {
        |FROM ex JOIN km ON ex.source = km.source ORDER BY ex.source""".stripMargin
   }
 
+  /** Zipf power-law fit of the token frequency distribution — the
+    * corpus-health diagnostic a scraped-text pipeline reads before
+    * trusting quality filters tuned on natural language: natural text
+    * follows freq ∝ rank^(-alpha) with alpha ≈ 1 (Zipf's law), while
+    * machine-generated spam, templated boilerplate, and synthetic
+    * corpora flatten (alpha → 0) or collapse to a few tokens (alpha
+    * large). Fits ln(freq) on ln(rank) over the top `topN` tokens by
+    * closed-form least squares — no iteration, no solver.
+    *
+    * Scale shape: ONE vocabulary-scale groupBy (map-side combined;
+    * token counts, never documents); the ranked head is a bounded
+    * top-k (WindowGroupLimit after an orderBy+limit), and the fit is
+    * a single aggregate over topN rows. Determinism: the rank order
+    * ties on (count desc, token), the regression sums run over ≤topN
+    * doubles, and the emitted alpha/intercept round at 1e-6 — far
+    * above double summation noise at this term count.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame = {
+    import graft.functions.CrossHash
+    val cnt = docs.select(explode(CrossHash.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val totals = cnt.agg(sum("n").cast("long").as("n_tokens"),
+      count(lit(1)).as("n_vocab"))
+    // ranks WITHOUT a window: the head is <= topN rows, so pack it
+    // into one array, comparator-sort it (count desc, token asc), and
+    // posexplode — rank = position. Keeps the plan free of the
+    // unpartitioned-WindowExec shape PlanLintSpec bans (a global
+    // window serializes on one task; here the bounded sort happens
+    // inside a single 200-element array instead).
+    val cmp = (a: Column, b: Column) =>
+      when(a.getField("n") =!= b.getField("n"),
+        when(a.getField("n") > b.getField("n"), lit(-1)).otherwise(lit(1)))
+        .otherwise(when(a.getField("t") < b.getField("t"), lit(-1))
+          .when(a.getField("t") > b.getField("t"), lit(1)).otherwise(lit(0)))
+    val top = cnt.orderBy(desc("n"), col("t")).limit(topN)
+      .agg(collect_list(struct(col("n"), col("t"))).as("rs"))
+      .select(posexplode(array_sort(col("rs"), cmp)).as(Seq("p", "s")))
+      .select(log((col("p") + 1).cast("double")).as("x"),
+        log(col("s.n").cast("double")).as("y"))
+    val s = top.agg(count(lit(1)).cast("double").as("m"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
+      (col("m") * col("sxx") - col("sx") * col("sx"))
+    totals.crossJoin(
+      s.select(round(-slope, 6).as("alpha"),
+        round((col("sy") - slope * col("sx")) / col("m"), 6).as("intercept")))
+  }
+
+  /** DuckDB oracle for [[zipfFit]]. */
+  def sqlZipfFit(topN: Int = 200): String = {
+    import graft.functions.CrossHash
+    s"""WITH tok AS (SELECT unnest(${CrossHash.sqlTokens("text")}) AS t FROM documents),
+       |cnt AS (SELECT t, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+       |top AS (SELECT ln(row_number() OVER (ORDER BY n DESC, t)) AS x, ln(n) AS y
+       |        FROM cnt ORDER BY n DESC, t LIMIT $topN),
+       |s AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM top)
+       |SELECT (SELECT sum(n) FROM cnt)::BIGINT AS n_tokens,
+       |  (SELECT count(*) FROM cnt)::BIGINT AS n_vocab,
+       |  round(-(m*sxy - sx*sy)/(m*sxx - sx*sx), 6) AS alpha,
+       |  round((sy - ((m*sxy - sx*sy)/(m*sxx - sx*sx))*sx)/m, 6) AS intercept
+       |FROM s""".stripMargin
+  }
+
   /** Surface features for the trained document classifier — the
     * fastText-style signal set a CCNet/GPT-3-style quality or
     * language filter distills into a linear scorer. Every feature is

@@ -34,6 +34,14 @@ object Queries {
   /** Weights fitted by the last t17_classifier run. */
   @volatile private[graft] var t17Weights: Option[Array[Double]] = None
 
+  /** Integer keep-thresholds derived by the last d28_temperature_mix
+    * run (same fitted-literal-embed contract as [[s17Model]]: the
+    * per-domain probabilities are driver-computed doubles, so both
+    * engines must compare the content hash against the SAME frozen
+    * integers).
+    */
+  @volatile private[graft] var d28Thresholds: Option[Map[String, Long]] = None
+
   /** Oracles only known after a query has run (s17's fitted-model
     * embed). Empty until the corresponding query executes, which
     * matches the driver flow: Verify runs queries, then dumps SQL.
@@ -44,7 +52,9 @@ object Queries {
       t16Rules.map(r =>
         "t16_bpe_apply" -> TextAnalysis.sqlBpeApplyStats(r)).toMap ++
       t17Weights.map(w =>
-        "t17_classifier" -> TextAnalysis.sqlClassifierScores(w)).toMap
+        "t17_classifier" -> TextAnalysis.sqlClassifierScores(w)).toMap ++
+      d28Thresholds.map(t =>
+        "d28_temperature_mix" -> Sampling.sqlTemperatureAudit(t)).toMap
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -2135,6 +2145,15 @@ object Queries {
         Dedup.maxDupSpan(t(spark, sf, "documents")),
       Dedup.sqlMaxDupSpan())),
 
+    // the REWRITE half of exact-substring dedup (Lee et al. 2021):
+    // remove every cross-doc duplicated run of >= 12 tokens and
+    // hash-check the carved text itself (cross-engine fingerprint),
+    // not just the span signal d25 reports
+    "d27_span_carve" -> ((
+      (spark: SparkSession, sf: String) =>
+        Dedup.carveDupSpans(t(spark, sf, "documents")),
+      Dedup.sqlCarveDupSpans())),
+
     "d21_token_budget" -> ((
       (spark: SparkSession, sf: String) =>
         Sampling.tokenBudgetSample(t(spark, sf, "documents"), budgetTokens = 2000L),
@@ -2682,9 +2701,78 @@ object Queries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // COUNT-MIN SKETCH heavy hitters over the event stream: the
+    // streaming state is the 4x64 CMS grid — O(1) in key cardinality
+    // (exact per-key streaming counts need unbounded state; at 100 TB
+    // the sketch is the only bounded-state shape) — built with the
+    // cross-engine hash so the oracle recomputes the IDENTICAL grid
+    // in SQL, then audited against exact batch counts: est >= n
+    // always (CMS never undercounts), top 25 by estimate. Cells are
+    // sums, so partition/micro-batch/cluster partials merge by
+    // addition — map-side combine IS the sketch merge.
+    "st9_cms_heavy" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val cells = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.cmsCells(EventStreams.eventsFileStream(spark, sf)),
+            "st9_mem", org.apache.spark.sql.streaming.OutputMode.Complete()))
+        val exact = t(spark, sf, "events")
+          .groupBy(col("user_id").cast("string").as("k"))
+          .agg(count(lit(1)).as("n"))
+        val probes = exact.select(col("k"), col("n"),
+            explode(sequence(lit(0), lit(3))).as("i"))
+          .withColumn("j", pmod(
+            graft.functions.CrossHash.charFold(
+              concat(col("k"), lit("#"), col("i").cast("string"))),
+            lit(64L)))
+        probes.join(broadcast(cells), Seq("i", "j"))
+          .groupBy("k", "n").agg(min(col("c")).as("est"))
+          .orderBy(desc("est"), col("k")).limit(25)
+          .select(col("k").as("user_id"), col("n"), col("est"))
+      },
+      s"""WITH items AS (
+        |  SELECT user_id::VARCHAR AS k, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |probes AS (
+        |  SELECT k, n, i,
+        |    ${graft.streaming.EventStreams.sqlCmsCell("k", "i::VARCHAR")} AS j
+        |  FROM items CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |cells AS (SELECT i, j, sum(n)::BIGINT AS c FROM probes GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.k, p.n, min(c.c) AS est
+        |  FROM probes p JOIN cells c ON p.i = c.i AND p.j = c.j
+        |  GROUP BY 1, 2)
+        |SELECT k AS user_id, n, est FROM est
+        |ORDER BY est DESC, k LIMIT 25""".stripMargin)),
+
     // KMV distinct-cardinality sketch per source — the sketch the
     // 100 TB profile pass runs instead of exact COUNT(DISTINCT);
     // deterministic hash makes the sketch itself hash-checkable.
+    // TEMPERATURE-smoothed domain mixture (α-sampling, the GPT-3/
+    // LLaMA data-mix rule): per-domain keep probabilities DERIVED
+    // from the corpus counts (w_i ∝ n_i^0.5), frozen driver-side as
+    // integer content-hash thresholds; the dynamic oracle embeds the
+    // identical literals so the audit — including the kept counts the
+    // thresholds induce — is hash-exact with no float boundary.
+    "d28_temperature_mix" -> ((
+      (spark: SparkSession, sf: String) => {
+        val (thr, audit) = Sampling.temperatureSample(
+          t(spark, sf, "documents"), alpha = 0.5, targetDocs = 200L)
+        d28Thresholds = Some(thr)
+        audit
+      },
+      null)),
+
+    // Zipf power-law fit of the vocabulary (closed-form least squares
+    // over the top-200 rank/frequency pairs): the corpus-health
+    // signal that separates natural text (alpha ~ 1) from templated
+    // or synthetic corpora (flat) before quality filters are trusted
+    "t18_zipf_fit" -> ((
+      (spark: SparkSession, sf: String) =>
+        TextAnalysis.zipfFit(t(spark, sf, "documents")),
+      TextAnalysis.sqlZipfFit())),
+
     "t19_kmv_cardinality" -> ((
       (spark: SparkSession, sf: String) =>
         TextAnalysis.kmvCardinality(t(spark, sf, "documents")),

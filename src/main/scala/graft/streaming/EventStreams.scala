@@ -202,6 +202,39 @@ object EventStreams {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(staged)
   }
 
+  /** Deterministic COUNT-MIN SKETCH cells over a stream of keys — the
+    * bounded-state alternative to per-key streaming counts: exact
+    * per-key counting over an unbounded keyspace needs unbounded
+    * state, while the CMS grid is O(depth × width) REGARDLESS of key
+    * cardinality, and its cells are plain sums, so partial sketches
+    * from different partitions/micro-batches/clusters merge by
+    * addition (the map-side combine IS the sketch merge). Every hash
+    * is the cross-engine charFold, so the grid itself — not just a
+    * derived answer — is reproducible in SQL and hash-checkable
+    * (st9). Returns one row per (i, j) cell with its count; estimates
+    * read `min_i cells(i, h_i(key))` and overcount by at most the
+    * collision mass (Cormode & Muthukrishnan 2005), never undercount.
+    */
+  def cmsCells(events: DataFrame, keyCol: String = "user_id",
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    import graft.functions.CrossHash
+    val k = col(keyCol).cast("string")
+    val cells = explode(transform(sequence(lit(0), lit(depth - 1)), i =>
+      struct(i.as("i"),
+        pmod(CrossHash.charFold(concat(k, lit("#"), i.cast("string"))),
+          lit(width.toLong)).as("j"))))
+    events.select(cells.as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The SQL fragment computing [[cmsCells]]'s row-level (i, j) pairs
+    * for a bound key expression and hash row `i` — shared with the
+    * st9 oracle so both engines address the identical cell.
+    */
+  def sqlCmsCell(key: String, i: String, width: Int = 64): String =
+    s"(${graft.functions.CrossHash.sqlCharFold(s"$key || '#' || $i")}) % $width"
+
   /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
     * restoring the previous value after. A stateful streaming query
     * pins its STATE layout to the shuffle-partition count at start

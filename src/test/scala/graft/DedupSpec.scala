@@ -582,4 +582,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((0, 0)), "within-doc repeats are not cross-doc duplication")
     assert(got(5L) == ((0, 0)), "short docs have no grams")
   }
+
+  test("span carve removes exactly the >=minSpan shared blocks, leaves the rest") {
+    import spark.implicits._
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ") // 15-token shared block
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"u$i").mkString(" ") + " " + boiler + " v1 v2 v3 v4 v5"),
+      (2L, (1 to 8).map(i => s"w$i").mkString(" ") + " " + boiler + " x1 x2 x3"),
+      // shares an 8-token block with doc 4 — BELOW the 12-token carve
+      // width, must survive untouched
+      (3L, "p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 p3"),
+      (4L, "s1 s2 s3 s4 s5 s6 s7 s8 r1 r2 r3"),
+      (5L, boiler), // nothing but the shared block: carved to empty
+      (6L, "lone1 lone2 lone3 lone4 lone5 lone6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.carveDupSpans(docs, n = 5, minSpan = 12)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(s: String): Long = Seq(s).toDF("x")
+      .select(CrossHash.charFold(col("x"))).head().getLong(0)
+    val carved1 = (1 to 10).map(i => s"u$i").mkString(" ") + " v1 v2 v3 v4 v5"
+    val carved2 = (1 to 8).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    assert(got(1L) == ((30L, 15L, fp(carved1))), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((26L, 15L, fp(carved2))), s"doc 2: ${got(2L)}")
+    assert(got(3L)._2 == 0L, "8-token shared block is below the carve width")
+    assert(got(3L)._3 == fp("p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 p3"))
+    assert(got(4L)._2 == 0L)
+    assert(got(5L) == ((15L, 15L, 0L)), "fully-carved doc pins fp to 0")
+    assert(got(6L)._2 == 0L)
+  }
 }

@@ -78,6 +78,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bySource.keySet.subsetOf(rates.keySet))
   }
 
+  test("temperature sampling: alpha=1 is proportional, alpha=0 equalizes, thresholds clamp") {
+    import spark.implicits._
+    // three domains with 3:1:1 natural proportions
+    val rows = (1 to 300).map(i => (i.toLong, s"big doc $i", "big")) ++
+      (1 to 100).map(i => (i + 1000L, s"mid doc $i", "mid")) ++
+      (1 to 100).map(i => (i + 2000L, s"small doc $i", "small"))
+    val df = rows.toDF("doc_id", "text", "source")
+    // alpha=1: w_i = n_i/N, keep prob = T/N for EVERY domain — one
+    // uniform threshold (natural proportions preserved)
+    val (thr1, _) = Sampling.temperatureSample(df, alpha = 1.0, targetDocs = 100L)
+    assert(thr1.values.toSet.size == 1, s"alpha=1 must be uniform: $thr1")
+    assert(thr1("big") == 200000L, s"T/N = 100/500 -> threshold 200000: $thr1")
+    // alpha=0: w_i = 1/k, keep prob T/(k*n_i) — small domains keep a
+    // LARGER fraction than big ones
+    val (thr0, audit0) = Sampling.temperatureSample(df, alpha = 0.0, targetDocs = 150L)
+    assert(thr0("small") > thr0("big"),
+      s"alpha=0 must upweight the small domain: $thr0")
+    val a0 = audit0.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(a0("big")._1 == 300L && a0("mid")._1 == 100L)
+    assert(a0.values.forall { case (n, kept, _) => kept <= n })
+    // a target above the corpus clamps at keep-everything
+    val (thrAll, auditAll) = Sampling.temperatureSample(df, alpha = 0.5, targetDocs = 10000L)
+    assert(thrAll.values.forall(_ == 1000000L), s"clamp at p=1: $thrAll")
+    assert(auditAll.collect().forall(r => r.getLong(1) == r.getLong(2)),
+      "p=1 must keep every row")
+    // content-addressed: re-sharding never changes the kept set
+    val (_, a7) = Sampling.temperatureSample(df.repartition(7), alpha = 0.0, targetDocs = 150L)
+    assert(a7.collect().map(r => (r.getString(0), r.getLong(2))).toMap ==
+      a0.map { case (s, (_, k, _)) => s -> k })
+  }
+
   test("split assignment is exhaustive, content-addressed, and percent-shaped") {
     def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
       Sampling.assignSplit(df, col("text")).select("doc_id", "split")

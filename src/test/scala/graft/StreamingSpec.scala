@@ -356,6 +356,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(onDisk == referenced.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).sorted)
   }
 
+  test("CMS sketch: stream grid equals batch grid; estimates never undercount") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 400).map(i => (i % 37L, s"e$i")) // 37 keys, skewed none
+    val batch = rows.toDF("user_id", "event_id")
+    val batchCells = EventStreams.cmsCells(batch)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the same rows through a micro-batched stream in Complete mode
+    // (three batches staged up front; runToCompletion drains them)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    rows.grouped(150).foreach(g => mem.addData(g: _*))
+    val streamCells = EventStreams.runToCompletion(
+      EventStreams.cmsCells(mem.toDF().toDF("user_id", "event_id")),
+      "cms_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamCells == batchCells,
+      "micro-batched sketch must equal the batch sketch cell-for-cell")
+    // grid volume: every row contributes once per hash row
+    assert(batchCells.values.sum == 400L * 4)
+    // CMS guarantee: estimate >= exact count for EVERY key
+    val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      val est = (0 until 4).map { i =>
+        val h = batch.sparkSession.range(1).select(
+          org.apache.spark.sql.functions.pmod(
+            graft.functions.CrossHash.charFold(lit(s"$k#$i")), lit(64L))).head().getLong(0)
+        batchCells((i, h))
+      }.min
+      assert(est >= n, s"key $k: est $est < exact $n — CMS must never undercount")
+    }
+  }
+
   /** All .parquet files under `root` (absolute URI paths). */
   private def walkParquet(conf: org.apache.hadoop.conf.Configuration,
       root: String): Seq[String] = {

@@ -218,4 +218,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows == Seq(("a", "b", 2L), ("b", "c", 2L), ("b", "b", 1L)))
   }
+
+  test("zipfFit recovers the planted power-law exponent") {
+    import spark.implicits._
+    // plant freq(rank i) = round(3000 / i^1.2): the ln-ln regression
+    // over the exact head must recover alpha ~ 1.2
+    val words = (1 to 40).flatMap { i =>
+      val n = math.round(3000.0 / math.pow(i, 1.2)).toInt
+      Seq.fill(n)(f"w$i%02d")
+    }
+    // spread over docs so the token counts survive the per-doc split
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, id) => (id.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, topN = 40).head()
+    val (nTokens, nVocab, alpha) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nVocab == 40L)
+    assert(nTokens == words.size.toLong)
+    assert(math.abs(alpha - 1.2) < 0.02,
+      s"planted exponent 1.2, fitted $alpha")
+    // a flat corpus (every token equally frequent) fits alpha ~ 0
+    val flat = (1 to 30).flatMap(i => Seq.fill(100)(s"f$i"))
+    val flatDocs = flat.grouped(50).zipWithIndex
+      .map { case (g, id) => (id.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val a0 = TextAnalysis.zipfFit(flatDocs, topN = 30).head().getDouble(2)
+    assert(math.abs(a0) < 1e-9, s"flat corpus must fit alpha 0, got $a0")
+  }
 }

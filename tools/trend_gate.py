@@ -50,43 +50,53 @@ def load(path):
                      and "queries" in c), None)
         # chunked re-emission (r12+): short {"metric":"queries_chunk"}
         # lines near the end of stdout survive tail capture whole where
-        # the one long summary line loses its head; reassemble them and
-        # take headline numbers from the short pointer line
+        # the one long summary line loses its head; headline numbers
+        # come from the short pointer line
         chunks = [c for c in cands if c.get("metric") == "queries_chunk"]
         short = next((c for c in reversed(cands)
                       if c.get("metric") == "total" and "queries" not in c), None)
-        if full is not None:
-            d = full
-        elif chunks and short is not None:
-            qs = {}
-            for c in chunks:
-                qs.update(c.get("queries", {}))
-            nparts = chunks[0].get("parts")
-            got = len({c.get("part") for c in chunks})
-            if nparts is not None and got < nparts:
-                print(f"note: {path}: reassembled {got}/{nparts} query chunks "
-                      f"(head-truncated tail); {len(qs)} timings recovered")
-            d = dict(short)
-            d["queries"] = qs
-        elif short is not None and short.get("queries_file"):
-            # only the short pointer line survived: find a persisted
-            # per-query summary whose headline value matches this run —
-            # the named queries_file (repo-relative; overwritten by
-            # every local Bench run) or an archived copy under
-            # bench_history/driver_*.json
+        qs = {}
+        for c in chunks:
+            qs.update(c.get("queries", {}))
+        nparts = chunks[0].get("parts") if chunks else None
+        complete = nparts is not None and \
+            len({c.get("part") for c in chunks}) == nparts
+        # persisted-summary lookup: the pointer file Bench writes
+        # (repo-relative; overwritten by every local run) or an
+        # archived driver_*.json copy, accepted only when its headline
+        # total matches this run's short line exactly
+        filed = None
+        if short is not None:
             root = os.path.join(os.path.dirname(__file__), "..")
-            qf = short["queries_file"]
+            qf = short.get("queries_file", "target/bench_summary.json")
             cand_paths = [qf, os.path.join(root, qf)] + sorted(
                 glob.glob(os.path.join(root, "bench_history", "driver_*.json")))
             for p2 in cand_paths:
                 if not os.path.exists(p2):
                     continue
                 with open(p2) as f2:
-                    filed = json.load(f2)
-                # sanity: the file must be THIS run's summary
-                if abs(filed.get("value", -2) - short.get("value", -3)) < 1e-6:
-                    d = filed
+                    c2 = json.load(f2)
+                if abs(c2.get("value", -2) - short.get("value", -3)) < 1e-6 \
+                        and "queries" in c2:
+                    filed, filed_path = c2, p2
                     break
+        # preference: intact full line > complete chunk set >
+        # value-matched persisted summary > partial chunks (degraded)
+        if full is not None:
+            d = full
+        elif complete and short is not None:
+            d = dict(short)
+            d["queries"] = qs
+        elif filed is not None:
+            print(f"note: {path}: per-query timings read from the "
+                  f"value-matched persisted summary {filed_path}")
+            d = filed
+        elif chunks and short is not None:
+            print(f"note: {path}: reassembled "
+                  f"{len({c.get('part') for c in chunks})}/{nparts} query "
+                  f"chunks (head-truncated tail); {len(qs)} timings recovered")
+            d = dict(short)
+            d["queries"] = qs
         if "queries" not in d:
             # The tail capture keeps the LAST N bytes, so the summary
             # line can be head-truncated (round 8's artifact): the line
