@@ -1021,12 +1021,21 @@ final class GlueTableEngine(
   /** Append a batch to a registered Iceberg table as its next
     * snapshot. Returns the new sequence number.
     */
-  def appendIcebergTable(df: DataFrame, database: String, table: String): Long = {
+  /** `evolve = true` permits ADDITIVE schema evolution: a batch whose
+    * schema extends the table's as a strict prefix appends new
+    * trailing columns (positional field ids stay stable), the evolved
+    * schema publishes with the commit, and pre-evolution files read
+    * the new columns back as nulls — the Iceberg twin of g40's Delta
+    * evolution contract. Non-additive shapes still fail loudly.
+    */
+  def appendIcebergTable(df: DataFrame, database: String, table: String,
+      evolve: Boolean = false): Long = {
     val meta = tableMetadata(database, table)
     require(meta.tableType == TableType.Iceberg,
       s"$database.$table is ${meta.tableType}, not an Iceberg table")
     val v = graft.listing.IcebergWriter.commit(
-      spark, location(meta), df, meta.table.partitionKeys.map(_.name))
+      spark, location(meta), df, meta.table.partitionKeys.map(_.name),
+      allowAdditive = evolve)
     invalidateTable(database, table)
     v
   }

@@ -112,9 +112,10 @@ object IcebergWriter {
     */
   def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
       partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false,
-      summary: Map[String, String] = Map.empty): Long =
+      summary: Map[String, String] = Map.empty,
+      allowAdditive: Boolean = false): Long =
     commitInternal(spark, location, df, partitionBy, rewriteAll, summary,
-      txn = None, onBeforePublish = () => ())
+      txn = None, onBeforePublish = () => (), allowAdditive = allowAdditive)
       .getOrElse(throw new IllegalStateException(
         "unreachable: only txn commits recognize replays"))
 
@@ -142,7 +143,8 @@ object IcebergWriter {
   private def commitInternal(spark: SparkSession, location: String,
       df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String],
       rewriteAll: Boolean, summary: Map[String, String],
-      txn: Option[(String, Long)], onBeforePublish: () => Unit): Option[Long] = {
+      txn: Option[(String, Long)], onBeforePublish: () => Unit,
+      allowAdditive: Boolean = false): Option[Long] = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -201,7 +203,7 @@ object IcebergWriter {
         .getOrElse(0L) + 1L
       val out = commitAttempt(spark, fs, root, metaDir, df, partitionBy,
         rewriteAll, summary, token, prior, seq, idFields,
-        dataDir, manifestPath, onBeforePublish)
+        dataDir, manifestPath, onBeforePublish, allowAdditive)
       out match {
         case Right(published) => return Some(published)
         case Left((dd, mp)) =>
@@ -227,7 +229,8 @@ object IcebergWriter {
       token: String, prior: Option[com.fasterxml.jackson.databind.JsonNode], seq: Long,
       idFields: Array[(Int, String, String)],
       dataDir0: String, manifestPath0: String,
-      onBeforePublish: () => Unit): Either[(String, String), Long] = {
+      onBeforePublish: () => Unit,
+      allowAdditive: Boolean): Either[(String, String), Long] = {
     val priorSnapshots: Seq[String] = prior.toSeq.flatMap { n =>
       Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq
         .map(mapper.writeValueAsString))
@@ -258,7 +261,16 @@ object IcebergWriter {
         }
       }.getOrElse(Nil)
       val mine = idFields.map { case (_, nm, tp) => (nm, tp) }.toSeq
-      if (declared.nonEmpty && declared != mine)
+      // ADDITIVE evolution (opt-in): appending columns at the END
+      // keeps every existing positional field id stable, so the new
+      // schema may extend the declared one as a strict prefix — the
+      // published metadata then carries the evolved schema, and the
+      // reader's metadata-schema extension surfaces the new columns
+      // as nulls in pre-evolution files. Anything else (reorder,
+      // retype, drop, insert) still fails loudly.
+      val additive = allowAdditive && mine.size > declared.size &&
+        mine.take(declared.size) == declared
+      if (declared.nonEmpty && declared != mine && !additive)
         throw new IllegalArgumentException(
           s"append schema mismatch for Iceberg table at $root: table declares " +
             s"${declared.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}, batch has " +

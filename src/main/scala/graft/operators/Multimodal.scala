@@ -735,6 +735,82 @@ object Multimodal {
 
   final case class ResizedImage(doc_id: Long, thumb: Seq[Long])
 
+  final case class ImageDHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Difference hash (dHash) over real decoded PNG pixels — the
+    * perceptual fingerprint an image-dedup pass computes before any
+    * pairing: downsample to a 9×8 grayscale grid (the same
+    * nearest-neighbor convention as [[imageResize]]), then emit one
+    * bit per horizontally-adjacent cell pair (`gray(x+1,y) >
+    * gray(x,y)`), 64 bits total. Near-identical images (recompress,
+    * slight crop/brightness) collide or sit within a few Hamming
+    * bits, so the d5 simhash band machinery applies unchanged
+    * downstream. Grayscale is the integer BT.601 weighting
+    * `(299r + 587g + 114b) / 1000` — exact in both engines. The hash
+    * is emitted as two 32-bit halves (rows 0–3 / rows 4–7) so no
+    * sign-bit two's-complement corner can diverge cross-engine.
+    *
+    * Scale: narrow per-row decode+hash, no shuffle but the
+    * presentation sort — a 100 TB image corpus never moves pixels.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ImageDHash]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodePngPixels(bytes)
+          if (w < 9 || h < 8) ImageDHash(id, 0L, 0L)
+          else {
+            def gray(i: Int, j: Int): Long = {
+              val v = px((j * h / 8) * w + (i * w / 9))
+              (299L * ((v >> 16) & 255) + 587L * ((v >> 8) & 255) +
+                114L * (v & 255)) / 1000L
+            }
+            var hi = 0L; var lo = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(x + 1, y) > gray(x, y)) {
+                  if (y < 4) hi |= 1L << (y * 8 + x)
+                  else lo |= 1L << ((y - 4) * 8 + x)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImageDHash(id, hi, lo)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Oracle for [[imageDHash]]: regenerates the 9×8 grayscale grid
+    * from the fixture's analytic pixels and folds the same bits.
+    */
+  def sqlImageDHash: String = {
+    // analytic pixel at grid cell (i, j) of a w×h fixture image
+    def pix(i: String, j: String) =
+      s"(doc_id * 31 + (($i) * w // 9) * 7 + (($j) * h // 8)) % 16777216"
+    def gray(v: String) =
+      s"(299 * (($v) >> 16 & 255) + 587 * (($v) >> 8 & 255) + 114 * (($v) & 255)) // 1000"
+    s"""WITH p AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+       |           FROM documents WHERE doc_id % 2 = 0),
+       |c AS (SELECT doc_id, w, h, xy % 8 AS x, xy // 8 AS y
+       |      FROM (SELECT doc_id, w, h, unnest(range(64)) AS xy FROM p)),
+       |b AS (SELECT doc_id, x, y,
+       |        CASE WHEN ${gray(pix("x + 1", "y"))} > ${gray(pix("x", "y"))}
+       |             THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |      FROM c)
+       |SELECT doc_id,
+       |  sum(CASE WHEN y < 4 THEN bit << (y * 8 + x) ELSE 0 END)::BIGINT AS dhash_hi,
+       |  sum(CASE WHEN y >= 4 THEN bit << ((y - 4) * 8 + x) ELSE 0 END)::BIGINT AS dhash_lo
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Nearest-neighbor RESIZE to a `t`×`t` thumbnail over real decoded
     * PNG pixels — the normalization step every vision-data pipeline
     * runs before feature extraction. Source index = `floor(dst*src/t)`
@@ -788,6 +864,33 @@ object Multimodal {
        |SELECT doc_id, CAST(i AS INTEGER) AS i,
        |  CAST((doc_id * 31 + ((i % $t) * w // $t) * 7 + ((i // $t) * h // $t)) % 16777216 AS BIGINT) AS rgb
        |FROM g ORDER BY doc_id, i""".stripMargin
+
+  /** Perceptual image DEDUP groups: cluster the corpus by exact
+    * [[imageDHash]] equality and report every group holding more
+    * than one image, with its canonical (smallest doc_id) survivor —
+    * the grouping pass an image pipeline runs instead of pairwise
+    * joins: dHash equality is the near-identical predicate, and
+    * grouping on it is ONE shuffle of 16-byte keys where a Hamming
+    * pair join over a near-uniform corpus would be quadratic in the
+    * largest perceptual cluster. Output is bounded by the number of
+    * DISTINCT hashes, not images.
+    */
+  def imageDedupGroups(media: DataFrame): DataFrame =
+    imageDHash(media)
+      .groupBy("dhash_hi", "dhash_lo")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("canonical"))
+      .filter(col("n_images") >= 2)
+      .orderBy("dhash_hi", "dhash_lo")
+
+  /** Oracle for [[imageDedupGroups]] (the [[sqlImageDHash]] grid,
+    * grouped).
+    */
+  def sqlImageDedupGroups: String =
+    s"""WITH d AS (${sqlImageDHash.replace("ORDER BY doc_id", "")})
+       |SELECT dhash_hi, dhash_lo, count(*)::BIGINT AS n_images,
+       |  min(doc_id) AS canonical
+       |FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY dhash_hi, dhash_lo""".stripMargin
 
   /** media(doc_id, img) -> [[ImageStats]] rows via
     * [[decodePngStats]]; non-PNG rows (the JPEG half of the fixture)

@@ -1274,6 +1274,37 @@ object Queries {
     // Hudi ROLLBACK through the oracle gate (completing the g37/g38
     // trio): write evens, append odds, upsert the low keys to zero,
     // then roll back to the pre-upsert instant — the latest read must
+    // Iceberg ADDITIVE schema evolution through the oracle gate (the
+    // g40 Delta contract, Iceberg twin): the evolved append carries a
+    // new trailing BIGINT column, positional field ids stay stable,
+    // the commit publishes the evolved schema, and rows from
+    // pre-evolution files surface the new column as nulls
+    "g44_iceberg_evolution" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders")
+        val loc = s"${TestFixtures.root(sf)}/ice_evo_rt"
+        eng.writeIcebergTable(
+          o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+          "default", "ice_evo_rt", loc)
+        eng.appendIcebergTable(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (dec2("o_totalprice") * 100).cast("long").as("price_cents")),
+          "default", "ice_evo_rt", evolve = true)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  count(price_cents) AS n_priced,
+            |  sum(price_cents) AS cents
+            |FROM glue.default.ice_evo_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // equal the untouched table, with the rewritten file group
     // re-pointed at its OLD slice (not just new groups dropped)
     "g39_hudi_rollback" -> ((
@@ -2902,6 +2933,30 @@ object Queries {
           .select(col("doc_id"), posexplode(col("thumb")).as(Seq("i", "rgb")))
           .orderBy("doc_id", "i"),
       Multimodal.sqlImageResizeRows())),
+
+    // PERCEPTUAL image fingerprint (dHash) over real decoded PNG
+    // pixels: 9x8 nearest-neighbor grayscale grid, one bit per
+    // adjacent-cell comparison — the image-dedup prefilter; the
+    // oracle refolds the same bits from the fixture's analytic
+    // pixels, so the decode+downsample+hash chain is hash-exact
+    "m12_image_dhash" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageDHash(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0))
+          .orderBy("doc_id"),
+      Multimodal.sqlImageDHash)),
+
+    // perceptual image DEDUP: group by exact dHash (near-identical
+    // predicate), one 16-byte-key shuffle, output bounded by distinct
+    // hashes — the scale-safe alternative to Hamming pair joins over
+    // perceptually clustered corpora
+    "m13_image_dedup" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageDedupGroups(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0)),
+      Multimodal.sqlImageDedupGroups)),
 
     // full baseline JPEG decode over the OTHER half of the image
     // fixture (odd doc_ids): huffman + libjpeg-exact IDCT + fancy

@@ -21,6 +21,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageHeader(imageBytes(123, 45, "png")) == ((123, 45, "png")))
   }
 
+  test("dHash is brightness-invariant and flips under gradient reversal") {
+    import TestSpark.spark.implicits._
+    def png(f: (Int, Int) => Int, w: Int = 18, h: Int = 10): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grayPx(g: Int) = (g << 16) | (g << 8) | g
+    val rising = png((x, _) => grayPx(x * 10))
+    val brighter = png((x, _) => grayPx(x * 10 + 40)) // uniform offset
+    val falling = png((x, _) => grayPx(170 - x * 10))
+    val df = Seq((1L, rising), (2L, brighter), (3L, falling)).toDF("doc_id", "img")
+    val got = Multimodal.imageDHash(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a strictly rising gradient sets every comparison bit
+    assert(got(1L) == ((0xffffffffL, 0xffffffffL)), s"rising: ${got(1L)}")
+    // the perceptual property: global brightness shifts don't move the hash
+    assert(got(2L) == got(1L), "uniform brightness offset must not change dHash")
+    // reversing the gradient clears every bit
+    assert(got(3L) == ((0L, 0L)), s"falling: ${got(3L)}")
+    // the grouping pass clusters 1 and 2, canonical = smaller id
+    val groups = Multimodal.imageDedupGroups(df).collect()
+    assert(groups.length == 1 && groups.head.getLong(2) == 2L &&
+      groups.head.getLong(3) == 1L)
+  }
+
   test("JPEG SOFn width/height parsed from real encoder output") {
     assert(Multimodal.decodeImageHeader(imageBytes(640, 480, "jpg")) == ((640, 480, "jpeg")))
   }
