@@ -218,10 +218,21 @@ object EventStreams {
   def cmsCells(events: DataFrame, keyCol: String = "user_id",
       depth: Int = 4, width: Int = 64): DataFrame = {
     import graft.functions.CrossHash
+    require(depth <= 10, "cell derivation assumes single-digit hash-row suffixes")
     val k = col(keyCol).cast("string")
+    // h_i = charFold(key || '#' || i) derived ARITHMETICALLY from one
+    // base fold: charFold is a left fold (acc*31 + char) % P, so the
+    // two-char suffix is two more fold steps ('#' = 35, digit = 48+i).
+    // Identical values to hashing the concatenation (the oracle keeps
+    // the spelled-out form), but the per-row expression folds the key
+    // ONCE instead of `depth` times and the generated code stays
+    // small — at streaming's per-micro-batch codegen cadence the big
+    // fold expression was the dominant per-trigger cost (measured
+    // 7.4 s -> see NOTES, sf1).
+    val hBase = (CrossHash.charFold(k) * lit(31L) + lit(35L)) % lit(CrossHash.P)
     val cells = explode(transform(sequence(lit(0), lit(depth - 1)), i =>
       struct(i.as("i"),
-        pmod(CrossHash.charFold(concat(k, lit("#"), i.cast("string"))),
+        pmod((hBase * lit(31L) + lit(48L) + i) % lit(CrossHash.P),
           lit(width.toLong)).as("j"))))
     events.select(cells.as("c"))
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
