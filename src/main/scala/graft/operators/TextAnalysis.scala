@@ -556,6 +556,87 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** CROSS-SOURCE vocabulary overlap matrix from MERGED KMV sketches
+    * — the pairwise leakage/overlap audit two data sources get before
+    * being mixed, at sketch cost instead of a vocabulary-scale join
+    * per pair: KMV sketches are mergeable (the k smallest of the
+    * UNION of two k-min sets IS the union's KMV sketch, Beyer et al.
+    * SIGMOD'07), so each source is sketched ONCE and every pairwise
+    * union/intersection estimate is arithmetic over two k-element
+    * arrays. `|A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)` by
+    * inclusion-exclusion, and when BOTH sources' vocabularies fit
+    * inside their sketches the merged set is exact and so is the
+    * estimate. Returns `(src_a, src_b, est_a, est_b, est_union,
+    * jaccard_est)` for every unordered source pair.
+    *
+    * Scale shape: one vocabulary-scale distinct + per-source bounded
+    * top-k (the t19 plan); the pair stage joins #sources² rows of
+    * k-element arrays — metadata-scale (a mix has tens of sources) —
+    * with the merge itself a per-row array op. The corpus is never
+    * joined against itself.
+    */
+  def kmvSourceOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
+    import graft.functions.CrossHash
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("source"), explode(CrossHash.distinctTokens(col("text"))).as("w"))
+      .select(col("source"),
+        ((CrossHash.charFold(col("w")) * lit(KmvA)) % lit(CrossHash.P)).as("h"))
+      .distinct()
+    val sk = tok
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n_small"))
+    def est(hs: Column, nSmall: Column): Column =
+      when(nSmall < k, nSmall.cast("double"))
+        .otherwise(lit(((k - 1).toLong * CrossHash.P).toDouble) /
+          element_at(hs, k).cast("double"))
+    val a = sk.select(col("source").as("src_a"), col("hs").as("ha"), col("n_small").as("na"))
+    val b = sk.select(col("source").as("src_b"), col("hs").as("hb"), col("n_small").as("nb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("merged", slice(array_sort(array_distinct(concat(col("ha"), col("hb")))),
+        1, k))
+      .withColumn("nm", size(col("merged")))
+      .select(col("src_a"), col("src_b"),
+        round(est(col("ha"), col("na")), 6).as("est_a"),
+        round(est(col("hb"), col("nb")), 6).as("est_b"),
+        round(est(col("merged"), col("nm")), 6).as("est_union"),
+        round(
+          greatest(lit(0.0),
+            est(col("ha"), col("na")) + est(col("hb"), col("nb")) -
+              est(col("merged"), col("nm"))) / est(col("merged"), col("nm")),
+          6).as("jaccard_est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB oracle for [[kmvSourceOverlap]]. */
+  def sqlKmvSourceOverlap(k: Int = 64): String = {
+    import graft.functions.CrossHash
+    val cap = ((k - 1).toLong * CrossHash.P).toDouble
+    def est(hs: String, n: String) =
+      s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE $cap / CAST($hs[$k] AS DOUBLE) END"
+    val eu = est("merged", "nm")
+    val ea = est("ha", "na")
+    val eb = est("hb", "nb")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT source, CAST((${CrossHash.sqlCharFold("w")} * $KmvA) % ${CrossHash.P} AS BIGINT) AS h
+       |  FROM (SELECT source, unnest(${CrossHash.sqlDistinctTokens("text")}) AS w FROM documents)),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM tok),
+       |sk AS (SELECT source, list_sort(list(h)) AS hs, COUNT(*) AS n_small
+       |       FROM r WHERE rn <= $k GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |        a.hs AS ha, a.n_small AS na, b.hs AS hb, b.n_small AS nb,
+       |        list_sort(list_distinct(a.hs || b.hs))[1:$k] AS merged
+       |      FROM sk a JOIN sk b ON a.source < b.source),
+       |q AS (SELECT *, len(merged) AS nm FROM p)
+       |SELECT src_a, src_b,
+       |  round($ea, 6) AS est_a, round($eb, 6) AS est_b,
+       |  round($eu, 6) AS est_union,
+       |  round(greatest(0.0, $ea + $eb - $eu) / $eu, 6) AS jaccard_est
+       |FROM q ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** KMV (K-minimum-values) distinct-cardinality sketch per source:
     * the k smallest distinct token hashes estimate the vocabulary as
     * `(k-1) * P / h_k` (Bar-Yossef et al., "Counting distinct

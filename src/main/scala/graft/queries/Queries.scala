@@ -2804,6 +2804,16 @@ object Queries {
         TextAnalysis.zipfFit(t(spark, sf, "documents")),
       TextAnalysis.sqlZipfFit())),
 
+    // pairwise cross-source vocabulary overlap from MERGED KMV
+    // sketches (sketches merge: k-min of the union of k-min sets):
+    // each source sketched once, every pair estimated from two
+    // k-element arrays — the leakage audit at sketch cost, never a
+    // vocabulary join per pair
+    "t20_kmv_overlap" -> ((
+      (spark: SparkSession, sf: String) =>
+        TextAnalysis.kmvSourceOverlap(t(spark, sf, "documents")),
+      TextAnalysis.sqlKmvSourceOverlap())),
+
     "t19_kmv_cardinality" -> ((
       (spark: SparkSession, sf: String) =>
         TextAnalysis.kmvCardinality(t(spark, sf, "documents")),

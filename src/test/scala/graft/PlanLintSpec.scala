@@ -42,7 +42,12 @@ class PlanLintSpec extends AnyFunSuite {
     "s18_recall_audit",
     "q16_recursive_cte",
     "t5_length_quantiles",
-    "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical")
+    "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical",
+    // t20 pairs PER-SOURCE KMV sketches (src_a < src_b): both sides
+    // are one row per source — tens of rows at any corpus size, by
+    // the definition of a data mix — so the nested loop is over
+    // metadata, not data
+    "t20_kmv_overlap")
 
   /** A nested-loop join whose BROADCAST side is a grand aggregate
     * (no grouping keys → provably ≤ 1 row) is linear, not quadratic:

@@ -219,6 +219,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows == Seq(("a", "b", 2L), ("b", "c", 2L), ("b", "b", 1L)))
   }
 
+  test("kmv source overlap: exact when sketches hold the vocab, close when saturated") {
+    import spark.implicits._
+    def doc(id: Long, src: String, lo: Int, hi: Int) =
+      (id, (lo to hi).map(i => f"w$i%03d").mkString(" "), src)
+    // small vocabularies (<= k = 64): the merged sketch IS the union,
+    // every estimate exact
+    val small = Seq(doc(1, "a", 1, 30), doc(2, "b", 20, 50))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.kmvSourceOverlap(small).head()
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert(r.getDouble(2) == 30.0 && r.getDouble(3) == 31.0)
+    assert(r.getDouble(4) == 50.0, s"union must be exact: ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 11.0 / 50.0) < 1e-6)
+    // saturated sketches (vocab 400 >> k): estimates within sketch
+    // error (~1/sqrt(k) ~ 12.5%) of the truth
+    val big = Seq(doc(1, "a", 1, 400), doc(2, "b", 201, 600))
+      .toDF("doc_id", "text", "source")
+    val s = TextAnalysis.kmvSourceOverlap(big).head()
+    assert(math.abs(s.getDouble(4) - 600.0) / 600.0 < 0.25,
+      s"union est ${s.getDouble(4)} vs 600")
+    assert(math.abs(s.getDouble(5) - 200.0 / 600.0) < 0.15,
+      s"jaccard est ${s.getDouble(5)} vs ${200.0 / 600.0}")
+  }
+
   test("zipfFit recovers the planted power-law exponent") {
     import spark.implicits._
     // plant freq(rank i) = round(3000 / i^1.2): the ln-ln regression
