@@ -155,6 +155,94 @@ object EventAnalytics {
     }
   }
 
+  /** BFS hop counts from the smallest user node over the same
+    * bipartite view graph [[pageRank]] walks — single-source shortest
+    * paths at unit edge weight, the reachability/radius diagnostic a
+    * graph-dedup or recommendation pipeline reads next to its
+    * components. Returns the hop DISTRIBUTION `(hop, n_nodes)` for
+    * hops 0..`maxHops` (unreached nodes are absent; all-integer, so
+    * the compare is exact).
+    *
+    * Scale shape: per round ONE frontier-edges equi-join + a min
+    * aggregate, both keyed — the Pregel BFS re-expressed relationally;
+    * the distance table is materialized per round and the frontier
+    * (newly-settled nodes only) is what joins edges, so a round's
+    * cost tracks the frontier size, not the graph. The output is a
+    * maxHops-row aggregate; nothing bigger reaches the driver.
+    */
+  def bfsHops(events: DataFrame, maxHops: Int = 4): DataFrame = {
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        (-(get_json_object(col("props"), "$.k").cast("long") + lit(1L))).as("it"))
+      .distinct()
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .union(ev.select(col("it").as("src"), col("u").as("dst")))
+      .persist()
+    try {
+      val source = edges.filter(col("src") > 0)
+        .agg(min(col("src")).as("s")).collect()(0).getLong(0)
+      var dist = edges.sparkSession.range(1)
+        .select(lit(source).as("node"), lit(0).cast("int").as("hop"))
+        .persist()
+      var frontier = dist
+      try {
+        (1 to maxHops).foreach { h =>
+          val next = frontier.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .select(col("dst").as("node")).distinct()
+            .join(dist.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit(h).cast("int").as("hop"))
+          val merged = dist.union(next).persist()
+          merged.count() // materialize before dropping the parent round
+          val newFrontier = merged.filter(col("hop") === h).persist()
+          newFrontier.count()
+          dist.unpersist()
+          if (frontier ne dist) frontier.unpersist()
+          dist = merged
+          frontier = newFrontier
+        }
+        dist.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq match {
+          case rows =>
+            val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
+            import sp.implicits._
+            rows.toDF("hop", "n_nodes")
+        }
+      } finally {
+        dist.unpersist(); if (frontier ne dist) frontier.unpersist(); ()
+      }
+    } finally { edges.unpersist(); () }
+  }
+
+  /** DuckDB oracle for [[bfsHops]] — the frontier expansion unrolled
+    * to `maxHops` CTE stages (settled-set anti-join per stage).
+    */
+  def sqlBfsHops(maxHops: Int = 4): String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id AS u,
+         |    -(CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS it
+         |  FROM events WHERE event_type = 'view'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |e AS (SELECT u AS src, it AS dst FROM ev
+         |      UNION ALL SELECT it AS src, u AS dst FROM ev),
+         |d0 AS (SELECT (SELECT MIN(src) FROM e WHERE src > 0) AS node, 0 AS hop)""".stripMargin
+    val stages = (1 to maxHops).map { h =>
+      val prev = s"d${h - 1}"
+      s"""d$h AS (
+         |  SELECT node, hop FROM $prev
+         |  UNION ALL
+         |  SELECT f.node, $h AS hop FROM (
+         |    SELECT DISTINCT e.dst AS node FROM e
+         |    JOIN $prev p ON e.src = p.node AND p.hop = ${h - 1}) f
+         |  WHERE f.node NOT IN (SELECT node FROM $prev))""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT CAST(hop AS INTEGER) AS hop, COUNT(*)::BIGINT AS n_nodes " +
+      s"FROM d$maxHops GROUP BY hop ORDER BY hop"
+  }
+
   /** DuckDB oracle for [[pageRank]] — the power iteration unrolled to
     * `iters` CTE stages over the same integer fixed-point ops (`//`
     * is BIGINT division in DuckDB, `div` in Spark; inputs are always

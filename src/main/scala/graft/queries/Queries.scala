@@ -2828,6 +2828,14 @@ object Queries {
         EventAnalytics.pageRank(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlPageRank())),
 
+    // single-source BFS over the same bipartite view graph: frontier
+    // expansion, one keyed join + min-agg per round, all-integer hop
+    // distribution against an unrolled-CTE oracle
+    "q48_bfs_hops" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.bfsHops(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlBfsHops())),
+
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),
       TextAnalysis.sqlLangid)),
@@ -3131,7 +3139,15 @@ object Queries {
     "m4_audio_energy" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.audioEnergy(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
-      Multimodal.sqlAudioEnergy()))
+      Multimodal.sqlAudioEnergy())),
+
+    // integer PCM autocorrelation at lags 1..4: the periodicity
+    // (voiced/tonal vs noise) feature, exact BIGINT lag products over
+    // the sign-extended samples — no FFT, no floats, hash-exact
+    "m14_audio_autocorr" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.audioAutocorr(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
+      Multimodal.sqlAudioAutocorr))
   )
 
   val all: Map[String, (Q, String)] = core ++ glue ++ pipeline
