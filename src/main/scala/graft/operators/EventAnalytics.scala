@@ -182,36 +182,34 @@ object EventAnalytics {
     try {
       val source = edges.filter(col("src") > 0)
         .agg(min(col("src")).as("s")).collect()(0).getLong(0)
-      var dist = edges.sparkSession.range(1)
+      // the settled set is the UNION of the persisted per-hop
+      // frontiers — no re-materialized cumulative table, ONE action
+      // per round (the frontier count), and the anti-join reads only
+      // cached leaves, so the plan stays flat across rounds
+      val f0 = edges.sparkSession.range(1)
         .select(lit(source).as("node"), lit(0).cast("int").as("hop"))
         .persist()
-      var frontier = dist
+      f0.count()
+      var frontiers: List[DataFrame] = List(f0)
       try {
         (1 to maxHops).foreach { h =>
-          val next = frontier.withColumnRenamed("node", "src")
+          val settled = frontiers.map(_.select(col("node"))).reduce(_.union(_))
+          val next = frontiers.head.withColumnRenamed("node", "src")
             .join(edges, "src")
             .select(col("dst").as("node")).distinct()
-            .join(dist.select(col("node")), Seq("node"), "left_anti")
+            .join(settled, Seq("node"), "left_anti")
             .select(col("node"), lit(h).cast("int").as("hop"))
-          val merged = dist.union(next).persist()
-          merged.count() // materialize before dropping the parent round
-          val newFrontier = merged.filter(col("hop") === h).persist()
-          newFrontier.count()
-          dist.unpersist()
-          if (frontier ne dist) frontier.unpersist()
-          dist = merged
-          frontier = newFrontier
+            .persist()
+          next.count() // the round's single materialization
+          frontiers = next :: frontiers
         }
-        dist.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
-          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq match {
-          case rows =>
-            val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
-            import sp.implicits._
-            rows.toDF("hop", "n_nodes")
-        }
-      } finally {
-        dist.unpersist(); if (frontier ne dist) frontier.unpersist(); ()
-      }
+        val rows = frontiers.reduce(_.union(_))
+          .groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
+        import sp.implicits._
+        rows.toDF("hop", "n_nodes")
+      } finally { frontiers.foreach(_.unpersist()); () }
     } finally { edges.unpersist(); () }
   }
 
