@@ -420,10 +420,15 @@ final class GlueTableEngine(
     // hand-built or minimal metadata schemas (subset of the files')
     // must never SHRINK the read schema.
     val extended =
-      if (declared.isEmpty && meta.tableType == TableType.Iceberg) {
+      if (declared.isEmpty &&
+          (meta.tableType == TableType.Iceberg || meta.tableType == TableType.Hudi)) {
         val k = s"${meta.table.database}.${meta.table.name}#logschema#v$versionOffset"
         val metaSchema = inferredSchemas.get(k).orElse {
-          val s = iceberg.dataSchemaAt(location(meta), versionOffset)
+          val s =
+            if (meta.tableType == TableType.Iceberg)
+              iceberg.dataSchemaAt(location(meta), versionOffset)
+            else // Hudi: per-commit schema in the timeline's extraMetadata
+              graft.listing.HudiTimelineWriter.dataSchemaAt(spark, location(meta), versionOffset)
           s.foreach(inferredSchemas.put(k, _)); s
         }
         metaSchema.fold(raw) { ms =>
@@ -1291,10 +1296,33 @@ final class GlueTableEngine(
   /** Append a batch to a registered Hudi table as its next completed
     * instant (new file groups — a pure insert). Returns the instant.
     */
-  def appendHudiTable(df: DataFrame, database: String, table: String): String = {
+  /** `evolve = true` permits ADDITIVE schema evolution, mirroring the
+    * Delta (g40) and Iceberg (g44) contracts: a batch whose schema
+    * extends the table's recorded schema as a strict prefix appends
+    * new trailing columns (the commit records the evolved schema in
+    * its extraMetadata; older slices read the new columns as nulls
+    * via the timeline-schema extension). Non-additive shapes fail
+    * loudly; tables without a recorded schema (pre-r12) skip the
+    * check for compatibility.
+    */
+  def appendHudiTable(df: DataFrame, database: String, table: String,
+      evolve: Boolean = false): String = {
     val meta = tableMetadata(database, table)
     require(meta.tableType == TableType.Hudi,
       s"$database.$table is ${meta.tableType}, not a Hudi table")
+    graft.listing.HudiTimelineWriter.dataSchemaAt(spark, location(meta)).foreach { cur =>
+      val declared = cur.fields.map(f => (f.name, f.dataType)).toSeq
+      val mine = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val additive = evolve && mine.size > declared.size &&
+        mine.take(declared.size) == declared
+      if (declared != mine && !additive)
+        throw new IllegalArgumentException(
+          s"append schema mismatch for Hudi table at ${location(meta)}: table declares " +
+            s"${declared.map { case (a, b) => s"$a:${b.simpleString}" }.mkString("[", ", ", "]")}, batch has " +
+            s"${mine.map { case (a, b) => s"$a:${b.simpleString}" }.mkString("[", ", ", "]")}" +
+            (if (!evolve && mine.size > declared.size && mine.take(declared.size) == declared)
+               " (additive; pass evolve = true to extend the schema)" else ""))
+    }
     val v = graft.listing.HudiTimelineWriter.commit(
       spark, location(meta), df, meta.table.partitionKeys.map(_.name))
     invalidateTable(database, table)

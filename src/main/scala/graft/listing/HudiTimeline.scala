@@ -229,15 +229,20 @@ object HudiTimelineWriter {
       }
     val kind = if (replaceFileIds.isEmpty) "commit" else "replacecommit"
     // `extraMetadata` is Hudi's own slot for writer bookkeeping (the
-    // streaming checkpoint key lives there in real Hudi) — the
-    // exactly-once sink records its (appId, batchId) mark here
-    val extraJson =
-      if (extraMetadata.isEmpty) ""
-      else {
-        val m = extraMetadata.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
-          .mkString("{", ", ", "}")
-        s""""extraMetadata": $m, """
-      }
+    // streaming checkpoint key lives there in real Hudi; so does the
+    // TABLE SCHEMA, which real Hudi records per commit) — the
+    // exactly-once sink records its (appId, batchId) mark here, and
+    // every commit records the batch schema so the reader resolves
+    // columns from the TIMELINE instead of one sampled file (the
+    // additive-evolution contract: a column added by a later writer
+    // must read back as nulls from older slices, not vanish)
+    val withSchema = extraMetadata +
+      ("graft-schema" -> df.schema.toDDL)
+    val extraJson = {
+      val m = withSchema.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")
+      s""""extraMetadata": $m, """
+    }
     val body = s"""{$extraJson$replaceJson"partitionToWriteStats": $statsByPartition}"""
 
     // publish: the commit body references data files only by path/
@@ -383,6 +388,34 @@ object HudiTimelineWriter {
         s"rollback lost the instant race at $dst — re-resolve and retry")
     }
     instant
+  }
+
+  /** The table schema as of the (versionOffset)-newest instant — the
+    * newest `graft-schema` mark at or before that instant (real Hudi
+    * records the schema in every commit's extraMetadata the same
+    * way). None for tables written before schemas were recorded; the
+    * engine then falls back to single-file inference.
+    */
+  def dataSchemaAt(spark: org.apache.spark.sql.SparkSession, location: String,
+      versionOffset: Int = 0): Option[org.apache.spark.sql.types.StructType] = {
+    val tl = new Path(s"${location.stripSuffix("/")}/.hoodie")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = tl.getFileSystem(conf)
+    if (!fs.exists(tl)) return None
+    val mapper = new ObjectMapper()
+    fs.listStatus(tl).toSeq
+      .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches())
+      .sortBy(_.getPath.getName)(Ordering[String].reverse)
+      .drop(versionOffset) // schema AS OF the time-traveled instant
+      .iterator.flatMap { st =>
+        val in = fs.open(st.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        for {
+          em <- Option(node.get("extraMetadata"))
+          ddl <- Option(em.get("graft-schema")).map(_.asText())
+        } yield org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      }.nextOption()
   }
 
   /** Highest batch id the given streaming app has recorded in any

@@ -1305,6 +1305,38 @@ object Queries {
         |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Hudi ADDITIVE schema evolution — completes the evolution
+    // matrix (Delta g40, Iceberg g44): the evolved append records
+    // its schema in the commit's extraMetadata (where real Hudi
+    // keeps it), the reader resolves columns from the TIMELINE
+    // schema instead of one sampled slice, and pre-evolution slices
+    // surface the new column as nulls
+    "g45_hudi_evolution" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders")
+        val loc = s"${TestFixtures.root(sf)}/hudi_evo_rt"
+        eng.writeHudiTable(
+          o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+          "default", "hudi_evo_rt", loc)
+        eng.appendHudiTable(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (dec2("o_totalprice") * 100).cast("long").as("price_cents")),
+          "default", "hudi_evo_rt", evolve = true)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  count(price_cents) AS n_priced,
+            |  sum(price_cents) AS cents
+            |FROM glue.default.hudi_evo_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_priced,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // equal the untouched table, with the rewritten file group
     // re-pointed at its OLD slice (not just new groups dropped)
     "g39_hudi_rollback" -> ((
