@@ -62,6 +62,21 @@ object TestFixtures {
     out
   }
 
+  /** Events DOUBLED row-for-row (every event arrives twice with an
+    * identical payload) — the at-least-once-delivery corpus the st10
+    * streaming-dedup gate replays: the dedup must restore exactly the
+    * original cardinality, and because duplicates are bit-identical
+    * the surviving row is deterministic whichever copy arrives first.
+    */
+  def eventsStreamDupDir(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_stream_dup2"
+    ensure(sfDir, "events_stream_dup2") {
+      val ev = events(spark, sfDir)
+      ev.union(ev).repartition(4).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Events staged as four TIME-ORDERED files (event-time quartiles,
     * one file each, strictly increasing modification times so the
     * file stream source replays them oldest-first). A stream-stream

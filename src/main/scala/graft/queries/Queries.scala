@@ -2764,6 +2764,35 @@ object Queries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // STREAMING DEDUP through the gate: every event arrives twice
+    // (the at-least-once-delivery corpus) and
+    // dropDuplicatesWithinWatermark must restore the original
+    // cardinality — state per key is bounded by the watermark
+    // horizon, the production shape for dedup over an unbounded
+    // stream. Duplicates are bit-identical, so the surviving row is
+    // deterministic whichever copy arrives first; the single-batch
+    // replay keeps every duplicate inside the horizon.
+    "st10_stream_dedup" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val stage = TestFixtures.eventsStreamDupDir(spark, sf)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema).parquet(stage)
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.dedupStream(stream, "event_id"),
+            "st10_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        res.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("event_id")).as("n_ids"),
+            sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT event_id) AS n_ids,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // COUNT-MIN SKETCH heavy hitters over the event stream: the
     // streaming state is the 4x64 CMS grid — O(1) in key cardinality
     // (exact per-key streaming counts need unbounded state; at 100 TB
