@@ -163,6 +163,53 @@ object TestFixtures {
     out
   }
 
+  /** The time-ordered replay plus a fifth punctuation file carrying
+    * TWO sentinels — one view (user −1) and one purchase (user −2),
+    * both 48 h past the corpus maximum. A stream-stream OUTER join
+    * emits its null-augmented unmatched rows only when the GLOBAL
+    * watermark (the min across both sides' watermark operators)
+    * passes a row's expiry, and each side's watermark only advances
+    * on events that survive that side's filter — so flushing a
+    * bounded replay needs one sentinel PER SIDE. Distinct negative
+    * user ids keep the sentinels from matching each other or any
+    * real row; registered queries filter them out.
+    */
+  def eventsStreamOuterDir(spark: SparkSession, sfDir: String): String = {
+    val out = s"${root(sfDir)}/events_stream_outer5"
+    ensure(sfDir, "events_stream_outer5") {
+      val src = eventsStreamTimeOrderedDir(spark, sfDir)
+      Files.createDirectories(Paths.get(out))
+      (1 to 4).foreach { q =>
+        val dest = new File(s"$out/quartile_$q.parquet")
+        Files.copy(Paths.get(s"$src/quartile_$q.parquet"), dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(dest.setLastModified(1000000000000L + q * 60000L),
+          s"cannot stamp mtime on $dest")
+      }
+      val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+      import sp.implicits._
+      val maxTs = events(spark, sfDir).agg(org.apache.spark.sql.functions.max("ts"))
+        .collect().head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+      val sentinel = Seq(
+        (-1L, far, -1L, "view", 0.0, "{}"),
+        (-2L, far, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = s"$out/.build_sentinel"
+      sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error(s"no data file under $tmp"))
+      val dest = new File(s"$out/sentinel_5.parquet")
+      Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      require(dest.setLastModified(1000000000000L + 5 * 60000L),
+        s"cannot stamp mtime on $dest")
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
+    }
+    out
+  }
+
   /** Documents staged as a four-file directory for the streaming-
     * ingest gate queries (st2/st4/st5) — build-once per scale factor;
     * the corpus is re-written per query otherwise.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event stream — the product-side
@@ -240,6 +241,133 @@ object EventAnalytics {
       s"\nSELECT CAST(hop AS INTEGER) AS hop, COUNT(*)::BIGINT AS n_nodes " +
       s"FROM d$maxHops GROUP BY hop ORDER BY hop"
   }
+
+  /** Markov transition matrix over the event-type sequence: for each
+    * user the events are totally ordered by `(ts, event_id)`, every
+    * consecutive `(prev_type, next_type)` pair is counted, and the
+    * per-prev transition probability is reported in exact integer
+    * parts-per-million (`1e6 * n div total` — no float division sits
+    * on the cross-engine compare). The user-journey model a
+    * recommendation or anomaly pipeline reads before fitting
+    * anything heavier.
+    *
+    * Scale shape: ONE user-keyed shuffle for the lag window (the
+    * same partitioning sessionization uses), then a
+    * map-side-combined count over a (|types|²)-sized key space and a
+    * window over that tiny aggregate — the output is bounded by the
+    * type vocabulary, never the event count.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("ppm",
+        expr("(1000000L * n_transitions) div sum(n_transitions) over (partition by prev_type)"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** DuckDB oracle for [[transitionMatrix]]. */
+  def sqlTransitionMatrix: String =
+    """WITH p AS (
+      |  SELECT event_type AS prev_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT prev_type, next_type, COUNT(*)::BIGINT AS n_transitions
+      |      FROM p WHERE next_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n_transitions,
+      |  ((1000000 * n_transitions) // SUM(n_transitions) OVER (PARTITION BY prev_type))::BIGINT AS ppm
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** Triangle and wedge counts over the ITEM TRANSITION graph (the
+    * undirected graph whose edges connect items viewed consecutively
+    * by the same user) — `n_triangles / n_wedges` is the global
+    * clustering coefficient, the graph-health signal that separates
+    * a genuinely clustered catalog from a random browse pattern.
+    *
+    * Exact integers end-to-end. Triangle enumeration uses DEGREE
+    * ORIENTATION (Schank's algorithm, the standard distributed
+    * shape): every undirected edge is directed from its
+    * lower-(degree, id) endpoint to its higher one, so each triangle
+    * {p,q,r} with p<q<r in that total order is generated exactly
+    * once — as the wedge (q,r) out of p, closed by the oriented edge
+    * q→r. The payoff at scale: a node's OUT-degree in the
+    * orientation is O(√m) no matter how big a hub it is (all of a
+    * hub's edges point INTO it once its degree dominates), so the
+    * wedge join's per-key fan-out — the quadratic term that kills
+    * naive triangle counting on skewed graphs — is bounded and the
+    * total wedge volume is O(m^1.5), not O(m·maxdeg). Three keyed
+    * equi-joins, no broadcast of anything unbounded, one scalar row
+    * to the driver.
+    */
+  def triangleStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("it"))
+    val edges = ev.withColumn("nx", lead(col("it"), 1).over(w))
+      .filter(col("nx").isNotNull && col("nx") =!= col("it"))
+      .select(least(col("it"), col("nx")).as("x"),
+        greatest(col("it"), col("nx")).as("y"))
+      .distinct()
+    val deg = edges.select(col("x").as("n")).union(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient x→y iff (d(x), x) < (d(y), y); x<y already, so ties keep x
+    val flip = col("dy") < col("dx")
+    val oriented = edges
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(flip, col("y")).otherwise(col("x")).as("src"),
+        when(flip, col("x")).otherwise(col("y")).as("dst"),
+        when(flip, col("dx")).otherwise(col("dy")).as("dd"))
+    val e1 = oriented.select(col("src"), col("dst").as("u"), col("dd").as("du"))
+    val e2 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select("u", "v")
+    val tri = wedges.join(
+      oriented.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg.agg(
+      sum(expr("d * (d - 1L) div 2L")).as("n_wedges"))
+    tri.crossJoin(wedgeTotal)
+  }
+
+  /** DuckDB oracle for [[triangleStats]] — the same degree-oriented
+    * enumeration replayed relationally.
+    */
+  def sqlTriangleStats: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS it
+      |  FROM events WHERE event_type = 'view'
+      |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+      |nx AS (SELECT it AS a,
+      |         LEAD(it) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      |       FROM ev),
+      |ed AS (SELECT DISTINCT LEAST(a, b) AS x, GREATEST(a, b) AS y
+      |       FROM nx WHERE b IS NOT NULL AND a <> b),
+      |dg AS (SELECT n, COUNT(*)::BIGINT AS d FROM (
+      |         SELECT x AS n FROM ed UNION ALL SELECT y AS n FROM ed)
+      |       GROUP BY n),
+      |o AS (SELECT CASE WHEN d2.d < d1.d THEN ed.y ELSE ed.x END AS src,
+      |             CASE WHEN d2.d < d1.d THEN ed.x ELSE ed.y END AS dst,
+      |             CASE WHEN d2.d < d1.d THEN d1.d ELSE d2.d END AS dd
+      |      FROM ed JOIN dg d1 ON d1.n = ed.x JOIN dg d2 ON d2.n = ed.y),
+      |tri AS (SELECT COUNT(*)::BIGINT AS t
+      |        FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |          AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |wg AS (SELECT SUM(d * (d - 1) // 2)::BIGINT AS w FROM dg)
+      |SELECT (SELECT t FROM tri) AS n_triangles,
+      |       (SELECT w FROM wg) AS n_wedges""".stripMargin
 
   /** DuckDB oracle for [[pageRank]] — the power iteration unrolled to
     * `iters` CTE stages over the same integer fixed-point ops (`//`

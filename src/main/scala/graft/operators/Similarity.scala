@@ -355,6 +355,79 @@ object Similarity {
       |  END)::VARCHAR AS q
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** One 32-dim half of the SIGN (1-bit) quantization of a vector
+    * column, packed MSB-first into a non-negative BIGINT by the
+    * fold `acc*2 + (v >= 0)` — the accumulate order is part of the
+    * contract so any engine can replay the exact word. `off` is the
+    * 1-based start dimension (1 or 33 for 64-dim vectors). Packing
+    * in two 32-bit halves keeps every intermediate far from the
+    * signed-64 edge cases that differ across engines.
+    */
+  private def binHalfCol(x: org.apache.spark.sql.Column, off: Int) =
+    aggregate(slice(x, off, 32), lit(0L),
+      (acc, v) => acc * 2L + when(v >= 0f, 1L).otherwise(0L))
+
+  /** DuckDB fragment for [[binHalfCol]] over a bound list column. */
+  def sqlBinHalf(e: String, off: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform($e[$off:${off + 31}], " +
+      s"v -> (CASE WHEN v >= 0 THEN 1 ELSE 0 END)::BIGINT)), " +
+      s"(acc, b) -> acc * 2 + b)"
+
+  /** Binary-signature ANN: 1-bit sign quantization (64 dims → 8
+    * bytes, two packed 32-bit words) ranked by Hamming distance as
+    * the PREFILTER, exact cosine over the shortlist as the RERANK —
+    * the two-stage serving shape binary embeddings (BQ/"matryoshka"
+    * tails) run in production. Output: top-`k` of the `shortlist`-
+    * sized Hamming shortlist by exact cosine, with the Hamming
+    * distance carried through for audit.
+    *
+    * Scale shape: the prefilter scan reads ONLY the 8-byte
+    * signatures — 32× less I/O than the float32 vectors and 8× less
+    * than int8 codes — and scores each with two XOR+popcount ops
+    * (codegen'd integer work, no float lane at all); TakeOrdered
+    * keeps the shortlist bound driver-free. Only the `shortlist`
+    * winners' full vectors are touched for the exact rerank, so the
+    * float cost is O(shortlist), independent of corpus size. Both
+    * stages are deterministic (Hamming and id break every tie), so
+    * the whole cascade hash-checks.
+    */
+  def binaryTopK(emb: DataFrame, queryVecId: Long, k: Int,
+      shortlist: Int = 50): DataFrame = {
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      binHalfCol(col("embedding"), 1).as("lo"),
+      binHalfCol(col("embedding"), 33).as("hi"))
+    val q = sigs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val ham = (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+      bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("int")
+    sigs.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qe"), ham.as("ham"))
+      .orderBy(col("ham"), col("vec_id")).limit(shortlist)
+      .select(col("vec_id"), col("ham"),
+        round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+  }
+
+  /** DuckDB oracle for [[binaryTopK]]. */
+  def sqlBinaryTopK(queryVecId: Long, k: Int, shortlist: Int = 50): String = {
+    import graft.functions.VectorFunctions.{sqlDot, sqlNorm}
+    s"""WITH sg AS (SELECT vec_id, embedding,
+       |  ${sqlBinHalf("embedding", 1)} AS lo,
+       |  ${sqlBinHalf("embedding", 33)} AS hi FROM embeddings),
+       |q AS (SELECT embedding AS qe, lo AS qlo, hi AS qhi FROM sg
+       |      WHERE vec_id = $queryVecId),
+       |short AS (SELECT vec_id, embedding, qe,
+       |    (bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)))::INTEGER AS ham
+       |  FROM sg, q WHERE vec_id <> $queryVecId
+       |  ORDER BY ham, vec_id LIMIT $shortlist)
+       |SELECT vec_id, ham,
+       |  round(${sqlDot("embedding", "qe")} /
+       |    (${sqlNorm("embedding")} * ${sqlNorm("qe")}), 6) AS cos
+       |FROM short ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   // -------------------------------------------- persisted ANN index
 
   /** Persisted ANN index — the serving-shaped layout s1–s3 lack

@@ -2461,6 +2461,15 @@ object Queries {
         Similarity.recallAudit(t(spark, sf, "embeddings")),
       Similarity.sqlRecallAudit())),
 
+    // 1-bit binary-signature cascade: Hamming prefilter over 8-byte
+    // packed sign words (2 xor+popcount per candidate, signatures are
+    // 32x less I/O than the float vectors), exact cosine rerank over
+    // the 50-vector shortlist only
+    "s19_binary_rerank" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.binaryTopK(t(spark, sf, "embeddings"), 0L, 10),
+      Similarity.sqlBinaryTopK(0L, 10))),
+
     // deterministic seed-vector coarse quantizer -> exactly
     // replicable in DuckDB (mean-centroid ivfTopK stays recall-tested
     // in DedupSpec)
@@ -2793,6 +2802,40 @@ object Queries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // LEFT OUTER stream-stream interval join: unattributed purchases
+    // must SURFACE (null-augmented on state expiry) instead of
+    // silently dropping — per-side punctuation sentinels flush the
+    // bounded replay's tail; the aggregate separates matched pairs
+    // from unmatched purchases per user
+    "st11_stream_outer_join" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val stage = TestFixtures.eventsStreamOuterDir(spark, sf)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.viewPurchaseJoinOuter(stream),
+            "st11_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        res.filter(col("p_user") >= 0)
+          .groupBy(col("p_user").as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("p_id")).as("n_purchases"),
+            sum(when(col("v_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            sum((col("p_value").cast("decimal(18,2)") * 100).cast("long")).as("sum_cents"))
+          .orderBy("user_id")
+      },
+      """SELECT p.user_id, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases,
+        |  CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        |  CAST(SUM(CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)),
+
     // COUNT-MIN SKETCH heavy hitters over the event stream: the
     // streaming state is the 4x64 CMS grid — O(1) in key cardinality
     // (exact per-key streaming counts need unbounded state; at 100 TB
@@ -2896,6 +2939,23 @@ object Queries {
       (spark: SparkSession, sf: String) =>
         EventAnalytics.bfsHops(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlBfsHops())),
+
+    // Markov next-event transition matrix: one user-keyed lag window,
+    // then a types²-bounded aggregate; probabilities as exact integer
+    // ppm so no float division sits on the compare
+    "q49_transitions" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.transitionMatrix(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlTransitionMatrix)),
+
+    // triangle/wedge counts over the item-transition graph via degree
+    // orientation (each triangle generated exactly once, wedge fan-out
+    // O(sqrt m) per node however skewed the hubs) — the clustering-
+    // coefficient graph-health signal, all-integer
+    "q50_triangles" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.triangleStats(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlTriangleStats)),
 
     "t3_langid" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.langid(t(spark, sf, "documents")),

@@ -187,6 +187,36 @@ object EventStreams {
         col("v_ts") <= col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase, matched
+    * to the same user's views in the preceding hour OR emitted once
+    * with null view columns if no such view exists — the attribution
+    * join that must also SURFACE the unattributed conversions, which
+    * the inner form silently drops. Same two-sided watermark shape as
+    * [[viewPurchaseJoin]] (state bounded by the join horizon on both
+    * sides), with one added semantic: an unmatched left row is held
+    * in state until the global watermark proves no future view can
+    * match it, and only then emits null-augmented — so the outer
+    * result is exactly the batch LEFT JOIN once the watermark passes
+    * the corpus (a bounded replay needs a per-side punctuation
+    * sentinel to get there; see
+    * [[graft.fixtures.TestFixtures.eventsStreamOuterDir]]).
+    */
+  def viewPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Bounded `readStream` over the events fixture: the batch reader's
     * rows (ts-type dispatch already applied) staged ONCE per scale
     * factor into a four-file directory — the file streaming source

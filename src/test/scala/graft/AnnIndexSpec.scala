@@ -379,4 +379,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(b1 == b2, "training must be deterministic")
     assert(b1.size == Similarity.PqM && b1.forall(_.size == Similarity.PqK))
   }
+
+  test("binary signatures: known sign flips produce the exact Hamming distance") {
+    // query: all-positive 64-dim; candidates flip signs at known dims
+    val qv = Array.fill(64)(1.0f)
+    def flipped(dims: Int*) = {
+      val a = Array.fill(64)(1.0f)
+      dims.foreach(d => a(d - 1) = -1.0f)
+      a.toSeq
+    }
+    val df = Seq(
+      (0L, qv.toSeq, 0), // the query
+      (1L, qv.toSeq, 0), // identical -> ham 0
+      (2L, flipped(1), 0), // first dim of the LO word
+      (3L, flipped(64), 0), // last dim of the HI word
+      (4L, flipped(1, 32, 33, 64), 0), // both word boundaries
+      (5L, flipped((1 to 64): _*), 0) // all 64 flipped
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.binaryTopK(df, 0L, 10, shortlist = 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 4, 5L -> 64))
+  }
+
+  test("binary prefilter with a full-corpus shortlist equals brute-force cosine ids") {
+    // with shortlist >= corpus the Hamming stage filters nothing, so
+    // the rerank must reproduce the exact brute-force ranking
+    val n = emb.count().toInt
+    val got = Similarity.binaryTopK(emb, 0L, 10, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val want = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("binary shortlist boundary is deterministic under ties") {
+    // two corpora that differ only in row order produce the same cascade
+    val a = Similarity.binaryTopK(emb, 0L, 10).collect().toSeq
+    val b = Similarity.binaryTopK(emb.orderBy(desc("vec_id")), 0L, 10).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -73,4 +73,73 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.head._1 == -8L, "hub item should rank first")
   }
+
+  test("transitionMatrix counts consecutive pairs and exact-ppm normalizes per prev") {
+    val ev = Seq(
+      (1L, 10L, "A", ts(1)), (1L, 11L, "B", ts(2)), (1L, 12L, "A", ts(3)),
+      (1L, 13L, "C", ts(4)),
+      (2L, 20L, "A", ts(1)), (2L, 21L, "B", ts(2)),
+      (3L, 30L, "A", ts(5)) // single event: no transition
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventAnalytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // A->B twice, A->C once (A total 3), B->A once (B total 1)
+    assert(got == Seq(
+      ("A", "B", 2L, 666666L), ("A", "C", 1L, 333333L), ("B", "A", 1L, 1000000L)))
+  }
+
+  test("transitionMatrix breaks timestamp ties by event_id") {
+    val ev = Seq(
+      // same ts: event_id order decides A -> B -> C
+      (1L, 2L, "B", ts(1)), (1L, 1L, "A", ts(1)), (1L, 3L, "C", ts(1))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventAnalytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("A", "B"), ("B", "C")))
+  }
+
+  test("triangleStats matches brute-force enumeration on a hand graph") {
+    // u1 walks items 1,2,3,1 -> edges {1,2},{2,3},{1,3}: one triangle;
+    // u2 walks 1,4 -> edge {1,4}; u3 repeats 2,3 (dup edge) and a
+    // self-transition 4,4 (ignored)
+    val ev = Seq(
+      (1L, 1L, ts(1), """{"k": 1}"""), (1L, 2L, ts(2), """{"k": 2}"""),
+      (1L, 3L, ts(3), """{"k": 3}"""), (1L, 4L, ts(4), """{"k": 1}"""),
+      (2L, 5L, ts(1), """{"k": 1}"""), (2L, 6L, ts(2), """{"k": 4}"""),
+      (3L, 7L, ts(1), """{"k": 2}"""), (3L, 8L, ts(2), """{"k": 3}"""),
+      (4L, 9L, ts(1), """{"k": 4}"""), (4L, 10L, ts(2), """{"k": 4}""")
+    ).toDF("user_id", "event_id", "ts", "props")
+      .withColumn("event_type", lit("view"))
+    val r = EventAnalytics.triangleStats(ev).head()
+    assert(r.getLong(0) == 1L, "exactly one triangle {1,2,3}")
+    // degrees: 1->3, 2->2, 3->2, 4->1 ; wedges = 3+1+1+0
+    assert(r.getLong(1) == 5L)
+  }
+
+  test("triangleStats matches a quadratic reference on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(1 + i % 25, i % 24),
+        s"""{"k": ${rnd.nextInt(15)}}""")
+    }
+    val ev = rows.toDF("user_id", "event_id", "ts", "props")
+      .withColumn("event_type", lit("view"))
+    val r = EventAnalytics.triangleStats(ev).head()
+
+    // reference: derive the same edge set in Scala, count triangles brute-force
+    val byUser = rows.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._3.getTime, e._2))
+        .map(e => e._4.replaceAll("[^0-9]", "").toLong)
+      seq.zip(seq.tail).filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    }.toSet
+    val nodes = byUser.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tri = (for {
+      i <- nodes; j <- nodes if j > i; l <- nodes if l > j
+      if byUser((i, j)) && byUser((j, l)) && byUser((i, l))
+    } yield 1).size
+    val deg = nodes.map(n => byUser.count { case (a, b) => a == n || b == n })
+    assert(r.getLong(0) == tri.toLong)
+    assert(r.getLong(1) == deg.map(d => d.toLong * (d - 1) / 2).sum)
+  }
 }

@@ -203,6 +203,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(removed > 0, "watermark never evicted any join state")
   }
 
+  test("left-outer stream-stream join surfaces unmatched purchases exactly as batch") {
+    val stage = TestFixtures.eventsStreamOuterDir(spark, TestSpark.sfDir)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val got = EventStreams.withStatePartitions(spark, 8)(
+      EventStreams.runToCompletion(
+        EventStreams.viewPurchaseJoinOuter(stream), "ssoj_out", OutputMode.Append()))
+      .filter(col("p_user") >= 0)
+      .select(col("p_id"), col("v_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+
+    val ev = TestFixtures.events(spark, TestSpark.sfDir)
+    val want = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "view").as("v"),
+        col("v.user_id") === col("p.user_id") &&
+          col("v.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR") &&
+          col("v.ts") <= col("p.ts"),
+        "left_outer")
+      .select(col("p.event_id"), col("v.event_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(got == want,
+      s"stream outer join produced ${got.size} rows, batch ${want.size}")
+    assert(got.exists(_._2 == -1L),
+      "fixture produced no unmatched purchase — outer semantics untested")
+  }
+
   test("native session windows: stream equals batch; gap boundary merges, past-gap breaks") {
     val stage = TestFixtures.eventsStreamSessionDir(spark, TestSpark.sfDir)
     val schema = spark.read.parquet(stage).schema
