@@ -369,6 +369,113 @@ object EventAnalytics {
       |SELECT (SELECT t FROM tri) AS n_triangles,
       |       (SELECT w FROM wg) AS n_wedges""".stripMargin
 
+  /** Fixed-point unit for [[hits]]: scores are BIGINTs in units of
+    * 1e-6. Smaller than [[PrUnit]] on purpose: the normalization
+    * step multiplies a raw score (≤ maxdeg × Unit after one
+    * propagation) by Unit before the integer division, so Unit²
+    * × maxdeg must stay inside BIGINT — 1e6 leaves ~9e6× headroom
+    * on the hub degree at 1e12 total mass, enough for any real
+    * catalog; raise to DECIMAL if a graph ever exceeds it.
+    */
+  private val HitsUnit = 1000000L
+
+  /** HITS hubs-and-authorities over the bipartite view graph (users
+    * are the hubs that CONFER authority, items the authorities that
+    * accumulate it — the asymmetric centrality PageRank's symmetric
+    * random walk can't express on a two-sided graph). `iters` rounds
+    * of the mutual recursion, L1-normalized each round in exact
+    * integer fixed point: every score is a BIGINT count of 1e-6
+    * units, each propagation is an exact integer aggregate, and the
+    * normalization is `score * Unit div sum` — so the result is
+    * bit-identical at any parallelism and the oracle replays it
+    * exactly. Output: top 10 items by authority and top 10 users by
+    * hub score, tagged by `kind`.
+    *
+    * Scale shape: per round TWO edge-score equi-joins + keyed sums
+    * (map-side combined); each raw score table's 1-ROW L1 total is
+    * read driver-side (metadata-scale, the same per-round scalar the
+    * BFS frontier count reads) so the normalizer enters the next
+    * plan as a literal, and each round's scores are
+    * `localCheckpoint`ed — the round's plan is a LEAF over the
+    * materialized partitions, like the connected-components loop.
+    * Plan truncation here is load-bearing, not hygiene: a persist
+    * chain keeps every prior round's AQE tree nested inside the
+    * cached plan, and AQE renders a full explain string on every
+    * plan update (`onUpdatePlan`), so un-truncated rounds spend
+    * MINUTES formatting plan strings for a 6-row graph (measured;
+    * main thread pinned in `generateTreeString`). Only the final 20
+    * rows reach the driver beyond the per-round scalars.
+    */
+  def hits(events: DataFrame, iters: Int = 5): DataFrame = {
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("it"))
+      .distinct().persist()
+    val users = ev.select("u").distinct()
+    try {
+      var hubs = users.select(col("u"), lit(HitsUnit).as("h"))
+        .localCheckpoint(true)
+      var auths: DataFrame = null
+      (1 to iters).foreach { _ =>
+        val aRaw = ev.join(hubs, "u").groupBy("it").agg(sum("h").as("raw"))
+          .localCheckpoint(true)
+        val sa = aRaw.agg(sum("raw")).head().getLong(0)
+        auths = aRaw
+          .select(col("it"), expr(s"(raw * ${HitsUnit}L) div ${sa}L").as("a"))
+          .localCheckpoint(true)
+        val hRaw = ev.join(auths, "it").groupBy("u").agg(sum("a").as("raw"))
+          .localCheckpoint(true)
+        val sh = hRaw.agg(sum("raw")).head().getLong(0)
+        hubs = hRaw
+          .select(col("u"), expr(s"(raw * ${HitsUnit}L) div ${sh}L").as("h"))
+          .localCheckpoint(true)
+      }
+      val topA = auths.orderBy(desc("a"), col("it")).limit(10)
+        .collect().map(r => ("auth", r.getLong(0), r.getLong(1))).toSeq
+      val topH = hubs.orderBy(desc("h"), col("u")).limit(10)
+        .collect().map(r => ("hub", r.getLong(0), r.getLong(1))).toSeq
+      val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
+      import sp.implicits._
+      (topA ++ topH).toDF("kind", "node", "score")
+        .orderBy("kind", "node")
+    } finally { ev.unpersist(); () }
+  }
+
+  /** DuckDB oracle for [[hits]] — the mutual recursion unrolled to
+    * `iters` CTE stages over the same integer fixed-point ops. Every
+    * stage CTE is MATERIALIZED: each references its predecessor
+    * twice (the scores and their 1-row total), so inlined CTEs would
+    * double the expression tree per stage — the SQL analog of the
+    * plan blow-up the Spark side truncates with localCheckpoint.
+    */
+  def sqlHits(iters: Int = 5): String = {
+    val base =
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT DISTINCT user_id AS u,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS it
+         |  FROM events WHERE event_type = 'view'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |h0 AS MATERIALIZED (SELECT DISTINCT u, $HitsUnit AS h FROM ev)""".stripMargin
+    val stages = (1 to iters).map { i =>
+      val ph = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (SELECT ev.it, SUM(h.h) AS raw FROM ev JOIN $ph h ON ev.u = h.u GROUP BY ev.it),
+         |a$i AS MATERIALIZED (SELECT it, CAST((raw * $HitsUnit) // (SELECT SUM(raw) FROM ar$i) AS BIGINT) AS a FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT ev.u, SUM(a.a) AS raw FROM ev JOIN a$i a ON ev.it = a.it GROUP BY ev.u),
+         |h$i AS MATERIALIZED (SELECT u, CAST((raw * $HitsUnit) // (SELECT SUM(raw) FROM hr$i) AS BIGINT) AS h FROM hr$i)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"""
+         |SELECT kind, node, score FROM (
+         |  SELECT 'auth' AS kind, it AS node, a AS score FROM a$iters
+         |  ORDER BY a DESC, it LIMIT 10)
+         |UNION ALL
+         |SELECT kind, node, score FROM (
+         |  SELECT 'hub' AS kind, u AS node, h AS score FROM h$iters
+         |  ORDER BY h DESC, u LIMIT 10)
+         |ORDER BY kind, node""".stripMargin
+  }
+
   /** DuckDB oracle for [[pageRank]] — the power iteration unrolled to
     * `iters` CTE stages over the same integer fixed-point ops (`//`
     * is BIGINT division in DuckDB, `div` in Spark; inputs are always

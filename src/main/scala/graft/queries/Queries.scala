@@ -2940,6 +2940,14 @@ object Queries {
         EventAnalytics.bfsHops(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlBfsHops())),
 
+    // HITS hubs/authorities on the bipartite view graph — the
+    // asymmetric two-sided centrality; exact integer fixed point,
+    // L1-normalized per round, unrolled-CTE oracle
+    "q51_hits" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.hits(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlHits())),
+
     // Markov next-event transition matrix: one user-keyed lag window,
     // then a types²-bounded aggregate; probabilities as exact integer
     // ppm so no float division sits on the compare

@@ -74,6 +74,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.head._1 == -8L, "hub item should rank first")
   }
 
+  test("hits matches a pure-Scala integer mutual recursion on a hand graph") {
+    // users 1..4 view item 7 (hub magnet), user 1 also views item 2
+    val ev = Seq(
+      (1L, "view", ts(1), """{"k": 7}"""), (2L, "view", ts(1), """{"k": 7}"""),
+      (3L, "view", ts(1), """{"k": 7}"""), (4L, "view", ts(1), """{"k": 7}"""),
+      (1L, "view", ts(2), """{"k": 2}"""),
+      (9L, "purchase", ts(1), """{"k": 7}""") // non-view: excluded
+    ).toDF("user_id", "event_type", "ts", "props")
+    val got = EventAnalytics.hits(ev, iters = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // reference: identical integer ops in plain Scala
+    val edges = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L), (1L, 2L))
+    val unit = 1000000L
+    var hub = edges.map(_._1).distinct.map(_ -> unit).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to 5).foreach { _ =>
+      val aRaw = edges.groupBy(_._2).map { case (i, es) =>
+        i -> es.map(e => hub(e._1)).sum }
+      val sa = aRaw.values.sum
+      auth = aRaw.map { case (i, r) => i -> (r * unit) / sa }
+      val hRaw = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum }
+      val sh = hRaw.values.sum
+      hub = hRaw.map { case (u, r) => u -> (r * unit) / sh }
+    }
+    val want = (auth.toSeq.sortBy { case (n, a) => (-a, n) }.take(10)
+      .map { case (n, a) => ("auth", n, a) } ++
+      hub.toSeq.sortBy { case (n, h) => (-h, n) }.take(10)
+        .map { case (n, h) => ("hub", n, h) })
+      .sortBy { case (k, n, _) => (k, n) }
+    assert(got == want)
+    // item 7 must dominate authority; its viewers share hub mass
+    assert(got.filter(_._1 == "auth").maxBy(_._3)._2 == 7L)
+  }
+
   test("transitionMatrix counts consecutive pairs and exact-ppm normalizes per prev") {
     val ev = Seq(
       (1L, 10L, "A", ts(1)), (1L, 11L, "B", ts(2)), (1L, 12L, "A", ts(3)),
