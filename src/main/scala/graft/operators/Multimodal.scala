@@ -811,6 +811,70 @@ object Multimodal {
        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  final case class LumaBin(doc_id: Long, bin: Int, n: Long)
+
+  /** Exact 16-bin LUMINANCE HISTOGRAM over every pixel of each real
+    * decoded PNG — the exposure/contrast profile a vision-data
+    * curation pass filters on (a near-black or blown-out image piles
+    * its mass into the edge bins; a flat histogram is synthetic
+    * noise). Grayscale is the same integer BT.601 weighting as
+    * [[imageDHash]]; `bin = gray * 16 / 256` — all-integer, so both
+    * engines bin identically. Only non-empty bins are emitted (the
+    * oracle's GROUP BY shape). Corrupt/undecodable images emit no
+    * rows and so are visible as missing doc_ids downstream.
+    *
+    * Scale: narrow per-row decode + an O(pixels) loop into 16 local
+    * counters; output is ≤16 rows per image and nothing shuffles but
+    * the presentation sort.
+    */
+  def imageLumaHistogram(media: DataFrame, bins: Int = 16): DataFrame = {
+    implicit val enc = Encoders.product[LumaBin]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (w, h, px) = decodePngPixels(bytes)
+          if (w == 0) Iterator.empty
+          else {
+            val counts = new Array[Long](bins)
+            var k = 0
+            val n = w * h
+            while (k < n) {
+              val v = px(k)
+              val g = (299L * ((v >> 16) & 255) + 587L * ((v >> 8) & 255) +
+                114L * (v & 255)) / 1000L
+              counts((g * bins / 256).toInt) += 1
+              k += 1
+            }
+            (0 until bins).iterator
+              .filter(counts(_) > 0)
+              .map(b => LumaBin(id, b, counts(b)))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "bin")
+  }
+
+  /** Oracle for [[imageLumaHistogram]]: regenerates every analytic
+    * pixel of the fixture images (`px(y*w+x) = (doc_id*31 + x*7 + y)
+    * % 2^24`) and folds the identical integer gray/bin arithmetic.
+    */
+  def sqlImageLumaHistogram(bins: Int = 16): String =
+    s"""WITH p AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+       |           FROM documents WHERE doc_id % 2 = 0),
+       |g AS (SELECT doc_id, w, unnest(range(w * h)) AS i FROM p),
+       |v AS (SELECT doc_id,
+       |        (doc_id * 31 + (i % w) * 7 + (i // w)) % 16777216 AS rgb
+       |      FROM g),
+       |b AS (SELECT doc_id,
+       |        ((299 * (rgb >> 16 & 255) + 587 * (rgb >> 8 & 255)
+       |          + 114 * (rgb & 255)) // 1000) * $bins // 256 AS bin
+       |      FROM v)
+       |SELECT doc_id, CAST(bin AS INTEGER) AS bin, COUNT(*)::BIGINT AS n
+       |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin
+
   /** Nearest-neighbor RESIZE to a `t`×`t` thumbnail over real decoded
     * PNG pixels — the normalization step every vision-data pipeline
     * runs before feature extraction. Source index = `floor(dst*src/t)`

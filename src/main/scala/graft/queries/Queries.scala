@@ -3094,6 +3094,16 @@ object Queries {
           .orderBy("doc_id"),
       Multimodal.sqlImageDHash)),
 
+    // exact 16-bin luminance histogram over every decoded PNG pixel —
+    // the exposure/contrast curation profile; narrow decode + 16 local
+    // counters per image, <=16 output rows each
+    "m15_image_histogram" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageLumaHistogram(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0)),
+      Multimodal.sqlImageLumaHistogram())),
+
     // perceptual image DEDUP: group by exact dHash (near-identical
     // predicate), one 16-byte-key shuffle, output bounded by distinct
     // hashes — the scale-safe alternative to Hamming pair joins over

@@ -21,6 +21,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageHeader(imageBytes(123, 45, "png")) == ((123, 45, "png")))
   }
 
+  test("luminance histogram bins exactly and covers every pixel") {
+    import TestSpark.spark.implicits._
+    def grayPng(levels: Seq[Int], w: Int): Array[Byte] = {
+      val h = levels.size / w
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      levels.zipWithIndex.foreach { case (g, k) =>
+        img.setRGB(k % w, k / w, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 4x2 image: grays 0,15 (bin 0), 16 (bin 1), 128 (bin 8), 255 x4 (bin 15)
+    val px = Seq(0, 15, 16, 128, 255, 255, 255, 255)
+    val df = Seq((7L, grayPng(px, 4))).toDF("doc_id", "img")
+    val got = Multimodal.imageLumaHistogram(df).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 2L), (1, 1L), (8, 1L), (15, 4L)))
+    assert(got.map(_._2).sum == px.size, "every pixel must land in a bin")
+    // corrupt bytes produce no rows, not a crash
+    val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "img")
+    assert(Multimodal.imageLumaHistogram(bad).collect().isEmpty)
+  }
+
   test("dHash is brightness-invariant and flips under gradient reversal") {
     import TestSpark.spark.implicits._
     def png(f: (Int, Int) => Int, w: Int = 18, h: Int = 10): Array[Byte] = {
