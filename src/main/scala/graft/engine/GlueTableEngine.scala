@@ -970,6 +970,30 @@ final class GlueTableEngine(
     t
   }
 
+  /** SHALLOW-CLONE a registered Delta table: a new table at
+    * `location` whose v0 references the source's live files by
+    * absolute path — zero data copied, O(live files) metadata at any
+    * table size — then registers and reads independently (appends to
+    * the clone never touch the source). Retention caveat as in real
+    * Delta CLONE: vacuuming the source can strand borrowed files.
+    */
+  def cloneDeltaTable(database: String, table: String,
+      targetTable: String, location: String): GlueTable = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    graft.listing.DeltaLogWriter.shallowClone(spark, this.location(meta), location)
+    val t = GlueTable(database, targetTable, Some(location),
+      partitionKeys = meta.table.partitionKeys,
+      parameters = Map("table_type" -> "DELTA"))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, targetTable)
+    t
+  }
+
   /** Append a batch to a registered Delta table as its next commit
     * version. Returns the committed version.
     */

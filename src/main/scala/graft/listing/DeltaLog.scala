@@ -447,6 +447,61 @@ object DeltaLogWriter {
     version
   }
 
+  /** SHALLOW CLONE: publish a NEW Delta table at `target` whose v0
+    * commit re-declares the source's schema/partitioning and adds
+    * the source's live files BY ABSOLUTE PATH — original sizes,
+    * partition values, and stats JSON copied verbatim, ZERO data
+    * bytes moved. The dev/test-against-production primitive Delta's
+    * own CLONE serves: O(live files) metadata however big the table.
+    * The clone evolves independently afterwards (its appends land
+    * under its own root; commits to it never touch the source), with
+    * the standard shallow-clone caveat carried too: VACUUMing the
+    * SOURCE can strand the clone's borrowed files, so retention is
+    * coordinated, exactly as in real Delta. Fails loudly if `target`
+    * already holds a Delta log. Returns the number of files
+    * referenced.
+    */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+      versionOffset: Int = 0): Int = {
+    val src = source.stripSuffix("/")
+    val dst = target.stripSuffix("/")
+    val st = new DeltaLogResolver(spark).rawState(src, versionOffset).getOrElse(
+      throw new IllegalArgumentException(s"cannot clone $source: no Delta log"))
+    val ss = st.schemaString.getOrElse(throw new IllegalStateException(
+      s"cannot clone $source: no schema in the log"))
+    val srcRoot = new Path(src).toUri.getPath
+    val adds = st.adds.sortBy(_._1).map { case (path, size, pv, stats) =>
+      val abs =
+        if (path.contains("://") || path.startsWith("/")) path
+        else s"$srcRoot/$path"
+      val pvJson = pv.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+      s"""{"add":{"path":${jstr(abs)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
+        stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+    }
+    val meta =
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(dst.getBytes("UTF-8")).toString)},""" +
+        s""""format":{"provider":"parquet"},"schemaString":${jstr(ss)},""" +
+        s""""partitionColumns":[${st.partitionColumns.map(jstr).mkString(", ")}]}}"""
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val logDir = new Path(s"$dst/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    require(!fs.exists(new Path(logDir, f"${0L}%020d.json")),
+      s"clone target $target already holds a Delta log")
+    fs.mkdirs(logDir)
+    val body = (meta +: adds).mkString("", "\n", "\n")
+    val tmp = new Path(logDir, f".${0L}%020d.json.clone.tmp")
+    val out = new Path(logDir, f"${0L}%020d.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, out)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"clone lost the publish race at $out — another writer created the table")
+    }
+    adds.size
+  }
+
   /** [[checkpoint]] when the latest version is a multiple of
     * `every` — the standard commit-interval policy a streaming sink
     * calls after each batch. Returns the checkpointed version, if

@@ -721,6 +721,48 @@ object TextAnalysis {
     * doubles, and the emitted alpha/intercept round at 1e-6 — far
     * above double summation noise at this term count.
     */
+  /** Vocabulary-coverage / OOV-rate audit: fit a frequency-truncated
+    * vocabulary (top `vocabSize` terms by corpus frequency, ties by
+    * term) and report each source's out-of-vocabulary token rate in
+    * exact integer ppm — the coverage check run before freezing a
+    * tokenizer vocab, and the domain-shift signal between corpus
+    * slices (a source whose OOV rate spikes is the one the vocab
+    * under-serves).
+    *
+    * Scale shape: the vocab is one term-keyed shuffle (map-side
+    * combined) + a TakeOrdered(V) — V is the bounded knob, so the
+    * result broadcasts; the scoring pass is then a narrow scan with
+    * a broadcast-hash membership join, output bounded by |sources|.
+    * No float touches the compare (rate is integer ppm).
+    */
+  def oovStats(docs: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(1000000L * n_oov) div n_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[oovStats]] (tok is MATERIALIZED — referenced
+    * by both the vocab fit and the scoring join).
+    */
+  def sqlOovStats(vocabSize: Int = 500): String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |v AS MATERIALIZED (
+       |  SELECT term FROM tok GROUP BY term
+       |  ORDER BY COUNT(*) DESC, term LIMIT $vocabSize)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  ((1000000 * SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT AS oov_ppm
+       |FROM tok LEFT JOIN v ON tok.term = v.term
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame = {
     import graft.functions.CrossHash
     val cnt = docs.select(explode(CrossHash.tokens(col("text"))).as("t"))

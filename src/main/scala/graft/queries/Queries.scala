@@ -1073,6 +1073,49 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Delta SHALLOW CLONE through the oracle gate: write evens,
+    // append odds, delete the low priorities, CLONE (zero-copy: v0
+    // references the source's live files by absolute path), then
+    // append urgent-evens ONLY to the clone — the combined read must
+    // show the clone evolving independently while the source is
+    // untouched, proving both the borrowed-file read and isolation
+    "g46_delta_clone" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_clone_src"
+        val cloneLoc = s"${TestFixtures.root(sf)}/delta_clone_rt"
+        val fs = new org.apache.hadoop.fs.Path(cloneLoc)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(cloneLoc), true)
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_clone_src", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_clone_src")
+        eng.deleteDeltaWhere("default", "delta_clone_src",
+          col("o_orderpriority") < "3-MEDIUM")
+        eng.cloneDeltaTable("default", "delta_clone_src", "delta_clone_rt", cloneLoc)
+        eng.appendDeltaTable(
+          o.filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 2 === 0),
+          "default", "delta_clone_rt")
+        eng.query(
+          """SELECT tbl, o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM (
+            |  SELECT 'src' AS tbl, * FROM glue.default.delta_clone_src
+            |  UNION ALL
+            |  SELECT 'clone' AS tbl, * FROM glue.default.delta_clone_rt)
+            |GROUP BY tbl, o_orderpriority ORDER BY tbl, o_orderpriority""".stripMargin)
+      },
+      """SELECT tbl, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM (
+        |  SELECT 'src' AS tbl, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderpriority >= '3-MEDIUM'
+        |  UNION ALL
+        |  SELECT 'clone' AS tbl, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderpriority >= '3-MEDIUM'
+        |     OR (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0))
+        |GROUP BY tbl, o_orderpriority ORDER BY tbl, o_orderpriority""".stripMargin)),
+
     // Iceberg ROLLBACK through the oracle gate (the g37 twin): write
     // evens, append odds, MOR-delete the low priorities, then roll
     // back to the pre-delete snapshot — the latest read must equal
@@ -2802,6 +2845,36 @@ object Queries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // CHAINED stateful aggregation: 10-min sub-window counts
+    // re-aggregated into hourly stats inside ONE streaming query
+    // (Spark 4 multi-stateful-operator append mode, watermark
+    // propagated via window_time); the sentinel flushes both levels
+    // and its own never-closed windows contribute nothing
+    "st12_stream_chained_agg" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val stage = TestFixtures.eventsStreamSessionDir(spark, sf)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(
+            EventStreams.windowedThenHourly(stream),
+            "st12_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        res.select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("n_windows"), col("total_events"), col("max_sub"))
+          .orderBy("hour_start")
+      },
+      """WITH sub AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(date_trunc('hour', w), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  COUNT(*) AS n_windows, SUM(n_events)::BIGINT AS total_events,
+        |  MAX(n_events)::BIGINT AS max_sub
+        |FROM sub GROUP BY 1 ORDER BY hour_start""".stripMargin)),
+
     // LEFT OUTER stream-stream interval join: unattributed purchases
     // must SURFACE (null-augmented on state expiry) instead of
     // silently dropping — per-side punctuation sentinels flush the
@@ -3022,6 +3095,13 @@ object Queries {
     "t6_vocab_df" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.vocabStats(t(spark, sf, "documents")),
       TextAnalysis.sqlVocabStats())),
+
+    // vocabulary coverage: top-500 frequency-truncated vocab, per-
+    // source OOV rate in exact ppm — one term shuffle + TakeOrdered
+    // for the vocab, broadcast membership join for the scoring pass
+    "t22_oov_rate" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.oovStats(t(spark, sf, "documents")),
+      TextAnalysis.sqlOovStats())),
 
     // per-source exact length quantiles (the quality-filter
     // thresholds): partitioned CDF, no global window

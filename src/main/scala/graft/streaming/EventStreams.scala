@@ -217,6 +217,31 @@ object EventStreams {
       "left_outer")
   }
 
+  /** CHAINED stateful aggregation — two time-window aggregates in ONE
+    * streaming query (10-minute sub-window counts re-aggregated into
+    * hourly stats via `window_time`), the multi-stateful-operator
+    * pipeline Spark 4 runs in append mode with the watermark
+    * propagated through the first aggregate. This is the shape that
+    * previously required two queries with an intermediate sink: the
+    * sub-window aggregate emits a finalized row once the watermark
+    * passes its window, and that row flows straight into the hourly
+    * aggregate's state. State is O(open windows) at each level —
+    * independent of stream history — and a bounded replay flushes
+    * both levels with one punctuation sentinel (the sentinel's own
+    * windows never close, so it contributes nothing downstream).
+    */
+  def windowedThenHourly(events: DataFrame): DataFrame = {
+    val sub = events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    sub.groupBy(window(window_time(col("w")), "1 hour").as("h"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_sub"))
+      .select(col("h.start").as("hour_start"), col("n_windows"),
+        col("total_events"), col("max_sub"))
+  }
+
   /** Bounded `readStream` over the events fixture: the batch reader's
     * rows (ts-type dispatch already applied) staged ONCE per scale
     * factor into a four-file directory — the file streaming source

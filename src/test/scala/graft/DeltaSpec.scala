@@ -567,6 +567,38 @@ class DeltaSpec extends AnyFunSuite {
       "the failed conflicting commit must not have changed the table")
   }
 
+  test("shallow clone: zero-copy read equality, independent evolution, loud on existing target") {
+    import spark.implicits._
+    import graft.listing.{DeltaLogResolver, DeltaLogWriter}
+    val src = s"/root/repo/target/delta_clone_src_${System.nanoTime()}"
+    val dst = s"/root/repo/target/delta_clone_dst_${System.nanoTime()}"
+    DeltaLogWriter.commit(spark, src, (0L until 10L).toDF("x").coalesce(1))
+    DeltaLogWriter.commit(spark, src, (10L until 20L).toDF("x").coalesce(1))
+    val nFiles = DeltaLogWriter.shallowClone(spark, src, dst)
+    assert(nFiles == 2)
+    val res = new DeltaLogResolver(spark)
+    // the clone's data dir holds NO parquet (zero copy): every file
+    // it reads lives under the source root
+    val cloneFiles = res.dataFilesDetailed(dst)
+    assert(cloneFiles.nonEmpty && cloneFiles.forall(_.path.startsWith(src)),
+      s"clone must borrow the source's files: ${cloneFiles.map(_.path)}")
+    assert(spark.read.parquet(cloneFiles.map(_.path): _*).count() == 20)
+    // stats survive the clone verbatim (file skipping keeps working)
+    assert(cloneFiles.forall(_.rowCount.nonEmpty))
+    // independent evolution: appending to the clone leaves the source at 20
+    DeltaLogWriter.commit(spark, dst, (20L until 25L).toDF("x").coalesce(1))
+    assert(spark.read.parquet(
+      res.dataFilesDetailed(dst).map(_.path): _*).count() == 25)
+    assert(spark.read.parquet(
+      res.dataFilesDetailed(src).map(_.path): _*).count() == 20,
+      "append to the clone must never touch the source")
+    // cloning onto an existing table fails loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogWriter.shallowClone(spark, src, dst)
+    }
+    assert(e.getMessage.contains("already holds a Delta log"))
+  }
+
   test("classifier: DELTA via table_type or the Spark provider parameter") {
     import graft.model.{TableClassifier, TableType}
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),

@@ -232,6 +232,41 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no unmatched purchase — outer semantics untested")
   }
 
+  test("chained windowed aggregation runs two stateful operators and equals batch") {
+    val stage = TestFixtures.eventsStreamSessionDir(spark, TestSpark.sfDir)
+    val schema = spark.read.parquet(stage).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = EventStreams.withStatePartitions(spark, 8)(
+      EventStreams.runToCompletionQuery(
+        EventStreams.windowedThenHourly(stream), "chain_out", OutputMode.Append()))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("chain_out")
+      .select(col("hour_start").cast("long"), col("n_windows"),
+        col("total_events"), col("max_sub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+
+    // ONE query must carry BOTH stateful aggregates
+    val ops = q.recentProgress.flatMap(_.stateOperators).map(_.operatorName).distinct
+    assert(q.recentProgress.exists(_.stateOperators.length == 2),
+      s"expected two stateful operators in one query, saw $ops")
+
+    // batch reference: same two-level aggregation over the real events
+    val ev = TestFixtures.events(spark, TestSpark.sfDir)
+    val want = ev
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(col("w.start"), "1 hour").as("h"))
+      .agg(count(lit(1)).as("n_windows"), sum("n_events").as("total_events"),
+        max("n_events").as("max_sub"))
+      .select(col("h.start").cast("long"), col("n_windows"),
+        col("total_events"), col("max_sub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == want, s"stream ${got.size} hours, batch ${want.size}")
+  }
+
   test("native session windows: stream equals batch; gap boundary merges, past-gap breaks") {
     val stage = TestFixtures.eventsStreamSessionDir(spark, TestSpark.sfDir)
     val schema = spark.read.parquet(stage).schema

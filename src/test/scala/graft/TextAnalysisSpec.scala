@@ -267,4 +267,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     val a0 = TextAnalysis.zipfFit(flatDocs, topN = 30).head().getDouble(2)
     assert(math.abs(a0) < 1e-9, s"flat corpus must fit alpha 0, got $a0")
   }
+
+  test("OOV rate: frequency-truncated vocab with deterministic tie-break") {
+    import spark.implicits._
+    // freq: a=3, b=2, c=2, d=1 — vocab of 2 is {a, b} (c ties b, term
+    // order keeps b); source y holds the c and d outliers
+    val docs = Seq(
+      (1L, "a a b c", "x"),
+      (2L, "a b c d", "y")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.oovStats(docs, vocabSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("x", 4L, 1L, 250000L),  // c is OOV
+      ("y", 4L, 2L, 500000L))) // c and d are OOV
+  }
 }
