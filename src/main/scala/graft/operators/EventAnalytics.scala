@@ -369,6 +369,51 @@ object EventAnalytics {
       |SELECT (SELECT t FROM tri) AS n_triangles,
       |       (SELECT w FROM wg) AS n_wedges""".stripMargin
 
+  /** Sequential-pattern match over per-user event journeys (the
+    * ClickHouse `sequenceMatch` / funnel-regex analysis): each
+    * user's events are totally ordered by `(ts, event_id)` and
+    * collapsed to a compact string of event-type initials (the five
+    * fixture types have distinct initials; a real deployment maps
+    * types to a symbol alphabet the same way), then each pattern is
+    * one regex over that string. Reported patterns: the ordered
+    * signup→view→purchase funnel, and the STRICT variant with no
+    * intervening error — the negative-condition ("without event X
+    * in between") form that per-step joins can't express without a
+    * blow-up.
+    *
+    * Scale shape: ONE user-keyed shuffle; the per-user sequence is
+    * assembled by `array_sort(collect_list(struct(ts, event_id,
+    * ch)))` — order-insensitive to shuffle arrival, bounded by
+    * events-per-user (the sessionization contract), and the regex
+    * runs over that compact string in the same narrow stage. Output
+    * is a 1-row aggregate; only counts leave the executors.
+    */
+  def sequenceMatch(events: DataFrame): DataFrame = {
+    val seqs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(concat_ws("",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          s => s.getField("ch"))).as("s"))
+    seqs.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("s").rlike("s.*v.*p"), 1L).otherwise(0L)).as("n_funnel"),
+      sum(when(col("s").rlike("s[^e]*p"), 1L).otherwise(0L)).as("n_clean_funnel"))
+  }
+
+  /** DuckDB oracle for [[sequenceMatch]]. */
+  def sqlSequenceMatch: String =
+    """WITH sq AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  SUM(CASE WHEN regexp_matches(s, 's.*v.*p') THEN 1 ELSE 0 END)::BIGINT AS n_funnel,
+      |  SUM(CASE WHEN regexp_matches(s, 's[^e]*p') THEN 1 ELSE 0 END)::BIGINT AS n_clean_funnel
+      |FROM sq""".stripMargin
+
   /** Fixed-point unit for [[hits]]: scores are BIGINTs in units of
     * 1e-6. Smaller than [[PrUnit]] on purpose: the normalization
     * step multiplies a raw score (≤ maxdeg × Unit after one

@@ -3013,6 +3013,14 @@ object Queries {
         EventAnalytics.bfsHops(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlBfsHops())),
 
+    // sequential-pattern (funnel-regex) match over per-user event
+    // journeys: one user-keyed shuffle, shuffle-order-proof sequence
+    // assembly, regex funnels incl. the no-intervening-error variant
+    "q52_sequence_match" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.sequenceMatch(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlSequenceMatch)),
+
     // HITS hubs/authorities on the bipartite view graph — the
     // asymmetric two-sided centrality; exact integer fixed point,
     // L1-normalized per round, unrolled-CTE oracle

@@ -74,6 +74,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.head._1 == -8L, "hub item should rank first")
   }
 
+  test("sequenceMatch: ordered funnels with and without intervening errors") {
+    val ev = Seq(
+      // user 1: s v p -> both funnels
+      (1L, 1L, "signup", ts(1)), (1L, 2L, "view", ts(2)), (1L, 3L, "purchase", ts(3)),
+      // user 2: s e v p -> funnel yes, clean (s[^e]*p) NO
+      (2L, 4L, "signup", ts(1)), (2L, 5L, "error", ts(2)),
+      (2L, 6L, "view", ts(3)), (2L, 7L, "purchase", ts(4)),
+      // user 3: v s p -> clean funnel (s then p, no error) but NOT s..v..p
+      (3L, 8L, "view", ts(1)), (3L, 9L, "signup", ts(2)), (3L, 10L, "purchase", ts(3)),
+      // user 4: p s v -> neither (purchase precedes signup)
+      (4L, 11L, "purchase", ts(1)), (4L, 12L, "signup", ts(2)), (4L, 13L, "view", ts(3)),
+      // user 5: same-ts ties broken by event_id: s(14) v(15) p(16) -> both
+      (5L, 14L, "signup", ts(1)), (5L, 15L, "view", ts(1)), (5L, 16L, "purchase", ts(1))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val r = EventAnalytics.sequenceMatch(ev).head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 3L, "users 1, 2, 5 complete s..v..p")
+    assert(r.getLong(2) == 3L, "users 1, 3, 5 complete s->p without an error between")
+  }
+
   test("hits matches a pure-Scala integer mutual recursion on a hand graph") {
     // users 1..4 view item 7 (hub magnet), user 1 also views item 2
     val ev = Seq(
