@@ -40,6 +40,9 @@ class PlanLintSpec extends AnyFunSuite {
   private val mayNestedLoop = Set(
     "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s6_ann_quantized", "s17_pca_topk",
     "s18_recall_audit",
+    // s19's build side is the one query row (literal vec_id filter,
+    // not aggregate-provable) — the s1 shape on the signature table
+    "s19_binary_rerank",
     "q16_recursive_cte",
     "t5_length_quantiles",
     "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical",
