@@ -551,4 +551,93 @@ object EventAnalytics {
     (base +: stages).mkString(",\n") +
       s"\nSELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT 20"
   }
+
+  /** Argmax packing base/offset for [[labelProp]]: `cnt * 2^40 +
+    * (2^39 - label)` turns (max count, then min label) into ONE plain
+    * BIGINT `max` — exact while per-neighbor-label counts stay under
+    * 2^23 and |label| under 2^38; event-graph degrees and node ids
+    * are orders of magnitude inside both bounds.
+    */
+  private val LpBase = 1L << 40
+  private val LpHalf = 1L << 39
+
+  /** Community detection by SYNCHRONOUS label propagation over the
+    * bipartite view graph [[pageRank]] walks (Raghavan et al. 2007's
+    * near-linear community baseline): every node starts in its own
+    * community (label = node id) and each round adopts the label most
+    * frequent among its neighbors, ties broken toward the SMALLEST
+    * label so the result is deterministic (async LPA's raciness is
+    * exactly what a reproducible pipeline can't ship). Returns the
+    * top-20 communities by size after `iters` rounds — the
+    * cluster-structure signal a dedup or domain-mixing pipeline reads
+    * next to connected components.
+    *
+    * Scale shape: per round ONE edge-label equi-join plus two keyed,
+    * map-side-combined aggregates — count per (node, label), then the
+    * packed-integer argmax per node ([[LpBase]]). Labels are
+    * re-materialized per round (localCheckpoint) so the plan never
+    * grows with iteration count; only the final 20-row top-k reaches
+    * the driver. At 100 TB the join shuffles edges on src and AQE
+    * handles hub skew, same as the PageRank rounds.
+    */
+  def labelProp(events: DataFrame, iters: Int = 3): DataFrame = {
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        (-(get_json_object(col("props"), "$.k").cast("long") + lit(1L))).as("it"))
+      .distinct()
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .union(ev.select(col("it").as("src"), col("u").as("dst")))
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        labels = edges.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(max(col("cnt") * lit(LpBase) + (lit(LpHalf) - col("lbl"))).as("s"))
+          .select(col("node"), (lit(LpHalf) - col("s") % lit(LpBase)).as("lbl"))
+          .localCheckpoint(true)
+      }
+      val top = labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(desc("n_nodes"), col("lbl")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
+      import sp.implicits._
+      top.toDF("community", "n_nodes")
+    } finally { edges.unpersist(); () }
+  }
+
+  /** DuckDB oracle for [[labelProp]] — the propagation unrolled to
+    * `iters` CTE stages over the same packed-integer argmax (`%` on
+    * the packed score is safe in both engines: scores are strictly
+    * positive by construction). Stages are MATERIALIZED for the same
+    * reason as [[sqlHits]]'s.
+    */
+  def sqlLabelProp(iters: Int = 3): String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id AS u,
+         |    -(CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS it
+         |  FROM events WHERE event_type = 'view'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |e AS MATERIALIZED (SELECT u AS src, it AS dst FROM ev
+         |      UNION ALL SELECT it AS src, u AS dst FROM ev),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)""".stripMargin
+    val stages = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node,
+         |    $LpHalf - (MAX(cnt * $LpBase + ($LpHalf - lbl)) % $LpBase) AS lbl
+         |  FROM (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+         |        FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY e.dst, l.lbl)
+         |  GROUP BY node)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"""
+         |SELECT lbl AS community, COUNT(*) AS n_nodes FROM l$iters
+         |GROUP BY lbl ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
+  }
 }

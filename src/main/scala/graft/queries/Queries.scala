@@ -1116,6 +1116,65 @@ object Queries {
         |     OR (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0))
         |GROUP BY tbl, o_orderpriority ORDER BY tbl, o_orderpriority""".stripMargin)),
 
+    // Delta MERGE (upsert) through the oracle gate — the CDC
+    // primitive every incremental pipeline runs: write the even
+    // orders, then merge ONE source batch that both UPDATES (every
+    // 10th key re-priced to priority 9-MERGED) and INSERTS (all odd
+    // keys). Stats-surgical copy-on-write: only files whose key
+    // bounds intersect the source span rewrite; the read-back proves
+    // replaced rows replaced exactly once and inserts landed.
+    "g47_delta_merge" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_merge_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_merge_rt", loc)
+        val src = o.filter(col("o_orderkey") % 2 === 1)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderpriority", lit("9-MERGED")))
+        eng.mergeDelta("default", "delta_merge_rt", src, "o_orderkey")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_merge_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN '9-MERGED'
+        |              ELSE o_orderpriority END AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Row-level UPDATE ... SET through the oracle gate: write evens
+    // then odds (two commits, so several files), UPDATE the low keys'
+    // priority in place — the same stats-surgical copy-on-write as
+    // the Delta delete (provably unaffected files keep their physical
+    // file). A string SET keeps the compare float-free.
+    "g48_delta_update" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_update_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_update_rt", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_update_rt")
+        eng.updateDeltaWhere("default", "delta_update_rt",
+          col("o_orderkey") < 500, Map("o_orderpriority" -> lit("0-TOUCHED")))
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_update_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT CASE WHEN o_orderkey < 500 THEN '0-TOUCHED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Iceberg ROLLBACK through the oracle gate (the g37 twin): write
     // evens, append odds, MOR-delete the low priorities, then roll
     // back to the pre-delete snapshot — the latest read must equal
@@ -3028,6 +3087,15 @@ object Queries {
       (spark: SparkSession, sf: String) =>
         EventAnalytics.hits(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlHits())),
+
+    // community detection by synchronous label propagation over the
+    // bipartite view graph — deterministic min-label tie-break, the
+    // per-node argmax packed into one BIGINT max so each round is a
+    // join + two keyed aggregates; unrolled-CTE oracle, exact compare
+    "q53_label_prop" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.labelProp(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlLabelProp())),
 
     // Markov next-event transition matrix: one user-keyed lag window,
     // then a types²-bounded aggregate; probabilities as exact integer

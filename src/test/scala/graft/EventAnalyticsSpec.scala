@@ -198,4 +198,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(0) == tri.toLong)
     assert(r.getLong(1) == deg.map(d => d.toLong * (d - 1) / 2).sum)
   }
+
+  test("labelProp matches a pure-Scala synchronous LPA on a hand graph") {
+    // two view cliques bridged by one shared user: users 1-3 x item 7,
+    // users 3-5 x item 2 — LPA must pull each side toward one label
+    val ev = Seq(
+      (1L, "view", ts(1), """{"k": 7}"""), (2L, "view", ts(1), """{"k": 7}"""),
+      (3L, "view", ts(1), """{"k": 7}"""), (3L, "view", ts(2), """{"k": 2}"""),
+      (4L, "view", ts(2), """{"k": 2}"""), (5L, "view", ts(2), """{"k": 2}"""),
+      (9L, "purchase", ts(1), """{"k": 7}""") // non-view: excluded
+    ).toDF("user_id", "event_type", "ts", "props")
+    val got = EventAnalytics.labelProp(ev, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // reference: synchronous min-tie-break LPA in plain Scala
+    val edges = Seq((1L, -8L), (2L, -8L), (3L, -8L), (3L, -3L), (4L, -3L), (5L, -3L))
+      .flatMap { case (u, i) => Seq((u, i), (i, u)) }
+    val nodes = edges.map(_._1).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = edges.groupBy(_._1).map { case (n, es) =>
+        val freq = es.map { case (_, nb) => lbl(nb) }.groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> freq.toSeq.maxBy { case (l, c) => (c.toLong, -l) }._1
+      }
+    }
+    val want = lbl.values.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+      .toSeq.sortBy { case (l, n) => (-n, l) }.take(20)
+    assert(got == want)
+  }
 }
