@@ -523,7 +523,14 @@ object Multimodal {
     * output row per animation frame, no shuffle but the presentation
     * sort.
     */
-  def gifPixelStats(media: DataFrame): DataFrame = {
+  def gifPixelStats(media: DataFrame): DataFrame =
+    gifFrameStats(media).orderBy("doc_id", "frame")
+
+  /** [[gifPixelStats]] without the presentation sort — the form other
+    * operators compose over (an interior global sort would be a plan
+    * defect, and the lint rejects it).
+    */
+  private[graft] def gifFrameStats(media: DataFrame): DataFrame = {
     implicit val enc = Encoders.product[GifFrameStats]
     val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     media.select(col("doc_id"), col("gif"))
@@ -536,7 +543,6 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy("doc_id", "frame")
   }
 
   final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
@@ -1112,6 +1118,118 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  final case class AudioSilence(doc_id: Long, n_samples: Int,
+      n_silent: Int, max_silent_run: Int)
+
+  /** Silence profile per clip: how many samples sit below `threshold`
+    * in absolute value, and the LONGEST consecutive silent run — the
+    * trim/filter signal an audio curation pipeline reads before
+    * spending feature extraction on dead air (a clip that is mostly
+    * one long silent run is padding, not speech). Narrow
+    * per-partition decode + one imperative pass per clip, no shuffle;
+    * run state is two ints, so a 100 TB audio corpus stays map-only.
+    */
+  def audioSilence(media: DataFrame, threshold: Int = 100): DataFrame = {
+    implicit val enc = Encoders.product[AudioSilence]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val s = decodeWavSamples(bytes)
+          var i = 0; var nSil = 0; var run = 0; var maxRun = 0
+          while (i < s.length) {
+            if (math.abs(s(i)) < threshold) {
+              nSil += 1; run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            i += 1
+          }
+          AudioSilence(id, s.length, nSil, maxRun)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[audioSilence]]: regenerates the fixture's sample
+    * series and finds the same runs by gaps-and-islands (silent rows
+    * grouped by `i - row_number()` — consecutive indices share a
+    * group).
+    */
+  def sqlAudioSilence(threshold: Int = 100): String =
+    s"""WITH p AS (SELECT doc_id,
+       |   (100 + doc_id % 50) * (1 + doc_id % 2) AS n,
+       |   1000 + doc_id % 29000 AS peak FROM documents),
+       |s AS (SELECT doc_id, n,
+       |   CASE WHEN i = 0 THEN peak ELSE (i * 131 + doc_id) % 997 END AS v,
+       |   i FROM (SELECT doc_id, n, peak, unnest(range(0, n)) AS i FROM p)),
+       |sil AS (SELECT doc_id, i,
+       |   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |   FROM s WHERE abs(v) < $threshold),
+       |runs AS (SELECT doc_id, COUNT(*) AS run FROM sil GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, SUM(run) AS n_silent, MAX(run) AS max_run
+       |        FROM runs GROUP BY doc_id)
+       |SELECT p.doc_id, CAST(p.n AS INTEGER) AS n_samples,
+       |  CAST(COALESCE(a.n_silent, 0) AS INTEGER) AS n_silent,
+       |  CAST(COALESCE(a.max_run, 0) AS INTEGER) AS max_silent_run
+       |FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** Scene-cut detection over decoded video frames: consecutive-frame
+    * L1 distance between per-channel pixel sums ([[gifPixelStats]]'s
+    * exact integers), a cut wherever the delta exceeds `threshold` —
+    * the shot-segmentation signal a video sampling pipeline uses to
+    * pick one frame per scene instead of one per stride. Per video:
+    * frame count, cut count, and the largest delta.
+    *
+    * Scale shape: the decode is the narrow per-partition GIF walk;
+    * the lag sits in a doc_id-PARTITIONED window over the per-frame
+    * aggregate (frames per video rows, not pixels), then one keyed
+    * aggregate — nothing unpartitioned, nothing driver-side.
+    */
+  def videoSceneCuts(media: DataFrame, threshold: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame")
+    gifFrameStats(media)
+      .select(col("doc_id"), col("frame"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .withColumn("delta",
+        abs(col("sum_r") - lag("sum_r", 1).over(w)) +
+          abs(col("sum_g") - lag("sum_g", 1).over(w)) +
+          abs(col("sum_b") - lag("sum_b", 1).over(w)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max(col("delta")), lit(0L)).as("max_delta"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[videoSceneCuts]]: the fixture GIF's frame pixels
+    * are `(doc_id*31 + frame*13 + x*7 + y) % 16777216` by
+    * construction (the m8 fidelity query proves the decoder
+    * reproduces them bit-exactly), so the oracle regenerates the
+    * per-frame channel sums and replays the same lag-delta window.
+    */
+  def sqlVideoSceneCuts(threshold: Long = 1800L): String =
+    s"""WITH p AS (SELECT doc_id, 10 + doc_id % 8 AS w, 8 + doc_id % 4 AS h,
+       |   2 + doc_id % 6 AS nf FROM documents),
+       |f AS (SELECT doc_id, unnest(range(0, nf)) AS frame, w, h FROM p),
+       |px AS (SELECT doc_id, frame,
+       |   (doc_id * 31 + frame * 13 + x * 7 + y) % 16777216 AS rgb
+       |   FROM (SELECT doc_id, frame, w, h, unnest(range(0, w)) AS x FROM f) t,
+       |   LATERAL (SELECT unnest(range(0, h)) AS y) u),
+       |s AS (SELECT doc_id, frame, SUM(rgb // 65536) AS sr,
+       |   SUM((rgb // 256) % 256) AS sg, SUM(rgb % 256) AS sb
+       |   FROM px GROUP BY 1, 2),
+       |d AS (SELECT doc_id, frame,
+       |   abs(sr - lag(sr) OVER w) + abs(sg - lag(sg) OVER w)
+       |     + abs(sb - lag(sb) OVER w) AS delta
+       |   FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY frame))
+       |SELECT doc_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(CASE WHEN delta > $threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The PCM sample series of a 16-bit RIFF/WAVE file (sign-extended;
     * empty for corrupt or non-16-bit input) — the chunk walk of

@@ -97,4 +97,48 @@ object Packing {
        |SELECT doc_id, n_tokens, cum0 // $budget AS seq_id, cum0 % $budget AS seq_off,
        |  (CASE WHEN n_tokens > 0 THEN (cum0 + n_tokens - 1) // $budget - cum0 // $budget + 1 ELSE 1 END)::BIGINT AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Deterministic WEIGHTED INTERLEAVE of the corpus across its
+    * sources — the data-ORDERING step of a training pipeline (domain
+    * mixing decides proportions; this decides the sequence): stride
+    * scheduling, where source `s` with integer weight `w_s` emits its
+    * rank-`r` document at virtual time `r * (L / w_s)` (`L` = a
+    * common multiple of the weights), so a weight-4 source appears
+    * 4x as often as a weight-1 source in ANY prefix of the order —
+    * not just in expectation, and identically on every run. Weights
+    * here derive from the source name's numeric suffix (`1 + n % 4`),
+    * standing in for the per-domain quality tier a real pipeline
+    * would broadcast. Ties break by (source, doc_id), so the order
+    * is total. Returns the first `limit` rows.
+    *
+    * Scale shape: the per-source rank is ONE source-partitioned
+    * window (the partitioning domain-mixing already shuffles on);
+    * the global order materializes only through ORDER BY + LIMIT —
+    * TakeOrdered, never a full sort. Writing the WHOLE interleaved
+    * corpus instead would make `vtime` the sort key of a range-
+    * partitioned write (one shuffle), still never a single-node sort.
+    */
+  def interleaveByWeight(docs: DataFrame, limit: Int = 200): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("wt", lit(1L) +
+        pmod(coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"),
+          lit(0L)), lit(4L)))
+      .withColumn("vtime", col("rank") * expr("12L div wt"))
+      .select("vtime", "source", "doc_id")
+      .orderBy("vtime", "source", "doc_id")
+      .limit(limit)
+  }
+
+  /** DuckDB oracle for [[interleaveByWeight]] — same integer stride
+    * arithmetic, same total tie-break.
+    */
+  def sqlInterleaveByWeight(limit: Int = 200): String =
+    s"""WITH r AS (SELECT doc_id, source,
+       |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rank,
+       |  1 + (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 4) AS wt
+       |  FROM documents)
+       |SELECT rank * (12 // wt) AS vtime, source, doc_id
+       |FROM r ORDER BY vtime, source, doc_id LIMIT $limit""".stripMargin
 }

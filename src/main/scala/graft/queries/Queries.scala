@@ -2220,6 +2220,14 @@ object Queries {
       (spark: SparkSession, sf: String) => Packing.packSequences(t(spark, sf, "documents"), 512),
       Packing.sqlPackSequences(512))),
 
+    // deterministic weighted interleave (stride scheduling) across
+    // sources — the data-ORDERING step after domain mixing: exact
+    // integer virtual times, total tie-break, TakeOrdered prefix
+    "p5_interleave" -> ((
+      (spark: SparkSession, sf: String) =>
+        Packing.interleaveByWeight(t(spark, sf, "documents")),
+      Packing.sqlInterleaveByWeight())),
+
     // PII scrub pass. The synthetic corpus carries no PII, so the
     // query derives a deterministic contact line on every third doc
     // (same derivation in both engines) — counts are then 0/1 per
@@ -2657,6 +2665,35 @@ object Queries {
     // completion. Complete output mode re-emits every window at the
     // final trigger, so the bounded replay's answer IS the batch
     // answer and the DuckDB oracle applies unchanged.
+    // stream-STATIC enrichment — the most common streaming pattern:
+    // the live click stream broadcast-left-joined per micro-batch to
+    // the item dimension (no state: the dim rides the plan as a
+    // broadcast), then a Complete-mode revenue aggregate per brand.
+    // Dim misses keep their rows under UNKNOWN, proving the left
+    // semantics end to end; cents stay exact integers.
+    "st13_stream_enrich" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val part = t(spark, sf, "part").select(col("p_partkey"), col("p_brand"))
+        val stream = EventStreams.eventsFileStream(spark, sf)
+          .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+          .withColumn("p_partkey", get_json_object(col("props"), "$.k").cast("long"))
+        val enriched = EventStreams.enrich(stream, part, "p_partkey")
+          .withColumn("p_brand", coalesce(col("p_brand"), lit("UNKNOWN")))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum((dec2("value") * 100).cast("long")).as("cents"))
+        val res = EventStreams.withStatePartitions(spark, 8)(
+          EventStreams.runToCompletion(enriched, "st13_mem",
+            org.apache.spark.sql.streaming.OutputMode.Complete()))
+        res.orderBy("p_brand")
+      },
+      """SELECT COALESCE(p_brand, 'UNKNOWN') AS p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM events LEFT JOIN part
+        |  ON p_partkey = CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "st1_stream_hourly" -> ((
       (spark: SparkSession, sf: String) => {
         import graft.streaming.EventStreams
@@ -3442,7 +3479,24 @@ object Queries {
     "m14_audio_autocorr" -> ((
       (spark: SparkSession, sf: String) =>
         Multimodal.audioAutocorr(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
-      Multimodal.sqlAudioAutocorr))
+      Multimodal.sqlAudioAutocorr)),
+
+    // silence profile per clip (silent-sample count + longest silent
+    // run from the real PCM decode) — the trim/dead-air curation
+    // filter; gaps-and-islands oracle over the analytic sample series
+    "m16_audio_silence" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.audioSilence(spark.read.parquet(TestFixtures.mediaAudio(spark, sf))),
+      Multimodal.sqlAudioSilence())),
+
+    // scene-cut detection over REAL decoded GIF frames: consecutive-
+    // frame L1 distance on exact integer channel sums, cuts above a
+    // fixed threshold — the shot-segmentation signal frame-sampling
+    // reads; doc-partitioned lag window, lag-delta replay oracle
+    "m17_scene_cuts" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.videoSceneCuts(spark.read.parquet(TestFixtures.mediaVideo(spark, sf))),
+      Multimodal.sqlVideoSceneCuts()))
   )
 
   val all: Map[String, (Q, String)] = core ++ glue ++ pipeline

@@ -448,4 +448,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(Jpeg.decodePixels(jb.take(jb.length / 2))._1 == 0)
   }
+
+  test("audioSilence counts silent samples and the longest run from real PCM bytes") {
+    import TestSpark.spark.implicits._
+    // samples: 500, 5, -5, 0, 800, 99, -99, 5 -> silent (|v|<100) at
+    // 1,2,3,5,6,7: n_silent=6, max run=3 (indices 5..7)
+    val samples = Array(500, 5, -5, 0, 800, 99, -99, 5)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = (v & 0xff).toByte; data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav = graft.fixtures.TestFixtures.wavBytes(8000, 1, data)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "wav")
+    val rows = graft.operators.Multimodal.audioSilence(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(rows == Seq((1L, 8, 6, 3), (2L, 0, 0, 0)))
+  }
+
+  test("videoSceneCuts agrees with a Scala lag-delta over the decoder's own sums") {
+    javax.imageio.ImageIO.setUseCache(false)
+    def gifBytes(id: Long): Array[Byte] = {
+      val w = 10 + (id % 8).toInt; val h = 8 + (id % 4).toInt; val nf = 2 + (id % 6).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      for (f <- 0 until nf) {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, ((id * 31 + f * 13 + x * 7 + y) & 0xffffff).toInt)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    import TestSpark.spark.implicits._
+    val ids = (0L until 12L).toSeq
+    val df = ids.map(id => (id, gifBytes(id))).toDF("doc_id", "gif")
+    val got = graft.operators.Multimodal.videoSceneCuts(df, threshold = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = ids.map { id =>
+      val frames = graft.operators.Multimodal.decodeGifPixels(gifBytes(id))
+        .map { case (_, _, _, sr, sg, sb) => (sr, sg, sb) }
+      val deltas = frames.sliding(2).collect {
+        case Seq((r0, g0, b0), (r1, g1, b1)) =>
+          math.abs(r1 - r0) + math.abs(g1 - g0) + math.abs(b1 - b0)
+      }.toSeq
+      (id, frames.size.toLong, deltas.count(_ > 1800L).toLong,
+        if (deltas.isEmpty) 0L else deltas.max)
+    }
+    assert(got == want)
+    assert(want.map(_._3).sum > 0, "the fixture construction should produce some cuts")
+  }
 }

@@ -68,4 +68,27 @@ class PackingSpec extends AnyFunSuite {
     assert(perStratum.values.forall(_ <= 10))
     assert(perStratum.nonEmpty)
   }
+
+  test("interleaveByWeight emits sources in exact stride proportion in every prefix") {
+    import spark.implicits._
+    // src1 -> weight 2 (stride 6), src3 -> weight 4 (stride 3):
+    // vtimes src3: 3,6,9,12,... src1: 6,12,18,...
+    val df = (0L until 40L).map(i => (i, s"src${1 + 2 * (i % 2)}"))
+      .toDF("doc_id", "source")
+    val out = Packing.interleaveByWeight(df, limit = 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // reference: stride schedule in plain Scala with the same tie-break
+    val ranked = (0L until 40L).map(i => (i, s"src${1 + 2 * (i % 2)}"))
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        val wt = 1 + (src.drop(3).toLong % 4)
+        ds.map(_._1).sorted.zipWithIndex.map { case (d, r) =>
+          ((r + 1) * (12 / wt), src, d)
+        }
+      }
+    val want = ranked.sortBy { case (v, s, d) => (v, s, d) }.take(12)
+    assert(out == want)
+    // weight-4 source must appear twice as often in the prefix
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src3") == 2 * bySrc("src1"))
+  }
 }
