@@ -1125,6 +1125,29 @@ final class GlueTableEngine(
     v
   }
 
+  /** ONE-SNAPSHOT Iceberg MERGE (upsert) by `key` — the same upsert
+    * contract as [[mergeDelta]] and [[upsertHudi]], in Iceberg's
+    * native merge-on-read shape
+    * ([[graft.listing.IcebergWriter.commitMerge]]): the source
+    * batch's data files and an equality delete over its keys publish
+    * at the SAME sequence number, so prior matches die and the new
+    * rows land atomically (strict sequence scoping keeps the delete
+    * off the batch's own files — a reader can never see the delete
+    * without the insert). No data rewrite; readers pay the anti-join
+    * until compaction folds the deletes in. Returns the new
+    * sequence number.
+    */
+  def mergeIceberg(database: String, table: String, source: DataFrame, key: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    require(source.columns.contains(key), s"merge key $key not in the source batch")
+    val v = graft.listing.IcebergWriter.commitMerge(
+      spark, location(meta), source, Seq(key))
+    invalidateTable(database, table)
+    v
+  }
+
   /** OPTIMIZE-style compaction for a Delta table: rewrite the live
     * file set into `ceil(liveBytes / targetFileBytes)` files as ONE
     * commit — remove actions retire every previous live file, adds

@@ -603,6 +603,173 @@ object IcebergWriter {
     seq
   }
 
+  /** ONE-SNAPSHOT MERGE (upsert) by `keyCols`: publish the source
+    * batch's data files AND an equality delete over its keys at the
+    * SAME sequence number. The spec's strict scoping (an equality
+    * delete applies only to data files with a strictly SMALLER data
+    * sequence) makes a single snapshot exactly MERGE: every prior
+    * row matching a source key dies, every source row lives, and a
+    * reader can never observe the delete without the insert — the
+    * atomicity the two-commit equivalence (equality-delete then
+    * append) gives up. No data file is rewritten; cost is
+    * proportional to the source batch (the copy-on-write trade is
+    * the Delta merge). Unpartitioned tables only; exact-schema
+    * batches only (merge is not evolution). Returns the new
+    * sequence number.
+    */
+  def commitMerge(spark: SparkSession, location: String,
+      df: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location — commitMerge extends an existing table"))
+    val declaredSpec = Option(prior.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala.toSeq.headOption)
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq))
+    require(declaredSpec.isEmpty,
+      s"commitMerge supports unpartitioned tables; $location declares a partition spec")
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    // exact-schema rule, as on appends: positional ids must bind to
+    // the same columns
+    val idFields = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      icebergType(f.dataType).map(tp => (i + 1, f.name, tp))
+    }
+    val declared = Option(prior.get("schemas")).flatMap { arr =>
+      arr.elements().asScala.toSeq.headOption
+    }.flatMap(s => Option(s.get("fields"))).map { fsn =>
+      fsn.elements().asScala.toSeq.flatMap { f =>
+        for {
+          nm <- Option(f.get("name")).map(_.asText())
+          tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
+        } yield (nm, tp)
+      }
+    }.getOrElse(Nil)
+    val mine = idFields.map { case (_, nm, tp) => (nm, tp) }.toSeq
+    require(declared.isEmpty || declared == mine,
+      s"merge schema mismatch for Iceberg table at $root: table declares " +
+        s"${declared.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}, batch has " +
+        s"${mine.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+
+    // 1. the source batch's data files + their manifest (one footer
+    // read per written file yields bounds and record_count)
+    val dd = s"$root/data_s${seq}_$token"
+    df.write.mode("overwrite").parquet(dd)
+    def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walkParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val dataFileS = dataFileSchema(None)
+    val entryS = entrySchema(dataFileS)
+    val entries = walkParquet(new Path(dd)).sortBy(_.getPath.toString).map { st =>
+      val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
+      val d = new GenericData.Record(dataFileS)
+      d.put("file_path", st.getPath.toUri.getPath)
+      d.put("file_size_in_bytes", st.getLen)
+      d.put("record_count", nRows.getOrElse(-1L))
+      val lows = new java.util.ArrayList[GenericRecord]()
+      val highs = new java.util.ArrayList[GenericRecord]()
+      val nulls = new java.util.ArrayList[GenericRecord]()
+      idFields.foreach { case (id, name, tp) =>
+        stats.get(name).foreach { r =>
+          if (!r.allNulls)
+            for (lo <- boundBytes(tp, r.min); hi <- boundBytes(tp, r.max)) {
+              def kv(b: Array[Byte]) = {
+                val k = new GenericData.Record(boundKv)
+                k.put("key", id); k.put("value", java.nio.ByteBuffer.wrap(b)); k
+              }
+              lows.add(kv(lo)); highs.add(kv(hi))
+            }
+          if (r.noNulls) {
+            val k = new GenericData.Record(countKv)
+            k.put("key", id); k.put("value", 0L); nulls.add(k)
+          }
+        }
+      }
+      d.put("lower_bounds", lows); d.put("upper_bounds", highs)
+      d.put("null_value_counts", nulls)
+      d.put("nan_value_counts", new java.util.ArrayList[GenericRecord]())
+      val e = new GenericData.Record(entryS)
+      e.put("data_file", d)
+      e
+    }
+    val dataManifest = s"$root/metadata/manifest_${token}_s$seq.avro"
+    writeAvro(fs, new Path(dataManifest), entryS, entries)
+
+    // 2. the equality delete file over the source keys
+    val delDir = s"$root/deletes_s${seq}_$token"
+    df.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(delDir)
+    val delParquet = fs.listStatus(new Path(delDir)).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
+    val delEntries = Seq {
+      val d = new GenericData.Record(delFileS)
+      d.put("file_path", delParquet.toUri.getPath)
+      d.put("file_size_in_bytes", fs.getFileStatus(delParquet).getLen)
+      d.put("content", 2)
+      d.put("equality_ids", java.util.List.of(keyCols.map(c =>
+        java.lang.Integer.valueOf(idByName.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"merge key $c not in the table schema")))): _*))
+      val e = new GenericData.Record(delEntryS)
+      e.put("data_file", d)
+      e
+    }
+    val delManifest = s"$root/metadata/manifest_del${token}_s$seq.avro"
+    writeAvro(fs, new Path(delManifest), delEntryS, delEntries)
+
+    // 3+4. one manifest list referencing prior manifests + BOTH of
+    // this snapshot's, one atomic metadata publish
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val priorManifests = {
+      val last = Option(prior.get("snapshots")).flatMap(a => a.elements().asScala.toSeq.lastOption)
+      last.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
+        .flatMap(ml => readAvro(fs, new Path(ml)).map(_.get("manifest_path").toString))
+    }
+    val mlPath = s"$root/metadata/ml_s${seq}_$token.avro"
+    writeAvro(fs, new Path(mlPath), mlS,
+      (priorManifests :+ dataManifest :+ delManifest).map { mp =>
+        val r = new GenericData.Record(mlS)
+        r.put("manifest_path", mp)
+        r
+      })
+    val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}, "summary": {"operation": "merge"}}"""
+    val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
+      .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq,
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": $schemasJson,
+         |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.$token.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      fs.delete(new Path(mlPath), false)
+      throw new IllegalStateException(
+        s"merge lost the publish race at $dst — its read-set may be " +
+          "invalid; re-resolve and retry")
+    }
+    seq
+  }
+
   /** Highest batch id the given streaming app has committed into the
     * table — read from the snapshots' `summary` maps in the LATEST
     * metadata json. None for a fresh table or a foreign app. The

@@ -1175,6 +1175,38 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Iceberg ONE-SNAPSHOT MERGE through the oracle gate — the g47
+    // twin, completing the upsert trio (Delta MERGE g47, Hudi upsert
+    // g34): the source batch's data files and the equality delete
+    // over its keys publish at the SAME sequence number, so the
+    // strict-scoping reader sees updates and inserts atomically with
+    // zero data files rewritten.
+    "g49_iceberg_merge" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_merge_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_merge_rt", loc)
+        val src = o.filter(col("o_orderkey") % 2 === 1)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderpriority", lit("9-MERGED")))
+        eng.mergeIceberg("default", "ice_merge_rt", src, "o_orderkey")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_merge_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN '9-MERGED'
+        |              ELSE o_orderpriority END AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Iceberg ROLLBACK through the oracle gate (the g37 twin): write
     // evens, append odds, MOR-delete the low priorities, then roll
     // back to the pre-delete snapshot — the latest read must equal

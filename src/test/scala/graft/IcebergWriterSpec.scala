@@ -267,4 +267,40 @@ class IcebergWriterSpec extends AnyFunSuite {
       sp.sparkContext.hadoopConfiguration).dataSchemaAt(loc)
     assert(sch.exists(_.fieldNames.toSeq == Seq("k", "v", "z")))
   }
+
+  test("one-snapshot MERGE: updates + inserts land atomically, history travels") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_merge_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 100L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(2),
+      "d", "im", loc)
+    val dataFiles = eng.files("d", "im").map(_.path).toSet
+    // one source batch: keys 0..9 updated, 100..109 inserted
+    val src = ((0L until 10L).map(k => (k, s"u$k")) ++
+      (100L until 110L).map(k => (k, s"r$k"))).toDF("k", "v").coalesce(1)
+    val v = eng.mergeIceberg("d", "im", src, "k")
+    assert(v == 2L, "merge must publish exactly ONE snapshot")
+    val got = eng.tableDF("d", "im").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 110)
+    assert((0L until 10L).forall(k => got(k) == s"u$k"), "matched rows replaced")
+    assert((10L until 100L).forall(k => got(k) == s"r$k"), "unmatched rows kept")
+    assert((100L until 110L).forall(k => got(k) == s"r$k"), "inserts landed")
+    // MOR: no prior data file rewritten
+    assert(dataFiles.subsetOf(eng.files("d", "im").map(_.path).toSet),
+      "merge must not rewrite prior data files")
+    // pre-merge snapshot still travels
+    assert(eng.tableDF("d", "im", 1).count() == 100)
+    assert(eng.tableDF("d", "im", 1).filter(col("k") === 0L)
+      .head().getString(1) == "r0")
+    // a second merge replaces the FIRST merge's rows too (the new
+    // delete at seq 3 scopes over the seq-2 data)
+    val v2 = eng.mergeIceberg("d", "im", Seq((0L, "w0")).toDF("k", "v"), "k")
+    assert(v2 == 3L)
+    val after = eng.tableDF("d", "im")
+    assert(after.count() == 110)
+    assert(after.filter(col("k") === 0L).head().getString(1) == "w0")
+  }
 }

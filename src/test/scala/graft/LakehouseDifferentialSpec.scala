@@ -58,12 +58,11 @@ class LakehouseDifferentialSpec extends AnyFunSuite {
     all.foreach { case (t, got) => assert(got == want1, s"$t diverges after append") }
 
     // stage 2: row-level upsert of keys 0..9 — Delta via MERGE, Hudi
-    // via its native upsert, Iceberg via the MOR equivalent
-    // (equality-delete the keys, then append the new versions)
+    // via its native upsert, Iceberg via the ONE-SNAPSHOT MOR merge
+    // (data files + equality delete at the same sequence number)
     eng.mergeDelta("d", "diff_d", upsertBatch, "k")
     eng.upsertHudi("d", "diff_h", upsertBatch, "k")
-    eng.deleteIcebergMatching("d", "diff_i", upsertBatch.select("k"), Seq("k"))
-    eng.appendIcebergTable(upsertBatch, "d", "diff_i")
+    eng.mergeIceberg("d", "diff_i", upsertBatch, "k")
     val want2 = expect(0L until 150L, (0L until 10L).toSet, Set.empty)
     all.foreach { case (t, got) => assert(got == want2, s"$t diverges after upsert") }
 
@@ -115,19 +114,18 @@ class LakehouseDifferentialSpec extends AnyFunSuite {
     // the mutation being rolled back: row-level upsert of keys 0..9,
     // expressed in each format's native shape (Delta MERGE rewrites
     // the stats-intersecting files; Hudi native upsert; Iceberg the
-    // MOR equivalence — equality-delete + append, TWO snapshots)
+    // one-snapshot MOR merge)
     eng.mergeDelta("d", "roll_d", upsertBatch, "k")
     eng.upsertHudi("d", "roll_h", upsertBatch, "k")
-    eng.deleteIcebergMatching("d", "roll_i", upsertBatch.select("k"), Seq("k"))
-    eng.appendIcebergTable(upsertBatch, "d", "roll_i")
+    eng.mergeIceberg("d", "roll_i", upsertBatch, "k")
     val mutated = expect(0L until 150L, (0L until 10L).toSet, Set.empty)
     Seq("roll_d", "roll_i", "roll_h").foreach { t =>
       assert(rows(eng.tableDF("d", t)) == mutated, s"$t diverges after upsert") }
 
-    // one LOGICAL rollback each: Delta/Hudi one version; Iceberg two
-    // snapshots because its MOR upsert published two
+    // one LOGICAL rollback each — and since every format's upsert is
+    // now one commit, one PHYSICAL version each too
     eng.restoreDeltaTable("d", "roll_d", 1)
-    eng.rollbackIcebergTable("d", "roll_i", 2)
+    eng.rollbackIcebergTable("d", "roll_i", 1)
     eng.rollbackHudiTable("d", "roll_h", 1)
     Seq("roll_d", "roll_i", "roll_h").foreach { t =>
       assert(rows(eng.tableDF("d", t)) == preMutation, s"$t diverges after rollback") }
