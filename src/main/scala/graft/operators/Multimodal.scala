@@ -817,6 +817,110 @@ object Multimodal {
        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  final case class ImagePHash(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** Q12 integer DCT-II basis for [[imagePHash]]:
+    * `T(u)(x) = round(cos((2x+1)·u·π/32) · 4096)` — the cosines are
+    * frozen to integers ONCE (here, at class load, from the same
+    * closed form both sides embed), so the whole transform is exact
+    * integer arithmetic and the oracle can replay it literally.
+    */
+  private[graft] val PhashDct: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, x) =>
+      math.round(math.cos((2 * x + 1) * u * math.Pi / 32.0) * 4096.0))
+
+  /** Perceptual hash (pHash) over real decoded PNG pixels — the
+    * frequency-domain sibling of [[imageDHash]]: downsample to a
+    * 16×16 grayscale grid (same nearest-neighbor and BT.601 integer
+    * conventions), take the 2-D DCT-II with the Q12 integer basis
+    * [[PhashDct]], keep the 8×8 low-frequency block minus DC (63
+    * coefficients), and emit one bit per coefficient above their
+    * median. dHash reads local gradients, pHash reads global
+    * structure — robust to uniform brightness/contrast moves and to
+    * rescaling (a nearest-neighbor upscale reproduces the identical
+    * grid, hence the identical hash — spec-proven). Emitted as two
+    * halves so no sign-bit corner can diverge cross-engine.
+    *
+    * Scale: narrow per-row decode + a fixed 16k-multiply transform
+    * per image, no shuffle — map-only at any corpus size. Corrupt
+    * images degrade to (0, 0), filterable downstream.
+    */
+  def imagePHash(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[ImagePHash]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val t = PhashDct
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodePngPixels(bytes)
+          if (px.isEmpty) ImagePHash(id, 0L, 0L)
+          else {
+            val g = Array.tabulate(16, 16) { (y, x) =>
+              val v = px((y * h / 16) * w + (x * w / 16))
+              (299L * ((v >> 16) & 255) + 587L * ((v >> 8) & 255) +
+                114L * (v & 255)) / 1000L
+            }
+            val coef = Array.tabulate(8, 8) { (u, vq) =>
+              var s = 0L
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) { s += g(y)(x) * t(u)(x) * t(vq)(y); x += 1 }
+                y += 1
+              }
+              s
+            }
+            val ac = (for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+              yield coef(u)(v)).sorted
+            val med = ac(31) // 32nd smallest of 63 — the exact median
+            var hi = 0L; var lo = 0L
+            for { u <- 0 until 8; v <- 0 until 8; p = u * 8 + v; if p > 0 } {
+              if (coef(u)(v) > med) {
+                if (p < 32) hi |= 1L << p else lo |= 1L << (p - 32)
+              }
+            }
+            ImagePHash(id, hi, lo)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[imagePHash]]: regenerates the 16×16 grid from the
+    * fixture's analytic pixels, joins the SAME frozen Q12 basis twice
+    * (rows and columns), and folds the identical median-threshold
+    * bits — the full frequency transform replayed in SQL.
+    */
+  def sqlImagePHash: String = {
+    val tvals = (for { u <- 0 until 8; x <- 0 until 16 }
+      yield s"($u, $x, ${PhashDct(u)(x)})").mkString(", ")
+    s"""WITH p AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+       |           FROM documents WHERE doc_id % 2 = 0),
+       |dct(u, x, cv) AS (VALUES $tvals),
+       |g AS (SELECT doc_id, xy % 16 AS x, xy // 16 AS y,
+       |        (299 * (v >> 16 & 255) + 587 * (v >> 8 & 255) + 114 * (v & 255)) // 1000 AS gray
+       |      FROM (SELECT doc_id, xy,
+       |              (doc_id * 31 + ((xy % 16) * w // 16) * 7 + ((xy // 16) * h // 16)) % 16777216 AS v
+       |            FROM (SELECT doc_id, w, h, unnest(range(256)) AS xy FROM p))),
+       |c AS MATERIALIZED (SELECT g.doc_id, tu.u AS u, tv.u AS v,
+       |        CAST(SUM(g.gray * tu.cv * tv.cv) AS BIGINT) AS c
+       |      FROM g JOIN dct tu ON tu.x = g.x JOIN dct tv ON tv.x = g.y
+       |      GROUP BY 1, 2, 3),
+       |ac AS (SELECT doc_id, u, v, c FROM c WHERE NOT (u = 0 AND v = 0)),
+       |med AS (SELECT doc_id, c AS med FROM (
+       |          SELECT doc_id, c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+       |          FROM ac) WHERE rn = 32),
+       |b AS (SELECT ac.doc_id, u * 8 + v AS pos,
+       |        CASE WHEN ac.c > med.med THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |      FROM ac JOIN med ON ac.doc_id = med.doc_id)
+       |SELECT doc_id,
+       |  sum(CASE WHEN pos < 32 THEN bit << pos ELSE 0 END)::BIGINT AS phash_hi,
+       |  sum(CASE WHEN pos >= 32 THEN bit << (pos - 32) ELSE 0 END)::BIGINT AS phash_lo
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   final case class LumaBin(doc_id: Long, bin: Int, n: Long)
 
   /** Exact 16-bin LUMINANCE HISTOGRAM over every pixel of each real

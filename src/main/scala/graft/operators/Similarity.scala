@@ -340,6 +340,104 @@ object Similarity {
        |FROM qz, qv WHERE vec_id <> $queryVecId
        |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversity re-rank: from the `shortlist` most query-relevant
+    * vectors, greedily select `k` maximizing
+    * `lamNum*rel(d) - divNum*max_{s in selected} sim(d, s)` — the
+    * standard retrieval/training-data move against near-duplicate
+    * result sets (top-k alone returns k copies of the same
+    * neighborhood; MMR trades a little relevance for coverage).
+    * Relevance and similarity are INTEGER dot products of the int8
+    * codes ([[quantizeInt8]]), so every score — and the greedy's
+    * every tie-break (smallest vec_id) — is exact cross-engine.
+    *
+    * Scale shape: the shortlist is the distributed part (brute
+    * integer scoring + TakeOrdered, or any ANN probe upstream); the
+    * greedy itself runs driver-side over the BOUNDED shortlist —
+    * re-ranking always operates on a bounded candidate set, that is
+    * its contract (20 rows here; a deployment's 1k-candidate re-rank
+    * is still driver-trivial). Nothing unbounded ever leaves the
+    * executors.
+    */
+  def mmrRerank(emb: DataFrame, queryVecId: Long, shortlist: Int = 20,
+      k: Int = 5, lamNum: Long = 7L, divNum: Long = 3L): DataFrame = {
+    val q = quantizeInt8(emb)
+    val qv = q.filter(col("vec_id") === queryVecId).select(col("q").as("qq"))
+    val dotInt = {
+      val prods = zip_with(col("q"), col("qq"), (a, b) => a.cast("long") * b.cast("long"))
+      aggregate(prods, lit(0L), (acc, v) => acc + v)
+    }
+    val cands = q.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("q"), dotInt.as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray, r.getLong(2)))
+    def dot(a: Array[Int], b: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toLong * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int], Long)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, codes, rel) =>
+        val maxSim = if (selected.isEmpty) 0L
+          else selected.iterator.map(s => dot(codes, s._2)).max
+        (id, codes, lamNum * rel - divNum * maxSim)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }
+      selected += best
+      remaining.filterInPlace(_._1 != best._1)
+    }
+    val sp = org.apache.spark.sql.graft.Shim.classic(emb.sparkSession)
+    import sp.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, score), i) => (i + 1, id, score) }
+      .toDF("rank", "vec_id", "score")
+  }
+
+  /** DuckDB oracle for [[mmrRerank]] — the greedy unrolled to `k`
+    * selection stages over the same integer arithmetic (stage i picks
+    * its row by `ORDER BY score DESC, vec_id LIMIT 1`, the exact
+    * tie-break of the driver-side greedy).
+    */
+  def sqlMmrRerank(queryVecId: Long, shortlist: Int = 20, k: Int = 5,
+      lamNum: Long = 7L, divNum: Long = 3L): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0::BIGINT, [$a[i]::BIGINT * $b[i]::BIGINT " +
+        s"for i in range(1, len($a) + 1)]), (s, v) -> s + v)"
+    val base =
+      s"""WITH s AS (SELECT vec_id,
+         |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+         |  embedding FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+         |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+         |  END AS q FROM s),
+         |qv AS (SELECT q AS qq FROM qz WHERE vec_id = $queryVecId),
+         |cand AS MATERIALIZED (SELECT vec_id, q, ${dot("q", "qq")} AS rel
+         |  FROM qz, qv WHERE vec_id <> $queryVecId
+         |  ORDER BY rel DESC, vec_id LIMIT $shortlist),
+         |sel1 AS MATERIALIZED (SELECT vec_id, q, $lamNum * rel AS score
+         |  FROM cand ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val stages = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id, q FROM sel$j").mkString(" UNION ALL ")
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.q,
+         |    $lamNum * c.rel - $divNum *
+         |      (SELECT MAX(${dot("c.q", "p.q")}) FROM ($prev) p) AS score
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prev) u)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val out = (1 to k).map(i => s"SELECT $i AS rank, vec_id, score FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + s"\n$out\nORDER BY rank"
+  }
+
   /** DuckDB oracle for [[quantizeInt8]] — the code list is projected
     * through to_json (same `[1,2,3]` text both engines) because the
     * driver's pandas comparator sorts result frames before hashing

@@ -2612,6 +2612,15 @@ object Queries {
         Similarity.binaryTopK(t(spark, sf, "embeddings"), 0L, 10),
       Similarity.sqlBinaryTopK(0L, 10))),
 
+    // MMR diversity re-rank over the int8 shortlist: greedy
+    // lam*rel - div*maxsim selection in exact integer arithmetic —
+    // the anti-near-duplicate retrieval move; unrolled-stage oracle
+    // replays the greedy with the identical tie-break
+    "s20_mmr_rerank" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.mmrRerank(t(spark, sf, "embeddings"), 0L),
+      Similarity.sqlMmrRerank(0L))),
+
     // deterministic seed-vector coarse quantizer -> exactly
     // replicable in DuckDB (mean-centroid ivfTopK stays recall-tested
     // in DedupSpec)
@@ -3328,6 +3337,17 @@ object Queries {
           spark.read.parquet(TestFixtures.mediaImages(spark, sf))
             .filter(col("doc_id") % 2 === 0)),
       Multimodal.sqlImageLumaHistogram())),
+
+    // frequency-domain perceptual hash (pHash): 16x16 grid -> exact
+    // Q12 integer DCT-II -> median-threshold bits over the 63 non-DC
+    // low frequencies; the oracle replays the full transform in SQL
+    // against the frozen cosine basis
+    "m18_image_phash" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imagePHash(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0)),
+      Multimodal.sqlImagePHash)),
 
     // perceptual image DEDUP: group by exact dHash (near-identical
     // predicate), one 16-byte-key shuffle, output bounded by distinct

@@ -419,4 +419,47 @@ class AnnIndexSpec extends AnyFunSuite {
     val b = Similarity.binaryTopK(emb.orderBy(desc("vec_id")), 0L, 10).collect().toSeq
     assert(a == b)
   }
+
+  test("mmrRerank matches a brute-force greedy and actually diversifies") {
+    // hand corpus: query [1,0]; a tight near-dup cluster along the
+    // query axis plus two off-axis vectors — plain top-3 is the
+    // cluster, MMR must break it up
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // query
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(1.0f, 0.02f)), (3L, Seq(0.99f, 0.0f)),
+      (4L, Seq(0.5f, 0.8f)), (5L, Seq(0.4f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    // diversity-leaning lambda (1:2): the near-dup cluster's mutual
+    // similarity must outweigh its relevance edge
+    val got = Similarity.mmrRerank(vs, 0L, shortlist = 5, k = 3,
+      lamNum = 1L, divNum = 2L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // brute-force reference: same int8 quantization, same greedy
+    def quant(v: Seq[Float]): Array[Int] = Similarity.quantizeVec(v)
+    val codes = vs.collect().map(r =>
+      r.getLong(0) -> quant(r.getSeq[Float](1))).toMap
+    def dot(a: Array[Int], b: Array[Int]) =
+      a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    val qq = codes(0L)
+    var remaining = codes.toSeq.filter(_._1 != 0L)
+      .map { case (id, c) => (id, c, dot(c, qq)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(5)
+    var sel = Seq.empty[(Long, Array[Int], Long)]
+    while (sel.size < 3) {
+      val scored = remaining.map { case (id, c, rel) =>
+        val ms = if (sel.isEmpty) 0L else sel.map(s => dot(c, s._2)).max
+        (id, c, 1L * rel - 2L * ms)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }
+      sel = sel :+ best
+      remaining = remaining.filter(_._1 != best._1)
+    }
+    val want = sel.zipWithIndex.map { case ((id, _, sc), i) => (i + 1, id, sc) }
+    assert(got == want)
+    // diversity: the plain top-3 is the near-dup cluster {1,2,3};
+    // MMR must pull in at least one off-axis vector
+    assert(got.map(_._2).toSet.exists(Set(4L, 5L)),
+      s"MMR kept the whole near-dup cluster: ${got.map(_._2)}")
+  }
 }

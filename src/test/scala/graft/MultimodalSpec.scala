@@ -449,6 +449,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Jpeg.decodePixels(jb.take(jb.length / 2))._1 == 0)
   }
 
+  test("imagePHash: DCT bits match a reference recompute; exact under nearest upscale") {
+    import TestSpark.spark.implicits._
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def pix(x: Int, y: Int) = (x * 7919 + y * 104729 + x * y * 31) & 0xffffff
+    val base = png(20, 12, pix)
+    // 2x nearest upscale: grid sampling must land on identical pixels
+    val up = png(40, 24, (x, y) => pix(x / 2, y / 2))
+    val df = Seq((1L, base), (2L, up), (3L, Array[Byte](9, 9))).toDF("doc_id", "img")
+    val got = graft.operators.Multimodal.imagePHash(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // reference: same integer pipeline in plain Scala over the known pixels
+    val t = graft.operators.Multimodal.PhashDct
+    def ref(w: Int, h: Int): (Long, Long) = {
+      val g = Array.tabulate(16, 16) { (y, x) =>
+        val v = pix(x * w / 16 * 20 / w, y * h / 16 * 12 / h) // analytic src of the (possibly upscaled) image
+        (299L * ((v >> 16) & 255) + 587L * ((v >> 8) & 255) + 114L * (v & 255)) / 1000L
+      }
+      val coef = Array.tabulate(8, 8) { (u, vq) =>
+        (for { y <- 0 until 16; x <- 0 until 16 } yield g(y)(x) * t(u)(x) * t(vq)(y)).sum
+      }
+      val ac = (for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 } yield coef(u)(v)).sorted
+      val med = ac(31)
+      var hi = 0L; var lo = 0L
+      for { u <- 0 until 8; v <- 0 until 8; p = u * 8 + v; if p > 0 } {
+        if (coef(u)(v) > med) { if (p < 32) hi |= 1L << p else lo |= 1L << (p - 32) }
+      }
+      (hi, lo)
+    }
+    assert(got(1L) == ref(20, 12))
+    assert(got(2L) == got(1L), "nearest 2x upscale must hash identically")
+    assert(got(3L) == ((0L, 0L)), "corrupt bytes degrade to zeros")
+    assert(got(1L) != ((0L, 0L)))
+  }
+
   test("audioSilence counts silent samples and the longest run from real PCM bytes") {
     import TestSpark.spark.implicits._
     // samples: 500, 5, -5, 0, 800, 99, -99, 5 -> silent (|v|<100) at
