@@ -1441,6 +1441,46 @@ final class GlueTableEngine(
     instant
   }
 
+  /** Row-level DELETE WHERE for a Hudi table — the copy-on-write
+    * replacecommit shape of [[upsertHudi]] minus the insert: file
+    * groups whose parquet footers PROVE no row can match keep their
+    * physical file untouched; matching groups are rewritten to their
+    * surviving rows (`WHERE p` deletes rows where p is TRUE; false
+    * and NULL rows stay, per SQL DELETE semantics) and retired via
+    * the same replacecommit. Completes the row-level-delete row of
+    * the format matrix (Delta CoW g48-style, Iceberg MOR, now Hudi
+    * CoW). Returns the committed instant, or "" when every group is
+    * provably unaffected (no commit at all).
+    */
+  def deleteHudiWhere(database: String, table: String, predicate: Column): String = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    val live = new graft.listing.HudiTimelineResolver(hadoopConf)
+      .dataFilesDetailed(location(meta))
+    if (live.isEmpty) return ""
+    val df = tableDF(database, table)
+    val cond = df.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+      case Filter(c, _) => c
+    }.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+    val resolver: graft.listing.StatsPruning.Resolver = (a, b) => a.equalsIgnoreCase(b)
+    val affected = live.filterNot { f =>
+      val bounds = graft.listing.FooterStats.read(hadoopConf, f.path)
+      bounds.nonEmpty && graft.listing.StatsPruning.proveFalse(cond, bounds, resolver)
+    }
+    if (affected.isEmpty) return ""
+    val keys = meta.table.partitionKeys.map(_.name)
+    val kept = readTable(database, table, 0,
+      keep = Some(affected.map(_.path).toSet), proxied = false)
+      .filter(!coalesce(predicate, lit(false)))
+    val retired = affected.groupBy(_.partitionPath)
+      .map { case (p, fsz) => p -> fsz.map(_.fileId) }
+    val instant = graft.listing.HudiTimelineWriter.commit(
+      spark, location(meta), kept, keys, replaceFileIds = retired)
+    invalidateTable(database, table)
+    instant
+  }
+
   /** Iceberg small-file compaction (the OPTIMIZE analog): rewrite
     * the live row set — with any merge-on-read deletes APPLIED — as
     * `ceil(bytes/target)` files in one REWRITE snapshot whose

@@ -640,4 +640,78 @@ object EventAnalytics {
          |SELECT lbl AS community, COUNT(*) AS n_nodes FROM l$iters
          |GROUP BY lbl ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
   }
+
+  /** K-CORE PEELING TRACE over the bipartite view graph: round `r`
+    * keeps the nodes with at least `k` neighbors among round
+    * `r-1`'s survivors, and the query reports `(round, n_alive)`
+    * for every round — the whole decomposition trajectory, not just
+    * the fixpoint (the trace IS the cohesion profile: a fast
+    * collapse means the apparent density was shell, a stable
+    * plateau is a real core — the spam/bot-ring and
+    * community-quality signal next to q50's triangles). Runs a
+    * FIXED `rounds` budget; at fixpoint the tail rows repeat, which
+    * the hash also certifies.
+    *
+    * Scale shape: per round two alive-set equi-joins plus one
+    * map-side-combined degree aggregate over the induced subgraph —
+    * Pregel peeling re-expressed relationally; the alive set is
+    * re-materialized per round (localCheckpoint) so the plan never
+    * grows, and the per-round count the loop collects IS the
+    * output row.
+    */
+  def kCoreTrace(events: DataFrame, k: Int = 11, rounds: Int = 10): DataFrame = {
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        (-(get_json_object(col("props"), "$.k").cast("long") + lit(1L))).as("it"))
+      .distinct()
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .union(ev.select(col("it").as("src"), col("u").as("dst")))
+      .persist()
+    try {
+      var alive = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint(true)
+      val trace = (1 to rounds).map { r =>
+        alive = edges
+          .join(alive.withColumnRenamed("node", "src"), "src")
+          .join(alive.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select("node")
+          .localCheckpoint(true)
+        (r, alive.count())
+      }
+      val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
+      import sp.implicits._
+      trace.toDF("round", "n_alive").orderBy("round")
+    } finally { edges.unpersist(); () }
+  }
+
+  /** DuckDB oracle for [[kCoreTrace]] — the peel unrolled to `rounds`
+    * MATERIALIZED stages (each references its predecessor twice, so
+    * inlined CTEs would re-evaluate the whole peel tree per stage).
+    */
+  def sqlKCoreTrace(k: Int = 11, rounds: Int = 10): String = {
+    val base =
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT DISTINCT user_id AS u,
+         |    -(CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS it
+         |  FROM events WHERE event_type = 'view'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |e AS MATERIALIZED (SELECT u AS src, it AS dst FROM ev
+         |      UNION ALL SELECT it AS src, u AS dst FROM ev),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.src AS node FROM e
+         |  JOIN a${r - 1} p1 ON e.src = p1.node
+         |  JOIN a${r - 1} p2 ON e.dst = p2.node
+         |  GROUP BY e.src HAVING COUNT(*) >= $k)""".stripMargin
+    }
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, (SELECT COUNT(*) FROM a$r) AS n_alive")
+      .mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + s"\n$out\nORDER BY round"
+  }
 }

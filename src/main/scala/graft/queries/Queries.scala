@@ -1175,6 +1175,30 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Hudi row-level DELETE through the oracle gate — completes the
+    // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
+    // CoW replacecommit): write evens, append odds, delete the low
+    // priorities; footer-proven-unaffected groups keep their files
+    "g50_hudi_delete" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_delete_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_delete_rt", loc)
+        eng.appendHudiTable(o.filter(col("o_orderkey") % 2 === 1), "default", "hudi_delete_rt")
+        eng.deleteHudiWhere("default", "hudi_delete_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.hudi_delete_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Iceberg ONE-SNAPSHOT MERGE through the oracle gate — the g47
     // twin, completing the upsert trio (Delta MERGE g47, Hudi upsert
     // g34): the source batch's data files and the equality delete
@@ -3174,6 +3198,15 @@ object Queries {
       (spark: SparkSession, sf: String) =>
         EventAnalytics.labelProp(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlLabelProp())),
+
+    // k-core peeling trace: per-round survivor counts of the
+    // degree>=k induced-subgraph fixpoint iteration — the cohesion
+    // profile next to triangles/communities; unrolled MATERIALIZED
+    // stage oracle
+    "q54_k_core" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.kCoreTrace(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlKCoreTrace())),
 
     // Markov next-event transition matrix: one user-keyed lag window,
     // then a types²-bounded aggregate; probabilities as exact integer

@@ -228,4 +228,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .toSeq.sortBy { case (l, n) => (-n, l) }.take(20)
     assert(got == want)
   }
+
+  test("kCoreTrace matches a pure-Scala peel on a hand graph") {
+    // users 1-3 all view items 7 and 2 (a 2-connected block);
+    // user 4 views only item 7, user 5 only item 9 (a pendant pair)
+    val ev = Seq(
+      (1L, "view", ts(1), """{"k": 7}"""), (1L, "view", ts(2), """{"k": 2}"""),
+      (2L, "view", ts(1), """{"k": 7}"""), (2L, "view", ts(2), """{"k": 2}"""),
+      (3L, "view", ts(1), """{"k": 7}"""), (3L, "view", ts(2), """{"k": 2}"""),
+      (4L, "view", ts(3), """{"k": 7}"""),
+      (5L, "view", ts(3), """{"k": 9}""")
+    ).toDF("user_id", "event_type", "ts", "props")
+    val got = EventAnalytics.kCoreTrace(ev, k = 2, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+    // reference peel in plain Scala
+    val edges = Seq((1L, -8L), (1L, -3L), (2L, -8L), (2L, -3L),
+      (3L, -8L), (3L, -3L), (4L, -8L), (5L, -10L))
+      .flatMap { case (u, i) => Seq((u, i), (i, u)) }
+    var alive = edges.map(_._1).toSet
+    val want = (1 to 4).map { r =>
+      val deg = edges.filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).map { case (n, es) => n -> es.size }
+      alive = alive.filter(n => deg.getOrElse(n, 0) >= 2)
+      (r, alive.size.toLong)
+    }
+    assert(got == want)
+    // the 2-core is exactly the 2-connected block {1,2,3,-8,-3}
+    assert(want.last._2 == 5L)
+  }
 }

@@ -207,4 +207,42 @@ class HudiSpec extends AnyFunSuite {
         s"partition filter must prune to 1 file, got ${scans.head.metrics("numFiles").value}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("deleteHudiWhere rewrites only footer-intersecting groups; no-op proves no commit") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_del_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "hd", loc)
+    eng.appendHudiTable((1000L until 1100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "hd")
+    val before = eng.files("d", "hd").map(_.path).toSet
+    assert(before.size == 2)
+    // delete inside the high group only: the low group keeps its file
+    val lowFile = eng.files("d", "hd").map(_.path)
+      .find(p => graft.listing.FooterStats.read(
+        org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration, p)
+        .get("k").exists(_.max == 99L)).get
+    val inst = eng.deleteHudiWhere("d", "hd", col("k") >= 1050L)
+    assert(inst.nonEmpty)
+    assert(eng.files("d", "hd").map(_.path).contains(lowFile),
+      "footer-proven-unaffected group must keep its physical file")
+    val rows = eng.tableDF("d", "hd").collect().map(_.getLong(0)).toSet
+    assert(rows == ((0L until 100L) ++ (1000L until 1050L)).toSet)
+    // time travel: the pre-delete instant still sees everything
+    assert(eng.tableDF("d", "hd", 1).count() == 200)
+    // provably-unaffected predicate: no commit at all
+    val files2 = eng.files("d", "hd").map(_.path).toSet
+    assert(eng.deleteHudiWhere("d", "hd", col("k") > 100000L) == "")
+    assert(eng.files("d", "hd").map(_.path).toSet == files2)
+    // NULL-predicate rows survive (SQL DELETE semantics)
+    eng.appendHudiTable(Seq((java.lang.Long.valueOf(5000L), "x"))
+      .toDF("k", "v").withColumn("k",
+        org.apache.spark.sql.functions.when(col("v") === "never", col("k"))).coalesce(1),
+      "d", "hd")
+    eng.deleteHudiWhere("d", "hd", col("k") >= 0L)
+    val left = eng.tableDF("d", "hd").collect()
+    assert(left.length == 1 && left.head.isNullAt(0),
+      "NULL-key row must survive a k >= 0 delete")
+  }
 }

@@ -68,20 +68,17 @@ class LakehouseDifferentialSpec extends AnyFunSuite {
 
     // stage 3: row-level delete of k >= 140 — Delta rewrites only
     // stats-intersecting files, Iceberg takes the MOR position-delete
-    // path; Hudi (no delete op in this engine) is the documented gap,
-    // so the three-way equality narrows to Delta==Iceberg here
+    // path, Hudi the CoW replacecommit — full three-way equality
     eng.deleteDeltaWhere("d", "diff_d", col("k") >= 140L)
     eng.deleteIcebergWhere("d", "diff_i", col("k") >= 140L)
+    eng.deleteHudiWhere("d", "diff_h", col("k") >= 140L)
     val want3 = expect(0L until 150L, (0L until 10L).toSet, (140L until 150L).toSet)
-    assert(rows(eng.tableDF("d", "diff_d")) == want3, "Delta diverges after delete")
-    assert(rows(eng.tableDF("d", "diff_i")) == want3, "Iceberg diverges after delete")
-    // Hudi still holds the pre-delete state exactly
-    assert(rows(eng.tableDF("d", "diff_h")) == want2, "Hudi state drifted without a write")
+    all.foreach { case (t, got) => assert(got == want3, s"$t diverges after delete") }
 
     // metadata COUNT(*) agrees with the scan on every format/stage
     assert(eng.countRows("d", "diff_d") == want3.size.toLong)
     assert(eng.countRows("d", "diff_i") == want3.size.toLong)
-    assert(eng.countRows("d", "diff_h") == want2.size.toLong)
+    assert(eng.countRows("d", "diff_h") == want3.size.toLong)
   }
 
   test("rolling back the same mutation returns all three formats to the identical state") {
