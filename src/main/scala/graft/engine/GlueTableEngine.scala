@@ -74,6 +74,11 @@ final class GlueTableEngine(
   // a strictly smaller sequence); same TTL/invalidation family.
   private val seqCache = new TtlCache[Map[String, Long]](
     config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
+  // Delta deletion vectors per table version (merge-on-read row
+  // deletes: data-file path -> DV sidecar); same TTL/invalidation
+  // family as the listing.
+  private val dvCache = new TtlCache[Map[String, String]](
+    config.maxEntries, config.s3ListingTtlMs, config.errorCacheTtlMs)
 
   // ---------------------------------------------------------------- metadata
 
@@ -172,10 +177,16 @@ final class GlueTableEngine(
             // partition values, AND per-column stats ranges all come
             // from the transaction log (add actions / checkpoint);
             // the read path's skipping tier consumes the bounds
-            // without any footer reads.
-            delta.dataFilesDetailed(location(meta), versionOffset)
-              .map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L,
-                bounds = f.bounds, rowCount = f.rowCount))
+            // without any footer reads. The SAME replay also yields
+            // the deletion-vector descriptors — prime dvCache here so
+            // countRows/readTable never replay the log (or re-read a
+            // checkpoint) just to learn whether DVs exist.
+            val dfs = delta.dataFilesDetailed(location(meta), versionOffset)
+            dvCache.get(s"$database.$table#dv#v$versionOffset") {
+              delta.deletionVectors(location(meta), versionOffset)
+            }
+            dfs.map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L,
+              bounds = f.bounds, rowCount = f.rowCount))
           case TableType.Hudi =>
             // COW latest-file-slice resolution from the .hoodie
             // timeline: a directory listing would double-count every
@@ -302,6 +313,12 @@ final class GlueTableEngine(
     // OR footer) still includes — only a real scan is exact
     if (meta.tableType == TableType.Iceberg &&
         iceberg.deleteFilesDetailed(location(meta), versionOffset).nonEmpty)
+      return tableDF(database, table, versionOffset).count()
+    // same cache the listing build primes: job-free on a warm table
+    if (meta.tableType == TableType.Delta &&
+        dvCache.get(s"$database.$table#dv#v$versionOffset") {
+          delta.deletionVectors(location(meta), versionOffset)
+        }.nonEmpty)
       return tableDF(database, table, versionOffset).count()
     val (known, unknown) = infos.partition(_.rowCount.isDefined)
     val knownSum = known.flatMap(_.rowCount).sum
@@ -581,8 +598,7 @@ final class GlueTableEngine(
     // broadcasts; equality deletes anti-join null-safely on their
     // declared columns. Cost ∝ delete-file rows, never a data rewrite
     // — exactly Iceberg's own MOR contract.
-    if (meta.tableType != TableType.Iceberg) base
-    else {
+    if (meta.tableType == TableType.Iceberg) {
       val deletes = deleteCache.get(s"${meta.table.database}.${meta.table.name}#del#v$versionOffset") {
         iceberg.deleteFilesDetailed(location(meta), versionOffset)
       }
@@ -594,7 +610,33 @@ final class GlueTableEngine(
         }
         applyIcebergDeletes(base, deletes, dataSeq)
       }
-    }
+    } else if (meta.tableType == TableType.Delta) {
+      // Delta merge-on-read: subtract deletion-vector rows. Same
+      // anti-join shape as Iceberg position deletes; per live
+      // descriptor, only rows naming files that CURRENTLY point at
+      // that sidecar apply (a superseded sidecar's rows for a re-DV'd
+      // file are a subset of its replacement's, and a rewritten file
+      // has a new physical path its old rows can never match).
+      val dvs = dvCache.get(s"${meta.table.database}.${meta.table.name}#dv#v$versionOffset") {
+        delta.deletionVectors(location(meta), versionOffset)
+      }
+      if (dvs.isEmpty) base
+      else {
+        val del = dvs.groupBy(_._2).toSeq.sortBy(_._1).map { case (dvPath, m) =>
+          val files = m.keySet.toSeq.map(p => new HadoopPath(p).toUri.getPath)
+          spark.read.parquet(dvPath)
+            .select(canonPathCol(col("file_path")).as("__del_fp"),
+              col("pos").as("__del_pos"))
+            .filter(col("__del_fp").isin(files: _*))
+        }.reduce(_.unionAll(_))
+        base
+          .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
+          .withColumn("__pos", col("_metadata").getField("row_index"))
+          .join(broadcast(del),
+            col("__fp") === col("__del_fp") && col("__pos") === col("__del_pos"), "left_anti")
+          .drop("__fp", "__pos")
+      }
+    } else base
   }
 
   /** Scheme-insensitive canonical path column (delete files record
@@ -1239,6 +1281,62 @@ final class GlueTableEngine(
     v
   }
 
+  /** MERGE-ON-READ DELETE for a Delta table — the deletion-vector
+    * path: write the matching rows' `(file_path, pos)` positions as a
+    * DV sidecar and RE-ADD each affected file with the descriptor in
+    * ONE commit ([[graft.listing.DeltaLogWriter
+    * .commitDeletionVectors]]). NO data file is rewritten; deletion
+    * cost is proportional to the matched rows alone — the opposite
+    * trade from [[deleteDeltaWhere]]'s copy-on-write (readers pay a
+    * broadcast anti-join until a rewrite retires the DV), mirroring
+    * [[deleteIcebergWhere]] so Delta holds BOTH delete shapes, as
+    * real Delta does. Positions MERGE with any existing DV on the
+    * same file: the re-add REPLACES the descriptor, so the new
+    * sidecar carries the union of old and new positions. Returns the
+    * committed version (or the current one when nothing matches).
+    */
+  def deleteDeltaWhereMor(database: String, table: String, predicate: Column): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val loc = location(meta)
+    // tableDF already subtracts existing DVs, so `matches` holds only
+    // still-live rows; row_index is the file-physical position either
+    // way, which is exactly what the sidecar records
+    val matches = tableDF(database, table)
+      .filter(coalesce(predicate, lit(false)))
+      .select(
+        regexp_replace(col("_metadata").getField("file_path"),
+          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/").as("file_path"),
+        col("_metadata").getField("row_index").as("pos"))
+    val affectedCanon = matches.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedCanon.isEmpty)
+      return delta.latestVersion(loc).getOrElse(0L)
+    val affected = files(database, table).map(_.path)
+      .filter(p => affectedCanon.contains(canonPath(p)))
+    // carry forward existing positions of the re-DV'd files
+    val existing = delta.deletionVectors(loc)
+    val carried = affected.flatMap(p => existing.get(p).map(dv => (p, dv)))
+      .groupBy(_._2)
+    val dvRows = carried.toSeq.sortBy(_._1).foldLeft(matches) {
+      case (acc, (oldDv, pairs)) =>
+        val fps = pairs.map { case (p, _) => canonPath(p) }
+        acc.unionAll(spark.read.parquet(oldDv)
+          .select(canonPathCol(col("file_path")).as("file_path"), col("pos"))
+          .filter(col("file_path").isin(fps: _*)))
+    }
+    val dvDir = s"${loc.stripSuffix("/")}/dv_${System.nanoTime()}"
+    dvRows.distinct().coalesce(1).write.mode("overwrite").parquet(dvDir)
+    val fs = new HadoopPath(dvDir).getFileSystem(hadoopConf)
+    val dvFile = fs.listStatus(new HadoopPath(dvDir)).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val v = graft.listing.DeltaLogWriter.commitDeletionVectors(
+      spark, loc, affected.map(_ -> dvFile.toString).toMap)
+    invalidateTable(database, table)
+    v
+  }
+
   /** Row-level UPDATE ... SET for a Delta table — the same
     * stats-surgical copy-on-write as [[deleteDeltaWhere]]: provably
     * unaffected files keep their physical file; affected files are
@@ -1650,8 +1748,12 @@ final class GlueTableEngine(
       s"$database.$table is ${meta.tableType}, not a Delta table")
     val root = location(meta).stripSuffix("/")
     val fs = new HadoopPath(root).getFileSystem(hadoopConf)
+    // live deletion-vector sidecars are referenced files too — a
+    // vacuum that reclaimed one would silently RESURRECT its deleted
+    // rows on the next read
     val referenced = (0 until retainVersions)
-      .flatMap(off => files(database, table, off).map(f => canonPath(f.path))).toSet
+      .flatMap(off => files(database, table, off).map(f => canonPath(f.path)) ++
+        delta.deletionVectors(root, off).values.map(canonPath)).toSet
     def walk(p: HadoopPath): Seq[HadoopPath] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -1793,6 +1895,7 @@ final class GlueTableEngine(
     statsCache.invalidateMatching(s"$database.$table")
     deleteCache.invalidateMatching(s"$database.$table")
     seqCache.invalidateMatching(s"$database.$table")
+    dvCache.invalidateMatching(s"$database.$table")
     inferredSchemas.keys.filter(_.startsWith(s"$database.$table#"))
       .foreach(inferredSchemas.remove)
   }

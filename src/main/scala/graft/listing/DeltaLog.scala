@@ -294,7 +294,8 @@ object DeltaLogWriter {
       StructField("size", LongType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("stats", StringType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVectorPath", StringType)))
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -318,8 +319,10 @@ object DeltaLogWriter {
       Seq(Row(null, Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
         Row("parquet"), st.schemaString.orNull, st.partitionColumns), null, null)) ++
       st.txns.toSeq.sortBy(_._1).map { case (appId, v) => Row(null, null, Row(appId, v), null) } ++
-      st.adds.map { case (p, size, pv, stats) =>
-        Row(null, null, null, Row(rel(p), size, pv, stats.orNull, true))
+      st.adds.map { a =>
+        Row(null, null, null,
+          Row(rel(a.path), a.size, a.partitionValues, a.stats.orNull, true,
+            a.dv.map(rel).orNull))
       }
 
     val sp = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -411,15 +414,23 @@ object DeltaLogWriter {
     require(cur.partitionColumns == tgt.partitionColumns,
       s"restore across a partitioning change is not supported at $root " +
         s"(${tgt.partitionColumns.mkString(",")} -> ${cur.partitionColumns.mkString(",")})")
-    val curPaths = cur.adds.map(_._1).toSet
-    val tgtPaths = tgt.adds.map(_._1).toSet
-    val removes = cur.adds.collect { case (p, _, _, _) if !tgtPaths(p) =>
-      s"""{"remove":{"path":${jstr(p)},"dataChange":true}}"""
+    val curByPath = cur.adds.map(a => a.path -> a).toMap
+    val tgtPaths = tgt.adds.map(_.path).toSet
+    val removes = cur.adds.collect { case a if !tgtPaths(a.path) =>
+      s"""{"remove":{"path":${jstr(a.path)},"dataChange":true}}"""
     }
-    val adds = tgt.adds.collect { case (p, size, pv, stats) if !curPaths(p) =>
-      val pvJson = pv.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
-      s"""{"add":{"path":${jstr(p)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
-        stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+    // re-add a file that is (a) absent from the current state, or
+    // (b) live but with a DIFFERENT deletion-vector descriptor — a
+    // DV added after the target version must roll back too, and the
+    // re-add (with the target's descriptor, possibly none) is what
+    // restores the pre-DV rows
+    val adds = tgt.adds.collect {
+      case a if !curByPath.contains(a.path) || curByPath(a.path).dv != a.dv =>
+        val pvJson = a.partitionValues
+          .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+        s"""{"add":{"path":${jstr(a.path)},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
+          a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+          a.dv.map(d => s""","deletionVector":{"storagePath":${jstr(d)}}""").getOrElse("") + "}}"
     }
     val metaLine =
       if (cur.schemaString == tgt.schemaString) Nil
@@ -447,6 +458,57 @@ object DeltaLogWriter {
     version
   }
 
+  /** Publish DELETION VECTORS as one commit — Delta's merge-on-read
+    * row delete: each (data file → DV sidecar) pair RE-ADDS the file
+    * with a `deletionVector` descriptor (size / partitionValues /
+    * stats copied verbatim from the live state, so file skipping is
+    * untouched), and the rows listed in the sidecar disappear at
+    * read time with NO data file rewritten — the opposite trade from
+    * the copy-on-write delete, exactly as in Delta's own DV feature.
+    * A later rewrite of the file (compaction, CoW delete/update,
+    * restore) re-adds it without the descriptor, retiring the DV —
+    * the protocol's own lifecycle. The sidecar is a parquet of
+    * `(file_path, pos)` rows (this engine's simplified descriptor;
+    * real Delta packs a roaring bitmap, same semantics). Returns the
+    * committed version.
+    */
+  def commitDeletionVectors(spark: SparkSession, location: String,
+      dvByFile: Map[String, String]): Long = {
+    require(dvByFile.nonEmpty, "commitDeletionVectors needs at least one (file -> DV) pair")
+    val root = location.stripSuffix("/")
+    val resolver = new DeltaLogResolver(spark)
+    val cur = resolver.rawState(root, 0).getOrElse(
+      throw new IllegalStateException(
+        s"cannot attach deletion vectors at $location: no Delta log"))
+    val byPath = cur.adds.map(a => a.path -> a).toMap
+    val lines = dvByFile.toSeq.sortBy(_._1).map { case (p, dv) =>
+      val a = byPath.getOrElse(p, throw new IllegalArgumentException(
+        s"deletion vector targets $p, which is not a live file of $root"))
+      val pvJson = a.partitionValues
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+      s"""{"add":{"path":${jstr(a.path)},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
+        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        s""","deletionVector":{"storagePath":${jstr(dv)}}}}"""
+    }
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val logDir = new Path(s"$root/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val version = cur.version + 1
+    val tmp = new Path(logDir, f".${version}%020d.json.dv.tmp")
+    val dst = new Path(logDir, f"${version}%020d.json")
+    val os = fs.create(tmp, true)
+    try os.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"deletion-vector commit lost the publish race at $dst — its read-set " +
+          "(the live state the positions were computed against) may be invalid; " +
+          "re-resolve and retry")
+    }
+    version
+  }
+
   /** SHALLOW CLONE: publish a NEW Delta table at `target` whose v0
     * commit re-declares the source's schema/partitioning and adds
     * the source's live files BY ABSOLUTE PATH — original sizes,
@@ -470,13 +532,16 @@ object DeltaLogWriter {
     val ss = st.schemaString.getOrElse(throw new IllegalStateException(
       s"cannot clone $source: no schema in the log"))
     val srcRoot = new Path(src).toUri.getPath
-    val adds = st.adds.sortBy(_._1).map { case (path, size, pv, stats) =>
-      val abs =
-        if (path.contains("://") || path.startsWith("/")) path
-        else s"$srcRoot/$path"
-      val pvJson = pv.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
-      s"""{"add":{"path":${jstr(abs)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
-        stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
+    val adds = st.adds.sortBy(_.path).map { a =>
+      def abs(p: String) =
+        if (p.contains("://") || p.startsWith("/")) p else s"$srcRoot/$p"
+      val pvJson = a.partitionValues
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
+      s"""{"add":{"path":${jstr(abs(a.path))},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
+        a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
+        // the clone borrows the source's deletion vectors by absolute
+        // path too — same vacuum-coordination caveat as the data
+        a.dv.map(d => s""","deletionVector":{"storagePath":${jstr(abs(d))}}""").getOrElse("") + "}}"
     }
     val meta =
       s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(dst.getBytes("UTF-8")).toString)},""" +
@@ -550,6 +615,18 @@ object DeltaLogWriter {
   }
 }
 
+/** One live add action's replayed facts. `dv` is the deletion-vector
+  * sidecar path (merge-on-read row deletes): a parquet of
+  * `(file_path, pos)` rows the read path anti-joins against
+  * `_metadata` — this engine's simplified descriptor for the
+  * protocol's `deletionVector` field (real Delta packs a roaring
+  * bitmap; the log semantics — re-add the file with the descriptor,
+  * a later re-add without one drops it — are the protocol's own).
+  */
+private[listing] final case class DeltaAdd(path: String, size: Long,
+    partitionValues: Map[String, String], stats: Option[String],
+    dv: Option[String] = None)
+
 /** Fully replayed Delta state at one version: the raw protocol-level
   * facts a checkpoint must persist (schema JSON, partition columns,
   * live adds with their original stats strings, txn high-water
@@ -557,7 +634,7 @@ object DeltaLogWriter {
   */
 private[listing] final case class RawDeltaState(version: Long,
     schemaString: Option[String], partitionColumns: Seq[String],
-    adds: Seq[(String, Long, Map[String, String], Option[String])],
+    adds: Seq[DeltaAdd],
     txns: Map[String, Long])
 
 final class DeltaLogResolver(spark: SparkSession) {
@@ -621,12 +698,22 @@ final class DeltaLogResolver(spark: SparkSession) {
   def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[DeltaDataFile] = {
     val st = rawState(location, versionOffset).getOrElse(return Nil)
     val schema = st.schemaString.flatMap(parseSchema)
-    st.adds.map { case (path, size, pv, stats) =>
-      DeltaDataFile(path, size, pv,
-        stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty),
-        stats.flatMap(numRecordsOf))
+    st.adds.map { a =>
+      DeltaDataFile(a.path, a.size, a.partitionValues,
+        a.stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty),
+        a.stats.flatMap(numRecordsOf))
     }.sortBy(_.path)
   }
+
+  /** Live deletion-vector descriptors of the selected version:
+    * data-file path → DV sidecar path, for every add that carries
+    * one. Empty for a DV-free table — the common case, and the read
+    * path's fast path.
+    */
+  def deletionVectors(location: String, versionOffset: Int = 0): Map[String, String] =
+    rawState(location, versionOffset).map(_.adds.collect {
+      case a if a.dv.isDefined => a.path -> a.dv.get
+    }.toMap).getOrElse(Map.empty)
 
   /** `stats.numRecords` of one add action — unparseable/absent is
     * None, never a throw (absence only costs a footer fallback).
@@ -650,8 +737,8 @@ final class DeltaLogResolver(spark: SparkSession) {
     if (target < 0) return None
 
     val root = location.stripSuffix("/")
-    // mutable replay state: path -> (size, partitionValues, stats)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String], String)]
+    // mutable replay state: path -> (size, partitionValues, stats, dvPath)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String], String, String)]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var schemaString: Option[String] = None
     var partitionColumns: Seq[String] = Nil
@@ -672,13 +759,19 @@ final class DeltaLogResolver(spark: SparkSession) {
         df.filter(col("txn").isNotNull).select("txn.appId", "txn.version")
           .collect().foreach(r => txns(r.getString(0)) = r.getLong(1))
       if (df.columns.contains("add")) {
-        val hasStats = df.select("add.*").columns.contains("stats")
+        val addCols = df.select("add.*").columns.toSet
+        val hasStats = addCols.contains("stats")
+        val hasDv = addCols.contains("deletionVectorPath")
         val cols = Seq(col("add.path"), col("add.size"), col("add.partitionValues")) ++
-          (if (hasStats) Seq(col("add.stats")) else Nil)
+          (if (hasStats) Seq(col("add.stats")) else Nil) ++
+          (if (hasDv) Seq(col("add.deletionVectorPath")) else Nil)
         df.filter(col("add").isNotNull).select(cols: _*).collect().foreach { r =>
           val pv = Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)
           val st = if (hasStats && !r.isNullAt(3)) r.getString(3) else null
-          live(resolvePath(root, r.getString(0))) = (r.getLong(1), pv, st)
+          val dvIdx = if (hasStats) 4 else 3
+          val dv = if (hasDv && !r.isNullAt(dvIdx)) r.getString(dvIdx) else null
+          live(resolvePath(root, r.getString(0))) = (r.getLong(1), pv, st,
+            if (dv == null) null else resolvePath(root, dv))
         }
       }
     }
@@ -715,8 +808,11 @@ final class DeltaLogResolver(spark: SparkSession) {
                 .map(e => e.getKey -> e.getValue.asText()).toMap
             }.getOrElse(Map.empty)
             val stats = Option(a.get("stats")).filter(!_.isNull).map(_.asText()).orNull
+            val dv = Option(a.get("deletionVector"))
+              .flatMap(d => Option(d.get("storagePath"))).map(_.asText())
+              .map(resolvePath(root, _)).orNull
             live(resolvePath(root, a.get("path").asText())) =
-              (Option(a.get("size")).map(_.asLong()).getOrElse(0L), pv, stats)
+              (Option(a.get("size")).map(_.asLong()).getOrElse(0L), pv, stats, dv)
           }
           Option(node.get("remove")).foreach { r =>
             live.remove(resolvePath(root, r.get("path").asText()))
@@ -725,7 +821,9 @@ final class DeltaLogResolver(spark: SparkSession) {
       }
 
     Some(RawDeltaState(target, schemaString, partitionColumns,
-      live.toSeq.map { case (p, (size, pv, stats)) => (p, size, pv, Option(stats)) },
+      live.toSeq.map { case (p, (size, pv, stats, dv)) =>
+        DeltaAdd(p, size, pv, Option(stats), Option(dv))
+      },
       txns.toMap))
   }
 

@@ -1175,6 +1175,34 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Delta DELETION-VECTOR delete through the oracle gate: the
+    // merge-on-read path (positions sidecar + descriptor re-add, ZERO
+    // data files rewritten — the fn require()s that every run), so
+    // Delta carries both delete shapes like real Delta; the read
+    // anti-joins the DV before the aggregate the oracle replays
+    "g51_delta_dv" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_dv_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_dv_rt", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_dv_rt")
+        val before = eng.files("default", "delta_dv_rt").map(_.path).toSet
+        eng.deleteDeltaWhereMor("default", "delta_dv_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        require(eng.files("default", "delta_dv_rt").map(_.path).toSet == before,
+          "deletion-vector delete must not rewrite any data file")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_dv_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi row-level DELETE through the oracle gate — completes the
     // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
     // CoW replacecommit): write evens, append odds, delete the low

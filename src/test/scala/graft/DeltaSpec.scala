@@ -609,4 +609,71 @@ class DeltaSpec extends AnyFunSuite {
     assert(TableClassifier.classify(GlueTable("d", "t", Some("/x"),
       parameters = Map("table_type" -> "ICEBERG"))) == TableType.Iceberg)
   }
+
+  test("deletion vectors: MOR delete, DV merge, travel, restore, rewrite retires") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_dv_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 100L).toDF("x").coalesce(1), "d", "dv", loc)
+    eng.appendDeltaTable((1000L until 1100L).toDF("x").coalesce(1), "d", "dv")
+    val files0 = eng.files("d", "dv").map(_.path).toSet
+    // v2: DV delete of ten high rows — ZERO data files rewritten
+    val v2 = eng.deleteDeltaWhereMor("d", "dv", col("x") >= 1090L)
+    assert(v2 == 2L)
+    assert(eng.files("d", "dv").map(_.path).toSet == files0,
+      "MOR delete must not touch any data file")
+    assert(eng.tableDF("d", "dv").count() == 190)
+    assert(eng.tableDF("d", "dv").agg(max("x")).head().getLong(0) == 1089L)
+    // second DV on the SAME file must merge with the first
+    val v3 = eng.deleteDeltaWhereMor("d", "dv", col("x") >= 1080L)
+    assert(v3 == 3L)
+    val xs = eng.tableDF("d", "dv").select("x").collect().map(_.getLong(0)).toSet
+    assert(xs == ((0L until 100L) ++ (1000L until 1080L)).toSet,
+      "re-DV'd file must keep the union of old and new deleted positions")
+    assert(eng.files("d", "dv").map(_.path).toSet == files0)
+    // metadata COUNT(*) must not trust per-file numRecords under DVs
+    assert(eng.countRows("d", "dv") == 180L)
+    // time travel: both pre-DV states still read exactly
+    assert(eng.tableDF("d", "dv", 1).count() == 190)
+    assert(eng.tableDF("d", "dv", 2).count() == 200)
+    // no-match predicate: no commit
+    assert(eng.deleteDeltaWhereMor("d", "dv", col("x") > 100000L) == 3L)
+    // RESTORE to pre-DV re-adds the file WITHOUT its descriptor
+    eng.restoreDeltaTable("d", "dv", 2)
+    assert(eng.tableDF("d", "dv").count() == 200, "restore must roll the DV back")
+    // re-apply one DV, then a CoW rewrite folds it in and retires it
+    eng.deleteDeltaWhereMor("d", "dv", col("x") >= 1095L)
+    assert(eng.tableDF("d", "dv").count() == 195)
+    eng.optimizeDeltaTable("d", "dv", targetFileBytes = 1024L * 1024)
+    assert(eng.tableDF("d", "dv").count() == 195,
+      "compaction reads through the DV and bakes it into the rewrite")
+    val resolver = new graft.listing.DeltaLogResolver(spark)
+    assert(resolver.deletionVectors(loc).isEmpty,
+      "the rewrite's re-adds must carry no deletion vectors")
+  }
+
+  test("deletion vectors survive checkpoint+cleanup; vacuum keeps live sidecars") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_dvcp_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 50L).toDF("x").coalesce(1), "d", "dvc", loc)
+    eng.deleteDeltaWhereMor("d", "dvc", col("x") >= 40L)
+    assert(eng.tableDF("d", "dvc").count() == 40)
+    // checkpoint the DV'd state, clean the JSON commits, re-read
+    graft.listing.DeltaLogWriter.checkpoint(spark, loc)
+    graft.listing.DeltaLogWriter.cleanupLog(spark, loc)
+    eng.invalidateTable("d", "dvc")
+    assert(eng.tableDF("d", "dvc").count() == 40,
+      "the checkpoint must persist the deletion-vector descriptor")
+    val resolver = new graft.listing.DeltaLogResolver(spark)
+    assert(resolver.deletionVectors(loc).size == 1)
+    // vacuum with only the current version retained must NOT reclaim
+    // the live DV sidecar (that would resurrect the deleted rows)
+    eng.appendDeltaTable((2000L until 2010L).toDF("x").coalesce(1), "d", "dvc")
+    val deleted = eng.vacuumDeltaTable("d", "dvc", retainVersions = 1)
+    assert(eng.tableDF("d", "dvc").count() == 50,
+      s"vacuum deleted a live sidecar (reclaimed: $deleted)")
+  }
 }
