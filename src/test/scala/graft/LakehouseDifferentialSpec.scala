@@ -81,6 +81,39 @@ class LakehouseDifferentialSpec extends AnyFunSuite {
     assert(eng.countRows("d", "diff_h") == want3.size.toLong)
   }
 
+  test("merge-on-read deletes agree across Delta DVs and Iceberg position deletes") {
+    // the MOR twin of the CoW delete stage above: the same row-level
+    // delete through Delta's deletion vectors and Iceberg's position
+    // deletes — neither may rewrite a data file, and both reads (and
+    // their exact metadata counts) must agree row-for-row
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val stamp = System.nanoTime()
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    def base = (0L until 100L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(2)
+    eng.writeDeltaTable(base, "d", "mor_d", s"/root/repo/target/lhmor_d_$stamp")
+    eng.writeIcebergTable(base, "d", "mor_i", s"/root/repo/target/lhmor_i_$stamp")
+    val filesD = eng.files("d", "mor_d").map(_.path).toSet
+    val filesI = eng.files("d", "mor_i").map(_.path).toSet
+    eng.deleteDeltaWhereMor("d", "mor_d", col("k") % 7L === 3L)
+    eng.deleteIcebergWhere("d", "mor_i", col("k") % 7L === 3L)
+    assert(eng.files("d", "mor_d").map(_.path).toSet == filesD,
+      "Delta DV delete must not rewrite data files")
+    assert(eng.files("d", "mor_i").map(_.path).toSet == filesI,
+      "Iceberg position delete must not rewrite data files")
+    val want = expect(0L until 100L, Set.empty, (0L until 100L).filter(_ % 7L == 3L).toSet)
+    assert(rows(eng.tableDF("d", "mor_d")) == want, "Delta MOR read diverges")
+    assert(rows(eng.tableDF("d", "mor_i")) == want, "Iceberg MOR read diverges")
+    assert(eng.countRows("d", "mor_d") == want.size.toLong)
+    assert(eng.countRows("d", "mor_i") == want.size.toLong)
+    // both roll back with one logical restore
+    eng.restoreDeltaTable("d", "mor_d", 1)
+    eng.rollbackIcebergTable("d", "mor_i", 1)
+    assert(rows(eng.tableDF("d", "mor_d")) == rows(eng.tableDF("d", "mor_i")))
+    assert(eng.tableDF("d", "mor_d").count() == 100)
+  }
+
   test("rolling back the same mutation returns all three formats to the identical state") {
     // The cross-format leg the per-format rollback specs (g37/g38/g39
     // in isolation) can't see: same rows, same logical mutation, one
