@@ -1203,6 +1203,36 @@ object Queries {
         |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Delta CHANGE-DATA-FEED read through the oracle gate: net
+    // row-level diff between the initial write and the post-DV-delete
+    // head — inserts are the appended rows still alive, deletes the
+    // exact DV'd positions read back out of the unchanged data files
+    "g52_delta_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_cdf_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_cdf_rt", loc)
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1), "default", "delta_cdf_rt")
+        eng.deleteDeltaWhereMor("default", "delta_cdf_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        eng.deltaChanges("default", "delta_cdf_rt", 2, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderpriority < '3-MEDIUM'
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi row-level DELETE through the oracle gate — completes the
     // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
     // CoW replacecommit): write evens, append odds, delete the low

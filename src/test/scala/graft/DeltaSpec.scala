@@ -653,6 +653,35 @@ class DeltaSpec extends AnyFunSuite {
       "the rewrite's re-adds must carry no deletion vectors")
   }
 
+  test("deltaChanges: net row-level diff across appends, DV deletes, and restores") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_cdf_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    def changes(from: Int, to: Int): Set[(Long, String)] =
+      eng.deltaChanges("d", "cdf", from, to)
+        .select(col("x"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    eng.writeDeltaTable((0L until 10L).toDF("x").coalesce(1), "d", "cdf", loc) // v0
+    eng.appendDeltaTable((10L until 20L).toDF("x").coalesce(1), "d", "cdf")   // v1
+    eng.deleteDeltaWhereMor("d", "cdf", col("x").isin(3L, 12L))               // v2
+    eng.deleteDeltaWhereMor("d", "cdf", col("x") === 4L)                      // v3 (DV merge)
+    eng.restoreDeltaTable("d", "cdf", 1)                                      // v4 == v2
+
+    // v0 -> v1: pure append
+    assert(changes(4, 3) == (10L until 20L).map((_, "insert")).toSet)
+    // v1 -> v2: DV deletes on both files
+    assert(changes(3, 2) == Set((3L, "delete"), (12L, "delete")))
+    // v2 -> v3: only the merged delta, not the whole DV
+    assert(changes(2, 1) == Set((4L, "delete")))
+    // v3 -> v4 (restore): the un-deleted position comes back
+    assert(changes(1, 0) == Set((4L, "insert")))
+    // v0 -> v4 net: inserts are the appended rows surviving v4's DV;
+    // deletes are the v0 rows dead at v4
+    assert(changes(4, 0) ==
+      ((10L until 20L).toSet - 12L).map((_, "insert")) ++ Set((3L, "delete")))
+  }
+
   test("deletion vectors survive checkpoint+cleanup; vacuum keeps live sidecars") {
     import spark.implicits._
     val loc = s"/root/repo/target/delta_dvcp_${System.nanoTime()}"
