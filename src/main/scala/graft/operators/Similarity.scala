@@ -340,6 +340,54 @@ object Similarity {
        |FROM qz, qv WHERE vec_id <> $queryVecId
        |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
 
+  /** FILTERED vector search: top-k by the quantized integer dot among
+    * vectors satisfying a metadata predicate — PRE-filter semantics,
+    * which is what a filtered vector query means (post-filtering an
+    * unfiltered top-k returns fewer than k, possibly zero, matches
+    * under a selective predicate). The label filter lands in the scan
+    * (plain predicate pushdown — per-vector max-abs quantization is
+    * independent of the corpus, so filtering first changes nothing),
+    * scoring stays the exact int8 dot, and the plan is the same
+    * broadcast + TakeOrdered as [[quantizedTopK]]. At 100 TB the same
+    * shape runs over a label-partitioned index layout so the filter
+    * prunes partitions before any vector is read (the s3/s7 layout).
+    */
+  def filteredTopK(emb: DataFrame, queryVecId: Long, labels: Seq[Int],
+      k: Int = 10): DataFrame = {
+    require(labels.nonEmpty, "filtered search needs at least one admitted label")
+    val qv = quantizeInt8(emb.filter(col("vec_id") === queryVecId))
+      .select(col("q").as("qq"))
+    val cand = quantizeInt8(
+      emb.filter(col("label").isin(labels.map(Int.box): _*))
+        .filter(col("vec_id") =!= queryVecId))
+    val dotInt = {
+      val prods = zip_with(col("q"), col("qq"), (a, b) => a.cast("long") * b.cast("long"))
+      aggregate(prods, lit(0L), (acc, v) => acc + v)
+    }
+    cand.crossJoin(broadcast(qv))
+      .select(col("vec_id"), dotInt.as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[filteredTopK]]. */
+  def sqlFilteredTopK(queryVecId: Long, labels: Seq[Int], k: Int = 10): String =
+    s"""WITH s AS (SELECT vec_id, label,
+       |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS sc,
+       |  embedding FROM embeddings),
+       |qz AS (SELECT vec_id, label,
+       |  CASE WHEN sc = 0 THEN list_transform(embedding, v -> 0)
+       |       ELSE list_transform(embedding, v -> trunc(v::DOUBLE * 127.0 / sc)::INTEGER)
+       |  END AS q FROM s),
+       |qv AS (SELECT q AS qq FROM qz WHERE vec_id = $queryVecId)
+       |SELECT vec_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    [q[i]::BIGINT * qq[i]::BIGINT for i in range(1, len(q) + 1)]),
+       |    (s, v) -> s + v) AS score
+       |FROM qz, qv
+       |WHERE vec_id <> $queryVecId AND label IN (${labels.mkString(", ")})
+       |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversity re-rank: from the `shortlist` most query-relevant
     * vectors, greedily select `k` maximizing

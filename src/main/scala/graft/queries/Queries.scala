@@ -2694,6 +2694,14 @@ object Queries {
         Similarity.binaryTopK(t(spark, sf, "embeddings"), 0L, 10),
       Similarity.sqlBinaryTopK(0L, 10))),
 
+    // filtered vector search: top-k under a metadata predicate with
+    // PRE-filter semantics (post-filtering an unfiltered top-k loses
+    // results under selective predicates); exact int8 integer scores
+    "s21_filtered_ann" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.filteredTopK(t(spark, sf, "embeddings"), 0L, Seq(2, 5)),
+      Similarity.sqlFilteredTopK(0L, Seq(2, 5)))),
+
     // MMR diversity re-rank over the int8 shortlist: greedy
     // lam*rel - div*maxsim selection in exact integer arithmetic —
     // the anti-near-duplicate retrieval move; unrolled-stage oracle

@@ -420,6 +420,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("filteredTopK returns k matches where post-filtering would starve") {
+    import TestSpark.spark.implicits._
+    // query [1,0]; the 5 most-similar vectors all carry label 0, the
+    // label-1 vectors rank below them — a post-filter of the
+    // unfiltered top-3 finds NOTHING with label 1
+    val vs = (Seq((0L, Seq(1.0f, 0.0f), 0)) ++
+      (1L to 5L).map(i => (i, Seq(1.0f, i * 0.001f), 0)) ++
+      (6L to 9L).map(i => (i, Seq(0.5f, 0.5f), 1))
+      ).toDF("vec_id", "embedding", "label")
+    val filtered = Similarity.filteredTopK(vs, 0L, Seq(1), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(filtered.length == 3 && filtered.forall(id => id >= 6L && id <= 9L),
+      s"pre-filter must return 3 label-1 vectors: $filtered")
+    val unfilteredTop3 = Similarity.quantizedTopK(vs, 0L, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(unfilteredTop3.forall(_ <= 5L),
+      "the unfiltered top-3 is all label-0 — post-filtering it would return zero rows")
+  }
+
   test("mmrRerank matches a brute-force greedy and actually diversifies") {
     // hand corpus: query [1,0]; a tight near-dup cluster along the
     // query axis plus two off-axis vectors — plain top-3 is the
