@@ -43,6 +43,9 @@ class PlanLintSpec extends AnyFunSuite {
     // s19's build side is the one query row (literal vec_id filter,
     // not aggregate-provable) — the s1 shape on the signature table
     "s19_binary_rerank",
+    // s21 is s6's one-query-row broadcast with a label pre-filter on
+    // the probe side — same literal vec_id build row
+    "s21_filtered_ann",
     "q16_recursive_cte",
     "t5_length_quantiles",
     "d3_dedup_minhash", "d7_ngram_jaccard", "d8_dup_clusters", "d9_keep_canonical",
