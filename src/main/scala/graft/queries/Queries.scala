@@ -1233,6 +1233,36 @@ object Queries {
         |GROUP BY o_orderpriority
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // Iceberg CHANGELOG scan through the oracle gate — the g52 twin:
+    // net row-level diff between the initial snapshot and the
+    // post-MOR-delete head, position-delete deltas read back out of
+    // the unchanged data files
+    "g53_iceberg_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_cdf_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_cdf_rt", loc)
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1), "default", "ice_cdf_rt")
+        eng.deleteIcebergWhere("default", "ice_cdf_rt",
+          col("o_orderpriority") < "3-MEDIUM")
+        eng.icebergChanges("default", "ice_cdf_rt", 2, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderpriority < '3-MEDIUM'
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey % 2 = 1 AND o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi row-level DELETE through the oracle gate — completes the
     // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
     // CoW replacecommit): write evens, append odds, delete the low

@@ -303,4 +303,32 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(after.count() == 110)
     assert(after.filter(col("k") === 0L).head().getString(1) == "w0")
   }
+
+  test("icebergChanges: changelog across appends, position deletes, and rollbacks") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_cdf_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    def changes(from: Int, to: Int): Set[(Long, String)] =
+      eng.icebergChanges("d", "icdf", from, to)
+        .select(col("k"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    eng.writeIcebergTable((0L until 10L).map(k => (k, k % 3)).toDF("k", "grp").coalesce(1),
+      "d", "icdf", loc)                                                   // s1
+    eng.appendIcebergTable((10L until 20L).map(k => (k, k % 3)).toDF("k", "grp").coalesce(1),
+      "d", "icdf")                                                        // s2
+    eng.deleteIcebergWhere("d", "icdf", col("k").isin(3L, 12L))           // s3
+    eng.rollbackIcebergTable("d", "icdf", 1)                              // s4 == s2
+
+    assert(changes(3, 2) == (10L until 20L).map((_, "insert")).toSet, "append leg")
+    assert(changes(2, 1) == Set((3L, "delete"), (12L, "delete")), "position-delete delta")
+    assert(changes(1, 0) == Set((3L, "insert"), (12L, "insert")), "rollback revives")
+    // net across everything: append minus nothing (the delete was rolled back)
+    assert(changes(3, 0) == (10L until 20L).map((_, "insert")).toSet)
+    // equality-delete deltas refuse loudly
+    eng.deleteIcebergMatching("d", "icdf", Seq(1L).toDF("grp"), Seq("grp"))
+    val e = intercept[IllegalArgumentException](eng.icebergChanges("d", "icdf", 1, 0))
+    assert(e.getMessage.contains("equality"))
+  }
 }
