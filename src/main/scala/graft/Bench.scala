@@ -67,6 +67,52 @@ object Bench {
       allCore(); allCore()
     }
     System.err.println(s"[bench] canary_ms=$canaryMs canary_all_ms=$canaryAllMs")
+    // SUSTAINED all-core CALIBRATION (r12 verdict ask #1). The
+    // ~0.5 s burst canaries above are provably inverted on sustained
+    // turbo drift: the r12 bisect showed the evening box running the
+    // suite 1.5-2.3x slower while its burst canaries read FASTER
+    // (489/555 ms vs 567/602) — short bursts ride the boost window,
+    // the 10-minute suite runs at the box's SETTLED all-core clock.
+    // This loop holds every core busy for ~6-8 s of fixed work —
+    // past typical boost-budget windows — plus a DRAM-bound phase
+    // (the drifted queries were shuffle/hash heavy, i.e. memory-
+    // bound, so frequency alone is not the whole signal). Wall time
+    // start -> last-thread-finish is the number: stragglers are what
+    // stretch a barrier-synchronized Spark stage. Recorded as
+    // calib_ms / calib_end_ms in every artifact; trend_gate prefers
+    // it over the burst canaries for box-speed normalization.
+    def sustainedCalib(): Long = {
+      val n = cpus.toInt
+      val SpinBatches = 12               // ~6 s all-core integer spin
+      val MemLongs = (8 << 20) / 8       // 8 MB/thread; 32x8 MB >> L3
+      val MemPasses = 200                // ~50 GB aggregate traffic
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { _ =>
+        new Thread(() => {
+          var b = 0
+          while (b < SpinBatches) { spinOnce(400000000); b += 1 }
+          val arr = new Array[Long](MemLongs)
+          var p = 0
+          var s = 0L
+          while (p < MemPasses) {
+            var j = p % 8 // rotate the phase so passes don't collapse
+            while (j < arr.length) { s += arr(j); j += 8 } // 64 B: every line
+            p += 1
+          }
+          if (s == 42L) System.err.println("") // sink: defeat DCE
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1000000L
+    }
+    val calibMs: Long = sustainedCalib()
+    System.err.println(s"[bench] calib_ms=$calibMs")
+    // standalone mode for drift experiments (NOTES.md): measure the
+    // box without running the suite, e.g. under a deliberate load
+    if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").contains("1")) {
+      println(s"""{"metric":"calib","calib_ms":$calibMs,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs}""")
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -167,6 +213,13 @@ object Bench {
       (0 until n).map(times.get).max
     }
     System.err.println(s"[bench] canary_end_ms=$canaryEndMs")
+    // end-of-run sustained calibration: with the start value it
+    // brackets the box-speed envelope the suite actually ran in —
+    // trend_gate normalizes on the MEAN of the pair, so a host that
+    // sags (or recovers) mid-run is corrected by its average state,
+    // not the state of one instant
+    val calibEndMs: Long = sustainedCalib()
+    System.err.println(s"[bench] calib_end_ms=$calibEndMs")
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // headline value is POISONED (-1) whenever any query failed: a
@@ -176,7 +229,7 @@ object Bench {
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs}"""
     // The driver captures only a BOUNDED WINDOW of process output, so
     // any single placement of the summary can be truncated away
     // (observed rounds 8-10; `parsed: null`): the full per-query line
@@ -196,7 +249,7 @@ object Bench {
     //     the artifact of record for local trend_gate comparisons
     //     (the short line carries its path).
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"queries_file":"target/bench_summary.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"queries_file":"target/bench_summary.json"}"""
     println(shortLine)
     println(summary)
     val chunks = results.grouped(25).toSeq

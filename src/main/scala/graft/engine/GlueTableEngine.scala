@@ -120,15 +120,23 @@ final class GlueTableEngine(
 
   private def normalizeDir(l: String): String = if (l.endsWith("/")) l else l + "/"
 
-  /** Scheme-insensitive canonical form for prefix comparison: listed
+  /** Scheme-insensitive canonical form for path comparison: listed
     * paths come back scheme-qualified (`file:/...`, `s3a://bucket/...`)
     * while catalog locations are free-form (`/...`, `s3://bucket/...`).
-    * host+path is enough to match a file to its partition dir — a
-    * table's partitions live on one filesystem.
+    * Authority+path is enough to match a file to its partition dir —
+    * a table's partitions live on one filesystem.
+    *
+    * MUST produce the same string as [[canonPathCol]] for the same
+    * URI: driver-side literals from this function are compared
+    * against columns canonicalized by that one (DV sidecar `isin`
+    * filters, changelog position legs). `s3://bucket/k` therefore
+    * canonicalizes to `/bucket/k` (leading slash, authority kept) —
+    * exactly the regexp's output — not `bucket/k`.
+    * PathCanonSpec pins the agreement across schemes.
     */
-  private def canonPath(p: String): String = {
+  private[graft] def canonPath(p: String): String = {
     val uri = new org.apache.hadoop.fs.Path(p).toUri
-    Option(uri.getHost).getOrElse("") + uri.getPath
+    Option(uri.getAuthority).filter(_.nonEmpty).map("/" + _).getOrElse("") + uri.getPath
   }
 
   /** Hive partitions whose catalog-declared `location` lies OUTSIDE
@@ -178,13 +186,13 @@ final class GlueTableEngine(
             // from the transaction log (add actions / checkpoint);
             // the read path's skipping tier consumes the bounds
             // without any footer reads. The SAME replay also yields
-            // the deletion-vector descriptors — prime dvCache here so
+            // the deletion-vector descriptors — ONE rawState replay
+            // feeds both, and priming dvCache here means
             // countRows/readTable never replay the log (or re-read a
             // checkpoint) just to learn whether DVs exist.
-            val dfs = delta.dataFilesDetailed(location(meta), versionOffset)
-            dvCache.get(s"$database.$table#dv#v$versionOffset") {
-              delta.deletionVectors(location(meta), versionOffset)
-            }
+            val (dfs, dvMap) =
+              delta.filesAndDeletionVectors(location(meta), versionOffset)
+            dvCache.get(s"$database.$table#dv#v$versionOffset")(dvMap)
             dfs.map(f => S3FileInfo(f.path, f.partition, f.size, modTime = 0L,
               bounds = f.bounds, rowCount = f.rowCount))
           case TableType.Hudi =>
@@ -774,7 +782,10 @@ final class GlueTableEngine(
       if (dvs.isEmpty) base
       else {
         val del = dvs.groupBy(_._2).toSeq.sortBy(_._1).map { case (dvPath, m) =>
-          val files = m.keySet.toSeq.map(p => new HadoopPath(p).toUri.getPath)
+          // canonPath (NOT .toUri.getPath, which drops the authority
+          // of object-store URIs) so the isin literals match the
+          // sidecar's canonPathCol-canonicalized file_path values
+          val files = m.keySet.toSeq.map(canonPath)
           spark.read.parquet(dvPath)
             .select(canonPathCol(col("file_path")).as("__del_fp"),
               col("pos").as("__del_pos"))
@@ -793,7 +804,7 @@ final class GlueTableEngine(
   /** Scheme-insensitive canonical path column (delete files record
     * raw writer paths; `_metadata.file_path` is a qualified URI).
     */
-  private def canonPathCol(c: Column): Column =
+  private[graft] def canonPathCol(c: Column): Column =
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   private def applyIcebergDeletes(df: DataFrame,

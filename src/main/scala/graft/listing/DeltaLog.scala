@@ -53,7 +53,12 @@ final case class DeltaDataFile(path: String, size: Long,
   */
 /** Delta transaction-log WRITER — the engine's transactional write
   * path, readable back by [[DeltaLogResolver]] (round-trip
-  * spec-proven) and by any Delta reader that follows the protocol.
+  * spec-proven) and by any Delta reader that follows the protocol —
+  * EXCEPT tables carrying deletion vectors, whose sidecar format is
+  * engine-private: the first DV commit publishes protocol
+  * (minReaderVersion 3, reader feature [[DvFeatureName]]) so such
+  * readers refuse the table loudly instead of resurrecting deleted
+  * rows (Delta table-features rule).
   * Each [[commit]] writes the batch's data files under a
   * per-version subdirectory, derives per-file statistics from the
   * parquet FOOTERS just written (numRecords + min/max + null
@@ -64,6 +69,13 @@ final case class DeltaDataFile(path: String, size: Long,
   * crash contract.
   */
 object DeltaLogWriter {
+  /** Reader/writer table-feature name published by the first DV
+    * commit. Deliberately NOT the spec's `deletionVectors`: the
+    * sidecar format is engine-private, and an unknown feature makes
+    * protocol-following readers fail loudly instead of mis-parsing.
+    */
+  private[graft] val DvFeatureName = "graft.parquetDeletionVectors"
+
   private def jstr(s: String): String =
     new ObjectMapper().writeValueAsString(s)
 
@@ -299,7 +311,9 @@ object DeltaLogWriter {
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -315,7 +329,15 @@ object DeltaLogWriter {
       val u = new Path(p).toUri.getPath
       if (u.startsWith(rootPath)) u.stripPrefix(rootPath).stripPrefix("/") else p
     }
-    val rows = Seq(Row(Row(1, 2), null, null, null)) ++
+    // A checkpoint REPLACES the json prefix as the replay base, so it
+    // must not downgrade the protocol gate while DV-bearing adds are
+    // live — an external reader replaying from it would skip the
+    // table-features refusal and silently resurrect DV-deleted rows.
+    val protoRow =
+      if (st.adds.exists(_.dv.isDefined))
+        Row(3, 7, Seq(DvFeatureName), Seq(DvFeatureName))
+      else Row(1, 2, null, null)
+    val rows = Seq(Row(protoRow, null, null, null)) ++
       Seq(Row(null, Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
         Row("parquet"), st.schemaString.orNull, st.partitionColumns), null, null)) ++
       st.txns.toSeq.sortBy(_._1).map { case (appId, v) => Row(null, null, Row(appId, v), null) } ++
@@ -481,7 +503,21 @@ object DeltaLogWriter {
       throw new IllegalStateException(
         s"cannot attach deletion vectors at $location: no Delta log"))
     val byPath = cur.adds.map(a => a.path -> a).toMap
-    val lines = dvByFile.toSeq.sortBy(_._1).map { case (p, dv) =>
+    // Protocol gate (ADVICE r12): the descriptor here is engine-shaped
+    // (storagePath -> parquet positions sidecar), NOT the spec's
+    // roaring-bitmap DV, so a protocol-following external reader must
+    // REFUSE the table rather than silently resurrect deleted rows.
+    // Delta's table-features rule does exactly that for an unknown
+    // reader feature: minReaderVersion 3 forces feature evaluation and
+    // readers without `graft.parquetDeletionVectors` fail loudly.
+    // (Claiming the standard `deletionVectors` feature would be worse:
+    // DV-capable readers would then mis-parse the sidecar descriptor.)
+    // Emitted on EVERY DV commit — protocol actions replace prior ones
+    // on replay, so repetition is idempotent and needs no state.
+    val protocolLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${jstr(DvFeatureName)}],"writerFeatures":[${jstr(DvFeatureName)}]}}"""
+    val lines = protocolLine +: dvByFile.toSeq.sortBy(_._1).map { case (p, dv) =>
       val a = byPath.getOrElse(p, throw new IllegalArgumentException(
         s"deletion vector targets $p, which is not a live file of $root"))
       val pvJson = a.partitionValues
@@ -695,15 +731,8 @@ final class DeltaLogResolver(spark: SparkSession) {
     }
 
   /** Live data files of the selected version (latest − offset). */
-  def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[DeltaDataFile] = {
-    val st = rawState(location, versionOffset).getOrElse(return Nil)
-    val schema = st.schemaString.flatMap(parseSchema)
-    st.adds.map { a =>
-      DeltaDataFile(a.path, a.size, a.partitionValues,
-        a.stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty),
-        a.stats.flatMap(numRecordsOf))
-    }.sortBy(_.path)
-  }
+  def dataFilesDetailed(location: String, versionOffset: Int = 0): Seq[DeltaDataFile] =
+    filesAndDeletionVectors(location, versionOffset)._1
 
   /** Live deletion-vector descriptors of the selected version:
     * data-file path → DV sidecar path, for every add that carries
@@ -711,9 +740,25 @@ final class DeltaLogResolver(spark: SparkSession) {
     * path's fast path.
     */
   def deletionVectors(location: String, versionOffset: Int = 0): Map[String, String] =
-    rawState(location, versionOffset).map(_.adds.collect {
-      case a if a.dv.isDefined => a.path -> a.dv.get
-    }.toMap).getOrElse(Map.empty)
+    filesAndDeletionVectors(location, versionOffset)._2
+
+  /** Files AND DV descriptors from ONE log replay (ADVICE r12: the
+    * listing build needs both, and calling the two getters above
+    * separately replayed the full log — or re-read the checkpoint —
+    * twice per cold build).
+    */
+  def filesAndDeletionVectors(location: String,
+      versionOffset: Int = 0): (Seq[DeltaDataFile], Map[String, String]) = {
+    val st = rawState(location, versionOffset).getOrElse(return (Nil, Map.empty))
+    val schema = st.schemaString.flatMap(parseSchema)
+    val files = st.adds.map { a =>
+      DeltaDataFile(a.path, a.size, a.partitionValues,
+        a.stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty),
+        a.stats.flatMap(numRecordsOf))
+    }.sortBy(_.path)
+    val dvs = st.adds.collect { case a if a.dv.isDefined => a.path -> a.dv.get }.toMap
+    (files, dvs)
+  }
 
   /** `stats.numRecords` of one add action — unparseable/absent is
     * None, never a throw (absence only costs a footer fallback).

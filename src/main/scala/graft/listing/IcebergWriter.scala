@@ -342,7 +342,7 @@ object IcebergWriter {
           // count the manifest must carry (record_count)
           val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
       val d = new GenericData.Record(dataFileS)
-      d.put("file_path", st.getPath.toUri.getPath)
+      d.put("file_path", st.getPath.toString) // full URI: authority kept so object-store reads resolve
       d.put("file_size_in_bytes", st.getLen)
       d.put("record_count", nRows.getOrElse(-1L))
       partSchemaOpt.foreach { ps =>
@@ -566,7 +566,7 @@ object IcebergWriter {
     }.toMap
     val entries = deleteFiles.map { case (path, content, eqCols) =>
       val d = new GenericData.Record(delFileS)
-      d.put("file_path", new Path(path).toUri.getPath)
+      d.put("file_path", new Path(path).toString)
       d.put("file_size_in_bytes", fs.getFileStatus(new Path(path)).getLen)
       d.put("content", content)
       d.put("equality_ids",
@@ -677,7 +677,7 @@ object IcebergWriter {
     val entries = walkParquet(new Path(dd)).sortBy(_.getPath.toString).map { st =>
       val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
       val d = new GenericData.Record(dataFileS)
-      d.put("file_path", st.getPath.toUri.getPath)
+      d.put("file_path", st.getPath.toString) // full URI: authority kept so object-store reads resolve
       d.put("file_size_in_bytes", st.getLen)
       d.put("record_count", nRows.getOrElse(-1L))
       val lows = new java.util.ArrayList[GenericRecord]()
@@ -718,7 +718,7 @@ object IcebergWriter {
     val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
     val delEntries = Seq {
       val d = new GenericData.Record(delFileS)
-      d.put("file_path", delParquet.toUri.getPath)
+      d.put("file_path", delParquet.toString)
       d.put("file_size_in_bytes", fs.getFileStatus(delParquet).getLen)
       d.put("content", 2)
       d.put("equality_ids", java.util.List.of(keyCols.map(c =>

@@ -705,4 +705,41 @@ class DeltaSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "dvc").count() == 50,
       s"vacuum deleted a live sidecar (reclaimed: $deleted)")
   }
+
+  test("DV commit publishes a table-features protocol gate (ADVICE r12)") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_dvproto_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 30L).toDF("x").coalesce(1), "d", "dvp", loc)
+    val v = eng.deleteDeltaWhereMor("d", "dvp", col("x") >= 25L)
+    // the DV commit itself must carry the protocol action: a
+    // protocol-following external reader (the reference included,
+    // which has no DV handling) must REFUSE this table on the unknown
+    // reader feature rather than silently resurrect the deleted rows
+    val commit = new java.io.File(loc, f"_delta_log/$v%020d.json")
+    val text = scala.io.Source.fromFile(commit, "UTF-8").mkString
+    assert(text.contains(""""minReaderVersion":3"""), "protocol action missing")
+    assert(text.contains(graft.listing.DeltaLogWriter.DvFeatureName),
+      "reader feature missing from the DV commit")
+    // our own resolver reads through it unchanged
+    assert(eng.tableDF("d", "dvp").count() == 25)
+    // a checkpoint taken while DVs are live must NOT downgrade the gate
+    graft.listing.DeltaLogWriter.checkpoint(spark, loc)
+    val cp = new java.io.File(loc, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).map(_.toString).sorted.last
+    val proto = spark.read.parquet(cp).filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures").head()
+    assert(proto.getInt(0) == 3, "checkpoint downgraded the protocol gate")
+    assert(proto.getSeq[String](1).contains(graft.listing.DeltaLogWriter.DvFeatureName))
+    // a DV-free table keeps the permissive legacy protocol
+    val loc2 = s"/root/repo/target/delta_noproto_${System.nanoTime()}"
+    eng.writeDeltaTable((0L until 5L).toDF("x").coalesce(1), "d", "npr", loc2)
+    graft.listing.DeltaLogWriter.checkpoint(spark, loc2)
+    val cp2 = new java.io.File(loc2, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).map(_.toString).sorted.last
+    val p2 = spark.read.parquet(cp2).filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion").head()
+    assert(p2.getInt(0) == 1)
+  }
 }
