@@ -453,12 +453,16 @@ final class GlueTableEngine(
     * whole (the destination version's MOR deletes applied), and
     * POSITION-DELETE deltas over files live in both versions surface
     * exact row-level changes — newly-deleted positions as deletes,
-    * positions un-deleted by a rollback as inserts (position sets
+    * positions un-deleted by a rollback as inserts (LIVENESS sets
     * are diffed, so a row re-deleted through a second delete file is
-    * never double-emitted). Equality-delete deltas would need the
-    * predicate re-evaluated per data sequence and are refused
-    * loudly. Same scale contract: driver-side metadata diff, scans
-    * only over changed files, position sets broadcast.
+    * never double-emitted). Position-only deltas never scan data
+    * files beyond the ones the delete files name; equality-delete
+    * deltas (any MERGE-produced range) evaluate liveness at both
+    * snapshots over the sequence-eligible candidate files with the
+    * scan path's own delete application — one code path, identical
+    * scoping. Same scale contract: driver-side metadata diff, scans
+    * bounded to candidate files, position sets broadcast (CDC deltas
+    * are small relative to the table by contract).
     */
   def icebergChanges(database: String, table: String, fromOffset: Int,
       toOffset: Int = 0): DataFrame = {
@@ -485,38 +489,102 @@ final class GlueTableEngine(
     val delDelta = (delTo.map(_.path).toSet -- delFrom.map(_.path).toSet) ++
       (delFrom.map(_.path).toSet -- delTo.map(_.path).toSet)
     if (delDelta.nonEmpty) {
-      require((delFrom ++ delTo).filter(d => delDelta(d.path)).forall(_.content == 1),
-        "changelog over equality-delete deltas is not supported (the predicate " +
-          "would need re-evaluation per data sequence) — position deletes only")
       require(meta.table.partitionKeys.isEmpty,
-        "row-level position-delete deltas on partitioned tables are not supported yet")
-      val common = (fromFiles intersect toFiles).toSeq.sorted.map(canonPath)
-      def posDf(dels: Seq[IcebergSnapshotResolver#IcebergDeleteFile]): DataFrame = {
-        val pos = dels.filter(_.content == 1).map(_.path).distinct.sorted
-        if (pos.isEmpty)
-          spark.range(0).select(col("id").cast("string").as("__fp"), col("id").as("__pos"))
-        else spark.read.parquet(pos: _*)
-          .select(canonPathCol(col("file_path")).as("__fp"), col("pos").as("__pos"))
-          .filter(col("__fp").isin(common: _*))
-      }
-      val pFrom = posDf(delFrom)
-      val pTo = posDf(delTo)
-      val newlyDel = pTo.join(pFrom, Seq("__fp", "__pos"), "left_anti")
-      val revived = pFrom.join(pTo, Seq("__fp", "__pos"), "left_anti")
-      // scan only files actually named by the delta position sets
-      val touched = (newlyDel.unionAll(revived)).select("__fp").distinct()
-        .collect().map(_.getString(0)).toSet
-      if (touched.nonEmpty) {
-        val rawPaths = (fromFiles intersect toFiles).toSeq.sorted
-          .filter(p => touched(canonPath(p)))
-        val raw = spark.read.parquet(rawPaths: _*)
-          .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
-          .withColumn("__pos", col("_metadata").getField("row_index"))
-        def leg(pos: DataFrame, kind: String): DataFrame =
-          raw.join(broadcast(pos), Seq("__fp", "__pos"))
-            .drop("__fp", "__pos").withColumn(ct, lit(kind))
-        legs += leg(newlyDel, "delete")
-        legs += leg(revived, "insert")
+        "row-level delete deltas on partitioned tables are not supported yet")
+      val commonRaw = (fromFiles intersect toFiles).toSeq.sorted
+      val common = commonRaw.map(canonPath)
+      val deltaDels = (delFrom ++ delTo).filter(d => delDelta(d.path))
+      val eqDeltas = deltaDels.filter(_.content == 2)
+      if (eqDeltas.isEmpty) {
+        // FAST PATH — position-delete deltas only: the changed
+        // positions are read straight from the (small) delete files,
+        // diffed as sets, and only the data files those sets name are
+        // ever scanned. No predicate evaluation needed.
+        def posDf(dels: Seq[IcebergSnapshotResolver#IcebergDeleteFile]): DataFrame = {
+          val pos = dels.filter(_.content == 1).map(_.path).distinct.sorted
+          if (pos.isEmpty)
+            spark.range(0).select(col("id").cast("string").as("__fp"), col("id").as("__pos"))
+          else spark.read.parquet(pos: _*)
+            .select(canonPathCol(col("file_path")).as("__fp"), col("pos").as("__pos"))
+            .filter(col("__fp").isin(common: _*))
+        }
+        val pFrom = posDf(delFrom)
+        val pTo = posDf(delTo)
+        val newlyDel = pTo.join(pFrom, Seq("__fp", "__pos"), "left_anti")
+        val revived = pFrom.join(pTo, Seq("__fp", "__pos"), "left_anti")
+        // scan only files actually named by the delta position sets
+        val touched = (newlyDel.unionAll(revived)).select("__fp").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (touched.nonEmpty) {
+          val rawPaths = commonRaw.filter(p => touched(canonPath(p)))
+          val raw = spark.read.parquet(rawPaths: _*)
+            .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
+            .withColumn("__pos", col("_metadata").getField("row_index"))
+          def leg(pos: DataFrame, kind: String): DataFrame =
+            raw.join(broadcast(pos), Seq("__fp", "__pos"))
+              .drop("__fp", "__pos").withColumn(ct, lit(kind))
+          legs += leg(newlyDel, "delete")
+          legs += leg(revived, "insert")
+        }
+      } else {
+        // GENERAL PATH — the delete delta includes EQUALITY deletes
+        // (r12 verdict ask #3: any MERGE-produced snapshot range hits
+        // this; refusing made CDC internally inconsistent with the
+        // scan path, which applies them). An equality delete names no
+        // positions, so liveness is EVALUATED: read the candidate
+        // files once, apply each snapshot's full delete stack with
+        // the same strictly-smaller-sequence scoping as the scan path
+        // (applyIcebergDeletes — one code path, no drift), and diff
+        // the surviving position sets.
+        //
+        // Candidate set (the 100 TB bound): common files a CHANGED
+        // delete could affect — files named by changed position-
+        // delete files, plus files sequence-eligible for a changed
+        // equality delete (data sequence strictly smaller; 0 =
+        // unknown applies unscoped). Files outside it cannot change
+        // liveness and are never scanned. An equality delete at the
+        // head sequence makes every older common file a candidate —
+        // that rescan is the inherent cost of exact net row-level
+        // CDC over predicate deletes, paid only on ranges that
+        // contain one.
+        val seqFrom = iceberg.dataFilesDetailed(loc, fromOffset)
+          .map(f => canonPath(f.path) -> f.seq).toMap
+        val seqTo = iceberg.dataFilesDetailed(loc, toOffset)
+          .map(f => canonPath(f.path) -> f.seq).toMap
+        val posDeltaPaths = deltaDels.filter(_.content == 1).map(_.path).distinct.sorted
+        val posNamed: Set[String] =
+          if (posDeltaPaths.isEmpty) Set.empty
+          else spark.read.parquet(posDeltaPaths: _*)
+            .select(canonPathCol(col("file_path"))).distinct()
+            .collect().map(_.getString(0)).toSet
+        def eqEligible(cp: String): Boolean = {
+          val s = seqTo.getOrElse(cp, seqFrom.getOrElse(cp, 0L))
+          eqDeltas.exists(e => e.seq == 0L || s == 0L || s < e.seq)
+        }
+        val cands = commonRaw.filter { p =>
+          val cp = canonPath(p); posNamed(cp) || eqEligible(cp)
+        }
+        if (cands.nonEmpty) {
+          val raw = spark.read.parquet(cands: _*)
+            .withColumn("__lfp", canonPathCol(col("_metadata").getField("file_path")))
+            .withColumn("__lpos", col("_metadata").getField("row_index"))
+          def livePos(dels: Seq[IcebergSnapshotResolver#IcebergDeleteFile],
+              off: Int): DataFrame = {
+            val seqMap = iceberg.dataFilesDetailed(loc, off).map(f => f.path -> f.seq).toMap
+            applyIcebergDeletes(raw, dels, seqMap)
+              .select(col("__lfp").as("__fp"), col("__lpos").as("__pos"))
+          }
+          val pFrom = livePos(delFrom, fromOffset)
+          val pTo = livePos(delTo, toOffset)
+          val newlyDel = pFrom.join(pTo, Seq("__fp", "__pos"), "left_anti")
+          val revived = pTo.join(pFrom, Seq("__fp", "__pos"), "left_anti")
+          def leg(pos: DataFrame, kind: String): DataFrame =
+            raw.join(broadcast(pos),
+                col("__lfp") === col("__fp") && col("__lpos") === col("__pos"))
+              .drop("__lfp", "__lpos", "__fp", "__pos").withColumn(ct, lit(kind))
+          legs += leg(newlyDel, "delete")
+          legs += leg(revived, "insert")
+        }
       }
     }
     if (legs.isEmpty)

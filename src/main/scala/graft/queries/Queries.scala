@@ -1263,6 +1263,47 @@ object Queries {
         |GROUP BY o_orderpriority
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // Iceberg CHANGELOG over a MERGE snapshot (r12 verdict ask #3):
+    // the range crosses an EQUALITY-delete delta — the case g53's
+    // first cut refused. Liveness is evaluated at both snapshots with
+    // the scan path's own sequence-scoped delete application: inserts
+    // are the merge batch (same-sequence data survives its own eq
+    // delete), deletes are the prior snapshot's rows the merge keys
+    // killed.
+    "g54_iceberg_merge_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_mcdf_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_mcdf_rt", loc)
+        val src = o.filter(col("o_orderkey") % 2 === 1)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_orderpriority", lit("9-MERGED")))
+        eng.mergeIceberg("default", "ice_mcdf_rt", src, "o_orderkey")
+        eng.icebergChanges("default", "ice_mcdf_rt", 1, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """WITH ins AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT '9-MERGED' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |del AS (
+        |  SELECT o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM ins GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM del GROUP BY o_orderpriority)
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi row-level DELETE through the oracle gate — completes the
     // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
     // CoW replacecommit): write evens, append odds, delete the low

@@ -326,9 +326,52 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(changes(1, 0) == Set((3L, "insert"), (12L, "insert")), "rollback revives")
     // net across everything: append minus nothing (the delete was rolled back)
     assert(changes(3, 0) == (10L until 20L).map((_, "insert")).toSet)
-    // equality-delete deltas refuse loudly
-    eng.deleteIcebergMatching("d", "icdf", Seq(1L).toDF("grp"), Seq("grp"))
-    val e = intercept[IllegalArgumentException](eng.icebergChanges("d", "icdf", 1, 0))
-    assert(e.getMessage.contains("equality"))
+    // equality-delete delta (r13): liveness is evaluated, not refused —
+    // the delete kills every live row whose grp matches
+    eng.deleteIcebergMatching("d", "icdf", Seq(1L).toDF("grp"), Seq("grp"))  // s5
+    assert(changes(1, 0) ==
+      (0L until 20L).filter(_ % 3 == 1).map((_, "delete")).toSet,
+      "equality-delete delta must emit the killed keys as deletes")
+    // range crossing the rollback AND the equality delete: net diff
+    // from s3 (post-position-delete) to head = revived-then-eq-killed
+    // bookkeeping collapses to the NET row-level truth
+    assert(changes(2, 0) ==
+      (Set(3L, 12L).filter(_ % 3 != 1).map((_, "insert")) ++
+        (0L until 20L).filter(k => k % 3 == 1 && k != 3L && k != 12L)
+          .map((_, "delete"))).toSet,
+      "net diff across rollback + equality delete")
+  }
+
+  test("icebergChanges over a MERGE snapshot: equality CDC (r12 ask #3)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_mcdf_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    def changes(from: Int, to: Int): Set[(Long, String, String)] =
+      eng.icebergChanges("d", "imc", from, to)
+        .select(col("k"), col("v"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    eng.writeIcebergTable((0L until 100L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(2),
+      "d", "imc", loc)                                                    // s1
+    val src = ((0L until 10L).map(k => (k, s"u$k")) ++
+      (100L until 110L).map(k => (k, s"r$k"))).toDF("k", "v").coalesce(1)
+    eng.mergeIceberg("d", "imc", src, "k")                                // s2
+    // s1 -> s2: inserts are the merge batch (same-sequence data
+    // survives its own equality delete); deletes are the PRIOR rows
+    // the merge keys killed — with their pre-merge values
+    assert(changes(1, 0) ==
+      ((0L until 10L).map(k => (k, s"u$k", "insert")) ++
+        (100L until 110L).map(k => (k, s"r$k", "insert")) ++
+        (0L until 10L).map(k => (k, s"r$k", "delete"))).toSet)
+    // a later position delete; the range now crosses BOTH delete kinds
+    eng.deleteIcebergWhere("d", "imc", col("k").isin(5L, 105L))           // s3
+    assert(changes(2, 0) ==
+      ((0L until 10L).filterNot(_ == 5L).map(k => (k, s"u$k", "insert")) ++
+        (100L until 110L).filterNot(_ == 105L).map(k => (k, s"r$k", "insert")) ++
+        (0L until 10L).map(k => (k, s"r$k", "delete"))).toSet,
+      "mixed equality + position delta over one range")
+    // untouched middle rows never appear in any leg
+    assert(!changes(2, 0).exists { case (k, _, _) => k >= 10L && k < 100L })
   }
 }
