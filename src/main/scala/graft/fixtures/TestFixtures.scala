@@ -223,6 +223,43 @@ object TestFixtures {
     out
   }
 
+  /** ZIPF-DISTRIBUTED synthetic corpus (r12 verdict ask #2): the
+    * sf* documents fixture has a FLAT vocabulary, under which a
+    * bounded training sample provably cannot reproduce a full-corpus
+    * BPE merge table (every pair is equally likely; the head ranking
+    * is pure sampling noise — measured overlap 1/20, NOTES.md r12).
+    * Real text is Zipfian WITH bigram structure (collocations), and
+    * the sample-reproduces-head-merges claim is only testable on a
+    * rank-frequency law: each document is a sequence of two-word
+    * PHRASES `(w_r, w_{r+1})` with the phrase rank drawn
+    * P(rank r) ∝ r^-1.3 — iid word draws would make `(a,b)` and
+    * `(b,a)` exact expectation ties, turning the head ranking into a
+    * coin flip no sample (however large) could reproduce. Fixed
+    * per-document seeds, so the corpus — and every statistic of it —
+    * is deterministic across runs and parallelism.
+    */
+  def zipfDocs(spark: SparkSession, nDocs: Int = 2400, wordsPerDoc: Int = 80,
+      vocab: Int = 120, exponent: Double = 1.3): DataFrame = {
+    val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+    import sp.implicits._
+    val cdf = {
+      val w = (1 to vocab).map(r => math.pow(r.toDouble, -exponent))
+      val total = w.sum
+      w.scanLeft(0.0)(_ + _).tail.map(_ / total).toArray
+    }
+    val rows = (0 until nDocs).map { id =>
+      val rnd = new java.util.Random(0x5eed + id * 2654435761L)
+      val words = Array.fill(wordsPerDoc / 2) {
+        val u = rnd.nextDouble()
+        val idx = java.util.Arrays.binarySearch(cdf, u)
+        val r = (if (idx >= 0) idx else -idx - 1) + 1
+        s"w$r w${r + 1}"
+      }
+      (id.toLong, words.mkString(" "))
+    }
+    rows.toDF("doc_id", "text").repartition(8)
+  }
+
   /** Total bytes of the data files under a local fixture dir. */
   private def dirBytes(dir: String): Long = {
     def walk(f: File): Long =

@@ -282,4 +282,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("x", 4L, 1L, 250000L),  // c is OOV
       ("y", 4L, 2L, 500000L))) // c and d are OOV
   }
+
+  test("sampled BPE trainer reproduces full-corpus head merges on Zipfian text (r12 ask #2)") {
+    // The t16 contract: a bounded content-addressed sample learns the
+    // merge table the full corpus would, so the trainer stays
+    // corpus-size-flat at 100 TB. On the flat synthetic vocabulary
+    // this is UNPROVABLE (all pairs equally likely, head ranking is
+    // sampling noise — overlap was 1/20, NOTES.md r12); on Zipfian
+    // text — the distribution real corpora follow — the head pairs
+    // are separated by the rank-frequency law and a 1/10 sample must
+    // reproduce them.
+    val docs = graft.fixtures.TestFixtures.zipfDocs(spark) // 2400 docs
+    docs.persist()
+    try {
+      val merges = 20
+      // budget >= corpus -> modulus 1: the SAME harness trains on all
+      // docs, so the comparison isolates sampling, not code paths
+      val full = TextAnalysis.bpeTrainSampled(docs, merges, budgetDocs = 1000000L).map(_._1)
+      val sampled = TextAnalysis.bpeTrainSampled(docs, merges, budgetDocs = 240L).map(_._1)
+      assert(full.size == merges && sampled.size == merges)
+      val overlap = full.toSet intersect sampled.toSet
+      assert(overlap.size >= 15,
+        s"sampled trainer reproduced only ${overlap.size}/$merges head merges:\n" +
+          s"full   : $full\nsampled: $sampled")
+      assert(full.take(5) == sampled.take(5),
+        s"first five merges must agree in ORDER (the head of the table):\n" +
+          s"full   : ${full.take(5)}\nsampled: ${sampled.take(5)}")
+    } finally { docs.unpersist(); () }
+  }
 }
