@@ -741,13 +741,18 @@ object Dedup {
     * as a declarative join condition. Still no shuffle of candidate
     * rows; parallelism = the spread() partitioning of the probe side.
     *
-    * EAGER AT CONSTRUCTION: the signature table is collected when
-    * this method is CALLED, not when the returned DataFrame first
-    * executes (the old `broadcast()` join deferred that to execution
-    * time). Callers that build the plan but never run it still pay
-    * one Spark job plus driver memory for the index — acceptable
-    * because the [[ngramJaccardPairs]] selector only routes here
-    * under the maxBytes budget, but don't construct this speculatively.
+    * LAZY AT CONSTRUCTION (r12 verdict ask #7): the signature table
+    * is NOT collected when this method is called — it rides the plan
+    * as a one-row `sort_array(collect_list(...))` aggregate cross-
+    * joined via `broadcast()`, so the index materializes (and its
+    * driver/executor memory is paid) only when the returned DataFrame
+    * first EXECUTES. Speculative construction costs zero Spark jobs
+    * (DedupSpec pins this). `sort_array` over `(nh, doc_id, hs)`
+    * structs is lexicographic on the leading fields — exactly the
+    * (nh, doc_id) order the window scan needs — and each task
+    * converts the broadcast row to a primitive index once, memoized
+    * per JVM so concurrent tasks share one copy (the deserialized-
+    * value sharing `SparkContext.broadcast` gave the old eager shape).
     */
   private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
@@ -756,50 +761,85 @@ object Dedup {
       col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
       .filter(col("nh") > 0)
-    val typed = base.as[(Long, Array[Long], Int)]
-    // driver-side materialization is the broadcast the BNLJ paid too,
-    // selector-guarded to maxBytes; sorted once, by (nh, doc_id)
-    val index: Array[(Long, Array[Long], Int)] =
-      typed.collect().sortBy(r => (r._3, r._1))
-    val bc = org.apache.spark.sql.graft.Shim.classic(spark)
-      .sparkContext.broadcast(index)
+    val memoKey = "dense_" + java.util.UUID.randomUUID().toString
+    val sigRow = base
+      .select(struct(col("nh"), col("doc_id"), col("hs")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("sigs"))
     val t = threshold
     val needFrac = threshold / (1 + threshold)
-    val pairs = typed.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (id, ha, na) =>
-        // first index AFTER this doc in the (nh, doc_id) order
-        var lo = 0; var hi = all.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          val m = all(mid)
-          if (m._3 < na || (m._3 == na && m._1 <= id)) lo = mid + 1 else hi = mid
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = lo
-        var inWindow = true
-        while (inWindow && i < all.length) {
-          val (idB, hb, nb) = all(i)
-          // same 1e-9 slack as the join formulation, so the admitted
-          // candidate set is unchanged; nh ascending makes the first
-          // failure terminal
-          if (nb * t > na + 1e-9) inWindow = false
-          else {
-            val need = math.ceil((na + nb) * needFrac - 1e-6).toInt
-            if (graft.functions.HashOps.sortedOverlapAtLeastArr(ha, hb, need)) {
-              val ov = graft.functions.HashOps.sortedOverlapArr(ha, hb).toDouble
-              val jac = ov / (na + nb - ov)
-              if (jac >= t) out += ((math.min(id, idB), math.max(id, idB), jac))
-            }
-            i += 1
+    val pairs = base.crossJoin(broadcast(sigRow)).mapPartitions { it0 =>
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        // columns: doc_id(0), hs(1), nh(2), sigs(3) — sigs is the SAME
+        // broadcast value on every row; deserialize it once per JVM
+        val all = DenseIndexCache.get(memoKey, {
+          val raw = it.head.getSeq[org.apache.spark.sql.Row](3)
+          raw.iterator.map(r =>
+            (r.getLong(1), r.getSeq[Long](2).toArray, r.getInt(0))).toArray
+        })
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val ha = row.getSeq[Long](1).toArray
+          val na = row.getInt(2)
+          // first index AFTER this doc in the (nh, doc_id) order
+          var lo = 0; var hi = all.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            val m = all(mid)
+            if (m._3 < na || (m._3 == na && m._1 <= id)) lo = mid + 1 else hi = mid
           }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = lo
+          var inWindow = true
+          while (inWindow && i < all.length) {
+            val (idB, hb, nb) = all(i)
+            // same 1e-9 slack as the join formulation, so the admitted
+            // candidate set is unchanged; nh ascending makes the first
+            // failure terminal
+            if (nb * t > na + 1e-9) inWindow = false
+            else {
+              val need = math.ceil((na + nb) * needFrac - 1e-6).toInt
+              if (graft.functions.HashOps.sortedOverlapAtLeastArr(ha, hb, need)) {
+                val ov = graft.functions.HashOps.sortedOverlapArr(ha, hb).toDouble
+                val jac = ov / (na + nb - ov)
+                if (jac >= t) out += ((math.min(id, idB), math.max(id, idB), jac))
+              }
+              i += 1
+            }
+          }
+          out
         }
-        out
       }
     }
     pairs.toDF("a", "b", "jac")
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
       .orderBy("a", "b")
+  }
+
+  /** Per-JVM memo for [[denseJaccardPairs]]' deserialized signature
+    * index: the broadcast row is shared by Spark, but converting it
+    * to a primitive probe array per TASK would multiply the (budget-
+    * capped, up to 256 MB) index by the task slot count. Soft values
+    * so an idle index never pins the heap against execution memory.
+    */
+  private object DenseIndexCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, java.lang.ref.SoftReference[Array[(Long, Array[Long], Int)]]]()
+    def get(key: String, build: => Array[(Long, Array[Long], Int)]): Array[(Long, Array[Long], Int)] = {
+      val ref = m.get(key)
+      val hit = if (ref == null) null else ref.get()
+      if (hit != null) hit
+      else m.synchronized { // one builder; losers reuse the winner's
+        val again = Option(m.get(key)).map(_.get()).orNull
+        if (again != null) again
+        else {
+          val built = build
+          m.put(key, new java.lang.ref.SoftReference(built))
+          built
+        }
+      }
+    }
   }
 
   /** Benchmark decontamination: flag corpus documents that contain
@@ -1721,10 +1761,16 @@ object Dedup {
     * re-joins are gone — measured warm sf1 2.6 s / sf3 6.4 s, a 2.5×
     * scaling ratio for 3× docs where r11 recorded 11.3×), and a
     * 100 TB pipeline runs exact dedup (d1) first, shrinking the
-    * tiny-doc population tier 3 squares over.
+    * tiny-doc population tier 3 squares over. The bound is
+    * STRUCTURAL, not assumed: `maxTier3Bucket` caps per-bucket
+    * occupancy and overflows loudly (never silently drops pairs) —
+    * exact ed<=k over same-length unique texts is irreducibly
+    * all-pairs, so a pathological single-bucket corpus must be a
+    * visible decision, not a runaway job.
     */
-  def editDistancePairs(docs: DataFrame, k: Int = 4): DataFrame = {
-    val (c1, c2, c3v, base, mult) = editDistanceTiers(docs, k)
+  def editDistancePairs(docs: DataFrame, k: Int = 4,
+      maxTier3Bucket: Int = 10000): DataFrame = {
+    val (c1, c2, c3v, base, mult) = editDistanceTiers(docs, k, maxTier3Bucket)
     // tiers 1/2 need the text re-join before verification; tier 3
     // arrives ALREADY verified (its bucket join carries both texts, so
     // the banded distance is decided inline — see editDistanceTiers).
@@ -1742,7 +1788,8 @@ object Dedup {
     * tier boundaries and the tier-1 positional filter were derived
     * from. Returns (tier1, tier2, tier3, base, pairMult).
     */
-  private[graft] def editDistanceTiers(docs: DataFrame, k: Int)
+  private[graft] def editDistanceTiers(docs: DataFrame, k: Int,
+      maxTier3Bucket: Int = 10000)
       : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val (n1, n2) = (5, 3)
@@ -1813,6 +1860,29 @@ object Dedup {
     // double-find.
     val tiny = base.filter(col("n5") < lit(p1) && col("n3") < lit(p2))
       .withColumn("bk", floor(col("len") / lit(k + 1)))
+    // STRUCTURAL BOUND (r12 verdict ask #4): the per-bucket quadratic
+    // was safe by MEASURED occupancy (spread tiny docs) and by
+    // pipeline convention (d1 runs first) — nothing bounded it if a
+    // pathological corpus concentrated its mass in one length bucket.
+    // Exact ed<=k over same-length unique texts is irreducibly
+    // all-pairs (no signature scheme can separate them without
+    // comparing), so the sound guard is a cap with a LOUD overflow,
+    // not a silent fallback that would drop pairs. One metadata-scale
+    // agg over the tiny subset; the threshold costs nothing when it
+    // never fires.
+    val overflow = tiny.groupBy("bk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > lit(maxTier3Bucket))
+      .orderBy(desc("occ")).limit(3).collect()
+    if (overflow.nonEmpty) {
+      val worst = overflow.map(r =>
+        s"bucket ${r.getLong(0)} (len ${r.getLong(0) * (k + 1)}..${(r.getLong(0) + 1) * (k + 1) - 1}): ${r.getLong(1)} docs").mkString("; ")
+      throw new IllegalStateException(
+        s"editDistancePairs tier 3 would square over an over-occupied length bucket — $worst " +
+          s"(cap $maxTier3Bucket docs/bucket, ~${maxTier3Bucket.toLong * maxTier3Bucket} banded " +
+          "comparisons). Exact ed<=k over same-length tiny docs is irreducibly all-pairs; run " +
+          "exact dedup (Dedup.exact / d1) first to collapse identical texts, or raise " +
+          "maxTier3Bucket deliberately if the quadratic cost is intended.")
+    }
     val c3 = tiny.select(col("doc_id").as("a"), col("len").as("la"),
         col("text").as("ta"),
         explode(array(col("bk"), col("bk") + lit(1))).as("bk"))
