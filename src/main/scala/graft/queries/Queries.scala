@@ -3155,10 +3155,15 @@ object Queries {
         val schema = spark.read.parquet(stage).schema
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
-        val res = EventStreams.withStatePartitions(spark, 8)(
-          EventStreams.runToCompletion(
-            EventStreams.windowedThenHourly(stream),
-            "st12_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        // RocksDB state store (r12 verdict ask #5): two stateful
+        // stages in one query is the next-largest state holder after
+        // st7/st11 — the gate proves the spillable backend on the
+        // multi-stateful-operator shape, not just the in-memory default
+        val res = EventStreams.withRocksDbStateStore(spark)(
+          EventStreams.withStatePartitions(spark, 8)(
+            EventStreams.runToCompletion(
+              EventStreams.windowedThenHourly(stream),
+              "st12_mem", org.apache.spark.sql.streaming.OutputMode.Append())))
         res.select(
           date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("n_windows"), col("total_events"), col("max_sub"))
@@ -3185,10 +3190,15 @@ object Queries {
         val schema = spark.read.parquet(stage).schema
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
-        val res = EventStreams.withStatePartitions(spark, 8)(
-          EventStreams.runToCompletion(
-            EventStreams.viewPurchaseJoinOuter(stream),
-            "st11_mem", org.apache.spark.sql.streaming.OutputMode.Append()))
+        // RocksDB state store (r12 verdict ask #5): the outer join is
+        // the suite's largest surviving state (expired-row emission
+        // keys both sides' buffers), so its registered form runs on
+        // the spillable production backend like st7's
+        val res = EventStreams.withRocksDbStateStore(spark)(
+          EventStreams.withStatePartitions(spark, 8)(
+            EventStreams.runToCompletion(
+              EventStreams.viewPurchaseJoinOuter(stream),
+              "st11_mem", org.apache.spark.sql.streaming.OutputMode.Append())))
         res.filter(col("p_user") >= 0)
           .groupBy(col("p_user").as("user_id"))
           .agg(count(lit(1)).as("n_rows"),
