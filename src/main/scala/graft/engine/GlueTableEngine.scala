@@ -937,20 +937,27 @@ final class GlueTableEngine(
     * double-prune; it remains the impl of the reference's
     * files-variable read surface.
     */
-  def prunedTableDF(database: String, table: String, predicates: Seq[Column]): DataFrame = {
+  def prunedTableDF(database: String, table: String, predicates: Seq[Column],
+      extraKeep: Option[Set[String]] = None): DataFrame = {
     val meta = tableMetadata(database, table)
-    if (predicates.isEmpty)
+    if (predicates.isEmpty && extraKeep.isEmpty)
       return readTable(database, table, 0, keep = None, proxied = false)
     val all = files(database, table)
-    val kept = predicates.foldLeft(listingDF(database, table))(_.filter(_))
-      .select("path").collect().map(_.getString(0)).toSet
+    val predKept =
+      if (predicates.isEmpty) all.map(_.path).toSet
+      else predicates.foldLeft(listingDF(database, table))(_.filter(_))
+        .select("path").collect().map(_.getString(0)).toSet
+    // hidden-transform pruning (Iceberg bucket specs) intersects the
+    // declared-key selection: both prunings are sound independently
+    val kept = extraKeep.fold(predKept)(_ intersect predKept)
     if (kept.isEmpty && all.nonEmpty) {
       meta.tableType match {
         // A Hive listing can prune to empty spuriously (URI-escaped
         // partition values differ from the user's literal); fall back
         // to the full file set — Spark's own partition filters, which
         // unescape properly, still prune at planning, so a genuinely
-        // empty selection stays cheap.
+        // empty selection stays cheap. (Hive tables never carry
+        // hidden transform specs, so extraKeep is None here.)
         case TableType.Hive => readTable(database, table, 0, None, proxied = false)
         case _              => readTable(database, table, 0, None, proxied = false).limit(0)
       }
@@ -1135,8 +1142,9 @@ final class GlueTableEngine(
 
     // Replace relations bottom-up; at Filter nodes, retry the rewrite
     // of a directly-underlying glue relation with pruning predicates.
-    def relationPlan(ref: GlueRefId, preds: Seq[Column]): LogicalPlan = {
-      val df = prunedTableDF(ref.database, ref.table, preds)
+    def relationPlan(ref: GlueRefId, preds: Seq[Column],
+        hiddenKeep: Option[Set[String]] = None): LogicalPlan = {
+      val df = prunedTableDF(ref.database, ref.table, preds, hiddenKeep)
       Shim.analyzedPlan(df)
     }
 
@@ -1180,7 +1188,7 @@ final class GlueTableEngine(
                 s"glue.${ref.database}.${ref.table}".toLowerCase)
             }
             val preds = if (keys.isEmpty) Nil else partitionConjuncts(cond, keys, quals)
-            val newRel = relationPlan(ref, preds)
+            val newRel = relationPlan(ref, preds, icebergBucketKeep(ref, cond, quals))
             val newChild = child match {
               case SubqueryAlias(id, _) => SubqueryAlias(id, newRel)
               case _ => qualified(ref, newRel)
@@ -1319,6 +1327,131 @@ final class GlueTableEngine(
     t
   }
 
+  /** Write-time bucket column for a [[graft.listing.IcebergBucket]]
+    * transform: computed once per batch as a narrow projection; reads
+    * never evaluate it.
+    */
+  private def bucketColumnFor(df: DataFrame, src: String, n: Int): Column = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    df.schema(src).dataType match {
+      case LongType => udf((v: java.lang.Long) =>
+        if (v == null) null
+        else Integer.valueOf(graft.listing.IcebergBucket.of(v, n))).apply(col(src))
+      case IntegerType => udf((v: java.lang.Integer) =>
+        if (v == null) null
+        else Integer.valueOf(graft.listing.IcebergBucket.of(v, n))).apply(col(src))
+      case StringType => udf((v: String) =>
+        if (v == null) null
+        else Integer.valueOf(graft.listing.IcebergBucket.of(v, n))).apply(col(src))
+      case other => throw new IllegalArgumentException(
+        s"bucket transform supports long/int/string source columns, $src is $other")
+    }
+  }
+
+  /** Write an Iceberg table with HIDDEN partitioning — the spec's
+    * bucket transform (`bucket[N]` over `bucketCol`): rows land in
+    * per-bucket files, the manifest partition record carries the
+    * bucket int under `<col>_bucket`, and the partition spec declares
+    * `{"transform": "bucket[N]", "source-id": <col>}` — but the
+    * bucket NEVER appears as a table column (that is what "hidden"
+    * means; readers see the raw schema). The payoff at 100 TB: an
+    * equality/IN probe on the source column scans 1/N of the table
+    * with no user-visible partition column to mis-join on —
+    * [[query]] translates such conjuncts through [[IcebergBucket]]
+    * and prunes the file listing before planning.
+    */
+  def writeIcebergTableBucketed(df: DataFrame, database: String, table: String,
+      location: String, bucketCol: String, nBuckets: Int): GlueTable = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val field = s"${bucketCol}_bucket"
+    val bCol = bucketColumnFor(df, bucketCol, nBuckets)
+    val root = new HadoopPath(location)
+    val fs = root.getFileSystem(hadoopConf)
+    if (fs.exists(root)) fs.delete(root, true) // overwrite semantics
+    // cluster by bucket before writing: one shuffle buys one file per
+    // bucket per task instead of (input partitions x buckets) small
+    // files — the small-files problem is the first thing bucketing is
+    // supposed to solve at scale
+    graft.listing.IcebergWriter.commit(spark, location,
+      df.withColumn(field, bCol).repartition(col(field)),
+      partitionBy = Seq(field),
+      transforms = Map(field -> (s"bucket[$nBuckets]", bucketCol)))
+    val t = GlueTable(database, table, Some(location),
+      partitionKeys = Nil, // hidden: the spec field is not a column
+      parameters = Map("table_type" -> "ICEBERG"))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, table)
+    t
+  }
+
+  /** Hidden-partition pruning for Iceberg bucket specs: plain
+    * equality / IN conjuncts on a bucket SOURCE column translate
+    * through [[graft.listing.IcebergBucket]] to the admissible bucket
+    * set, and only files whose manifest partition record matches are
+    * kept. Sound by construction — only whole top-level conjuncts of
+    * those exact shapes prune (an OR involving the column keeps
+    * everything), unknown partition values keep the file, and the
+    * file listing is driver-side metadata, so the filter costs no
+    * Spark job. Returns None when nothing prunes.
+    */
+  private def icebergBucketKeep(ref: GlueRefId, cond: Expression,
+      quals: Set[String]): Option[Set[String]] = {
+    val meta = tableMetadata(ref.database, ref.table)
+    if (meta.tableType != TableType.Iceberg) return None
+    val specs = iceberg.bucketSpecs(location(meta))
+    if (specs.isEmpty) return None
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def split(e: Expression): Seq[Expression] = e match {
+      case ce.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def attrOk(a: UnresolvedAttribute, src: String): Boolean =
+      a.nameParts.last.equalsIgnoreCase(src) &&
+        (a.nameParts.length == 1 ||
+          quals.contains(a.nameParts.init.map(_.toLowerCase).mkString(".")))
+    def litVal(l: ce.Literal): Option[Any] = l.value match {
+      case null              => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case i: Int            => Some(i)
+      case lo: Long          => Some(lo)
+      case _                 => None // other types never bucket here
+    }
+    val conjuncts = split(cond)
+    val bySrc: Map[String, Seq[Any]] = specs.map(_._2).distinct.flatMap { src =>
+      val valueSets = conjuncts.flatMap {
+        case ce.EqualTo(a: UnresolvedAttribute, l: ce.Literal) if attrOk(a, src) =>
+          litVal(l).map(Seq(_))
+        case ce.EqualTo(l: ce.Literal, a: UnresolvedAttribute) if attrOk(a, src) =>
+          litVal(l).map(Seq(_))
+        case ce.In(a: UnresolvedAttribute, vs) if attrOk(a, src) &&
+            vs.forall(_.isInstanceOf[ce.Literal]) =>
+          val lits = vs.map(v => litVal(v.asInstanceOf[ce.Literal]))
+          if (lits.forall(_.isDefined)) Some(lits.flatten) else None
+        case _ => None
+      }
+      // several conjuncts on one column AND together: intersect
+      if (valueSets.isEmpty) None
+      else Some(src -> valueSets.reduce((a, b) => a.filter(b.toSet)))
+    }.toMap
+    if (bySrc.isEmpty) return None
+    val byField: Map[String, Set[Int]] = specs.flatMap { case (field, src, n) =>
+      bySrc.get(src).map(vals =>
+        field -> vals.map(v => graft.listing.IcebergBucket.of(v, n)).toSet)
+    }.toMap
+    val keep = files(ref.database, ref.table).filter { f =>
+      byField.forall { case (field, buckets) =>
+        f.partitionValues.get(field) match {
+          case Some(v) => scala.util.Try(v.toInt).toOption.forall(buckets.contains)
+          case None    => true // unknown bucket: keep (sound)
+        }
+      }
+    }.map(_.path).toSet
+    Some(keep)
+  }
+
   /** Append a batch to a registered Iceberg table as its next
     * snapshot. Returns the new sequence number.
     */
@@ -1334,9 +1467,23 @@ final class GlueTableEngine(
     val meta = tableMetadata(database, table)
     require(meta.tableType == TableType.Iceberg,
       s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    // a hidden bucket spec is metadata, not catalog state: detect it
+    // and recompute the bucket column so appends keep the layout —
+    // the writer's spec-stability check would refuse a bare append
+    val bspecs = iceberg.bucketSpecs(location(meta))
+    val (batch, partBy, transforms) =
+      if (bspecs.isEmpty) (df, meta.table.partitionKeys.map(_.name),
+        Map.empty[String, (String, String)])
+      else {
+        val withCols = bspecs.foldLeft(df) { case (acc, (field, src, n)) =>
+          acc.withColumn(field, bucketColumnFor(acc, src, n))
+        }.repartition(bspecs.map(b => col(b._1)): _*)
+        (withCols, bspecs.map(_._1),
+          bspecs.map { case (f, src, n) => f -> (s"bucket[$n]", src) }.toMap)
+      }
     val v = graft.listing.IcebergWriter.commit(
-      spark, location(meta), df, meta.table.partitionKeys.map(_.name),
-      allowAdditive = evolve)
+      spark, location(meta), batch, partBy,
+      allowAdditive = evolve, transforms = transforms)
     invalidateTable(database, table)
     v
   }

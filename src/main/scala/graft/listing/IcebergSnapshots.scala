@@ -156,6 +156,40 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     ordered.drop(versionOffset).headOption
   }
 
+  /** BUCKET-transform partition-spec fields of the current spec —
+    * Iceberg's hidden partitioning: `(spec field name, source column
+    * name, bucket count)` per `bucket[N]` field. The engine's query
+    * rewrite prunes the file listing on these (equality/IN conjuncts
+    * on the SOURCE column → [[IcebergBucket.of]] → manifest partition
+    * record match) without the spec field ever appearing as a table
+    * column. Empty for identity-only or unpartitioned tables — the
+    * common case, and free (one metadata JSON already read by every
+    * resolution).
+    */
+  def bucketSpecs(location: String, versionOffset: Int = 0): Seq[(String, String, Int)] = {
+    val BucketRe = """bucket\[(\d+)\]""".r
+    metadataAt(location, versionOffset).toSeq.flatMap { meta =>
+      val nameById: Map[Int, String] =
+        Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala.toSeq.headOption)
+          .flatMap(s => Option(s.get("fields")).toSeq)
+          .flatMap(_.elements().asScala.toSeq.flatMap { f =>
+            for (id <- Option(f.get("id")); nm <- Option(f.get("name")))
+              yield id.asInt() -> nm.asText()
+          }).toMap
+      Option(meta.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala.toSeq.headOption)
+        .flatMap(s => Option(s.get("fields")).toSeq)
+        .flatMap(_.elements().asScala.toSeq.flatMap { f =>
+          for {
+            nm <- Option(f.get("name")).map(_.asText())
+            tr <- Option(f.get("transform")).map(_.asText())
+            n <- tr match { case BucketRe(d) => Some(d.toInt); case _ => None }
+            src <- Option(f.get("source-id")).map(_.asInt()).flatMap(nameById.get)
+          } yield (nm, src, n)
+        })
+    }
+  }
+
   /** Live delete files of the selected snapshot (empty for v1/COW
     * tables), each carrying its sequence number so the read path can
     * scope equality deletes per the spec: they apply only to data

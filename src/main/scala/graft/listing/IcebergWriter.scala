@@ -33,6 +33,68 @@ import scala.jdk.CollectionConverters._
   *     atomic rename — a reader never sees a half commit, and data
   *     files without a published metadata json are invisible.
   */
+/** Iceberg's bucket partition transform (spec Appendix B): 32-bit
+  * Murmur3 (x86 variant, seed 0) of the value's canonical bytes —
+  * int/long hash as 8 little-endian bytes (ints PROMOTE to long, so
+  * `bucket(x: int)` == `bucket(x: long)` across type evolution),
+  * strings as UTF-8 — then `(hash & Int.MaxValue) % N`. Implemented
+  * from the public algorithm (Appleby's MurmurHash3, public domain)
+  * so writer, pruner, and specs share one definition with no
+  * dependence on any library's seed/variant choices.
+  */
+object IcebergBucket {
+  def murmur3x86(bytes: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = seed
+    val n = bytes.length
+    var i = 0
+    while (i + 4 <= n) {
+      var k = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+        ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    (n & 3) match {
+      case 3 => k ^= (bytes(i + 2) & 0xff) << 16; k ^= (bytes(i + 1) & 0xff) << 8; k ^= bytes(i) & 0xff
+      case 2 => k ^= (bytes(i + 1) & 0xff) << 8; k ^= bytes(i) & 0xff
+      case 1 => k ^= bytes(i) & 0xff
+      case _ => ()
+    }
+    if ((n & 3) != 0) { k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k }
+    h ^= n
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  def hashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    murmur3x86(b)
+  }
+
+  def hashString(s: String): Int = murmur3x86(s.getBytes("UTF-8"))
+
+  /** Bucket number of one value. Int/long/string only — the types the
+    * engine's bucketed writer accepts.
+    */
+  def of(v: Any, n: Int): Int = {
+    val h = v match {
+      case l: Long               => hashLong(l)
+      case i: Int                => hashLong(i.toLong)
+      case i: java.lang.Integer  => hashLong(i.longValue())
+      case l: java.lang.Long     => hashLong(l.longValue())
+      case s: String             => hashString(s)
+      case u: UTF8String         => hashString(u.toString)
+      case other => throw new IllegalArgumentException(
+        s"bucket transform supports int/long/string, got ${other.getClass.getName}")
+    }
+    (h & Int.MaxValue) % n
+  }
+}
+
 object IcebergWriter {
   private val mapper = new ObjectMapper()
 
@@ -113,9 +175,11 @@ object IcebergWriter {
   def commit(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
       partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false,
       summary: Map[String, String] = Map.empty,
-      allowAdditive: Boolean = false): Long =
+      allowAdditive: Boolean = false,
+      transforms: Map[String, (String, String)] = Map.empty): Long =
     commitInternal(spark, location, df, partitionBy, rewriteAll, summary,
-      txn = None, onBeforePublish = () => (), allowAdditive = allowAdditive)
+      txn = None, onBeforePublish = () => (), allowAdditive = allowAdditive,
+      transforms = transforms)
       .getOrElse(throw new IllegalStateException(
         "unreachable: only txn commits recognize replays"))
 
@@ -144,7 +208,8 @@ object IcebergWriter {
       df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String],
       rewriteAll: Boolean, summary: Map[String, String],
       txn: Option[(String, Long)], onBeforePublish: () => Unit,
-      allowAdditive: Boolean = false): Option[Long] = {
+      allowAdditive: Boolean = false,
+      transforms: Map[String, (String, String)] = Map.empty): Option[Long] = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -169,10 +234,21 @@ object IcebergWriter {
         .headOption
 
     // field ids by schema position (stable across appends with the
-    // same schema — the caller's contract, as in Iceberg itself)
-    val idFields = df.schema.fields.zipWithIndex.flatMap { case (f, i) =>
-      icebergType(f.dataType).map(tp => (i + 1, f.name, tp))
-    }
+    // same schema — the caller's contract, as in Iceberg itself).
+    // HIDDEN partition columns (non-identity transforms, e.g. the
+    // engine-computed bucket value) are NOT table columns: they are
+    // excluded from the schema/ids and must TRAIL the data columns so
+    // the positional ids of real columns never shift.
+    val hidden = transforms.keySet
+    require(df.schema.fields.map(_.name).filter(hidden.contains).toSet == hidden,
+      s"transform fields ${hidden.mkString(",")} must be present in the batch")
+    require(df.schema.fields.dropWhile(f => !hidden.contains(f.name))
+        .forall(f => hidden.contains(f.name)),
+      "hidden (transform) partition columns must trail every data column")
+    val idFields = df.schema.fields.filterNot(f => hidden.contains(f.name))
+      .zipWithIndex.flatMap { case (f, i) =>
+        icebergType(f.dataType).map(tp => (i + 1, f.name, tp))
+      }
 
     // data files + this batch's manifest are written ONCE, by the
     // first attempt that passes the replay check; retried publishes
@@ -203,7 +279,7 @@ object IcebergWriter {
         .getOrElse(0L) + 1L
       val out = commitAttempt(spark, fs, root, metaDir, df, partitionBy,
         rewriteAll, summary, token, prior, seq, idFields,
-        dataDir, manifestPath, onBeforePublish, allowAdditive)
+        dataDir, manifestPath, onBeforePublish, transforms, allowAdditive)
       out match {
         case Right(published) => return Some(published)
         case Left((dd, mp)) =>
@@ -230,6 +306,7 @@ object IcebergWriter {
       idFields: Array[(Int, String, String)],
       dataDir0: String, manifestPath0: String,
       onBeforePublish: () => Unit,
+      transforms: Map[String, (String, String)] = Map.empty,
       allowAdditive: Boolean): Either[(String, String), Long] = {
     val priorSnapshots: Seq[String] = prior.toSeq.flatMap { n =>
       Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq
@@ -424,8 +501,16 @@ object IcebergWriter {
     val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}, "summary": $summaryJson}"""
     val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
     val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
-      s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "identity", """ +
-        s""""source-id": ${idByName.getOrElse(c, -1)}, "field-id": ${1000 + i}}"""
+      // non-identity transforms (bucket[N]) name their SOURCE column:
+      // the spec field is hidden metadata, the source is a real column
+      val (tr, srcId) = transforms.get(c) match {
+        case Some((t, src)) => (t, idByName.getOrElse(src,
+          throw new IllegalArgumentException(
+            s"transform source column $src not in the table schema")))
+        case None => ("identity", idByName.getOrElse(c, -1))
+      }
+      s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "$tr", """ +
+        s""""source-id": $srcId, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq,

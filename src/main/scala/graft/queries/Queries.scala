@@ -1304,6 +1304,32 @@ object Queries {
         |  FROM del GROUP BY o_orderpriority)
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // Iceberg HIDDEN PARTITIONING through the oracle gate: the table
+    // is bucket[8]-partitioned on o_orderkey (spec transform, no
+    // user-visible partition column), and the IN probe prunes the
+    // file listing to the named keys' buckets via the spec's Murmur3
+    // bucket hash before planning — at 100 TB an equality probe scans
+    // 1/N of the table. The aggregate over the surviving rows is what
+    // the oracle hashes; IcebergWriterSpec separately proves the
+    // files-scanned count.
+    "g55_iceberg_bucket_prune" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_bucket_rt"
+        eng.writeIcebergTableBucketed(o, "default", "ice_bucket_rt", loc, "o_orderkey", 8)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_bucket_rt
+            |WHERE o_orderkey IN (1, 7, 32, 4033, 65)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey IN (1, 7, 32, 4033, 65)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi row-level DELETE through the oracle gate — completes the
     // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
     // CoW replacecommit): write evens, append odds, delete the low
@@ -3216,6 +3242,53 @@ object Queries {
         |  ON v.user_id = p.user_id
         | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)),
+
+    // CUSTOM-STATE funnel with EVENT-TIME TIMEOUT through the gate:
+    // flatMapGroupsWithState is the one stateful-streaming API shape
+    // the join/window/session operators can't express — zero-or-more
+    // emissions per invocation (one purchase converts every pending
+    // view in its 1 h window) and state that fires WITHOUT data
+    // (abandoned views emit when the watermark passes their window,
+    // via no-data micro-batches). Runs on RocksDB like st7/st11/st12;
+    // per-side sentinels flush the bounded replay's tail.
+    "st14_funnel_timeout" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+        import sp.implicits._
+        val stage = TestFixtures.eventsStreamOuterDir(spark, sf)
+        val schema = spark.read.parquet(stage).schema
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val res = EventStreams.withRocksDbStateStore(spark)(
+          EventStreams.withStatePartitions(spark, 8)(
+            EventStreams.runToCompletion(
+              EventStreams.funnelTimeout(stream).toDF(),
+              "st14_mem", org.apache.spark.sql.streaming.OutputMode.Append())))
+        res.filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_views"),
+            sum(when(col("outcome") === "converted", 1L).otherwise(0L)).as("n_converted"),
+            sum(when(col("outcome") === "abandoned", 1L).otherwise(0L)).as("n_abandoned"),
+            sum(when(col("outcome") === "converted", col("latency_us")).otherwise(0L))
+              .as("latency_us"))
+          .orderBy("user_id")
+      },
+      """WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT v.user_id, v.event_id, v.ts AS vts, MIN(p.ts) AS pts
+        |  FROM v LEFT JOIN p ON p.user_id = v.user_id
+        |    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, COUNT(*) AS n_views,
+        |  CAST(SUM(CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+        |  CAST(COALESCE(SUM(epoch_us(pts) - epoch_us(vts)), 0) AS BIGINT) AS latency_us
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // COUNT-MIN SKETCH heavy hitters over the event stream: the
     // streaming state is the 4x64 CMS grid — O(1) in key cardinality

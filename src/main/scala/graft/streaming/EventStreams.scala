@@ -94,6 +94,80 @@ object EventStreams {
       }
   }
 
+  final case class FunnelOut(user_id: Long, view_id: Long, outcome: String,
+      latency_us: Long)
+  // public: the state encoder's generated code must reach the fields
+  final case class PendView(id: Long, tsUs: Long)
+  final case class FunnelState(pending: List[PendView])
+
+  /** Per-user VIEW→PURCHASE funnel with an event-time timeout — the
+    * custom-state shape `flatMapGroupsWithState` +
+    * `GroupStateTimeout.EventTimeTimeout` exists for, which none of
+    * the join/window/session operators can express: zero-or-more
+    * emissions per invocation (one purchase converts EVERY pending
+    * view in its window), and state that must fire WITHOUT data (an
+    * abandoned view emits when the watermark passes its window, not
+    * when some later event happens to arrive).
+    *
+    * Semantics (the DuckDB oracle's join, replayed incrementally): a
+    * view converts iff the user purchases strictly after it and
+    * within `windowUs`; latency is to the FIRST such purchase
+    * (purchases are processed in event-time order, so the earliest
+    * qualifying purchase sweeps the pending view). Views with no
+    * qualifying purchase emit `abandoned` on state timeout, armed at
+    * the earliest pending view's expiry — O(pending views per user)
+    * state, evicted as the watermark advances, the bounded-state
+    * contract an unbounded stream needs. Within a micro-batch, rows
+    * are processed sorted by (event-time µs, event_id), so batch
+    * boundaries never change the answer.
+    */
+  def funnelTimeout(events: Dataset[Event],
+      windowUs: Long = 3600L * 1000000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          if (state.hasTimedOut) {
+            val wmUs = state.getCurrentWatermarkMs * 1000L
+            val (dead, live) = pending.partition(v => v.tsUs + windowUs < wmUs)
+            dead.sortBy(v => (v.tsUs, v.id))
+              .foreach(v => out += FunnelOut(user, v.id, "abandoned", -1L))
+            pending = live
+          } else {
+            rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              e.event_type match {
+                case "view" => pending = PendView(e.event_id, micros(e.ts)) :: pending
+                case "purchase" =>
+                  val tp = micros(e.ts)
+                  val (conv, rest) =
+                    pending.partition(v => v.tsUs < tp && tp <= v.tsUs + windowUs)
+                  conv.sortBy(v => (v.tsUs, v.id))
+                    .foreach(v => out += FunnelOut(user, v.id, "converted", tp - v.tsUs))
+                  pending = rest
+                case _ => ()
+              }
+            }
+          }
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(pending))
+            // re-arm at the earliest pending expiry; clamp above the
+            // current watermark (an overdue view fires immediately on
+            // the next no-data batch)
+            val expiryMs = pending.map(_.tsUs).min / 1000L + windowUs / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(expiryMs, state.getCurrentWatermarkMs + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a key column: emits each key's first
     * arrival and drops later copies, with state bounded by the
     * watermark via `dropDuplicatesWithinWatermark` — a duplicate

@@ -342,6 +342,64 @@ class IcebergWriterSpec extends AnyFunSuite {
       "net diff across rollback + equality delete")
   }
 
+  test("hidden bucket partitioning: spec hash vectors, round-trip, file pruning") {
+    import graft.listing.IcebergBucket
+    // reference vectors straight from the public Iceberg spec
+    // (Appendix B: 32-bit hash requirements)
+    assert(IcebergBucket.hashLong(34L) == 2017239379, "hashLong(34)")
+    assert(IcebergBucket.of(34, Int.MaxValue) == 2017239379 % Int.MaxValue)
+    assert(IcebergBucket.hashString("iceberg") == 1210000089, "hashString")
+    // int PROMOTES to long: bucket(34: int) == bucket(34L)
+    assert(IcebergBucket.of(34, 16) == IcebergBucket.of(34L, 16))
+
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_bucket_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    val df = (0L until 1000L).map(k => (k, s"r$k")).toDF("k", "v")
+    eng.writeIcebergTableBucketed(df, "d", "ib", loc, "k", 8)
+    // hidden: the bucket is NOT a table column, and the data round-trips
+    val all = eng.tableDF("d", "ib")
+    assert(all.columns.toSet == Set("k", "v"), all.columns.mkString(","))
+    assert(all.count() == 1000)
+    // one file per bucket, each carrying its bucket int in the manifest
+    val fls = eng.files("d", "ib")
+    assert(fls.size == 8, s"expected 8 bucket files, got ${fls.size}")
+    assert(fls.flatMap(_.partitionValues.get("k_bucket")).map(_.toInt).toSet ==
+      (0 until 8).toSet)
+    // equality probe: exact answer AND exactly one file scanned
+    val q = eng.query("SELECT v FROM glue.d.ib WHERE k = 421")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("r421"))
+    // read the FileIndex off the LOGICAL plan: AQE wraps aggregate
+    // stages so a physical collect misses the scan after execution
+    def filesScanned(df2: org.apache.spark.sql.DataFrame): Int =
+      df2.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    assert(filesScanned(q) == 1, "equality probe must scan exactly its bucket")
+    // IN probe: union of the named keys' buckets only
+    val q2 = eng.query("SELECT count(*) AS n FROM glue.d.ib WHERE k IN (3, 421, 998)")
+    assert(q2.head().getLong(0) == 3)
+    val expect = Set(3L, 421L, 998L).map(IcebergBucket.of(_, 8)).size
+    assert(filesScanned(q2) == expect)
+    // OR with another column must NOT prune (soundness)
+    val q3 = eng.query("SELECT count(*) AS n FROM glue.d.ib WHERE k = 421 OR v = 'r7'")
+    assert(q3.head().getLong(0) == 2)
+    assert(filesScanned(q3) == 8, "an OR involving the column keeps every file")
+    // append keeps the hidden layout: spec stable, pruning still exact
+    eng.appendIcebergTable((1000L until 1200L).map(k => (k, s"r$k")).toDF("k", "v"), "d", "ib")
+    val q4 = eng.query("SELECT v FROM glue.d.ib WHERE k = 1100")
+    assert(q4.collect().map(_.getString(0)).toSeq == Seq("r1100"))
+    assert(filesScanned(q4) <= 2, "post-append probe scans at most one file per snapshot")
+    assert(eng.tableDF("d", "ib").count() == 1200)
+  }
+
   test("icebergChanges over a MERGE snapshot: equality CDC (r12 ask #3)") {
     val sp = Shim.classic(spark)
     import sp.implicits._
