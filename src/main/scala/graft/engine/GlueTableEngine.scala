@@ -1188,7 +1188,7 @@ final class GlueTableEngine(
                 s"glue.${ref.database}.${ref.table}".toLowerCase)
             }
             val preds = if (keys.isEmpty) Nil else partitionConjuncts(cond, keys, quals)
-            val newRel = relationPlan(ref, preds, icebergBucketKeep(ref, cond, quals))
+            val newRel = relationPlan(ref, preds, icebergHiddenKeep(ref, cond, quals))
             val newChild = child match {
               case SubqueryAlias(id, _) => SubqueryAlias(id, newRel)
               case _ => qualified(ref, newRel)
@@ -1348,6 +1348,32 @@ final class GlueTableEngine(
     }
   }
 
+  /** Write-time value column for any supported hidden transform. */
+  private def transformColumnFor(df: DataFrame, src: String, transform: String): Column = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    transform match {
+      case BucketRe(n) => bucketColumnFor(df, src, n.toInt)
+      case TruncRe(w0) =>
+        val w = w0.toInt
+        df.schema(src).dataType match {
+          case LongType => udf((v: java.lang.Long) =>
+            if (v == null) null
+            else java.lang.Long.valueOf(graft.listing.IcebergTruncate.ofLong(v, w))).apply(col(src))
+          case IntegerType => udf((v: java.lang.Integer) =>
+            if (v == null) null
+            else Integer.valueOf(graft.listing.IcebergTruncate.ofLong(v.longValue(), w).toInt)).apply(col(src))
+          case StringType => udf((v: String) =>
+            if (v == null) null
+            else graft.listing.IcebergTruncate.ofString(v, w)).apply(col(src))
+          case other => throw new IllegalArgumentException(
+            s"truncate transform supports long/int/string source columns, $src is $other")
+        }
+      case other => throw new IllegalArgumentException(s"unsupported hidden transform: $other")
+    }
+  }
+
   /** Write an Iceberg table with HIDDEN partitioning — the spec's
     * bucket transform (`bucket[N]` over `bucketCol`): rows land in
     * per-bucket files, the manifest partition record carries the
@@ -1387,21 +1413,57 @@ final class GlueTableEngine(
     t
   }
 
-  /** Hidden-partition pruning for Iceberg bucket specs: plain
-    * equality / IN conjuncts on a bucket SOURCE column translate
-    * through [[graft.listing.IcebergBucket]] to the admissible bucket
-    * set, and only files whose manifest partition record matches are
-    * kept. Sound by construction — only whole top-level conjuncts of
-    * those exact shapes prune (an OR involving the column keeps
-    * everything), unknown partition values keep the file, and the
-    * file listing is driver-side metadata, so the filter costs no
+  /** [[writeIcebergTableBucketed]]'s ORDER-PRESERVING sibling: hidden
+    * `truncate[W]` partitioning over an int/long/string column. Rows
+    * land in W-wide windows (`v - (((v % W) + W) % W)`; string
+    * prefixes of length W), never as a table column — and because
+    * integer truncate preserves order, [[query]] prunes RANGE
+    * predicates on the source column (BETWEEN scans only the
+    * overlapping windows), which bucket hashing cannot do.
+    */
+  def writeIcebergTableTruncated(df: DataFrame, database: String, table: String,
+      location: String, truncCol: String, width: Int): GlueTable = {
+    require(width > 0, s"width must be positive: $width")
+    val field = s"${truncCol}_trunc"
+    val transform = s"truncate[$width]"
+    val bCol = transformColumnFor(df, truncCol, transform)
+    val root = new HadoopPath(location)
+    val fs = root.getFileSystem(hadoopConf)
+    if (fs.exists(root)) fs.delete(root, true) // overwrite semantics
+    graft.listing.IcebergWriter.commit(spark, location,
+      df.withColumn(field, bCol).repartition(col(field)),
+      partitionBy = Seq(field),
+      transforms = Map(field -> (transform, truncCol)))
+    val t = GlueTable(database, table, Some(location),
+      partitionKeys = Nil, // hidden: the spec field is not a column
+      parameters = Map("table_type" -> "ICEBERG"))
+    catalog match {
+      case f: graft.catalog.FixtureCatalog => f.register(t)
+      case _ => // external catalogs register out of band
+    }
+    invalidateTable(database, table)
+    t
+  }
+
+  /** Hidden-partition pruning for Iceberg transform specs. Plain
+    * equality / IN conjuncts on a hidden-spec SOURCE column translate
+    * through the transform ([[graft.listing.IcebergBucket]] /
+    * [[graft.listing.IcebergTruncate]]) to the admissible partition
+    * values, and — because truncate PRESERVES ORDER on integers —
+    * range conjuncts (>, >=, <, <=, BETWEEN) prune truncate specs by
+    * window overlap. Only files whose manifest partition record can
+    * satisfy every constrained spec are kept. Sound by construction:
+    * only whole top-level conjuncts of those exact shapes prune (an
+    * OR involving the column keeps everything), unknown partition
+    * values keep the file, string truncate serves equality only, and
+    * the file listing is driver-side metadata, so the filter costs no
     * Spark job. Returns None when nothing prunes.
     */
-  private def icebergBucketKeep(ref: GlueRefId, cond: Expression,
+  private def icebergHiddenKeep(ref: GlueRefId, cond: Expression,
       quals: Set[String]): Option[Set[String]] = {
     val meta = tableMetadata(ref.database, ref.table)
     if (meta.tableType != TableType.Iceberg) return None
-    val specs = iceberg.bucketSpecs(location(meta))
+    val specs = iceberg.hiddenSpecs(location(meta))
     if (specs.isEmpty) return None
     import org.apache.spark.sql.catalyst.{expressions => ce}
     def split(e: Expression): Seq[Expression] = e match {
@@ -1413,15 +1475,23 @@ final class GlueTableEngine(
         (a.nameParts.length == 1 ||
           quals.contains(a.nameParts.init.map(_.toLowerCase).mkString(".")))
     def litVal(l: ce.Literal): Option[Any] = l.value match {
-      case null              => None
+      case null => None
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-      case i: Int            => Some(i)
-      case lo: Long          => Some(lo)
-      case _                 => None // other types never bucket here
+      case i: Int => Some(i)
+      case lo: Long => Some(lo)
+      case _ => None // other types never constrain a hidden spec here
+    }
+    def asLong(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong); case l: Long => Some(l); case _ => None
     }
     val conjuncts = split(cond)
-    val bySrc: Map[String, Seq[Any]] = specs.map(_._2).distinct.flatMap { src =>
-      val valueSets = conjuncts.flatMap {
+    // per source column: intersected equality value sets + numeric bounds
+    final case class Cons(eq: Option[Seq[Any]],
+        lo: Seq[(Long, Boolean)], hi: Seq[(Long, Boolean)]) {
+      def isFree: Boolean = eq.isEmpty && lo.isEmpty && hi.isEmpty
+    }
+    def consFor(src: String): Cons = {
+      val eqSets = conjuncts.flatMap {
         case ce.EqualTo(a: UnresolvedAttribute, l: ce.Literal) if attrOk(a, src) =>
           litVal(l).map(Seq(_))
         case ce.EqualTo(l: ce.Literal, a: UnresolvedAttribute) if attrOk(a, src) =>
@@ -1432,20 +1502,92 @@ final class GlueTableEngine(
           if (lits.forall(_.isDefined)) Some(lits.flatten) else None
         case _ => None
       }
-      // several conjuncts on one column AND together: intersect
-      if (valueSets.isEmpty) None
-      else Some(src -> valueSets.reduce((a, b) => a.filter(b.toSet)))
-    }.toMap
-    if (bySrc.isEmpty) return None
-    val byField: Map[String, Set[Int]] = specs.flatMap { case (field, src, n) =>
-      bySrc.get(src).map(vals =>
-        field -> vals.map(v => graft.listing.IcebergBucket.of(v, n)).toSet)
-    }.toMap
+      // attr-side vs literal-side comparisons normalize to bounds on the attr
+      // Spark 4 parses BETWEEN as an unresolved function (the analyzer
+      // later lowers it to >= AND <=); match it here since pruning
+      // runs on the UNRESOLVED plan
+      def between(e: Expression): Option[(Long, Long)] = e match {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("between") =>
+          f.arguments match {
+            case Seq(a: UnresolvedAttribute, l1: ce.Literal, l2: ce.Literal)
+                if attrOk(a, src) =>
+              for (lo1 <- litVal(l1).flatMap(asLong); hi1 <- litVal(l2).flatMap(asLong))
+                yield (lo1, hi1)
+            case _ => None
+          }
+        case _ => None
+      }
+      val lo = conjuncts.flatMap {
+        case e if between(e).isDefined => between(e).map(b => (b._1, true))
+        case ce.GreaterThan(a: UnresolvedAttribute, l: ce.Literal) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, false))
+        case ce.GreaterThanOrEqual(a: UnresolvedAttribute, l: ce.Literal) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, true))
+        case ce.LessThan(l: ce.Literal, a: UnresolvedAttribute) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, false))
+        case ce.LessThanOrEqual(l: ce.Literal, a: UnresolvedAttribute) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, true))
+        case _ => None
+      }
+      val hi = conjuncts.flatMap {
+        case e if between(e).isDefined => between(e).map(b => (b._2, true))
+        case ce.LessThan(a: UnresolvedAttribute, l: ce.Literal) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, false))
+        case ce.LessThanOrEqual(a: UnresolvedAttribute, l: ce.Literal) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, true))
+        case ce.GreaterThan(l: ce.Literal, a: UnresolvedAttribute) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, false))
+        case ce.GreaterThanOrEqual(l: ce.Literal, a: UnresolvedAttribute) if attrOk(a, src) =>
+          litVal(l).flatMap(asLong).map((_, true))
+        case _ => None
+      }
+      Cons(
+        if (eqSets.isEmpty) None else Some(eqSets.reduce((a, b) => a.filter(b.toSet))),
+        lo, hi)
+    }
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    // (spec field, keep-predicate over the file's partition value)
+    val fieldPreds: Seq[(String, String => Boolean)] = specs.flatMap { case (field, src, tr) =>
+      val c = consFor(src)
+      if (c.isFree) None
+      else tr match {
+        case BucketRe(n0) =>
+          val n = n0.toInt
+          c.eq.map { vals =>
+            val buckets = vals.map(v => graft.listing.IcebergBucket.of(v, n)).toSet
+            (field, (pv: String) =>
+              scala.util.Try(pv.toInt).toOption.forall(buckets.contains))
+          }
+        case TruncRe(w0) =>
+          val w = w0.toInt
+          val eqLongs = c.eq.map(_.flatMap(asLong))
+          val eqStrings = c.eq.map(_.collect { case st: String => st })
+          Some((field, (pv: String) => {
+            scala.util.Try(pv.toLong).toOption match {
+              case Some(t) => // integer window [t, t + w - 1]
+                val eqOk = eqLongs.forall(vs =>
+                  vs.exists(v => graft.listing.IcebergTruncate.ofLong(v, w) == t))
+                val loOk = c.lo.forall { case (l, incl) =>
+                  if (incl) t + w - 1 >= l else t + w - 1 > l }
+                val hiOk = c.hi.forall { case (u, incl) =>
+                  if (incl) t <= u else t < u }
+                eqOk && loOk && hiOk
+              case None => // string truncate: equality (prefix) only
+                eqStrings.forall(vs =>
+                  vs.exists(v => graft.listing.IcebergTruncate.ofString(v, w) == pv))
+            }
+          }))
+        case _ => None // unknown transform: never prune on it
+      }
+    }
+    if (fieldPreds.isEmpty) return None
     val keep = files(ref.database, ref.table).filter { f =>
-      byField.forall { case (field, buckets) =>
+      fieldPreds.forall { case (field, ok) =>
         f.partitionValues.get(field) match {
-          case Some(v) => scala.util.Try(v.toInt).toOption.forall(buckets.contains)
-          case None    => true // unknown bucket: keep (sound)
+          case Some(v) => ok(v)
+          case None    => true // unknown partition value: keep (sound)
         }
       }
     }.map(_.path).toSet
@@ -1467,19 +1609,19 @@ final class GlueTableEngine(
     val meta = tableMetadata(database, table)
     require(meta.tableType == TableType.Iceberg,
       s"$database.$table is ${meta.tableType}, not an Iceberg table")
-    // a hidden bucket spec is metadata, not catalog state: detect it
-    // and recompute the bucket column so appends keep the layout —
-    // the writer's spec-stability check would refuse a bare append
-    val bspecs = iceberg.bucketSpecs(location(meta))
+    // a hidden transform spec is metadata, not catalog state: detect
+    // it and recompute the transform columns so appends keep the
+    // layout — the writer's spec-stability check refuses a bare append
+    val hspecs = iceberg.hiddenSpecs(location(meta))
     val (batch, partBy, transforms) =
-      if (bspecs.isEmpty) (df, meta.table.partitionKeys.map(_.name),
+      if (hspecs.isEmpty) (df, meta.table.partitionKeys.map(_.name),
         Map.empty[String, (String, String)])
       else {
-        val withCols = bspecs.foldLeft(df) { case (acc, (field, src, n)) =>
-          acc.withColumn(field, bucketColumnFor(acc, src, n))
-        }.repartition(bspecs.map(b => col(b._1)): _*)
-        (withCols, bspecs.map(_._1),
-          bspecs.map { case (f, src, n) => f -> (s"bucket[$n]", src) }.toMap)
+        val withCols = hspecs.foldLeft(df) { case (acc, (field, src, tr)) =>
+          acc.withColumn(field, transformColumnFor(acc, src, tr))
+        }.repartition(hspecs.map(h => col(h._1)): _*)
+        (withCols, hspecs.map(_._1),
+          hspecs.map { case (f, src, tr) => f -> (tr, src) }.toMap)
       }
     val v = graft.listing.IcebergWriter.commit(
       spark, location(meta), batch, partBy,

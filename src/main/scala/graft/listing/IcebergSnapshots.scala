@@ -168,6 +168,19 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     */
   def bucketSpecs(location: String, versionOffset: Int = 0): Seq[(String, String, Int)] = {
     val BucketRe = """bucket\[(\d+)\]""".r
+    hiddenSpecs(location, versionOffset).flatMap {
+      case (nm, src, BucketRe(d)) => Some((nm, src, d.toInt))
+      case _ => None
+    }
+  }
+
+  /** ALL non-identity (hidden) partition-spec fields of the current
+    * spec: `(spec field name, source column name, transform string)`.
+    * The engine's writer/append/pruning paths parse the transform
+    * (`bucket[N]`, `truncate[W]`); identity fields are excluded —
+    * they are real table columns handled by the declared-key path.
+    */
+  def hiddenSpecs(location: String, versionOffset: Int = 0): Seq[(String, String, String)] =
     metadataAt(location, versionOffset).toSeq.flatMap { meta =>
       val nameById: Map[Int, String] =
         Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala.toSeq.headOption)
@@ -183,12 +196,11 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
           for {
             nm <- Option(f.get("name")).map(_.asText())
             tr <- Option(f.get("transform")).map(_.asText())
-            n <- tr match { case BucketRe(d) => Some(d.toInt); case _ => None }
+            if tr != "identity"
             src <- Option(f.get("source-id")).map(_.asInt()).flatMap(nameById.get)
-          } yield (nm, src, n)
+          } yield (nm, src, tr)
         })
     }
-  }
 
   /** Live delete files of the selected snapshot (empty for v1/COW
     * tables), each carrying its sequence number so the read path can

@@ -95,6 +95,18 @@ object IcebergBucket {
   }
 }
 
+/** Iceberg's truncate partition transform (spec §Partition
+  * Transforms): integers truncate to `v - (((v % W) + W) % W)` (the
+  * floor of the W-wide window, correct for negatives), strings to
+  * their first W characters. Unlike bucket, truncate PRESERVES
+  * ORDER on integers, so hidden-partition pruning can serve range
+  * predicates, not just equality.
+  */
+object IcebergTruncate {
+  def ofLong(v: Long, w: Int): Long = v - (((v % w) + w) % w)
+  def ofString(s: String, w: Int): String = if (s.length <= w) s else s.substring(0, w)
+}
+
 object IcebergWriter {
   private val mapper = new ObjectMapper()
 

@@ -56,6 +56,48 @@ object TextAnalysis {
     docs.select(col("doc_id"), qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Flesch–Kincaid-style READABILITY grade per document — the
+    * complexity signal curation pipelines bin on (too-simple and
+    * too-garbled text both get filtered before training). Words are
+    * the shared tokenizer's tokens; sentences count `[.!?]`
+    * terminators (min 1 so fragments still grade); the syllable
+    * proxy counts VOWEL GROUPS (`[aeiou]+` runs — the standard
+    * cheap estimator, exact enough for binning). The grade is the
+    * published FK formula: 0.39·(words/sentence) +
+    * 11.8·(syllables/word) − 15.59. Pure narrow column work — one
+    * codegen'd projection, no shuffle; grading 100 TB is map-only.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nWords = size(t).cast("long")
+    val nSent = greatest(lit(1L), (size(split(col("text"), "[.!?]")) - 1).cast("long"))
+    val nSyl = (size(split(col("text"), "[aeiou]+")) - 1).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"),
+        when(nWords > 0,
+          round(lit(0.39) * nWords.cast("double") / nSent.cast("double") +
+            lit(11.8) * nSyl.cast("double") / nWords.cast("double") - lit(15.59), 6))
+          .otherwise(lit(null)).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[readability]] — identical regex/count
+    * semantics (both engines keep trailing empty splits, so
+    * `len(parts) - 1` is the occurrence count on each side).
+    */
+  val sqlReadability: String =
+    s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 THEN
+       |    round(0.39 * n_words / n_sentences + 11.8 * n_syllables / n_words - 15.59, 6)
+       |  END AS fk_grade
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.functions.CrossHash.sqlTokens("text")}) AS BIGINT) AS n_words,
+       |    CAST(greatest(1, len(regexp_split_to_array(text, '[.!?]')) - 1) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_split_to_array(text, '[aeiou]+')) - 1 AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Character n-gram profiles per language (the n-gram half of the
     * language-ID heuristic; literal substrings so occurrence counting
     * is identical in Spark and DuckDB).

@@ -1330,6 +1330,30 @@ object Queries {
         |FROM orders WHERE o_orderkey IN (1, 7, 32, 4033, 65)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Iceberg truncate[W] hidden partitioning through the oracle
+    // gate — the ORDER-PRESERVING transform: a BETWEEN range on the
+    // source column prunes to the overlapping 1000-wide key windows
+    // before planning (bucket hashing can never serve a range). The
+    // aggregate over the surviving rows is what the oracle hashes;
+    // IcebergWriterSpec proves the files-scanned counts.
+    "g56_iceberg_truncate_prune" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_trunc_rt"
+        eng.writeIcebergTableTruncated(o, "default", "ice_trunc_rt", loc, "o_orderkey", 1000)
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_trunc_rt
+            |WHERE o_orderkey BETWEEN 2500 AND 4200
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey BETWEEN 2500 AND 4200
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi row-level DELETE through the oracle gate — completes the
     // delete row of the format matrix (Delta CoW, Iceberg MOR, Hudi
     // CoW replacecommit): write evens, append odds, delete the low
@@ -3509,6 +3533,12 @@ object Queries {
     "t22_oov_rate" -> ((
       (spark: SparkSession, sf: String) => TextAnalysis.oovStats(t(spark, sf, "documents")),
       TextAnalysis.sqlOovStats())),
+
+    // Flesch-Kincaid readability grade per doc: words/sentences/
+    // vowel-group syllable proxy, map-only at any scale
+    "t23_readability" -> ((
+      (spark: SparkSession, sf: String) => TextAnalysis.readability(t(spark, sf, "documents")),
+      TextAnalysis.sqlReadability)),
 
     // per-source exact length quantiles (the quality-filter
     // thresholds): partitioned CDF, no global window

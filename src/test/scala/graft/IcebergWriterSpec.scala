@@ -400,6 +400,67 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(eng.tableDF("d", "ib").count() == 1200)
   }
 
+  test("hidden truncate partitioning: order-preserving range pruning") {
+    import graft.listing.IcebergTruncate
+    // transform definition, negatives included (floor, not toward 0)
+    assert(IcebergTruncate.ofLong(421L, 100) == 400L)
+    assert(IcebergTruncate.ofLong(-1L, 100) == -100L)
+    assert(IcebergTruncate.ofString("iceberg", 3) == "ice")
+
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_trunc_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTableTruncated(
+      (0L until 1000L).map(k => (k, s"r$k")).toDF("k", "v"), "d", "it", loc, "k", 100)
+    assert(eng.tableDF("d", "it").columns.toSet == Set("k", "v"))
+    assert(eng.files("d", "it").size == 10, "one file per 100-wide window")
+    def filesScanned(df2: org.apache.spark.sql.DataFrame): Int =
+      df2.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    // equality: one window
+    val q = eng.query("SELECT v FROM glue.d.it WHERE k = 421")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("r421"))
+    assert(filesScanned(q) == 1)
+    // RANGE pruning — what bucket hashing can never serve: BETWEEN
+    // spans exactly the three overlapping windows
+    val q2 = eng.query("SELECT count(*) AS n FROM glue.d.it WHERE k BETWEEN 250 AND 449")
+    assert(q2.head().getLong(0) == 200)
+    assert(filesScanned(q2) == 3, "250..449 overlaps windows 200/300/400 only")
+    // strict bounds land on window edges correctly
+    val q3 = eng.query("SELECT count(*) AS n FROM glue.d.it WHERE k > 299 AND k < 400")
+    assert(q3.head().getLong(0) == 100)
+    assert(filesScanned(q3) == 1, "exclusive edges keep only the 300-window")
+    // one-sided range
+    val q4 = eng.query("SELECT count(*) AS n FROM glue.d.it WHERE k >= 800")
+    assert(q4.head().getLong(0) == 200)
+    assert(filesScanned(q4) == 2)
+    // append keeps the hidden layout and the range math
+    eng.appendIcebergTable((1000L until 1100L).map(k => (k, s"r$k")).toDF("k", "v"), "d", "it")
+    val q5 = eng.query("SELECT count(*) AS n FROM glue.d.it WHERE k BETWEEN 950 AND 1049")
+    assert(q5.head().getLong(0) == 100)
+    assert(filesScanned(q5) == 2)
+
+    // STRING truncate: equality prunes by prefix; ranges do NOT prune
+    // (kept sound rather than clever)
+    val loc2 = s"/root/repo/target/ice_truncs_${System.nanoTime()}"
+    val eng2 = new GlueTableEngine(spark, new FixtureCatalog())
+    val docs = Seq("alpha", "alloy", "beta", "bravo", "gamma", "gala")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("k", "w")
+    eng2.writeIcebergTableTruncated(docs, "d", "its", loc2, "w", 2)
+    assert(eng2.files("d", "its").size == 4, "prefixes al/be/br/ga")
+    val sq = eng2.query("SELECT k FROM glue.d.its WHERE w = 'alloy'")
+    assert(sq.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(filesScanned(sq) == 1, "string equality prunes to its prefix window")
+  }
+
   test("icebergChanges over a MERGE snapshot: equality CDC (r12 ask #3)") {
     val sp = Shim.classic(spark)
     import sp.implicits._
