@@ -433,7 +433,13 @@ final class GlueTableEngine(
       }
       val pFrom = posDf(dvFrom)
       val pTo = posDf(dvTo)
-      val raw = spark.read.parquet(dvChanged: _*)
+      // mapped tables: raw files carry PHYSICAL names; the other legs
+      // (readTable) emit logical ones — rename so the union agrees
+      val mapping = delta.dataSchemaAt(loc, toOffset)
+        .map(graft.listing.DeltaLogWriter.mappingOf).getOrElse(Map.empty)
+      val raw = mapping.foldLeft(spark.read.parquet(dvChanged: _*)) {
+          case (d, (l, ph)) => d.withColumnRenamed(ph, l)
+        }
         .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
         .withColumn("__pos", col("_metadata").getField("row_index"))
       def leg(pos: DataFrame, kind: String): DataFrame =
@@ -758,6 +764,20 @@ final class GlueTableEngine(
         (ir, statuses)
       }
     val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0), versionOffset)
+    // Delta COLUMN MAPPING (name mode): a renamed table's files carry
+    // the original PHYSICAL column names; the log schema carries the
+    // logical ones plus the physicalName annotation. Scan with the
+    // PHYSICAL schema (so vectorized reads, pushed filters, and the
+    // stats-skipping tier all bind to what the files hold), then
+    // project physical->logical at the end. Unmapped tables take the
+    // identity fast path.
+    val deltaMapping: Map[String, String] =
+      if (meta.tableType != TableType.Delta) Map.empty
+      else graft.listing.DeltaLogWriter.mappingOf(dataSchema)
+    val scanSchema =
+      if (deltaMapping.isEmpty) dataSchema
+      else StructType(dataSchema.fields.map(f =>
+        f.copy(name = deltaMapping.getOrElse(f.name, f.name))))
     // File-level data skipping (Delta/Iceberg-style): per-file column
     // ranges, preferred source first —
     //  1. Iceberg manifests' lower/upper_bounds: already decoded into
@@ -817,7 +837,7 @@ final class GlueTableEngine(
       case _     => Map.empty
     }
     val base = PreListedFileIndex.dataFrame(spark, PreListedFileIndex.formatFor(fmt), options,
-      dataSchema, pSchema, partitions, Seq(new HadoopPath(location(meta))), statsByPath)
+      scanSchema, pSchema, partitions, Seq(new HadoopPath(location(meta))), statsByPath)
     // Iceberg v2 merge-on-read: subtract live DELETE files. Position
     // deletes anti-join on (_metadata.file_path, _metadata.row_index)
     // — Spark's generated parquet metadata columns, so the base scan
@@ -825,7 +845,7 @@ final class GlueTableEngine(
     // broadcasts; equality deletes anti-join null-safely on their
     // declared columns. Cost ∝ delete-file rows, never a data rewrite
     // — exactly Iceberg's own MOR contract.
-    if (meta.tableType == TableType.Iceberg) {
+    val merged = if (meta.tableType == TableType.Iceberg) {
       val deletes = deleteCache.get(s"${meta.table.database}.${meta.table.name}#del#v$versionOffset") {
         iceberg.deleteFilesDetailed(location(meta), versionOffset)
       }
@@ -867,6 +887,11 @@ final class GlueTableEngine(
           .drop("__fp", "__pos")
       }
     } else base
+    if (deltaMapping.isEmpty) merged
+    else merged.select(
+      dataSchema.fields.toSeq.map(f =>
+        col(deltaMapping.getOrElse(f.name, f.name)).as(f.name)) ++
+        pSchema.fields.toSeq.map(f => col(f.name)): _*)
   }
 
   /** Scheme-insensitive canonical path column (delete files record
@@ -1626,6 +1651,23 @@ final class GlueTableEngine(
     val v = graft.listing.IcebergWriter.commit(
       spark, location(meta), batch, partBy,
       allowAdditive = evolve, transforms = transforms)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** RENAME a Delta column — metadata-only, zero files rewritten
+    * however large the table ([[graft.listing.DeltaLogWriter
+    * .renameColumn]]: Delta column mapping, name mode). Reads resolve
+    * the logical name through the physicalName annotation; later
+    * appends arrive with logical names and are written back under the
+    * fixed physical ones. Returns the new version.
+    */
+  def renameDeltaColumn(database: String, table: String,
+      oldName: String, newName: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val v = graft.listing.DeltaLogWriter.renameColumn(spark, location(meta), oldName, newName)
     invalidateTable(database, table)
     v
   }

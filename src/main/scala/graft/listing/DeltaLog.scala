@@ -79,6 +79,83 @@ object DeltaLogWriter {
   private def jstr(s: String): String =
     new ObjectMapper().writeValueAsString(s)
 
+  /** Schema-metadata key carrying a field's PHYSICAL parquet column
+    * name — Delta's own column-mapping (name mode) annotation, which
+    * is how a rename becomes a metadata-only operation: files keep
+    * their original column names forever, the logical name lives in
+    * the schemaString.
+    */
+  private[graft] val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** logical -> physical names for the fields whose physical name
+    * differs (empty for unmapped tables — the common fast path).
+    */
+  private[graft] def mappingOf(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(PhysNameKey)) {
+        val p = f.metadata.getString(PhysNameKey)
+        if (p != f.name) Some(f.name -> p) else None
+      } else None
+    }.toMap
+
+  /** RENAME a column as a METADATA-ONLY commit — Delta column mapping
+    * (name mode): the new schemaString annotates EVERY field with its
+    * physical parquet name (the renamed field keeps its old one), so
+    * zero data files are rewritten however large the table, and both
+    * this engine and any column-mapping-capable Delta reader resolve
+    * columns through the annotation. The commit also publishes the
+    * protocol gate the feature requires (minReaderVersion 2 /
+    * minWriterVersion 5 + delta.columnMapping.mode=name), so a
+    * pre-mapping reader refuses the table instead of reading the
+    * renamed column as missing. Partition columns are refused (their
+    * names are baked into every file path). Returns the new version.
+    */
+  def renameColumn(spark: SparkSession, location: String,
+      oldName: String, newName: String): Long = {
+    val root = location.stripSuffix("/")
+    val resolver = new DeltaLogResolver(spark)
+    val st = resolver.rawState(root, 0).getOrElse(throw new IllegalStateException(
+      s"cannot rename at $location: no Delta log"))
+    val schema = st.schemaString
+      .flatMap(j => try Some(DataType.fromJson(j).asInstanceOf[StructType])
+        catch { case _: Exception => None })
+      .getOrElse(throw new IllegalStateException(s"no parseable schema at $root"))
+    require(schema.fieldNames.contains(oldName), s"$oldName is not a column of $root")
+    require(!schema.fieldNames.contains(newName), s"$newName already exists at $root")
+    require(!st.partitionColumns.contains(oldName),
+      s"renaming partition column $oldName is not supported (its name is in every file path)")
+    val newSchema = StructType(schema.fields.map { f =>
+      val phys =
+        if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+      val nm = if (f.name == oldName) newName else f.name
+      val md = new MetadataBuilder().withMetadata(f.metadata)
+        .putString(PhysNameKey, phys).build()
+      StructField(nm, f.dataType, f.nullable, md)
+    })
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)},""" +
+        s""""format":{"provider":"parquet"},"schemaString":${jstr(newSchema.json)},""" +
+        s""""partitionColumns":[${st.partitionColumns.map(jstr).mkString(", ")}],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}""")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val logDir = new Path(s"$root/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val version = st.version + 1
+    val tmp = new Path(logDir, f".${version}%020d.json.rename.tmp")
+    val dst = new Path(logDir, f"${version}%020d.json")
+    val os = fs.create(tmp, true)
+    try os.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"rename commit lost the publish race at $dst — re-resolve and retry")
+    }
+    stateCache.remove(root)
+    version
+  }
+
   /** Prior table state per root: (version it reflects, data schema,
     * partition columns). A streaming sink commits every micro-batch;
     * without this, each commit replays the full log (checkpoint
@@ -162,11 +239,22 @@ object DeltaLogWriter {
     // JSON decides which files become part of the table
     val sub = s"v${version}_${java.util.UUID.randomUUID().toString.take(8)}"
     val out = s"$root/$sub"
-    val writer = df.write.mode("overwrite")
+    // COLUMN MAPPING: a mapped table's files bind by PHYSICAL names,
+    // which never change after a rename — the batch arrives with
+    // LOGICAL names, so rename before writing (and derive the stats
+    // from the physical shape the footers actually carry)
+    val mapping: Map[String, String] =
+      prior.flatMap(_._1).map(mappingOf).getOrElse(Map.empty)
+    val physDf = mapping.foldLeft(df) { case (d, (l, ph)) => d.withColumnRenamed(l, ph) }
+    val writer = physDf.write.mode("overwrite")
     (if (effPartitionBy.nonEmpty) writer.partitionBy(effPartitionBy: _*) else writer).parquet(out)
 
     // per-file add actions, stats from the footers just written
+    // (PHYSICAL column names — what the files carry and what the
+    // read path's skipping tier keys on)
     val dataSchema = org.apache.spark.sql.types.StructType(
+      physDf.schema.filterNot(f => effPartitionBy.contains(f.name)))
+    val dataSchemaLogical = org.apache.spark.sql.types.StructType(
       df.schema.filterNot(f => effPartitionBy.contains(f.name)))
     def walk(p: Path): Seq[Path] = {
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -200,23 +288,23 @@ object DeltaLogWriter {
         s""""partitionColumns":[${effPartitionBy.map(jstr).mkString(", ")}]}}"""
     // schema the table holds AFTER this commit (for the state cache)
     val (metaLine, committedSchema) =
-      if (version == 0L) (Seq(metaJson(dataSchema)), dataSchema)
+      if (version == 0L) (Seq(metaJson(dataSchemaLogical)), dataSchemaLogical)
       else prior.flatMap(_._1) match {
         case Some(cur) =>
           val curByName = cur.fields.map(f => f.name -> f.dataType).toMap
-          val retyped = dataSchema.fields.filter(f =>
+          val retyped = dataSchemaLogical.fields.filter(f =>
             curByName.get(f.name).exists(_ != f.dataType))
           if (retyped.nonEmpty)
             throw new IllegalArgumentException(
               s"non-additive schema change for Delta table at $root: retyped columns " +
                 retyped.map(f => s"${f.name} ${curByName(f.name).simpleString}->${f.dataType.simpleString}")
                   .mkString(", "))
-          val added = dataSchema.fields.filterNot(f => curByName.contains(f.name))
+          val added = dataSchemaLogical.fields.filterNot(f => curByName.contains(f.name))
           if (added.nonEmpty) {
             val merged = StructType(cur.fields ++ added)
             (Seq(metaJson(merged)), merged)
           } else (Nil, cur)
-        case None => (Seq(metaJson(dataSchema)), dataSchema)
+        case None => (Seq(metaJson(dataSchemaLogical)), dataSchemaLogical)
       }
     val rootPath = new Path(root).toUri.getPath
     val removes = removePaths.map { p =>
@@ -333,9 +421,15 @@ object DeltaLogWriter {
     // must not downgrade the protocol gate while DV-bearing adds are
     // live — an external reader replaying from it would skip the
     // table-features refusal and silently resurrect DV-deleted rows.
+    val hasMap = st.schemaString
+      .flatMap(j => try Some(DataType.fromJson(j).asInstanceOf[StructType])
+        catch { case _: Exception => None })
+      .exists(sc => mappingOf(sc).nonEmpty)
     val protoRow =
-      if (st.adds.exists(_.dv.isDefined))
-        Row(3, 7, Seq(DvFeatureName), Seq(DvFeatureName))
+      if (st.adds.exists(_.dv.isDefined)) {
+        val feats = Seq(DvFeatureName) ++ (if (hasMap) Seq("columnMapping") else Nil)
+        Row(3, 7, feats, feats)
+      } else if (hasMap) Row(2, 5, null, null)
       else Row(1, 2, null, null)
     val rows = Seq(Row(protoRow, null, null, null)) ++
       Seq(Row(null, Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
@@ -750,7 +844,17 @@ final class DeltaLogResolver(spark: SparkSession) {
   def filesAndDeletionVectors(location: String,
       versionOffset: Int = 0): (Seq[DeltaDataFile], Map[String, String]) = {
     val st = rawState(location, versionOffset).getOrElse(return (Nil, Map.empty))
-    val schema = st.schemaString.flatMap(parseSchema)
+    // bounds are typed AND keyed by the PHYSICAL schema: add-action
+    // stats carry the parquet column names, and the read path's
+    // skipping tier evaluates pushed predicates against the physical
+    // scan schema (identical to logical for unmapped tables)
+    val schema = st.schemaString.flatMap(parseSchema).map { sc =>
+      StructType(sc.fields.map { f =>
+        val p = if (f.metadata.contains(DeltaLogWriter.PhysNameKey))
+          f.metadata.getString(DeltaLogWriter.PhysNameKey) else f.name
+        f.copy(name = p)
+      })
+    }
     val files = st.adds.map { a =>
       DeltaDataFile(a.path, a.size, a.partitionValues,
         a.stats.flatMap(s => schema.map(boundsOf(s, _))).getOrElse(Map.empty),

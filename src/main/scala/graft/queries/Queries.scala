@@ -1330,6 +1330,34 @@ object Queries {
         |FROM orders WHERE o_orderkey IN (1, 7, 32, 4033, 65)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Delta COLUMN MAPPING through the oracle gate: rename a column
+    // as a metadata-only commit (zero files rewritten), append MORE
+    // data under the new logical name (written back under the fixed
+    // physical name), and aggregate through the rename — the oracle
+    // sees one consistent logical schema across both file
+    // generations.
+    "g57_delta_rename" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_ren_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_ren_rt", loc)
+        eng.renameDeltaColumn("default", "delta_ren_rt", "o_orderpriority", "priority")
+        eng.appendDeltaTable(
+          o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_orderpriority", "priority"),
+          "default", "delta_ren_rt")
+        eng.query(
+          """SELECT priority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_ren_rt
+            |WHERE priority >= '3-MEDIUM'
+            |GROUP BY priority ORDER BY priority""".stripMargin)
+      },
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
+
     // Iceberg truncate[W] hidden partitioning through the oracle
     // gate — the ORDER-PRESERVING transform: a BETWEEN range on the
     // source column prunes to the overlapping 1000-wide key windows

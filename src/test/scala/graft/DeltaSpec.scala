@@ -706,6 +706,49 @@ class DeltaSpec extends AnyFunSuite {
       s"vacuum deleted a live sidecar (reclaimed: $deleted)")
   }
 
+  test("column mapping: rename is metadata-only; appends, skipping, and travel hold") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_ren_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 50L).map(k => (k, s"p$k")).toDF("k", "prio").coalesce(1),
+      "d", "ren", loc)                                                    // v0
+    val files0 = eng.files("d", "ren").map(_.path).toSet
+    val v = eng.renameDeltaColumn("d", "ren", "prio", "priority")         // v1
+    assert(v == 1L)
+    // metadata-only: zero data files rewritten
+    assert(eng.files("d", "ren").map(_.path).toSet == files0)
+    // reads resolve the LOGICAL name; the physical name is gone
+    val df = eng.tableDF("d", "ren")
+    assert(df.columns.toSeq == Seq("k", "priority"))
+    assert(df.filter(col("k") === 7L).head().getString(1) == "p7")
+    // appends arrive logical, land physical: old and new files agree
+    eng.appendDeltaTable((50L until 80L).map(k => (k, s"p$k")).toDF("k", "priority")
+      .coalesce(1), "d", "ren")                                           // v2
+    assert(eng.tableDF("d", "ren").count() == 80)
+    assert(eng.tableDF("d", "ren").filter(col("priority") === "p65").head().getLong(0) == 65L)
+    // the appended file physically carries the ORIGINAL column name
+    val newFile = (eng.files("d", "ren").map(_.path).toSet -- files0).head
+    assert(spark.read.parquet(newFile).columns.contains("prio"),
+      "post-rename appends must keep the fixed physical name")
+    // predicates on the logical name still push + skip via physical stats
+    val probe = eng.tableDF("d", "ren").filter(col("priority") === "p3")
+    assert(probe.count() == 1)
+    // time travel to the pre-rename version reads the OLD logical name
+    assert(eng.tableDF("d", "ren", 2).columns.toSeq == Seq("k", "prio"))
+    // the rename commit carries the column-mapping protocol gate
+    val commit = new java.io.File(loc, f"_delta_log/$v%020d.json")
+    val text = scala.io.Source.fromFile(commit, "UTF-8").mkString
+    assert(text.contains(""""minReaderVersion":2"""))
+    assert(text.contains("delta.columnMapping.mode"))
+    // SQL surface: the engine query path resolves the logical name
+    val q = eng.query(
+      "SELECT count(*) AS n FROM glue.d.ren WHERE priority >= 'p5' AND priority < 'p6'")
+    assert(q.head().getLong(0) == 11) // p5, p50..p59
+    // refusals: partition columns and name collisions fail loudly
+    intercept[IllegalArgumentException](eng.renameDeltaColumn("d", "ren", "k", "priority"))
+  }
+
   test("DV commit publishes a table-features protocol gate (ADVICE r12)") {
     import spark.implicits._
     val loc = s"/root/repo/target/delta_dvproto_${System.nanoTime()}"
