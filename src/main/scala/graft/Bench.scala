@@ -264,6 +264,18 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))
+    // ALSO persist under version control: target/ dies with any
+    // `sbt clean` (r13 lost the r12 driver summary exactly that way,
+    // degrading BENCH_r12.json's parse to its surviving tail chunks).
+    // trend_gate only trusts this copy when its headline total
+    // VALUE-MATCHES the artifact being parsed, so local runs
+    // overwriting it can never corrupt a comparison.
+    try {
+      val hist = java.nio.file.Paths.get("bench_history")
+      if (java.nio.file.Files.isDirectory(hist))
+        java.nio.file.Files.write(hist.resolve("driver_last_summary.json"),
+          (summary + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () } // never fail the bench over it
     println(shortLine)
     System.out.flush()
     spark.stop()

@@ -140,6 +140,14 @@ def main():
                     help="max allowed total slowdown (default 1.3x)")
     ap.add_argument("--floor", type=float, default=1.0,
                     help="ignore queries under this many seconds in the new run")
+    ap.add_argument("--abs-floor", type=float, default=0.75,
+                    help="a flagged query must also have slowed by at least this "
+                         "many (normalized) seconds — sub-second queries whose OLD "
+                         "time sits near the noise floor produce 1.5x 'regressions' "
+                         "from scheduling jitter alone (measured r12: q8_setops ran "
+                         "0.57/1.01/1.03s and s20_mmr_rerank 0.83/1.42s across runs "
+                         "of IDENTICAL code); a genuine regression on any query "
+                         "worth paging about clears this easily")
     args = ap.parse_args()
 
     if args.old and args.new:
@@ -215,9 +223,12 @@ def main():
             continue
         r = n * scale / o
         limit, reason = ALLOW.get(q, (args.ratio, None))
-        flag = "REGRESSED" if r > limit else (
-            f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else "")
-        if r > limit:
+        slowed = n * scale - o  # absolute normalized slowdown
+        regressed = r > limit and slowed >= args.abs_floor
+        flag = "REGRESSED" if regressed else (
+            f"within abs-floor ({slowed:+.2f}s)" if r > limit else (
+                f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else ""))
+        if regressed:
             failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
         if r > args.ratio or r < 1 / args.ratio:
             print(f"  {q:>24s}  {o:8.2f}s -> {n:8.2f}s  {r:5.2f}x  {flag}")
