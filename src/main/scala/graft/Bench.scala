@@ -146,7 +146,7 @@ object Bench {
       "g47_delta_merge", "g48_delta_update", "g49_iceberg_merge", "g50_hudi_delete",
       "g51_delta_dv", "g52_delta_changes", "g53_iceberg_changes",
       "g54_iceberg_merge_changes", "g55_iceberg_bucket_prune",
-      "g56_iceberg_truncate_prune", "g57_delta_rename",
+      "g56_iceberg_truncate_prune", "g57_delta_rename", "g58_delta_drop",
       // retention trio: write + physically delete per invocation
       "g41_delta_vacuum", "g42_iceberg_expire", "g43_hudi_clean",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run

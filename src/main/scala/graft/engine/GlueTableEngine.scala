@@ -1672,6 +1672,21 @@ final class GlueTableEngine(
     v
   }
 
+  /** DROP a Delta column — metadata-only, zero files rewritten
+    * ([[graft.listing.DeltaLogWriter.dropColumn]]): readers stop
+    * projecting it, history still travels to the pre-drop schema, and
+    * a later re-add binds to a FRESH physical name so pre-drop bytes
+    * never resurrect. Returns the new version.
+    */
+  def dropDeltaColumn(database: String, table: String, name: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Delta,
+      s"$database.$table is ${meta.tableType}, not a Delta table")
+    val v = graft.listing.DeltaLogWriter.dropColumn(spark, location(meta), name)
+    invalidateTable(database, table)
+    v
+  }
+
   /** MERGE-ON-READ DELETE for an Iceberg table: write the matching
     * rows' positions as a POSITION DELETE FILE and publish it as a
     * new snapshot — NO data file is rewritten, deletion cost is

@@ -98,6 +98,68 @@ object DeltaLogWriter {
       } else None
     }.toMap
 
+  /** True when the schema carries column-mapping annotations (name
+    * mode on) — even if every physical currently equals its logical
+    * name, appends must then keep assigning FRESH physical names to
+    * added columns (see [[dropColumn]]'s resurrection hazard).
+    */
+  private[graft] def isMapped(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysNameKey))
+
+  /** DROP a column as a METADATA-ONLY commit — the column-mapping
+    * twin of [[renameColumn]]: the field leaves the schemaString,
+    * zero data files are rewritten (files keep the bytes; readers
+    * never project them), and the remaining fields get physicalName
+    * annotations (mode on). The annotation matters for the
+    * RESURRECTION hazard: if `x` is later re-added, the new logical
+    * `x` must bind to a FRESH physical name, or every pre-drop file
+    * would leak its old `x` values into the reborn column — [[commit]]
+    * assigns `<name>_c<version>` physicals to columns added to mapped
+    * tables for exactly this reason. Returns the new version.
+    */
+  def dropColumn(spark: SparkSession, location: String, name: String): Long = {
+    val root = location.stripSuffix("/")
+    val resolver = new DeltaLogResolver(spark)
+    val st = resolver.rawState(root, 0).getOrElse(throw new IllegalStateException(
+      s"cannot drop a column at $location: no Delta log"))
+    val schema = st.schemaString
+      .flatMap(j => try Some(DataType.fromJson(j).asInstanceOf[StructType])
+        catch { case _: Exception => None })
+      .getOrElse(throw new IllegalStateException(s"no parseable schema at $root"))
+    require(schema.fieldNames.contains(name), s"$name is not a column of $root")
+    require(!st.partitionColumns.contains(name),
+      s"dropping partition column $name is not supported")
+    require(schema.fields.length > 1, s"cannot drop the only column of $root")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name).map { f =>
+      val phys =
+        if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+      StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata).putString(PhysNameKey, phys).build())
+    })
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)},""" +
+        s""""format":{"provider":"parquet"},"schemaString":${jstr(newSchema.json)},""" +
+        s""""partitionColumns":[${st.partitionColumns.map(jstr).mkString(", ")}],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}""")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val logDir = new Path(s"$root/_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val version = st.version + 1
+    val tmp = new Path(logDir, f".${version}%020d.json.drop.tmp")
+    val dst = new Path(logDir, f"${version}%020d.json")
+    val os = fs.create(tmp, true)
+    try os.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"drop-column commit lost the publish race at $dst — re-resolve and retry")
+    }
+    stateCache.remove(root)
+    version
+  }
+
   /** RENAME a column as a METADATA-ONLY commit — Delta column mapping
     * (name mode): the new schemaString annotates EVERY field with its
     * physical parquet name (the renamed field keeps its old one), so
@@ -243,9 +305,24 @@ object DeltaLogWriter {
     // which never change after a rename — the batch arrives with
     // LOGICAL names, so rename before writing (and derive the stats
     // from the physical shape the footers actually carry)
+    val priorSchema = prior.flatMap(_._1)
     val mapping: Map[String, String] =
-      prior.flatMap(_._1).map(mappingOf).getOrElse(Map.empty)
-    val physDf = mapping.foldLeft(df) { case (d, (l, ph)) => d.withColumnRenamed(l, ph) }
+      priorSchema.map(mappingOf).getOrElse(Map.empty)
+    // Columns NEW to a MAPPED table get a FRESH physical name
+    // (<name>_c<version>): a column dropped and later re-added must
+    // never bind to the old bytes still sitting in pre-drop files —
+    // with a fresh physical, those files read the reborn column as
+    // null, exactly Delta's own drop/re-add semantics.
+    val addedPhys: Map[String, String] = priorSchema match {
+      case Some(cur) if isMapped(cur) =>
+        val curNames = cur.fieldNames.toSet
+        df.schema.fieldNames.filterNot(curNames.contains)
+          .filterNot(effPartitionBy.contains)
+          .map(n => n -> s"${n}_c$version").toMap
+      case _ => Map.empty
+    }
+    val physDf = (mapping ++ addedPhys).foldLeft(df) {
+      case (d, (l, ph)) => d.withColumnRenamed(l, ph) }
     val writer = physDf.write.mode("overwrite")
     (if (effPartitionBy.nonEmpty) writer.partitionBy(effPartitionBy: _*) else writer).parquet(out)
 
@@ -299,7 +376,13 @@ object DeltaLogWriter {
               s"non-additive schema change for Delta table at $root: retyped columns " +
                 retyped.map(f => s"${f.name} ${curByName(f.name).simpleString}->${f.dataType.simpleString}")
                   .mkString(", "))
-          val added = dataSchemaLogical.fields.filterNot(f => curByName.contains(f.name))
+          val added0 = dataSchemaLogical.fields.filterNot(f => curByName.contains(f.name))
+          // mapped tables: the merged schema records each added
+          // column's fresh physical name so readers bind correctly
+          val added = added0.map { f =>
+            addedPhys.get(f.name).fold(f)(ph => StructField(f.name, f.dataType, f.nullable,
+              new MetadataBuilder().withMetadata(f.metadata).putString(PhysNameKey, ph).build()))
+          }
           if (added.nonEmpty) {
             val merged = StructType(cur.fields ++ added)
             (Seq(metaJson(merged)), merged)

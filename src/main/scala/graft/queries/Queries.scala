@@ -1358,6 +1358,32 @@ object Queries {
         |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
         |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
 
+    // Delta DROP COLUMN + re-add through the oracle gate: the column
+    // leaves the schema metadata-only (zero files rewritten), then a
+    // later append re-introduces the NAME — which must bind to a
+    // FRESH physical column, so the pre-drop rows read NULL instead
+    // of resurrecting the bytes still sitting in their files.
+    "g58_delta_drop" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_drop_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0), "default", "delta_drop_rt", loc)
+        eng.dropDeltaColumn("default", "delta_drop_rt", "o_orderpriority")
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"), "default", "delta_drop_rt")
+        eng.query(
+          """SELECT coalesce(o_orderpriority, '(dropped)') AS priority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.delta_drop_rt
+            |GROUP BY 1 ORDER BY priority""".stripMargin)
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(dropped)'
+        |            ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // Iceberg truncate[W] hidden partitioning through the oracle
     // gate — the ORDER-PRESERVING transform: a BETWEEN range on the
     // source column prunes to the overlapping 1000-wide key windows

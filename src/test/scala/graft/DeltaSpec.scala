@@ -749,6 +749,36 @@ class DeltaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](eng.renameDeltaColumn("d", "ren", "k", "priority"))
   }
 
+  test("column mapping: drop is metadata-only; a re-added name never resurrects old bytes") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_drop_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeDeltaTable((0L until 20L).map(k => (k, s"old$k", k * 10))
+      .toDF("k", "x", "v").coalesce(1), "d", "drp", loc)                  // v0
+    val files0 = eng.files("d", "drp").map(_.path).toSet
+    eng.dropDeltaColumn("d", "drp", "x")                                  // v1
+    assert(eng.files("d", "drp").map(_.path).toSet == files0, "drop rewrites nothing")
+    assert(eng.tableDF("d", "drp").columns.toSeq == Seq("k", "v"))
+    // history still shows the pre-drop schema
+    assert(eng.tableDF("d", "drp", 1).columns.toSeq == Seq("k", "x", "v"))
+    // RE-ADD x via additive evolution: pre-drop files must read NULL,
+    // never the old bytes still sitting in them
+    eng.appendDeltaTable((20L until 25L).map(k => (k, k * 10, s"new$k"))
+      .toDF("k", "v", "x").coalesce(1), "d", "drp")                       // v2
+    val df = eng.tableDF("d", "drp")
+    assert(df.count() == 25)
+    assert(df.filter(col("k") < 20L && col("x").isNotNull).count() == 0,
+      "resurrected pre-drop bytes in the reborn column")
+    assert(df.filter(col("k") === 22L).select("x").head().getString(0) == "new22")
+    // the reborn column landed under a FRESH physical name
+    val newFile = (eng.files("d", "drp").map(_.path).toSet -- files0).head
+    val physCols = spark.read.parquet(newFile).columns.toSet
+    assert(physCols.exists(_.startsWith("x_c")), s"fresh physical missing: $physCols")
+    // drop refusals
+    intercept[IllegalArgumentException](eng.dropDeltaColumn("d", "drp", "nope"))
+  }
+
   test("DV commit publishes a table-features protocol gate (ADVICE r12)") {
     import spark.implicits._
     val loc = s"/root/repo/target/delta_dvproto_${System.nanoTime()}"
