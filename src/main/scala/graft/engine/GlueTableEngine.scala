@@ -682,8 +682,17 @@ final class GlueTableEngine(
           s.foreach(inferredSchemas.put(k, _)); s
         }
         metaSchema.fold(raw) { ms =>
-          val have = raw.fieldNames.map(_.toLowerCase).toSet
-          StructType(raw.fields ++ ms.fields.filterNot(f => have(f.name.toLowerCase)))
+          // MAPPED mode (an Iceberg rename/drop happened): the
+          // metadata schema is AUTHORITATIVE, not an extension —
+          // inference from a file would resurrect dropped bytes and
+          // surface physical (pre-rename) names. Only this writer's
+          // evolution commits set the flag, and they carry the
+          // complete schema by construction.
+          if (graft.listing.IcebergSnapshotResolver.isMapped(ms)) ms
+          else {
+            val have = raw.fieldNames.map(_.toLowerCase).toSet
+            StructType(raw.fields ++ ms.fields.filterNot(f => have(f.name.toLowerCase)))
+          }
         }
       } else raw
     // Partition keys live in the partition schema, never the data
@@ -764,20 +773,23 @@ final class GlueTableEngine(
         (ir, statuses)
       }
     val dataSchema = dataSchemaOf(meta, fmt, rows.head.getString(0), versionOffset)
-    // Delta COLUMN MAPPING (name mode): a renamed table's files carry
-    // the original PHYSICAL column names; the log schema carries the
-    // logical ones plus the physicalName annotation. Scan with the
-    // PHYSICAL schema (so vectorized reads, pushed filters, and the
-    // stats-skipping tier all bind to what the files hold), then
-    // project physical->logical at the end. Unmapped tables take the
-    // identity fast path.
-    val deltaMapping: Map[String, String] =
-      if (meta.tableType != TableType.Delta) Map.empty
-      else graft.listing.DeltaLogWriter.mappingOf(dataSchema)
+    // COLUMN MAPPING (Delta name mode / Iceberg field-id renames): a
+    // renamed table's files carry the original PHYSICAL column names;
+    // the log/metadata schema carries the logical ones plus the
+    // physicalName annotation. Scan with the PHYSICAL schema (so
+    // vectorized reads, pushed filters, and the stats-skipping tier
+    // all bind to what the files hold), then project
+    // physical->logical at the end. Unmapped tables take the identity
+    // fast path.
+    val colMapping: Map[String, String] = meta.tableType match {
+      case TableType.Delta   => graft.listing.DeltaLogWriter.mappingOf(dataSchema)
+      case TableType.Iceberg => graft.listing.IcebergSnapshotResolver.mappingOf(dataSchema)
+      case _                 => Map.empty
+    }
     val scanSchema =
-      if (deltaMapping.isEmpty) dataSchema
+      if (colMapping.isEmpty) dataSchema
       else StructType(dataSchema.fields.map(f =>
-        f.copy(name = deltaMapping.getOrElse(f.name, f.name))))
+        f.copy(name = colMapping.getOrElse(f.name, f.name))))
     // File-level data skipping (Delta/Iceberg-style): per-file column
     // ranges, preferred source first —
     //  1. Iceberg manifests' lower/upper_bounds: already decoded into
@@ -887,10 +899,10 @@ final class GlueTableEngine(
           .drop("__fp", "__pos")
       }
     } else base
-    if (deltaMapping.isEmpty) merged
+    if (colMapping.isEmpty) merged
     else merged.select(
       dataSchema.fields.toSeq.map(f =>
-        col(deltaMapping.getOrElse(f.name, f.name)).as(f.name)) ++
+        col(colMapping.getOrElse(f.name, f.name)).as(f.name)) ++
         pSchema.fields.toSeq.map(f => col(f.name)): _*)
   }
 
@@ -1683,6 +1695,76 @@ final class GlueTableEngine(
     require(meta.tableType == TableType.Delta,
       s"$database.$table is ${meta.tableType}, not a Delta table")
     val v = graft.listing.DeltaLogWriter.dropColumn(spark, location(meta), name)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** RENAME an Iceberg column — metadata-only, zero files rewritten
+    * ([[graft.listing.IcebergWriter.renameColumn]]: field ids are the
+    * identity, names are display). Reads resolve the new logical name
+    * through the field's physical-name mapping; later appends arrive
+    * with logical names and are written back under the fixed physical
+    * ones. Returns the new sequence number.
+    */
+  def renameIcebergColumn(database: String, table: String,
+      oldName: String, newName: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.renameColumn(spark, location(meta), oldName, newName)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** DROP an Iceberg column — metadata-only, zero files rewritten
+    * ([[graft.listing.IcebergWriter.dropColumn]]): readers stop
+    * projecting it, history still time-travels to the pre-drop
+    * metadata, and a later re-add binds to a FRESH field id and
+    * physical name so pre-drop bytes never resurrect. Returns the new
+    * sequence number.
+    */
+  def dropIcebergColumn(database: String, table: String, name: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.dropColumn(spark, location(meta), name)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** EVOLVE an Iceberg table's partition spec — metadata-only, zero
+    * files rewritten ([[graft.listing.IcebergWriter.updateSpec]]):
+    * pre-evolution files keep their layout and are always read (they
+    * carry no value for the new spec field, and pruning keeps
+    * unknown-value files — sound by construction); batches appended
+    * AFTER the evolution land partitioned under the new spec, and
+    * conjuncts on the source column prune them through the transform.
+    * The payoff at 100 TB: a table can adopt (or retire, or re-width)
+    * hidden partitioning as its query pattern emerges, without a
+    * single rewrite — Iceberg's signature layout feature. Supported
+    * transforms: `bucket[N]`, `truncate[W]` on a long/int/string
+    * source column. Returns the new sequence number.
+    */
+  def evolveIcebergPartitionSpec(database: String, table: String,
+      sourceCol: String, transform: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncRe = """truncate\[(\d+)\]""".r
+    // the PARAMETER is part of the field name: a re-evolution (e.g.
+    // truncate[100] -> truncate[50]) must never reinterpret values
+    // written under the retired spec as windows of the new width —
+    // a distinct name makes old files read as value-unknown (kept,
+    // sound) instead of mis-pruned
+    val field = transform match {
+      case BucketRe(n) => s"${sourceCol}_bucket_$n"
+      case TruncRe(w)  => s"${sourceCol}_trunc_$w"
+      case other => throw new IllegalArgumentException(
+        s"unsupported hidden transform for spec evolution: $other")
+    }
+    val v = graft.listing.IcebergWriter.updateSpec(spark, location(meta),
+      Seq((field, transform, sourceCol)))
     invalidateTable(database, table)
     v
   }

@@ -28,6 +28,38 @@ import scala.jdk.CollectionConverters._
   * through the driver, only their paths do, identical to how the
   * reference materializes a file-listing table for DuckDB.
   */
+object IcebergSnapshotResolver {
+  /** Column-mapping physical-name annotation, the Iceberg twin of
+    * Delta's `delta.columnMapping.physicalName`: when a table has
+    * been renamed/dropped metadata-only ([[IcebergWriter.renameColumn]]
+    * / [[IcebergWriter.dropColumn]]), each schema field carries the
+    * PHYSICAL column name its id binds to in the parquet files (the
+    * serialization this engine gives Iceberg's
+    * `schema.name-mapping.default` concept — files written without
+    * embedded field ids resolve through a name mapping). Fields of
+    * unmapped tables carry no annotation.
+    */
+  private[graft] val PhysNameKey = "iceberg.columnMapping.physicalName"
+
+  /** logical → physical for the fields whose names differ. */
+  private[graft] def mappingOf(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(PhysNameKey)) {
+        val p = f.metadata.getString(PhysNameKey)
+        if (p != f.name) Some(f.name -> p) else None
+      } else None
+    }.toMap
+
+  /** True when the schema carries column-mapping annotations (mapped
+    * mode on) — the metadata schema is then AUTHORITATIVE for reads:
+    * a dropped column's bytes still sit in the files, and single-file
+    * inference would resurrect it.
+    */
+  private[graft] def isMapped(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysNameKey))
+}
+
 final class IcebergSnapshotResolver(hadoopConf: Configuration) {
   private val mapper = new ObjectMapper()
 
@@ -113,14 +145,28 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
           case None     => elems.headOption
         }
       }.orElse(Option(meta.get("schema")))
+      // Mapped mode (a rename/drop happened): every field carries its
+      // physical-name annotation so [[GlueTableEngine]] scans with the
+      // names the files hold and projects physical→logical — the
+      // exact machinery Delta column mapping uses.
+      val mapped = Option(meta.get("column-mapping")).exists(_.asText() == "name")
       schemaNode.flatMap(s => Option(s.get("fields"))).flatMap { fs =>
         val fields = fs.elements().asScala.toSeq.map { f =>
           for {
             nm <- Option(f.get("name")).map(_.asText())
             tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
             dt <- sparkType(tp)
-          } yield StructField(nm,
-            dt, nullable = !Option(f.get("required")).exists(_.asBoolean()))
+          } yield {
+            val base = StructField(nm,
+              dt, nullable = !Option(f.get("required")).exists(_.asBoolean()))
+            if (!mapped) base
+            else {
+              val phys = Option(f.get("physical")).filter(_.isTextual)
+                .map(_.asText()).getOrElse(nm)
+              base.copy(metadata = new MetadataBuilder()
+                .putString(IcebergSnapshotResolver.PhysNameKey, phys).build())
+            }
+          }
         }
         if (fields.exists(_.isEmpty)) None else Some(StructType(fields.flatten))
       }
@@ -254,7 +300,11 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
             id <- Option(f.get("id")).map(_.asInt())
             nm <- Option(f.get("name")).map(_.asText())
             tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
-          } yield id -> (nm, tp)
+            // PHYSICAL name when mapped (rename/drop happened): bounds
+            // and equality columns must bind to what the files hold —
+            // the scan schema — not the current logical name
+          } yield id -> (Option(f.get("physical")).filter(_.isTextual)
+            .map(_.asText()).getOrElse(nm), tp)
         }.toMap
       }.getOrElse(Map.empty)
     }

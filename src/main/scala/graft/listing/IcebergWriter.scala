@@ -160,8 +160,91 @@ object IcebergWriter {
     case StringType    => Some("string")
     case DateType      => Some("date")
     case TimestampType => Some("timestamptz")
-    case _             => None // float/double: NaN soundness; others: unsupported
+    // float/double are real SCHEMA types (metadata-authoritative reads
+    // and column mapping need every column present); only their BOUNDS
+    // stay unwritten — boundBytes returns None (NaN soundness)
+    case DoubleType    => Some("double")
+    case FloatType     => Some("float")
+    case _             => None // nested/complex: unsupported
   }
+
+  /** One published schema column: field id, current LOGICAL name, the
+    * PHYSICAL name the parquet files hold (the serialization this
+    * engine gives Iceberg's `schema.name-mapping.default` concept —
+    * these files carry no embedded field ids, so ids resolve through
+    * a name mapping), and the Iceberg primitive type.
+    */
+  private final case class PubCol(id: Int, name: String, phys: String, tp: String)
+
+  private def currentSchemaNode(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val elems = Option(meta.get("schemas")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    Option(meta.get("current-schema-id")).map(_.asInt()) match {
+      case Some(id) =>
+        elems.find(e => Option(e.get("schema-id")).exists(_.asInt() == id))
+          .orElse(elems.headOption)
+      case None => elems.headOption
+    }
+  }
+
+  private def pubColsOf(meta: com.fasterxml.jackson.databind.JsonNode): Seq[PubCol] =
+    currentSchemaNode(meta).toSeq
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq))
+      .flatMap { f =>
+        for {
+          id <- Option(f.get("id")).map(_.asInt())
+          nm <- Option(f.get("name")).map(_.asText())
+          tp <- Option(f.get("type")).filter(_.isTextual).map(_.asText())
+        } yield PubCol(id, nm,
+          Option(f.get("physical")).filter(_.isTextual).map(_.asText()).getOrElse(nm), tp)
+      }
+
+  /** (logical name, physical name) of columns DROPPED from the schema
+    * — a later re-add of the same name must bind to a FRESH physical
+    * name or the dropped bytes resurrect out of the old files.
+    */
+  private def retiredOf(meta: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String)] =
+    Option(meta.get("retired-columns")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .flatMap { f =>
+        for {
+          nm <- Option(f.get("name")).map(_.asText())
+          ph <- Option(f.get("physical")).map(_.asText())
+        } yield (nm, ph)
+      }
+
+  private def mappedMode(meta: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    Option(meta.get("column-mapping")).exists(_.asText() == "name")
+
+  private def lastColIdOf(meta: com.fasterxml.jackson.databind.JsonNode,
+      pub: Seq[PubCol]): Int =
+    math.max(Option(meta.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      if (pub.isEmpty) 0 else pub.map(_.id).max)
+
+  /** Evolution-state keys every metadata publish must carry forward
+    * (the schema itself travels in `schemas`): the id high-water mark,
+    * the retired-column ledger, and the mapped-mode flag. Returns
+    * either "" or a leading-comma JSON fragment.
+    */
+  private def evolutionCarryJson(lastColId: Int, retired: Seq[(String, String)],
+      mapped: Boolean): String = {
+    val retiredJson =
+      if (retired.isEmpty) ""
+      else s""", "retired-columns": ${retired.map { case (n, p) =>
+        s"""{"name": ${mapper.writeValueAsString(n)}, "physical": ${mapper.writeValueAsString(p)}}"""
+      }.mkString("[", ", ", "]")}"""
+    val mappedJson = if (mapped) """, "column-mapping": "name"""" else ""
+    s""", "last-column-id": $lastColId$retiredJson$mappedJson"""
+  }
+
+  private def schemaFieldsJson(pub: Seq[PubCol]): String =
+    pub.map { c =>
+      val phys =
+        if (c.phys != c.name) s""", "physical": ${mapper.writeValueAsString(c.phys)}"""
+        else ""
+      s"""{"id": ${c.id}, "name": ${mapper.writeValueAsString(c.name)}, "type": "${c.tp}"$phys}"""
+    }.mkString("[", ", ", "]")
 
   private def boundBytes(tp: String, v: Any): Option[Array[Byte]] = {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -378,6 +461,36 @@ object IcebergWriter {
           s"partition spec mismatch for Iceberg table at $root: table declares " +
             s"${declaredSpec.mkString("[", ",", "]")}, batch uses ${partitionBy.mkString("[", ",", "]")}")
     }
+    // Published columns: bind ids by NAME against the prior current
+    // schema (positional binding breaks the moment a drop leaves a
+    // hole in the id space), allocating fresh ids past the table's
+    // id high-water mark for additive columns. A re-added name whose
+    // physical name was ever used (live or retired) gets a FRESH
+    // physical name — the resurrection guard, same rule as Delta
+    // column mapping.
+    val retired: Seq[(String, String)] = prior.toSeq.flatMap(retiredOf)
+    val mapped: Boolean = prior.exists(mappedMode)
+    val pub: Seq[PubCol] = prior.map(pubColsOf).filter(_.nonEmpty) match {
+      case Some(pp) =>
+        val byName = pp.map(c => c.name -> c).toMap
+        var nextId = lastColIdOf(prior.get, pp)
+        val takenPhys = pp.map(_.phys).toSet ++ retired.map(_._2)
+        idFields.toSeq.map { case (_, nm, tp) =>
+          byName.get(nm) match {
+            case Some(c) => c
+            case None => // additive trailing column (validated above)
+              nextId += 1
+              PubCol(nextId, nm, if (takenPhys(nm)) s"${nm}_$nextId" else nm, tp)
+          }
+        }
+      case None => idFields.toSeq.map { case (id, nm, tp) => PubCol(id, nm, nm, tp) }
+    }
+    val lastColId = math.max(
+      prior.map(p => lastColIdOf(p, pub)).getOrElse(0),
+      if (pub.isEmpty) 0 else pub.map(_.id).max)
+    // files hold PHYSICAL names — rename mapped columns before the write
+    val physDf = pub.filter(c => c.phys != c.name)
+      .foldLeft(df)((d, c) => d.withColumnRenamed(c.name, c.phys))
     val partCols = partitionBy.map { c =>
       val f = df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"partition column $c not in the batch schema"))
@@ -414,7 +527,7 @@ object IcebergWriter {
         (dataDir0, mp)
       } else {
         val dd = s"$root/data_s${seq}_$token"
-        val w0 = df.write.mode("overwrite")
+        val w0 = physDf.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
           .parquet(dd)
         def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -450,19 +563,20 @@ object IcebergWriter {
       val lows = new java.util.ArrayList[GenericRecord]()
       val highs = new java.util.ArrayList[GenericRecord]()
       val nulls = new java.util.ArrayList[GenericRecord]()
-      idFields.foreach { case (id, name, tp) =>
-        stats.get(name).foreach { r =>
+      pub.foreach { c =>
+        // footer stats key on what the file holds: the PHYSICAL name
+        stats.get(c.phys).foreach { r =>
           if (!r.allNulls)
-            for (lo <- boundBytes(tp, r.min); hi <- boundBytes(tp, r.max)) {
+            for (lo <- boundBytes(c.tp, r.min); hi <- boundBytes(c.tp, r.max)) {
               def kv(b: Array[Byte]) = {
                 val k = new GenericData.Record(boundKv)
-                k.put("key", id); k.put("value", java.nio.ByteBuffer.wrap(b)); k
+                k.put("key", c.id); k.put("value", java.nio.ByteBuffer.wrap(b)); k
               }
               lows.add(kv(lo)); highs.add(kv(hi))
             }
           if (r.noNulls) {
             val k = new GenericData.Record(countKv)
-            k.put("key", id); k.put("value", 0L); nulls.add(k)
+            k.put("key", c.id); k.put("value", 0L); nulls.add(k)
           }
         }
       }
@@ -499,9 +613,7 @@ object IcebergWriter {
     })
 
     // 4. publish atomically
-    val schemaJson = idFields.map { case (id, name, tp) =>
-      s"""{"id": $id, "name": ${mapper.writeValueAsString(name)}, "type": "$tp"}"""
-    }.mkString("[", ", ", "]")
+    val schemaJson = schemaFieldsJson(pub)
     // spec snapshot `summary` (operation + caller extras) — the
     // standard place a streaming sink records its (appId, batchId)
     // txn high-water mark for exactly-once replay detection
@@ -511,7 +623,7 @@ object IcebergWriter {
           s"${mapper.writeValueAsString(k)}: ${mapper.writeValueAsString(v)}"
         }.mkString("{", ", ", "}")
     val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}, "summary": $summaryJson}"""
-    val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
+    val idByName = pub.map(c => c.name -> c.id).toMap
     val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
       // non-identity transforms (bucket[N]) name their SOURCE column:
       // the spec field is hidden metadata, the source is a real column
@@ -525,7 +637,7 @@ object IcebergWriter {
         s""""source-id": $srcId, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val body =
-      s"""{"format-version": 2, "last-sequence-number": $seq,
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(lastColId, retired, mapped)},
          |"current-schema-id": 0,
          |"schemas": [{"schema-id": 0, "fields": $schemaJson}],
          |"partition-specs": [{"spec-id": 0, "fields": $specJson}],
@@ -594,7 +706,8 @@ object IcebergWriter {
       s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(targetMl)}, """ +
         s""""summary": {"operation": "rollback", "rolled-back-to": "$targetId"}}"""
     val body =
-      s"""{"format-version": 2, "last-sequence-number": $seq,
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
+            lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))},
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
          |"schemas": ${mapper.writeValueAsString(prior.get("schemas"))},
          |"partition-specs": ${mapper.writeValueAsString(prior.get("partition-specs"))},
@@ -607,6 +720,168 @@ object IcebergWriter {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"rollback lost the publish race at $dst — re-resolve and retry")
+    }
+    seq
+  }
+
+  /** RENAME a column as a METADATA-ONLY commit — zero files rewritten
+    * however large the table. Iceberg resolves columns by FIELD ID, so
+    * a rename only changes the id's display name; because this
+    * writer's parquet files carry no embedded ids, the binding
+    * survives through the field's `physical` name (the serialization
+    * of Iceberg's `schema.name-mapping.default`): files keep holding
+    * the original physical column, readers scan physical and project
+    * to the new logical name, and later appends write logical batches
+    * back under the fixed physical names. Partition/transform-source
+    * columns are rejected (their names are baked into file layout and
+    * spec records). Returns the new sequence number.
+    */
+  def renameColumn(spark: SparkSession, location: String,
+      oldName: String, newName: String): Long =
+    evolveSchema(spark, location, "rename") { (pub, retired) =>
+      require(pub.exists(_.name == oldName),
+        s"cannot rename $oldName at $location: no such column")
+      require(!pub.exists(_.name == newName) && !retired.exists(_._1 == newName),
+        s"cannot rename $oldName to $newName at $location: name already in use")
+      (pub.map(c => if (c.name == oldName) c.copy(name = newName) else c), retired)
+    }
+
+  /** DROP a column as a METADATA-ONLY commit: the field leaves the
+    * current schema (readers stop projecting it; the bytes stay in
+    * the files and history still time-travels to the pre-drop
+    * metadata), and its (name, physical) pair joins the RETIRED
+    * ledger so a later re-add of the same name binds to a FRESH
+    * physical column instead of resurrecting the dropped bytes —
+    * the exact hazard [[DeltaLogWriter.dropColumn]] guards with
+    * fresh physical names. Returns the new sequence number.
+    */
+  def dropColumn(spark: SparkSession, location: String, name: String): Long =
+    evolveSchema(spark, location, "drop") { (pub, retired) =>
+      val victim = pub.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"cannot drop $name at $location: no such column"))
+      require(pub.size > 1, s"cannot drop $name at $location: it is the only column")
+      (pub.filterNot(_.name == name), retired :+ (victim.name, victim.phys))
+    }
+
+  /** EVOLVE the partition spec as a METADATA-ONLY commit — Iceberg's
+    * signature layout feature (spec v2 §Partition Evolution): specs
+    * are versioned metadata, never a data rewrite. Existing files
+    * keep their old layout and, carrying no value for the new spec
+    * fields, are simply never pruned by them (the engine's
+    * keep-on-unknown rule keeps them sound); files appended AFTER the
+    * evolution land partitioned under the new spec and prune.
+    * `fields` are `(specFieldName, transform, sourceColumnName)`.
+    * Returns the new sequence number.
+    */
+  def updateSpec(spark: SparkSession, location: String,
+      fields: Seq[(String, String, String)]): Long = {
+    require(fields.nonEmpty, "updateSpec needs at least one spec field")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location — spec evolution needs an existing table"))
+    val pub = pubColsOf(prior)
+    val idByName = pub.map(c => c.name -> c.id).toMap
+    val specJson = fields.zipWithIndex.map { case ((nm, tr, src), i) =>
+      val sid = idByName.getOrElse(src, throw new IllegalArgumentException(
+        s"spec source column $src not in the table schema at $location"))
+      s"""{"name": ${mapper.writeValueAsString(nm)}, "transform": "$tr", """ +
+        s""""source-id": $sid, "field-id": ${1000 + i}}"""
+    }.mkString("[", ", ", "]")
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
+      .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
+            lastColIdOf(prior, pub), retiredOf(prior), mappedMode(prior))},
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": $schemasJson,
+         |"partition-specs": [{"spec-id": 0, "fields": $specJson}],
+         |"snapshots": [${priorSnapshots.mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"spec evolution lost the publish race at $dst — re-resolve and retry")
+    }
+    seq
+  }
+
+  /** Shared schema-evolution publish: read the latest metadata, let
+    * `f` rewrite (current columns, retired ledger), publish a new
+    * metadata version with the SAME snapshots/specs at the next
+    * sequence number (rename-CAS, like every other commit), mapped
+    * mode ON from the first evolution onward.
+    */
+  private def evolveSchema(spark: SparkSession, location: String, what: String)(
+      f: (Seq[PubCol], Seq[(String, String)]) => (Seq[PubCol], Seq[(String, String)])): Long = {
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location — schema $what needs an existing table"))
+    val pub = pubColsOf(prior)
+    require(pub.nonEmpty, s"schema $what at $location: table metadata carries no schema")
+    // partition and transform-source columns are structural: their
+    // names live in file paths, partition records, and spec fields
+    val specFields = Option(prior.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq))
+    val protectedIds = specFields.flatMap(f => Option(f.get("source-id")).map(_.asInt())).toSet
+    val protectedNames = specFields.flatMap(f => Option(f.get("name")).map(_.asText())).toSet
+    val (newPub, newRetired) = f(pub, retiredOf(prior))
+    val touched = (pub.toSet -- newPub.toSet).map(_.id) ++
+      (newPub.toSet -- pub.toSet).map(_.id)
+    touched.foreach { id =>
+      val c = pub.find(_.id == id).getOrElse(
+        throw new IllegalStateException(s"schema $what invented field id $id"))
+      require(!protectedIds.contains(id) && !protectedNames.contains(c.name),
+        s"cannot $what ${c.name} at $location: it is a partition/transform-source column")
+    }
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val specsJson = Option(prior.get("partition-specs"))
+      .map(n => s""",
+         |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
+            lastColIdOf(prior, pub), newRetired, mapped = true)},
+         |"current-schema-id": 0,
+         |"schemas": [{"schema-id": 0, "fields": ${schemaFieldsJson(newPub)}}]$specsJson,
+         |"snapshots": [${priorSnapshots.mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"schema $what lost the publish race at $dst — re-resolve and retry")
     }
     seq
   }
@@ -686,10 +961,18 @@ object IcebergWriter {
     val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}}"""
     val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
       .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val carry = evolutionCarryJson(
+      lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))
+    // carry the partition spec: a MOR delete must not strip the
+    // table's layout metadata (hidden-transform pruning and the
+    // append-time spec-stability check both read the CURRENT json)
+    val specsJson = Option(prior.get("partition-specs"))
+      .map(n => s""",
+         |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
     val body =
-      s"""{"format-version": 2, "last-sequence-number": $seq,
+      s"""{"format-version": 2, "last-sequence-number": $seq$carry,
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
-         |"schemas": $schemasJson,
+         |"schemas": $schemasJson$specsJson,
          |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin
     val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
     val dst = new Path(metaDir, s"v$seq.metadata.json")
@@ -757,12 +1040,27 @@ object IcebergWriter {
       s"merge schema mismatch for Iceberg table at $root: table declares " +
         s"${declared.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}, batch has " +
         s"${mine.map { case (a, b) => s"$a:$b" }.mkString("[", ", ", "]")}")
+    // bind ids by NAME against the prior schema (exact-schema batches
+    // make this positional in the common case, but a dropped column
+    // leaves an id hole and a renamed one a physical name to honor)
+    val pub: Seq[PubCol] = {
+      val pp = pubColsOf(prior)
+      if (pp.isEmpty) idFields.toSeq.map { case (id, nm, tp) => PubCol(id, nm, nm, tp) }
+      else idFields.toSeq.map { case (_, nm, tp) =>
+        pp.find(_.name == nm).getOrElse(throw new IllegalArgumentException(
+          s"merge column $nm not in the table schema at $root"))
+      }
+    }
+    // files (data AND the key delete file) hold PHYSICAL names
+    val physDf = pub.filter(c => c.phys != c.name)
+      .foldLeft(df)((d, c) => d.withColumnRenamed(c.name, c.phys))
+    val physByName = pub.map(c => c.name -> c.phys).toMap
     val token = java.util.UUID.randomUUID().toString.take(8)
 
     // 1. the source batch's data files + their manifest (one footer
     // read per written file yields bounds and record_count)
     val dd = s"$root/data_s${seq}_$token"
-    df.write.mode("overwrite").parquet(dd)
+    physDf.write.mode("overwrite").parquet(dd)
     def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walkParquet(st.getPath)
@@ -780,19 +1078,19 @@ object IcebergWriter {
       val lows = new java.util.ArrayList[GenericRecord]()
       val highs = new java.util.ArrayList[GenericRecord]()
       val nulls = new java.util.ArrayList[GenericRecord]()
-      idFields.foreach { case (id, name, tp) =>
-        stats.get(name).foreach { r =>
+      pub.foreach { c =>
+        stats.get(c.phys).foreach { r =>
           if (!r.allNulls)
-            for (lo <- boundBytes(tp, r.min); hi <- boundBytes(tp, r.max)) {
+            for (lo <- boundBytes(c.tp, r.min); hi <- boundBytes(c.tp, r.max)) {
               def kv(b: Array[Byte]) = {
                 val k = new GenericData.Record(boundKv)
-                k.put("key", id); k.put("value", java.nio.ByteBuffer.wrap(b)); k
+                k.put("key", c.id); k.put("value", java.nio.ByteBuffer.wrap(b)); k
               }
               lows.add(kv(lo)); highs.add(kv(hi))
             }
           if (r.noNulls) {
             val k = new GenericData.Record(countKv)
-            k.put("key", id); k.put("value", 0L); nulls.add(k)
+            k.put("key", c.id); k.put("value", 0L); nulls.add(k)
           }
         }
       }
@@ -808,11 +1106,12 @@ object IcebergWriter {
 
     // 2. the equality delete file over the source keys
     val delDir = s"$root/deletes_s${seq}_$token"
-    df.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    physDf.select(keyCols.map(c =>
+        org.apache.spark.sql.functions.col(physByName.getOrElse(c, c))): _*).distinct()
       .coalesce(1).write.mode("overwrite").parquet(delDir)
     val delParquet = fs.listStatus(new Path(delDir)).toSeq
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-    val idByName = idFields.map { case (id, name, _) => name -> id }.toMap
+    val idByName = pub.map(c => c.name -> c.id).toMap
     val delEntries = Seq {
       val d = new GenericData.Record(delFileS)
       d.put("file_path", delParquet.toString)
@@ -848,8 +1147,10 @@ object IcebergWriter {
     val snapJson = s"""{"snapshot-id": $seq, "manifest-list": ${mapper.writeValueAsString(mlPath)}, "summary": {"operation": "merge"}}"""
     val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
       .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val carry = evolutionCarryJson(
+      lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))
     val body =
-      s"""{"format-version": 2, "last-sequence-number": $seq,
+      s"""{"format-version": 2, "last-sequence-number": $seq$carry,
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
          |"schemas": $schemasJson,
          |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin

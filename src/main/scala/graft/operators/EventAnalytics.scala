@@ -714,4 +714,103 @@ object EventAnalytics {
       .mkString("\nUNION ALL\n")
     (base +: stages).mkString(",\n") + s"\n$out\nORDER BY round"
   }
+
+  /** Weighted single-source shortest paths, bounded at `maxHops`
+    * relaxation rounds — Bellman-Ford over the bipartite view graph,
+    * the weighted completion of [[bfsHops]]. The edge weight is a
+    * deterministic INTEGER function of the edge's endpoints
+    * (`(u + k) % 5 + 1`), so both engines derive identical weights
+    * with no float arithmetic anywhere on the comparison path.
+    *
+    * DELTA relaxation: only nodes whose tentative distance IMPROVED
+    * in round h−1 join the edges in round h, so a round's cost tracks
+    * the improving frontier (a vanishing fraction of the settled set
+    * once distances stabilize), never the whole graph. The distance
+    * table is re-persisted per round, keeping every round's plan flat
+    * — the same iteration discipline as [[pageRank]]/[[bfsHops]].
+    * Only the ≤ (maxHops·maxW+1)-row distance histogram reaches the
+    * driver.
+    */
+  def shortestPaths(events: DataFrame, maxHops: Int = 4): DataFrame = {
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+    val base = ev.select(col("u"), (-(col("k") + lit(1L))).as("it"),
+      ((col("u") + col("k")) % 5 + lit(1L)).as("w"))
+    val edges = base.select(col("u").as("src"), col("it").as("dst"), col("w"))
+      .union(base.select(col("it").as("src"), col("u").as("dst"), col("w")))
+      .persist()
+    try {
+      val source = edges.filter(col("src") > 0)
+        .agg(min(col("src")).as("s")).collect()(0).getLong(0)
+      val sess = edges.sparkSession
+      var dist = sess.range(1)
+        .select(lit(source).as("node"), lit(0L).as("d")).persist()
+      dist.count()
+      var frontier: DataFrame = dist
+      val persisted = scala.collection.mutable.ListBuffer[DataFrame](dist)
+      try {
+        (1 to maxHops).foreach { _ =>
+          val cand = frontier
+            .select(col("node").as("src"), col("d").as("df"))
+            .join(edges, "src")
+            .select(col("dst").as("node"), (col("df") + col("w")).as("dc0"))
+            .groupBy("node").agg(min("dc0").as("dc"))
+          val merged = dist.join(cand, Seq("node"), "full_outer")
+            .select(col("node"),
+              least(coalesce(col("d"), lit(Long.MaxValue)),
+                coalesce(col("dc"), lit(Long.MaxValue))).as("nd"),
+              (col("d").isNull || (col("dc").isNotNull && col("dc") < col("d"))).as("imp"))
+            .persist()
+          merged.count() // the round's single materialization
+          persisted += merged
+          frontier = merged.filter(col("imp")).select(col("node"), col("nd").as("d"))
+          dist = merged.select(col("node"), col("nd").as("d"))
+        }
+        val rows = dist.groupBy("d")
+          .agg(count(lit(1)).as("n_nodes"),
+            min("node").as("min_node"), max("node").as("max_node"))
+          .orderBy("d")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val sp = org.apache.spark.sql.graft.Shim.classic(sess)
+        import sp.implicits._
+        rows.toDF("d", "n_nodes", "min_node", "max_node")
+      } finally { persisted.foreach(_.unpersist()); () }
+    } finally { edges.unpersist(); () }
+  }
+
+  /** DuckDB oracle for [[shortestPaths]] — Bellman-Ford unrolled to
+    * `maxHops` CTE stages (full relaxation per stage: min over the
+    * prior table unioned with every one-edge extension — equivalent
+    * to the engine's delta relaxation, which merely skips provably
+    * non-improving joins).
+    */
+  def sqlShortestPaths(maxHops: Int = 4): String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id AS u,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events WHERE event_type = 'view'
+         |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |b AS (SELECT u, -(k + 1) AS it, (u + k) % 5 + 1 AS w FROM ev),
+         |e AS MATERIALIZED (SELECT u AS src, it AS dst, w FROM b
+         |      UNION ALL SELECT it AS src, u AS dst, w FROM b),
+         |d0 AS (SELECT (SELECT MIN(src) FROM e WHERE src > 0) AS node,
+         |       CAST(0 AS BIGINT) AS d)""".stripMargin
+    val stages = (1 to maxHops).map { h =>
+      val prev = s"d${h - 1}"
+      s"""d$h AS MATERIALIZED (
+         |  SELECT node, MIN(d) AS d FROM (
+         |    SELECT node, d FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + e.w AS d
+         |    FROM $prev p JOIN e ON p.node = e.src) relax
+         |  GROUP BY node)""".stripMargin
+    }
+    (base +: stages).mkString(",\n") +
+      s"\nSELECT d, COUNT(*)::BIGINT AS n_nodes, MIN(node) AS min_node, " +
+      s"MAX(node) AS max_node FROM d$maxHops GROUP BY d ORDER BY d"
+  }
 }

@@ -985,6 +985,88 @@ object Multimodal {
        |SELECT doc_id, CAST(bin AS INTEGER) AS bin, COUNT(*)::BIGINT AS n
        |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin
 
+  final case class SobelStats(doc_id: Long, edge_energy: Long, n_strong: Long)
+
+  /** Integer SOBEL edge energy over real decoded PNG pixels — the
+    * classic sharpness/structure feature a vision-data curation
+    * pipeline filters on (blank/flat images score ~0, busy or
+    * synthetic-noise images score high). Per interior pixel:
+    * BT.601 integer grayscale, the 3×3 Sobel pair, L1 magnitude
+    * `|Gx|+|Gy|` (no sqrt — the score stays exact-integer end to
+    * end); per image: the energy sum and the count of strong-edge
+    * pixels (L1 ≥ `threshold`). One map pass, O(pixels) per row,
+    * never shuffles at any corpus size.
+    */
+  def imageSobel(media: DataFrame, threshold: Int = 128): DataFrame = {
+    implicit val enc = Encoders.product[SobelStats]
+    val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select(col("doc_id"), col("img"))
+      .as[(Long, Array[Byte])](tupleEnc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (w, h, px) = decodePngPixels(bytes)
+          if (w < 3 || h < 3) Iterator.empty
+          else {
+            val g = new Array[Int](w * h)
+            var k = 0
+            while (k < w * h) {
+              val v = px(k)
+              g(k) = ((299L * ((v >> 16) & 255) + 587L * ((v >> 8) & 255) +
+                114L * (v & 255)) / 1000L).toInt
+              k += 1
+            }
+            var energy = 0L
+            var strong = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                def at(dx: Int, dy: Int): Int = g((y + dy) * w + (x + dx))
+                val gx = (at(1, -1) + 2 * at(1, 0) + at(1, 1)) -
+                  (at(-1, -1) + 2 * at(-1, 0) + at(-1, 1))
+                val gy = (at(-1, 1) + 2 * at(0, 1) + at(1, 1)) -
+                  (at(-1, -1) + 2 * at(0, -1) + at(1, -1))
+                val e = math.abs(gx) + math.abs(gy)
+                energy += e
+                if (e >= threshold) strong += 1
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(SobelStats(id, energy, strong))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[imageSobel]]: regenerates the analytic fixture
+    * pixels closed-form and folds the IDENTICAL integer gray + Sobel
+    * + L1 arithmetic — the 8 neighbor grays are inlined as shifted
+    * copies of the pixel formula, so the SQL needs no self-join.
+    */
+  def sqlImageSobel(threshold: Int = 128): String = {
+    // gray value of the analytic pixel at (x+dx, y+dy)
+    def gAt(dx: Int, dy: Int): String = {
+      val rgb = s"((d * 31 + (x + ($dx)) * 7 + (y + ($dy))) % 16777216)"
+      s"((299 * (($rgb >> 16) & 255) + 587 * (($rgb >> 8) & 255) + " +
+        s"114 * ($rgb & 255)) // 1000)"
+    }
+    val gx = s"((${gAt(1, -1)} + 2 * ${gAt(1, 0)} + ${gAt(1, 1)}) - " +
+      s"(${gAt(-1, -1)} + 2 * ${gAt(-1, 0)} + ${gAt(-1, 1)}))"
+    val gy = s"((${gAt(-1, 1)} + 2 * ${gAt(0, 1)} + ${gAt(1, 1)}) - " +
+      s"(${gAt(-1, -1)} + 2 * ${gAt(0, -1)} + ${gAt(1, -1)}))"
+    s"""WITH p AS (SELECT doc_id AS d, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h
+       |           FROM documents WHERE doc_id % 2 = 0),
+       |g AS (SELECT d, w, h, unnest(range((w - 2) * (h - 2))) AS i FROM p),
+       |c AS (SELECT d, 1 + (i % (w - 2)) AS x, 1 + (i // (w - 2)) AS y FROM g),
+       |s AS (SELECT d, ABS($gx) + ABS($gy) AS e FROM c)
+       |SELECT d AS doc_id, SUM(e)::BIGINT AS edge_energy,
+       |  SUM(CASE WHEN e >= $threshold THEN 1 ELSE 0 END)::BIGINT AS n_strong
+       |FROM s GROUP BY d ORDER BY doc_id""".stripMargin
+  }
+
   /** Nearest-neighbor RESIZE to a `t`×`t` thumbnail over real decoded
     * PNG pixels — the normalization step every vision-data pipeline
     * runs before feature extraction. Source index = `floor(dst*src/t)`

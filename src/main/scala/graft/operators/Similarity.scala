@@ -145,6 +145,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN GRAPH construction — per-vector top-k neighbor edges, the
+    * building block of graph-based semantic clustering and of
+    * SemDeDup-style connectivity dedup. Blocking is the LSH bucket
+    * (the same single-probe semantics as [[lshTopK]] — and the
+    * ORACLE's definition too: the graph is "top-k by cosine among
+    * same-bucket peers", so approximate recall is part of the
+    * contract, not a hash mismatch). Cost shape at 100 TB: ONE
+    * bucket-keyed shuffle, per-bucket quadratic pair generation (the
+    * standard LSH trade — `planes` is the resolution knob: +1 plane
+    * quarters the per-bucket volume), and the rank window partitions
+    * by source vector, never globally. Edges: (src, rank, dst, cos).
+    */
+  def knnGraph(emb: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = emb.withColumn("bucket", bucketId(col("embedding")))
+      .select(col("bucket"), col("vec_id"), col("embedding"))
+    val l = b.select(col("bucket"), col("vec_id").as("src"), col("embedding").as("se"))
+    val r = b.select(col("bucket"), col("vec_id").as("dst"), col("embedding").as("de"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    l.join(r, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), round(cosineFast(col("se"), col("de")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
+      .orderBy("src", "rank")
+  }
+
+  /** DuckDB oracle for [[knnGraph]] — the same bucket blocking, pair
+    * cosine, and per-source rank window.
+    */
+  def sqlKnnGraph(k: Int = 3): String =
+    s"""WITH eb AS (SELECT vec_id, embedding, ${sqlBucketId("embedding")} AS bucket
+       |            FROM embeddings),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |        round(${sqlDot("a.embedding", "b.embedding")} /
+       |          (${sqlNorm("a.embedding")} * ${sqlNorm("b.embedding")}), 6) AS cos
+       |      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT src, dst, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM p)
+       |SELECT src, CAST(rk AS INTEGER) AS rank, dst, cos
+       |FROM r WHERE rk <= $k ORDER BY src, rank""".stripMargin
+
   /** Multiprobe LSH (Lv et al., VLDB'07 shape): additionally scan the
     * buckets at hamming distance 1 from the query's bucket — flip each
     * plane bit once. A near neighbor that landed on the wrong side of

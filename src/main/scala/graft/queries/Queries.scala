@@ -1384,6 +1384,93 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
 
+    // Iceberg COLUMN RENAME through the oracle gate — the field-id
+    // twin of Delta's g57: rename is a metadata-only commit (ids are
+    // the identity, names are display; zero files rewritten), a later
+    // append arrives under the NEW logical name and is written back
+    // under the fixed physical name, and the aggregate reads one
+    // consistent logical schema across both file generations.
+    "g59_iceberg_rename" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_ren_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_ren_rt", loc)
+        eng.renameIcebergColumn("default", "ice_ren_rt", "o_orderpriority", "priority")
+        eng.appendIcebergTable(
+          o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_orderpriority", "priority"),
+          "default", "ice_ren_rt")
+        eng.query(
+          """SELECT priority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_ren_rt
+            |WHERE priority >= '3-MEDIUM'
+            |GROUP BY priority ORDER BY priority""".stripMargin)
+      },
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
+
+    // Iceberg DROP COLUMN + re-add through the oracle gate — the
+    // field-id twin of Delta's g58: the drop retires the field id
+    // metadata-only, and the re-added NAME binds to a FRESH id and
+    // physical column, so pre-drop rows read NULL instead of
+    // resurrecting the bytes still sitting in their files.
+    "g60_iceberg_drop" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_drop_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0), "default", "ice_drop_rt", loc)
+        eng.dropIcebergColumn("default", "ice_drop_rt", "o_orderpriority")
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+          "default", "ice_drop_rt", evolve = true)
+        eng.query(
+          """SELECT coalesce(o_orderpriority, '(dropped)') AS priority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_drop_rt
+            |GROUP BY 1 ORDER BY priority""".stripMargin)
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(dropped)'
+        |            ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // Iceberg PARTITION-SPEC EVOLUTION through the oracle gate —
+    // the layout feature the format exists for: the table starts
+    // unpartitioned, adopts truncate[1000] hidden partitioning as a
+    // METADATA-ONLY commit (zero files rewritten), and the next
+    // append lands partitioned. The range query reads pre-evolution
+    // files unconditionally (they carry no spec value — keep-on-
+    // unknown is sound) while pruning post-evolution files to the
+    // overlapping key windows; the aggregate must see both
+    // generations as one table.
+    "g61_iceberg_spec_evolution" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_specevo_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "ice_specevo_rt", loc)
+        eng.evolveIcebergPartitionSpec("default", "ice_specevo_rt",
+          "o_orderkey", "truncate[1000]")
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1),
+          "default", "ice_specevo_rt")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_specevo_rt
+            |WHERE o_orderkey BETWEEN 2500 AND 4200
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey BETWEEN 2500 AND 4200
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Iceberg truncate[W] hidden partitioning through the oracle
     // gate — the ORDER-PRESERVING transform: a BETWEEN range on the
     // source column prunes to the overlapping 1000-wide key windows
@@ -2850,6 +2937,15 @@ object Queries {
          |FROM eb e, q WHERE e.bucket = q.qb AND e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // k-NN GRAPH construction: per-vector top-3 neighbor edges under
+    // LSH-bucket blocking (one bucket-keyed shuffle, per-bucket pair
+    // generation, source-partitioned rank window — never global);
+    // the oracle replays the identical blocking + rank semantics
+    "s22_knn_graph" -> ((
+      (spark: SparkSession, sf: String) =>
+        Similarity.knnGraph(t(spark, sf, "embeddings")),
+      Similarity.sqlKnnGraph())),
+
     // ANN recall audit: recall@10 of the one-bucket LSH probe and
     // the hamming-1 multiprobe vs the exact brute top-k, over a
     // fixed 32-query panel — the index-quality report a deployment
@@ -3472,6 +3568,17 @@ object Queries {
         EventAnalytics.bfsHops(TestFixtures.events(spark, sf)),
       EventAnalytics.sqlBfsHops())),
 
+    // weighted single-source shortest paths (bounded Bellman-Ford)
+    // over the bipartite view graph — the weighted completion of
+    // q48's BFS: integer edge weights derived from the endpoints (no
+    // float on any comparison path), DELTA relaxation so each round
+    // joins only the improving frontier, per-round persist keeps
+    // plans flat; unrolled-CTE oracle
+    "q55_shortest_path" -> ((
+      (spark: SparkSession, sf: String) =>
+        EventAnalytics.shortestPaths(TestFixtures.events(spark, sf)),
+      EventAnalytics.sqlShortestPaths())),
+
     // sequential-pattern (funnel-regex) match over per-user event
     // journeys: one user-keyed shuffle, shuffle-order-proof sequence
     // assembly, regex funnels incl. the no-intervening-error variant
@@ -3674,6 +3781,18 @@ object Queries {
           spark.read.parquet(TestFixtures.mediaImages(spark, sf))
             .filter(col("doc_id") % 2 === 0)),
       Multimodal.sqlImageLumaHistogram())),
+
+    // integer Sobel edge energy over real decoded PNG pixels — the
+    // sharpness/structure curation feature: BT.601 grayscale, 3x3
+    // Sobel pair, L1 magnitude (exact integer end to end), per-image
+    // energy + strong-edge count; the oracle inlines the 8 shifted
+    // neighbor grays closed-form (no self-join)
+    "m19_image_sobel" -> ((
+      (spark: SparkSession, sf: String) =>
+        Multimodal.imageSobel(
+          spark.read.parquet(TestFixtures.mediaImages(spark, sf))
+            .filter(col("doc_id") % 2 === 0)),
+      Multimodal.sqlImageSobel())),
 
     // frequency-domain perceptual hash (pHash): 16x16 grid -> exact
     // Q12 integer DCT-II -> median-threshold bits over the 63 non-DC

@@ -493,4 +493,140 @@ class IcebergWriterSpec extends AnyFunSuite {
     // untouched middle rows never appear in any leg
     assert(!changes(2, 0).exists { case (k, _, _) => k >= 10L && k < 100L })
   }
+
+  test("partition-spec evolution: old files always read, new files prune, zero rewrites") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_specevo_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // generation 1: unpartitioned, one file covering keys 0..199
+    eng.writeIcebergTable((0L until 200L).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1),
+      "d", "ise", loc)
+    val files0 = eng.files("d", "ise").map(_.path).toSet
+    assert(files0.size == 1)
+    // adopt truncate[100] hidden partitioning: METADATA-ONLY
+    eng.evolveIcebergPartitionSpec("d", "ise", "k", "truncate[100]")
+    assert(eng.files("d", "ise").map(_.path).toSet == files0, "spec evolution rewrites nothing")
+    // generation 2: the same key range appends PARTITIONED (two windows)
+    eng.appendIcebergTable((0L until 200L).map(k => (k, s"b$k")).toDF("k", "v"), "d", "ise")
+    assert(eng.files("d", "ise").size == 3, "1 unpartitioned + windows 0/100")
+    assert(eng.tableDF("d", "ise").columns.toSeq == Seq("k", "v"), "spec field stays hidden")
+    assert(eng.tableDF("d", "ise").count() == 400)
+    def filesScanned(df2: org.apache.spark.sql.DataFrame): Int =
+      df2.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    // range over window 100 only: the pre-evolution file (no spec
+    // value -> keep-on-unknown) + ONE window of generation 2
+    val q = eng.query("SELECT count(*) AS n FROM glue.d.ise WHERE k BETWEEN 120 AND 150")
+    assert(q.head().getLong(0) == 62, "31 keys x both generations")
+    assert(filesScanned(q) == 2, s"expected gen1 + window 100, got ${filesScanned(q)}")
+    // equality in window 0
+    val q2 = eng.query("SELECT count(*) AS n FROM glue.d.ise WHERE k = 42")
+    assert(q2.head().getLong(0) == 2)
+    assert(filesScanned(q2) == 2, s"expected gen1 + window 0, got ${filesScanned(q2)}")
+    // RE-EVOLUTION: re-width the spec. The width is part of the spec
+    // field NAME, so files written under the retired 100-wide spec
+    // read as value-unknown for the 50-wide spec (kept — sound), and
+    // only the newest generation prunes at the new width.
+    eng.evolveIcebergPartitionSpec("d", "ise", "k", "truncate[50]")
+    eng.appendIcebergTable((0L until 100L).map(k => (k, s"c$k")).toDF("k", "v"), "d", "ise")
+    assert(eng.files("d", "ise").size == 5, "+ windows 0/50 of the 50-wide spec")
+    val q3 = eng.query("SELECT count(*) AS n FROM glue.d.ise WHERE k BETWEEN 60 AND 70")
+    assert(q3.head().getLong(0) == 33, "11 keys x 3 generations")
+    // kept: gen1 (no value) + BOTH gen2 files (retired spec -> value
+    // unknown for the current one) + gen3's window-50 file
+    assert(filesScanned(q3) == 4, s"got ${filesScanned(q3)}")
+  }
+
+  test("column rename is metadata-only; reads, appends, and bounds bind by field id") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_ren_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    // footers off: file skipping below must come from manifest bounds
+    val eng = new GlueTableEngine(spark, cat, CacheConfig(footerStatsMaxFiles = 0))
+    eng.writeIcebergTable((0L until 100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "irn", loc)
+    val files0 = eng.files("d", "irn").map(_.path).toSet
+    eng.renameIcebergColumn("d", "irn", "k", "id")
+    // zero files rewritten, zero data moved
+    assert(eng.files("d", "irn").map(_.path).toSet == files0)
+    val df = eng.tableDF("d", "irn")
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.filter(col("id") === 7L).head().getString(1) == "r7")
+    // appends arrive under the NEW logical name, land under the fixed
+    // physical one — both generations read as one logical schema
+    eng.appendIcebergTable(
+      (1000L until 1100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1), "d", "irn")
+    assert(eng.tableDF("d", "irn").count() == 200)
+    val newFile = (eng.files("d", "irn").map(_.path).toSet -- files0).head
+    assert(spark.read.parquet(newFile).columns.toSeq.contains("k"),
+      "post-rename files must hold the PHYSICAL column name")
+    // pre-rename metadata still travels with the old name
+    assert(eng.tableDF("d", "irn", 2).columns.toSeq == Seq("k", "v"))
+    // manifest bounds keep skipping: both generations' bounds bind to
+    // the same field id, queried through the renamed logical column
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = eng.query("SELECT v FROM glue.d.irn WHERE id >= 1000")
+      assert(q.collect().length == 100)
+      val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.head.metrics("numFiles").value == 1,
+        s"bounds on the renamed column must prune to 1 of 2 files, " +
+          s"got ${scans.head.metrics("numFiles").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // merge on the renamed table: the delete file and the data land
+    // under physical names, equality ids resolve through the schema
+    eng.mergeIceberg("d", "irn", Seq((0L, "u0")).toDF("id", "v"), "id")
+    val after = eng.tableDF("d", "irn")
+    assert(after.count() == 200)
+    assert(after.filter(col("id") === 0L).head().getString(1) == "u0")
+    // structural columns stay fixed: renaming a partition column throws
+    val loc2 = s"/root/repo/target/ice_ren_part_${System.nanoTime()}"
+    eng.writeIcebergTable(Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p"),
+      "d", "irnp", loc2, partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      eng.renameIcebergColumn("d", "irnp", "p", "part")
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("column drop retires the field id; a re-added name binds fresh (no resurrection)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_drop_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "n").coalesce(1),
+      "d", "idr", loc)
+    val files0 = eng.files("d", "idr").map(_.path).toSet
+    eng.dropIcebergColumn("d", "idr", "v")
+    // metadata-only: same files, column gone from reads
+    assert(eng.files("d", "idr").map(_.path).toSet == files0)
+    assert(eng.tableDF("d", "idr").columns.toSeq == Seq("k", "n"))
+    // re-add the NAME via additive evolution: fresh field id + fresh
+    // physical column — pre-drop bytes must NOT resurrect
+    eng.appendIcebergTable(Seq((3L, 30L, "c")).toDF("k", "n", "v").coalesce(1),
+      "d", "idr", evolve = true)
+    val rows = eng.tableDF("d", "idr").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 10L, null), (2L, 20L, null), (3L, 30L, "c")),
+      s"pre-drop rows must read NULL for the re-added column, got ${rows.toSeq}")
+    // the new file's physical column is disambiguated from the retired one
+    val newFile = (eng.files("d", "idr").map(_.path).toSet -- files0).head
+    val physCols = spark.read.parquet(newFile).columns.toSeq
+    assert(physCols.exists(c => c.startsWith("v_") && c != "v"),
+      s"re-added column must use a FRESH physical name, file holds $physCols")
+    // pre-drop metadata still travels with the original values
+    val old = eng.tableDF("d", "idr", 2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(old.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
 }
