@@ -682,13 +682,14 @@ final class GlueTableEngine(
           s.foreach(inferredSchemas.put(k, _)); s
         }
         metaSchema.fold(raw) { ms =>
-          // MAPPED mode (an Iceberg rename/drop happened): the
-          // metadata schema is AUTHORITATIVE, not an extension —
+          // MAPPED mode (a rename/drop happened): the metadata/
+          // timeline schema is AUTHORITATIVE, not an extension —
           // inference from a file would resurrect dropped bytes and
-          // surface physical (pre-rename) names. Only this writer's
+          // surface physical (pre-rename) names. Only this engine's
           // evolution commits set the flag, and they carry the
           // complete schema by construction.
-          if (graft.listing.IcebergSnapshotResolver.isMapped(ms)) ms
+          if (graft.listing.IcebergSnapshotResolver.isMapped(ms) ||
+              graft.listing.HudiTimelineWriter.isMapped(ms)) ms
           else {
             val have = raw.fieldNames.map(_.toLowerCase).toSet
             StructType(raw.fields ++ ms.fields.filterNot(f => have(f.name.toLowerCase)))
@@ -784,6 +785,7 @@ final class GlueTableEngine(
     val colMapping: Map[String, String] = meta.tableType match {
       case TableType.Delta   => graft.listing.DeltaLogWriter.mappingOf(dataSchema)
       case TableType.Iceberg => graft.listing.IcebergSnapshotResolver.mappingOf(dataSchema)
+      case TableType.Hudi    => graft.listing.HudiTimelineWriter.mappingOf(dataSchema)
       case _                 => Map.empty
     }
     val scanSchema =
@@ -1728,6 +1730,90 @@ final class GlueTableEngine(
     require(meta.tableType == TableType.Iceberg,
       s"$database.$table is ${meta.tableType}, not an Iceberg table")
     val v = graft.listing.IcebergWriter.dropColumn(spark, location(meta), name)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** APPEND a batch to an Iceberg table on a named BRANCH — the
+    * staging half of write-audit-publish: the snapshot publishes into
+    * the snapshots array and moves only the branch ref, so every main
+    * reader (engine queries, time travel, changelog) is oblivious to
+    * it until [[publishIcebergBranch]] fast-forwards main. Returns
+    * the staged sequence number.
+    */
+  def appendIcebergBranch(df: DataFrame, database: String, table: String,
+      branch: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    require(branch != "main", "main is not a stageable branch — use appendIcebergTable")
+    val v = graft.listing.IcebergWriter.commit(
+      spark, location(meta), df, Nil, branch = Some(branch))
+    invalidateTable(database, table)
+    v
+  }
+
+  /** The AUDIT read of write-audit-publish: the branch head's rows,
+    * read outside the main table surface (plain-table branches;
+    * column-mapped or MOR tables stage on main-only paths).
+    */
+  def icebergBranchDF(database: String, table: String, branch: String): DataFrame = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val paths = iceberg.dataFilesForRef(location(meta), branch)
+    if (paths.isEmpty) spark.range(0).select(lit(null).cast("string").as("null"))
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** PUBLISH a staged branch: metadata-only fast-forward of main onto
+    * the branch head ([[graft.listing.IcebergWriter.publishBranch]]) —
+    * the audited snapshots become visible to every main reader
+    * atomically, with zero data movement. Returns the new sequence
+    * number.
+    */
+  def publishIcebergBranch(database: String, table: String, branch: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.publishBranch(spark, location(meta), branch)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** RENAME a Hudi column — metadata-only, zero slices rewritten
+    * ([[graft.listing.HudiTimelineWriter.renameColumn]]): the
+    * timeline schema renames the field, its physical-name annotation
+    * keeps binding to what the slices hold, appends arrive logical
+    * and land physical. Partition columns are rejected (their names
+    * are baked into the Hive-style layout). Returns the published
+    * instant.
+    */
+  def renameHudiColumn(database: String, table: String,
+      oldName: String, newName: String): String = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    require(!meta.table.partitionKeys.exists(_.name.equalsIgnoreCase(oldName)),
+      s"cannot rename $oldName: it is a partition column of $database.$table")
+    val v = graft.listing.HudiTimelineWriter.renameColumn(spark, location(meta), oldName, newName)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** DROP a Hudi column — metadata-only, zero slices rewritten
+    * ([[graft.listing.HudiTimelineWriter.dropColumn]]): readers stop
+    * projecting it, history still travels, and a later re-add binds
+    * to a FRESH physical column so pre-drop bytes never resurrect.
+    * Returns the published instant.
+    */
+  def dropHudiColumn(database: String, table: String, name: String): String = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Hudi,
+      s"$database.$table is ${meta.tableType}, not a Hudi table")
+    require(!meta.table.partitionKeys.exists(_.name.equalsIgnoreCase(name)),
+      s"cannot drop $name: it is a partition column of $database.$table")
+    val v = graft.listing.HudiTimelineWriter.dropColumn(spark, location(meta), name)
     invalidateTable(database, table)
     v
   }

@@ -106,6 +106,70 @@ object HudiTimelineWriter {
 
   private val InstantRe = """(\d+)\.(commit|replacecommit)""".r
 
+  /** Column-mapping physical-name annotation — the Hudi leg of the
+    * format trio (Delta `delta.columnMapping.physicalName`, Iceberg
+    * field-id `physical`): once a rename/drop has happened, every
+    * field of the TIMELINE schema carries the parquet column name its
+    * slices physically hold; appends arrive logical and land
+    * physical, reads scan physical and project to logical.
+    */
+  private[graft] val PhysNameKey = "hudi.columnMapping.physicalName"
+
+  private[graft] def mappingOf(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(PhysNameKey)) {
+        val p = f.metadata.getString(PhysNameKey)
+        if (p != f.name) Some(f.name -> p) else None
+      } else None
+    }.toMap
+
+  private[graft] def isMapped(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysNameKey))
+
+  private def physOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+
+  private def annotate(f: org.apache.spark.sql.types.StructField,
+      phys: String): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysNameKey, phys).build())
+
+  /** Newest recorded timeline schema (json form preferred — DDL
+    * loses the mapping annotations) + the retired-column ledger,
+    * from the given completed-instant listing.
+    */
+  private def schemaState(fs: org.apache.hadoop.fs.FileSystem,
+      instants: Seq[org.apache.hadoop.fs.FileStatus])
+      : (Option[org.apache.spark.sql.types.StructType], Seq[(String, String)]) = {
+    val mapper = new ObjectMapper()
+    instants.sortBy(_.getPath.getName)(Ordering[String].reverse)
+      .iterator.map { st =>
+        val in = fs.open(st.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        Option(node.get("extraMetadata"))
+      }.collectFirst { case Some(em) if em.has("graft-schema") || em.has("graft-schema-json") =>
+        val schema = Option(em.get("graft-schema-json")).map(_.asText())
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .orElse(Option(em.get("graft-schema")).map(_.asText())
+            .map(org.apache.spark.sql.types.StructType.fromDDL))
+        val retired = Option(em.get("graft-retired")).map(_.asText()).toSeq.flatMap { j =>
+          val n = mapper.readTree(j)
+          n.elements().asScala.toSeq.flatMap { e =>
+            for (nm <- Option(e.get("name")); ph <- Option(e.get("physical")))
+              yield (nm.asText(), ph.asText())
+          }
+        }
+        (schema, retired)
+      }.getOrElse((None, Nil))
+  }
+
+  private def retiredJson(retired: Seq[(String, String)]): String =
+    retired.map { case (n, p) =>
+      s"""{"name": ${jstr(n)}, "physical": ${jstr(p)}}"""
+    }.mkString("[", ", ", "]")
+
   /** Write `df` as the table's next completed instant. Returns the
     * instant string. `replaceFileIds` (partitionPath -> fileIds)
     * turns the instant into a replacecommit retiring those groups.
@@ -180,6 +244,37 @@ object HudiTimelineWriter {
       ("0" * (width - digits.length)) + digits
     }
 
+    // COLUMN MAPPING: when the timeline schema is mapped (a rename/
+    // drop happened), bind each batch column to its timeline field —
+    // by LOGICAL name (normal appends), or by PHYSICAL name (DML
+    // rewrites re-commit slices they read physically) — and write
+    // the data under the PHYSICAL names; the recorded schema stays
+    // the LOGICAL one with its annotations, extended by any additive
+    // new fields (fresh physical names honoring the retired ledger).
+    val (priorSchema, retired) = schemaState(fs, initialListing)
+    val (recordedSchema, physDf) = priorSchema match {
+      case Some(ps) if isMapped(ps) =>
+        val byName = ps.fields.map(f => f.name -> f).toMap
+        val byPhys = ps.fields.map(f => physOf(f) -> f).toMap
+        val livePhys = ps.fields.map(physOf).toSet ++ retired.map(_._2)
+        val bound = df.schema.fields.map { c =>
+          byName.get(c.name).map(f => (f, physOf(f), c.name != physOf(f)))
+            .orElse(byPhys.get(c.name).map(f => (f, physOf(f), false)))
+            .getOrElse {
+              // additive new column: fresh physical name, never one a
+              // dropped column's bytes still occupy
+              var k = retired.count(_._1 == c.name) + 1
+              var ph = if (livePhys(c.name)) s"${c.name}_$k" else c.name
+              while (livePhys(ph)) { k += 1; ph = s"${c.name}_$k" }
+              (annotate(c, ph), ph, c.name != ph)
+            }
+        }
+        val renamed = bound.foldLeft(df) { case (d, (f, ph, needs)) =>
+          if (needs) d.withColumnRenamed(f.name, ph) else d
+        }
+        (org.apache.spark.sql.types.StructType(bound.map(_._1)), renamed)
+      case _ => (df.schema, df)
+    }
     // data files: write with the partition layout, then move each
     // part file to its Hudi slice name under the partition dir.
     // The per-attempt random token covers BOTH the tmp dir and the
@@ -189,7 +284,7 @@ object HudiTimelineWriter {
     // collision that would strand already-renamed slices
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"$root/.tmp_${instant}_$token"
-    val w = df.write.mode("overwrite")
+    val w = physDf.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -236,8 +331,11 @@ object HudiTimelineWriter {
     // columns from the TIMELINE instead of one sampled file (the
     // additive-evolution contract: a column added by a later writer
     // must read back as nulls from older slices, not vanish)
-    val withSchema = extraMetadata +
-      ("graft-schema" -> df.schema.toDDL)
+    val withSchema = extraMetadata ++
+      Map("graft-schema" -> recordedSchema.toDDL) ++
+      (if (isMapped(recordedSchema))
+         Map("graft-schema-json" -> recordedSchema.json) else Map.empty) ++
+      (if (retired.nonEmpty) Map("graft-retired" -> retiredJson(retired)) else Map.empty)
     val extraJson = {
       val m = withSchema.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
         .mkString("{", ", ", "}")
@@ -411,11 +509,107 @@ object HudiTimelineWriter {
       .iterator.flatMap { st =>
         val in = fs.open(st.getPath)
         val node = try mapper.readTree(in) finally in.close()
-        for {
-          em <- Option(node.get("extraMetadata"))
-          ddl <- Option(em.get("graft-schema")).map(_.asText())
-        } yield org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        Option(node.get("extraMetadata")).flatMap { em =>
+          // json form first: DDL loses the column-mapping annotations
+          Option(em.get("graft-schema-json")).map(_.asText())
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .orElse(Option(em.get("graft-schema")).map(_.asText())
+              .map(org.apache.spark.sql.types.StructType.fromDDL))
+        }
       }.nextOption()
+  }
+
+  /** RENAME a column as a METADATA-ONLY instant — zero slices
+    * rewritten: the timeline schema (the reader's authority) renames
+    * the field while its physical-name annotation keeps binding to
+    * what the parquet slices hold; later appends arrive logical and
+    * land physical. Returns the published instant.
+    */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, location: String,
+      oldName: String, newName: String): String =
+    evolveSchema(spark, location, "rename") { (schema, retired) =>
+      require(schema.fieldNames.contains(oldName),
+        s"cannot rename $oldName at $location: no such column")
+      require(!schema.fieldNames.contains(newName) && !retired.exists(_._1 == newName),
+        s"cannot rename $oldName to $newName at $location: name already in use")
+      val fields = schema.fields.map { f =>
+        val ann = annotate(f, physOf(f)) // mode ON for every field
+        if (f.name == oldName) ann.copy(name = newName) else ann
+      }
+      (org.apache.spark.sql.types.StructType(fields), retired)
+    }
+
+  /** DROP a column as a METADATA-ONLY instant: the field leaves the
+    * timeline schema (readers stop projecting it; slices keep the
+    * bytes, history still travels), and its (name, physical) joins
+    * the RETIRED ledger so a later re-add binds to a FRESH physical
+    * column — the resurrection guard shared with the Delta and
+    * Iceberg legs. Returns the published instant.
+    */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession, location: String,
+      name: String): String =
+    evolveSchema(spark, location, "drop") { (schema, retired) =>
+      val victim = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot drop $name at $location: no such column"))
+      require(schema.fields.length > 1,
+        s"cannot drop $name at $location: it is the only column")
+      val fields = schema.fields.filterNot(_.name == name)
+        .map(f => annotate(f, physOf(f)))
+      (org.apache.spark.sql.types.StructType(fields),
+        retired :+ (victim.name, physOf(victim)))
+    }
+
+  /** Shared schema-evolution publish: a data-less instant whose
+    * `extraMetadata` carries the evolved (annotated) schema and the
+    * retired ledger — the timeline twin of Delta's metaData-only
+    * commit and Iceberg's schema-only metadata version.
+    */
+  private def evolveSchema(spark: org.apache.spark.sql.SparkSession,
+      location: String, what: String)(
+      f: (org.apache.spark.sql.types.StructType, Seq[(String, String)]) =>
+        (org.apache.spark.sql.types.StructType, Seq[(String, String)])): String = {
+    val root = location.stripSuffix("/")
+    val tl = new Path(s"$root/.hoodie")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = tl.getFileSystem(conf)
+    require(fs.exists(tl), s"no Hudi timeline at $location — schema $what needs a table")
+    val instants = fs.listStatus(tl).toSeq
+      .filter(st => InstantRe.pattern.matcher(st.getPath.getName).matches())
+    val (priorSchema, retired) = schemaState(fs, instants)
+    val schema = priorSchema.getOrElse(throw new IllegalStateException(
+      s"schema $what at $location: timeline records no schema"))
+    val (newSchema, newRetired) = f(schema, retired)
+    val existing = instants.flatMap(_.getPath.getName match {
+      case InstantRe(i, _) => Some(i)
+      case _               => None
+    })
+    val width = existing.map(_.length).maxOption.getOrElse(14)
+    val next = existing.map(BigInt(_)).maxOption.getOrElse(BigInt(0)) + 1
+    val digits = next.toString
+    require(digits.length <= width,
+      s"instant $digits overflows the timeline's $width-char width at $root")
+    val instant = ("0" * (width - digits.length)) + digits
+    val em = Map(
+      "graft-schema" -> newSchema.toDDL,
+      "graft-schema-json" -> newSchema.json) ++
+      (if (newRetired.nonEmpty) Map("graft-retired" -> retiredJson(newRetired))
+       else Map.empty)
+    val emJson = em.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+      .mkString("{", ", ", "}")
+    val body = s"""{"extraMetadata": $emJson, "partitionToWriteStats": {}}"""
+    val tmpInstant = new Path(tl, s".$instant.commit.schema.tmp")
+    val dst = new Path(tl, s"$instant.commit")
+    val os = fs.create(tmpInstant, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmpInstant, dst)) {
+      fs.delete(tmpInstant, false)
+      throw new IllegalStateException(
+        s"schema $what lost the publish race at $dst — re-resolve and retry")
+    }
+    instant
   }
 
   /** Highest batch id the given streaming app has recorded in any

@@ -173,6 +173,50 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     }
   }
 
+  /** Data file paths at a named REF's head snapshot — the AUDIT read
+    * of write-audit-publish: a branch reader validates the staged
+    * snapshots before [[IcebergWriter.publishBranch]] fast-forwards
+    * main onto them. Delete-content and DELETED-status entries are
+    * skipped (branch staging is append-only by this engine's
+    * contract; MOR application is main-read machinery).
+    */
+  def dataFilesForRef(location: String, ref: String): Seq[String] =
+    metadataAt(location, 0).toSeq.flatMap { meta =>
+      val id = Option(meta.get("refs")).flatMap(r => Option(r.get(ref)))
+        .flatMap(m => Option(m.get("snapshot-id")).map(_.asLong()))
+        .getOrElse(throw new IllegalArgumentException(s"no ref $ref at $location"))
+      val snap = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+        .find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id))
+        .getOrElse(throw new IllegalStateException(
+          s"ref $ref points at missing snapshot $id at $location"))
+      Option(snap.get("manifest-list")).map(_.asText()).toSeq.flatMap { ml =>
+        readAvroField(ml, _.get("manifest_path").toString).flatMap { mp =>
+          readAvroField(mp, { r =>
+            val deleted = Option(r.getSchema.getField("status")).exists { f =>
+              r.get(f.pos()) match {
+                case i: java.lang.Integer => i.intValue() == 2
+                case l: java.lang.Long    => l.longValue() == 2L
+                case _                    => false
+              }
+            }
+            if (deleted) None
+            else {
+              val df = r.get("data_file").asInstanceOf[GenericRecord]
+              val content = Option(df.getSchema.getField("content")).map { f =>
+                df.get(f.pos()) match {
+                  case i: java.lang.Integer => i.intValue()
+                  case l: java.lang.Long    => l.intValue()
+                  case _                    => 0
+                }
+              }.getOrElse(0)
+              if (content == 0) Some(df.get("file_path").toString) else None
+            }
+          }).flatten
+        }
+      }
+    }.distinct.sorted
+
   /** The Avro metadata files (manifest list + manifests, every
     * snapshot) backing one version — the set snapshot expiry must
     * retain alongside the version's data files.
@@ -309,13 +353,20 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
       }.getOrElse(Map.empty)
     }
 
-    // 2. snapshots[len(snapshots)]['manifest-list']
-    //    (reference: src/util/iceberg.ts:28-29 — last element).
-    val snaps = Option(meta.get("snapshots")).map(_.elements())
-    val lastSnap: Option[JsonNode] = snaps.flatMap { it =>
-      var last: JsonNode = null
-      while (it.hasNext) last = it.next()
-      Option(last)
+    // 2. the CURRENT snapshot: refs.main when refs exist (a staged
+    //    branch snapshot may have published last in the array and
+    //    must stay invisible to main readers until its fast-forward
+    //    publish — write-audit-publish), array-last otherwise
+    //    (reference: src/util/iceberg.ts:28-29 — last element; the
+    //    reference has no refs support).
+    val allSnaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val mainId = Option(meta.get("refs")).flatMap(r => Option(r.get("main")))
+      .flatMap(m => Option(m.get("snapshot-id")).map(_.asLong()))
+    val lastSnap: Option[JsonNode] = mainId match {
+      case Some(id) =>
+        allSnaps.find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id))
+      case None => allSnaps.lastOption
     }
     val manifestList = lastSnap.flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
     manifestList match {

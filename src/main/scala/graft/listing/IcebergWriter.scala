@@ -238,6 +238,60 @@ object IcebergWriter {
     s""", "last-column-id": $lastColId$retiredJson$mappedJson"""
   }
 
+  /** Snapshot REFS (Iceberg spec v2 §refs): named pointers into the
+    * snapshots array. Absent refs = main is the array's last element
+    * (this writer's pre-refs behavior, still the common case); a
+    * BRANCH commit appends its snapshot without moving `main`, which
+    * is what makes write-audit-publish possible — the staged data is
+    * invisible to every main reader until the fast-forward publish.
+    */
+  /** One ref: head snapshot id + (branches only) the MAIN id the
+    * branch was staged from — the divergence guard
+    * [[publishBranch]] checks before fast-forwarding.
+    */
+  private final case class Ref(id: Long, base: Option[Long])
+
+  private def refsOf(meta: com.fasterxml.jackson.databind.JsonNode): Map[String, Ref] =
+    Option(meta.get("refs")).toSeq.flatMap(_.properties().asScala.toSeq.flatMap { e =>
+      Option(e.getValue.get("snapshot-id")).map(id => e.getKey ->
+        Ref(id.asLong(), Option(e.getValue.get("base")).map(_.asLong())))
+    }).toMap
+
+  private def refsJson(refs: Map[String, Ref]): String =
+    if (refs.isEmpty) ""
+    else s""", "refs": ${refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      val base = r.base.map(b => s""", "base": $b""").getOrElse("")
+      s"""${mapper.writeValueAsString(n)}: {"snapshot-id": ${r.id}$base}"""
+    }.mkString("{", ", ", "}")}"""
+
+  /** Refs after a snapshot-creating commit: the targeted ref moves to
+    * `seq`; everything else carries. A branch commit PINS main where
+    * it was (materializing it from array-last if refs didn't exist
+    * yet — a branch needs a base to leave undisturbed).
+    */
+  private def refsVerbatim(prior: com.fasterxml.jackson.databind.JsonNode): String =
+    Option(prior.get("refs"))
+      .map(n => s""", "refs": ${mapper.writeValueAsString(n)}""").getOrElse("")
+
+  private def refsAfterCommit(prior: Option[com.fasterxml.jackson.databind.JsonNode],
+      seq: Long, branch: Option[String]): Map[String, Ref] = {
+    val priorRefs = prior.map(refsOf).getOrElse(Map.empty[String, Ref])
+    branch match {
+      case Some(b) =>
+        val mainId = priorRefs.get("main").map(_.id).orElse(prior.flatMap { n =>
+          Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq)
+            .lastOption.flatMap(s => Option(s.get("snapshot-id")).map(_.asLong()))
+        }).getOrElse(throw new IllegalArgumentException(
+          s"branch $b needs an existing base snapshot"))
+        // a chained branch commit keeps its ORIGINAL base — the
+        // divergence check must compare against where staging began
+        val base = priorRefs.get(b).flatMap(_.base).getOrElse(mainId)
+        priorRefs ++ Map("main" -> Ref(mainId, None), b -> Ref(seq, Some(base)))
+      case None if priorRefs.nonEmpty => priorRefs + ("main" -> Ref(seq, None))
+      case None => Map.empty
+    }
+  }
+
   private def schemaFieldsJson(pub: Seq[PubCol]): String =
     pub.map { c =>
       val phys =
@@ -271,10 +325,11 @@ object IcebergWriter {
       partitionBy: Seq[String] = Nil, rewriteAll: Boolean = false,
       summary: Map[String, String] = Map.empty,
       allowAdditive: Boolean = false,
-      transforms: Map[String, (String, String)] = Map.empty): Long =
+      transforms: Map[String, (String, String)] = Map.empty,
+      branch: Option[String] = None): Long =
     commitInternal(spark, location, df, partitionBy, rewriteAll, summary,
       txn = None, onBeforePublish = () => (), allowAdditive = allowAdditive,
-      transforms = transforms)
+      transforms = transforms, branch = branch)
       .getOrElse(throw new IllegalStateException(
         "unreachable: only txn commits recognize replays"))
 
@@ -304,7 +359,8 @@ object IcebergWriter {
       rewriteAll: Boolean, summary: Map[String, String],
       txn: Option[(String, Long)], onBeforePublish: () => Unit,
       allowAdditive: Boolean = false,
-      transforms: Map[String, (String, String)] = Map.empty): Option[Long] = {
+      transforms: Map[String, (String, String)] = Map.empty,
+      branch: Option[String] = None): Option[Long] = {
     val root = location.stripSuffix("/")
     val metaDir = new Path(s"$root/metadata")
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -374,7 +430,7 @@ object IcebergWriter {
         .getOrElse(0L) + 1L
       val out = commitAttempt(spark, fs, root, metaDir, df, partitionBy,
         rewriteAll, summary, token, prior, seq, idFields,
-        dataDir, manifestPath, onBeforePublish, transforms, allowAdditive)
+        dataDir, manifestPath, onBeforePublish, transforms, allowAdditive, branch)
       out match {
         case Right(published) => return Some(published)
         case Left((dd, mp)) =>
@@ -402,16 +458,28 @@ object IcebergWriter {
       dataDir0: String, manifestPath0: String,
       onBeforePublish: () => Unit,
       transforms: Map[String, (String, String)] = Map.empty,
-      allowAdditive: Boolean): Either[(String, String), Long] = {
+      allowAdditive: Boolean, branch: Option[String] = None): Either[(String, String), Long] = {
     val priorSnapshots: Seq[String] = prior.toSeq.flatMap { n =>
       Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq
         .map(mapper.writeValueAsString))
     }
+    val priorRefs: Map[String, Ref] = prior.map(refsOf).getOrElse(Map.empty[String, Ref])
+    // BASE snapshot this commit extends: the targeted ref's head when
+    // refs exist (a main append must never absorb an unpublished
+    // audit branch's manifests, and a second branch commit chains on
+    // the branch, not on whatever published last); array-last
+    // otherwise — the pre-refs behavior.
     val priorManifests: Seq[String] = prior.toSeq.flatMap { n =>
-      val last = Option(n.get("snapshots")).flatMap { arr =>
-        val e = arr.elements().asScala.toSeq; e.lastOption
+      val all = Option(n.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala.toSeq)
+      val baseId = priorRefs.get(branch.getOrElse("main")).map(_.id)
+        .orElse(if (branch.isDefined) priorRefs.get("main").map(_.id) else None)
+      val base = baseId match {
+        case Some(id) =>
+          all.find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id))
+        case None => all.lastOption
       }
-      last.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
+      base.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
         .flatMap(ml => readAvro(fs, new Path(ml))
           .map(r => r.get("manifest_path").toString))
     }
@@ -637,7 +705,8 @@ object IcebergWriter {
         s""""source-id": $srcId, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")
     val body =
-      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(lastColId, retired, mapped)},
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(lastColId, retired, mapped)}${refsJson(
+            refsAfterCommit(prior, seq, branch))},
          |"current-schema-id": 0,
          |"schemas": [{"schema-id": 0, "fields": $schemaJson}],
          |"partition-specs": [{"spec-id": 0, "fields": $specJson}],
@@ -707,7 +776,8 @@ object IcebergWriter {
         s""""summary": {"operation": "rollback", "rolled-back-to": "$targetId"}}"""
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
-            lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))},
+            lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))}${refsJson(
+            refsAfterCommit(Some(prior), seq, None))},
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
          |"schemas": ${mapper.writeValueAsString(prior.get("schemas"))},
          |"partition-specs": ${mapper.writeValueAsString(prior.get("partition-specs"))},
@@ -763,6 +833,72 @@ object IcebergWriter {
       (pub.filterNot(_.name == name), retired :+ (victim.name, victim.phys))
     }
 
+  /** PUBLISH a staged branch — the write-audit-publish endgame: a
+    * metadata-only FAST-FORWARD of `main` to the branch's head (the
+    * staged snapshots become visible to every main reader atomically)
+    * and retirement of the branch ref. Zero data movement; the
+    * snapshots array is untouched, so the pre-publish main state
+    * still time-travels through earlier metadata versions. Returns
+    * the new sequence number.
+    */
+  def publishBranch(spark: SparkSession, location: String, branchName: String): Long = {
+    require(branchName != "main", "main is not a publishable branch")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location — publish needs an existing table"))
+    val refs = refsOf(prior)
+    val head = refs.getOrElse(branchName, throw new IllegalArgumentException(
+      s"no branch $branchName at $location (refs: ${refs.keys.mkString(", ")})"))
+    // DIVERGENCE guard: a fast-forward is only sound when main still
+    // sits where staging began — the branch's manifest list extends
+    // that exact state, so publishing over a moved main would
+    // silently drop main's newer snapshots. Real Iceberg refuses the
+    // same way (fast_forward requires an ancestor); re-stage on the
+    // current main instead.
+    val mainId = refs.get("main").map(_.id)
+    head.base.foreach { b =>
+      require(mainId.contains(b),
+        s"cannot fast-forward: main moved from $b to ${mainId.getOrElse("?")} " +
+          s"since $branchName was staged at $location — re-stage on the current main")
+    }
+    val newRefs = (refs - branchName) + ("main" -> Ref(head.id, None))
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
+      .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val specsJson = Option(prior.get("partition-specs"))
+      .map(n => s""",
+         |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
+            lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))}${refsJson(newRefs)},
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": $schemasJson$specsJson,
+         |"snapshots": [${priorSnapshots.mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"publish lost the race at $dst — re-resolve and retry")
+    }
+    seq
+  }
+
   /** EVOLVE the partition spec as a METADATA-ONLY commit — Iceberg's
     * signature layout feature (spec v2 §Partition Evolution): specs
     * are versioned metadata, never a data rewrite. Existing files
@@ -805,7 +941,7 @@ object IcebergWriter {
       .getOrElse("""[{"schema-id": 0, "fields": []}]""")
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
-            lastColIdOf(prior, pub), retiredOf(prior), mappedMode(prior))},
+            lastColIdOf(prior, pub), retiredOf(prior), mappedMode(prior))}${refsVerbatim(prior)},
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
          |"schemas": $schemasJson,
          |"partition-specs": [{"spec-id": 0, "fields": $specJson}],
@@ -870,7 +1006,7 @@ object IcebergWriter {
          |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
-            lastColIdOf(prior, pub), newRetired, mapped = true)},
+            lastColIdOf(prior, pub), newRetired, mapped = true)}${refsVerbatim(prior)},
          |"current-schema-id": 0,
          |"schemas": [{"schema-id": 0, "fields": ${schemaFieldsJson(newPub)}}]$specsJson,
          |"snapshots": [${priorSnapshots.mkString(", ")}]}""".stripMargin
@@ -923,8 +1059,13 @@ object IcebergWriter {
     val priorSnapshots = Option(prior.get("snapshots")).toSeq
       .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
     val priorManifests = {
-      val last = Option(prior.get("snapshots")).flatMap(a => a.elements().asScala.toSeq.lastOption)
-      last.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
+      val all = Option(prior.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq)
+      // deletes target MAIN: with refs present, extend main's head —
+      // never a staged branch snapshot that happened to publish last
+      val base = refsOf(prior).get("main").map(_.id)
+        .flatMap(id => all.find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id)))
+        .orElse(all.lastOption)
+      base.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
         .flatMap(ml => readAvro(fs, new Path(ml)).map(_.get("manifest_path").toString))
     }
     // field ids come from the CURRENT schema (same position rule as commit)
@@ -962,7 +1103,8 @@ object IcebergWriter {
     val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
       .getOrElse("""[{"schema-id": 0, "fields": []}]""")
     val carry = evolutionCarryJson(
-      lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))
+      lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior)) +
+      refsJson(refsAfterCommit(Some(prior), seq, None))
     // carry the partition spec: a MOR delete must not strip the
     // table's layout metadata (hidden-transform pruning and the
     // append-time spec-stability check both read the CURRENT json)
@@ -1133,8 +1275,12 @@ object IcebergWriter {
     val priorSnapshots = Option(prior.get("snapshots")).toSeq
       .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
     val priorManifests = {
-      val last = Option(prior.get("snapshots")).flatMap(a => a.elements().asScala.toSeq.lastOption)
-      last.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
+      val all = Option(prior.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq)
+      // merge targets MAIN: with refs present, extend main's head
+      val base = refsOf(prior).get("main").map(_.id)
+        .flatMap(id => all.find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id)))
+        .orElse(all.lastOption)
+      base.flatMap(s => Option(s.get("manifest-list")).map(_.asText())).toSeq
         .flatMap(ml => readAvro(fs, new Path(ml)).map(_.get("manifest_path").toString))
     }
     val mlPath = s"$root/metadata/ml_s${seq}_$token.avro"
@@ -1148,7 +1294,8 @@ object IcebergWriter {
     val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
       .getOrElse("""[{"schema-id": 0, "fields": []}]""")
     val carry = evolutionCarryJson(
-      lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))
+      lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior)) +
+      refsJson(refsAfterCommit(Some(prior), seq, None))
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq$carry,
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},

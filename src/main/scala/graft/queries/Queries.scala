@@ -1439,6 +1439,94 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
 
+    // Iceberg WRITE-AUDIT-PUBLISH through the oracle gate — snapshot
+    // refs (spec v2): the odd half stages on an `audit` BRANCH whose
+    // snapshot is invisible to every main reader, the audit gate
+    // validates the staged state (and that main is untouched), and
+    // the fast-forward publish makes it visible atomically with zero
+    // data movement. The final aggregate must see both halves.
+    "g64_iceberg_wap" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_wap_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "ice_wap_rt", loc)
+        val mainBefore = eng.tableDF("default", "ice_wap_rt").count()
+        eng.appendIcebergBranch(o.filter(col("o_orderkey") % 2 === 1),
+          "default", "ice_wap_rt", "audit")
+        // the AUDIT gate: staged state is complete, main is untouched
+        val staged = eng.icebergBranchDF("default", "ice_wap_rt", "audit")
+        require(staged.count() == o.count(),
+          "audit: branch head must hold the full would-be-published state")
+        require(eng.tableDF("default", "ice_wap_rt").count() == mainBefore,
+          "audit: main must not see staged rows before publish")
+        eng.publishIcebergBranch("default", "ice_wap_rt", "audit")
+        eng.query(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.ice_wap_rt
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Hudi COLUMN RENAME through the oracle gate — completes the
+    // rename row of the evolution matrix (Delta g57, Iceberg g59):
+    // a metadata-only schema instant renames the field in the
+    // TIMELINE schema (the reader's authority), the physical-name
+    // annotation keeps binding to what the slices hold, and the
+    // post-rename append arrives under the new logical name.
+    "g62_hudi_rename" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_ren_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_ren_rt", loc)
+        eng.renameHudiColumn("default", "hudi_ren_rt", "o_orderpriority", "priority")
+        eng.appendHudiTable(
+          o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_orderpriority", "priority"),
+          "default", "hudi_ren_rt")
+        eng.query(
+          """SELECT priority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.hudi_ren_rt
+            |WHERE priority >= '3-MEDIUM'
+            |GROUP BY priority ORDER BY priority""".stripMargin)
+      },
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderpriority >= '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)),
+
+    // Hudi DROP COLUMN + re-add through the oracle gate — completes
+    // the drop row of the matrix (Delta g58, Iceberg g60): the drop
+    // is a metadata-only schema instant, the re-added NAME binds to a
+    // FRESH physical column via the retired ledger, so pre-drop rows
+    // read NULL instead of resurrecting slice bytes.
+    "g63_hudi_drop" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_drop_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_drop_rt", loc)
+        eng.dropHudiColumn("default", "hudi_drop_rt", "o_orderpriority")
+        eng.appendHudiTable(o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+          "default", "hudi_drop_rt", evolve = true)
+        eng.query(
+          """SELECT coalesce(o_orderpriority, '(dropped)') AS priority, count(*) AS n,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+            |FROM glue.default.hudi_drop_rt
+            |GROUP BY 1 ORDER BY priority""".stripMargin)
+      },
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(dropped)'
+        |            ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
     // Iceberg PARTITION-SPEC EVOLUTION through the oracle gate —
     // the layout feature the format exists for: the table starts
     // unpartitioned, adopts truncate[1000] hidden partitioning as a

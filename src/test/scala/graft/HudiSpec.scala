@@ -105,6 +105,50 @@ class HudiSpec extends AnyFunSuite {
       .toSeq == Seq(1000L, 1099L))
   }
 
+  test("column rename and drop are metadata-only; re-added names never resurrect") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_ren_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 100L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1),
+      "d", "hrn", loc)
+    val files0 = eng.files("d", "hrn").map(_.path).toSet
+    // RENAME: metadata-only, both generations read as one logical schema
+    eng.renameHudiColumn("d", "hrn", "v", "label")
+    assert(eng.files("d", "hrn").map(_.path).toSet == files0, "rename rewrites nothing")
+    assert(eng.tableDF("d", "hrn").columns.toSeq == Seq("k", "label"))
+    assert(eng.tableDF("d", "hrn").filter(col("label") === "r7").count() == 1)
+    eng.appendHudiTable(
+      (1000L until 1100L).map(i => (i, s"r$i")).toDF("k", "label").coalesce(1), "d", "hrn")
+    assert(eng.tableDF("d", "hrn").count() == 200)
+    val newFile = (eng.files("d", "hrn").map(_.path).toSet -- files0).head
+    assert(spark.read.parquet(newFile).columns.toSeq.contains("v"),
+      "post-rename slices must hold the PHYSICAL column name")
+    // pre-rename instant still travels with the old name
+    assert(eng.tableDF("d", "hrn", 2).columns.toSeq == Seq("k", "v"))
+    // DROP + re-add: fresh physical column, pre-drop rows read NULL
+    val loc2 = s"/root/repo/target/hudi_drop_${System.nanoTime()}"
+    eng.writeHudiTable(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "n").coalesce(1),
+      "d", "hdr", loc2)
+    val dFiles0 = eng.files("d", "hdr").map(_.path).toSet
+    eng.dropHudiColumn("d", "hdr", "v")
+    assert(eng.files("d", "hdr").map(_.path).toSet == dFiles0)
+    assert(eng.tableDF("d", "hdr").columns.toSeq == Seq("k", "n"))
+    eng.appendHudiTable(Seq((3L, 30L, "c")).toDF("k", "n", "v").coalesce(1),
+      "d", "hdr", evolve = true)
+    val rows = eng.tableDF("d", "hdr").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 10L, null), (2L, 20L, null), (3L, 30L, "c")),
+      s"pre-drop rows must read NULL for the re-added column, got ${rows.toSeq}")
+    val newSlice = (eng.files("d", "hdr").map(_.path).toSet -- dFiles0).head
+    val physCols = spark.read.parquet(newSlice).columns.toSeq
+    assert(physCols.exists(c => c.startsWith("v_") && c != "v"),
+      s"re-added column must use a FRESH physical name, slice holds $physCols")
+    // pre-drop instant still travels with the original values
+    val old = eng.tableDF("d", "hdr", 2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(old.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("rollback reinstates an earlier instant's slices; timeline intact") {
     import spark.implicits._
     val loc = s"/root/repo/target/hudi_rb_${System.nanoTime()}"

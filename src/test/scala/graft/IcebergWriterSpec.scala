@@ -494,6 +494,49 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(!changes(2, 0).exists { case (k, _, _) => k >= 10L && k < 100L })
   }
 
+  test("branch staging is invisible to main; publish fast-forwards; divergence refused") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_wap_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 100L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1),
+      "d", "iwap", loc)
+    // stage on the audit branch: main readers stay oblivious
+    eng.appendIcebergBranch((1000L until 1100L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "iwap", "audit")
+    assert(eng.tableDF("d", "iwap").count() == 100, "main must not see staged rows")
+    assert(eng.icebergBranchDF("d", "iwap", "audit").count() == 200,
+      "branch head = base state + staged batch")
+    // a SECOND staged batch chains on the branch
+    eng.appendIcebergBranch((2000L until 2100L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "iwap", "audit")
+    assert(eng.tableDF("d", "iwap").count() == 100)
+    assert(eng.icebergBranchDF("d", "iwap", "audit").count() == 300)
+    // main operations keep working while a branch is staged (and do
+    // NOT absorb its manifests)
+    eng.appendIcebergTable((5000L until 5100L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "iwap")
+    assert(eng.tableDF("d", "iwap").count() == 200)
+    assert(eng.tableDF("d", "iwap").filter(col("k") >= 1000 && col("k") < 3000).count() == 0)
+    // main DIVERGED from the branch's base: fast-forward must refuse
+    // (publishing would silently drop main's newer snapshot)
+    val e = intercept[IllegalArgumentException] {
+      eng.publishIcebergBranch("d", "iwap", "audit")
+    }
+    assert(e.getMessage.contains("fast-forward"))
+    // the clean path: stage -> audit -> publish on an undisturbed main
+    val loc2 = s"/root/repo/target/ice_wap2_${System.nanoTime()}"
+    eng.writeIcebergTable((0L until 50L).map(k => (k, s"r$k")).toDF("k", "v").coalesce(1),
+      "d", "iwap2", loc2)
+    eng.appendIcebergBranch((100L until 150L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "iwap2", "audit")
+    eng.publishIcebergBranch("d", "iwap2", "audit")
+    assert(eng.tableDF("d", "iwap2").count() == 100, "publish makes staged rows visible")
+    // the pre-publish main state still time-travels (metadata v1)
+    assert(eng.tableDF("d", "iwap2", 2).count() == 50)
+  }
+
   test("partition-spec evolution: old files always read, new files prune, zero rewrites") {
     val sp = Shim.classic(spark)
     import sp.implicits._
