@@ -1766,6 +1766,27 @@ final class GlueTableEngine(
     else spark.read.parquet(paths: _*)
   }
 
+  /** TAG the current main snapshot — an immutable named ref: later
+    * writes move main past it while the tag keeps naming the exact
+    * snapshot ([[graft.listing.IcebergWriter.tagSnapshot]]). Read it
+    * back with [[icebergTagDF]]. Returns the tagged snapshot id.
+    */
+  def tagIcebergSnapshot(database: String, table: String, tag: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.tagSnapshot(spark, location(meta), tag)
+    invalidateTable(database, table)
+    v
+  }
+
+  /** Read a TAGGED snapshot — the frozen state the tag names,
+    * however far main has moved since. Same resolution as the
+    * branch-audit read.
+    */
+  def icebergTagDF(database: String, table: String, tag: String): DataFrame =
+    icebergBranchDF(database, table, tag)
+
   /** PUBLISH a staged branch: metadata-only fast-forward of main onto
     * the branch head ([[graft.listing.IcebergWriter.publishBranch]]) —
     * the audited snapshots become visible to every main reader

@@ -833,6 +833,64 @@ object IcebergWriter {
       (pub.filterNot(_.name == name), retired :+ (victim.name, victim.phys))
     }
 
+  /** TAG the current main snapshot — an immutable named ref (spec v2
+    * tags): later commits move main past it while the tag keeps
+    * naming the exact snapshot, giving pipelines an auditable,
+    * human-named restore/compare point (`v1-training-cut`) that
+    * survives any number of subsequent writes. Metadata-only; reads
+    * resolve through [[IcebergSnapshotResolver.dataFilesForRef]].
+    * Returns the tagged snapshot id.
+    */
+  def tagSnapshot(spark: SparkSession, location: String, tag: String): Long = {
+    require(tag != "main", "main is not a taggable name")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location — tagging needs an existing table"))
+    val refs = refsOf(prior)
+    require(!refs.contains(tag), s"ref $tag already exists at $location")
+    val mainId = refs.get("main").map(_.id).orElse {
+      Option(prior.get("snapshots")).toSeq.flatMap(_.elements().asScala.toSeq)
+        .lastOption.flatMap(s => Option(s.get("snapshot-id")).map(_.asLong()))
+    }.getOrElse(throw new IllegalStateException(
+      s"cannot tag $location: table has no snapshots"))
+    val newRefs = refs ++ Map("main" -> Ref(mainId, None), tag -> Ref(mainId, None))
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
+      .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val specsJson = Option(prior.get("partition-specs"))
+      .map(n => s""",
+         |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
+            lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))}${refsJson(newRefs)},
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": $schemasJson$specsJson,
+         |"snapshots": [${priorSnapshots.mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag lost the publish race at $dst — re-resolve and retry")
+    }
+    mainId
+  }
+
   /** PUBLISH a staged branch — the write-audit-publish endgame: a
     * metadata-only FAST-FORWARD of `main` to the branch's head (the
     * staged snapshots become visible to every main reader atomically)

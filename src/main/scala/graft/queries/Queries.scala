@@ -1472,6 +1472,34 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Iceberg SNAPSHOT TAGS through the oracle gate — the immutable
+    // named ref (the `v1-training-cut` a data pipeline audits
+    // against): tag the even-half state, keep writing (main moves,
+    // the tag does not), and aggregate the TAGGED read — it must see
+    // exactly the state at tag time, not the later appends.
+    "g65_iceberg_tag" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_tag_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "ice_tag_rt", loc)
+        eng.tagIcebergSnapshot("default", "ice_tag_rt", "v1_cut")
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1),
+          "default", "ice_tag_rt")
+        require(eng.tableDF("default", "ice_tag_rt").count() == o.count(),
+          "main must see both halves after the append")
+        eng.icebergTagDF("default", "ice_tag_rt", "v1_cut")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Hudi COLUMN RENAME through the oracle gate — completes the
     // rename row of the evolution matrix (Delta g57, Iceberg g59):
     // a metadata-only schema instant renames the field in the
