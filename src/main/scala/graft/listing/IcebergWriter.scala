@@ -349,10 +349,12 @@ object IcebergWriter {
     */
   def commitTxn(spark: SparkSession, location: String, df: org.apache.spark.sql.DataFrame,
       appId: String, batchId: Long, partitionBy: Seq[String] = Nil,
-      onBeforePublish: () => Unit = () => ()): Option[Long] =
+      onBeforePublish: () => Unit = () => (),
+      branch: Option[String] = None): Option[Long] =
     commitInternal(spark, location, df, partitionBy, rewriteAll = false,
       summary = Map("graft-txn-app" -> appId, "graft-txn-batch" -> batchId.toString),
-      txn = Some((appId, batchId)), onBeforePublish = onBeforePublish)
+      txn = Some((appId, batchId)), onBeforePublish = onBeforePublish,
+      branch = branch)
 
   private def commitInternal(spark: SparkSession, location: String,
       df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String],

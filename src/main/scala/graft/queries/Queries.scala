@@ -3352,6 +3352,39 @@ object Queries {
       """SELECT lang, source, COUNT(*) AS n_docs
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // Streaming ingest STAGED ON AN ICEBERG BRANCH — the quarantine
+    // pattern: main serves the curated half while the stream's
+    // micro-batches commit exactly-once onto an `staging` branch no
+    // main reader can see; the audit gate validates the staged state
+    // and the fast-forward publish flips it live atomically. The
+    // final aggregate must equal the full corpus.
+    "st15_stream_branch_wap" -> ((
+      (spark: SparkSession, sf: String) => {
+        import graft.streaming.EventStreams
+        val eng = TestFixtures.engineFor(spark, sf)
+        val docs = t(spark, sf, "documents")
+        val (stream, loc) = stagedDocStream(spark, sf, "wap")
+        // main = the already-curated half; the stream stages the rest
+        eng.writeIcebergTable(docs.filter(col("doc_id") % 2 === 0),
+          "default", "stream_wap_rt", loc)
+        val q = EventStreams.icebergIngestBranch(
+          stream.filter(col("doc_id") % 2 === 1), loc, "staging", appId = "st15")
+        try q.processAllAvailable() finally q.stop()
+        // AUDIT: branch head = full corpus; main untouched by staging
+        require(eng.icebergBranchDF("default", "stream_wap_rt", "staging")
+          .count() == docs.count(), "audit: staged head must hold the full corpus")
+        require(eng.tableDF("default", "stream_wap_rt").count() ==
+          docs.filter(col("doc_id") % 2 === 0).count(),
+          "audit: main must not see staged micro-batches")
+        eng.publishIcebergBranch("default", "stream_wap_rt", "staging")
+        eng.query(
+          """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            |FROM glue.default.stream_wap_rt
+            |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // STREAM-STREAM interval join in the driver gate: purchases
     // joined to the same user's views in the preceding hour, two
     // watermarked sides over a TIME-ORDERED four-file replay (see

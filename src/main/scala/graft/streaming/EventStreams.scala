@@ -625,6 +625,25 @@ object EventStreams {
       commitIcebergBatchIdempotent(batch.toDF(), location, appId, batchId); ()
     }.start()
 
+  /** Streaming Iceberg sink STAGED ON A BRANCH — the quarantine
+    * pattern a production ingest runs: every micro-batch commits
+    * (exactly-once, same txn marks as [[icebergIngest]]) onto a named
+    * branch, INVISIBLE to main readers, until a validation pass
+    * audits the staged state and
+    * [[graft.engine.GlueTableEngine.publishIcebergBranch]]
+    * fast-forwards main onto it atomically. A poisoned stream never
+    * contaminates the serving table; rejecting it is dropping one
+    * ref. Replays are recognized branch-wide (the txn marks live in
+    * the snapshot summaries, branch snapshots included).
+    */
+  def icebergIngestBranch(docs: DataFrame, location: String, branch: String,
+      appId: String = "graft-iceberg-stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.listing.IcebergWriter.commitTxn(batch.sparkSession, location,
+        batch.toDF(), appId, batchId, branch = Some(branch)); ()
+    }.start()
+
   /** Commit one micro-batch into a HUDI COW table IFF its (appId,
     * batchId) mark isn't already recorded — the trio-completing
     * idempotence contract, with the mark in the commit's
