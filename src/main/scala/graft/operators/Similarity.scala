@@ -156,10 +156,17 @@ object Similarity {
     * standard LSH trade — `planes` is the resolution knob: +1 plane
     * quarters the per-bucket volume), and the rank window partitions
     * by source vector, never globally. Edges: (src, rank, dst, cos).
+    *
+    * `planes` defaults HIGHER than the single-probe queries' (6 vs
+    * 4): an all-pairs graph pays the per-bucket quadratic once per
+    * BUCKET MEMBER, not once per query, so occupancy must be held
+    * down as the corpus grows — measured: 4 planes at a 20k corpus is
+    * ~25M candidate pairs (17-30 s), 6 planes is ~1.6M (sub-5 s). At
+    * production scale pick planes ≈ log4(n / target-bucket-size).
     */
-  def knnGraph(emb: DataFrame, k: Int = 3): DataFrame = {
+  def knnGraph(emb: DataFrame, k: Int = 3, planes: Int = LshPlanes + 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = emb.withColumn("bucket", bucketId(col("embedding")))
+    val b = emb.withColumn("bucket", bucketId(col("embedding"), planes))
       .select(col("bucket"), col("vec_id"), col("embedding"))
     val l = b.select(col("bucket"), col("vec_id").as("src"), col("embedding").as("se"))
     val r = b.select(col("bucket"), col("vec_id").as("dst"), col("embedding").as("de"))
@@ -176,8 +183,8 @@ object Similarity {
   /** DuckDB oracle for [[knnGraph]] — the same bucket blocking, pair
     * cosine, and per-source rank window.
     */
-  def sqlKnnGraph(k: Int = 3): String =
-    s"""WITH eb AS (SELECT vec_id, embedding, ${sqlBucketId("embedding")} AS bucket
+  def sqlKnnGraph(k: Int = 3, planes: Int = LshPlanes + 2): String =
+    s"""WITH eb AS (SELECT vec_id, embedding, ${sqlBucketId("embedding", planes)} AS bucket
        |            FROM embeddings),
        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |        round(${sqlDot("a.embedding", "b.embedding")} /
