@@ -709,6 +709,11 @@ object Dedup {
     val dense = v > 0 && nDocs > 1 &&
       prefixRows * prefixRows / v > nDocs.toDouble * nDocs / 4.0 &&
       8.0 * e + 32.0 * nDocs <= maxBytes
+    // tiny-vocabulary corpora (templated text: V ~ thousands while E
+    // grows with the corpus) defeat both signature schemes at once —
+    // every prefix hash is common AND the merge verifier's early
+    // exit almost never fires; the dense kernel detects exact-V
+    // in-construction and switches to bitset verification there
     if (dense) denseJaccardPairs(docs, n, threshold)
     else ngramJaccardPairsDfOrdered(docs, n, threshold)
   }
@@ -741,105 +746,169 @@ object Dedup {
     * as a declarative join condition. Still no shuffle of candidate
     * rows; parallelism = the spread() partitioning of the probe side.
     *
-    * LAZY AT CONSTRUCTION (r12 verdict ask #7): the signature table
-    * is NOT collected when this method is called — it rides the plan
-    * as a one-row `sort_array(collect_list(...))` aggregate cross-
-    * joined via `broadcast()`, so the index materializes (and its
-    * driver/executor memory is paid) only when the returned DataFrame
-    * first EXECUTES. Speculative construction costs zero Spark jobs
-    * (DedupSpec pins this). `sort_array` over `(nh, doc_id, hs)`
-    * structs is lexicographic on the leading fields — exactly the
-    * (nh, doc_id) order the window scan needs — and each task
-    * converts the broadcast row to a primitive index once, memoized
-    * per JVM so concurrent tasks share one copy (the deserialized-
-    * value sharing `SparkContext.broadcast` gave the old eager shape).
+    * EAGER AT CONSTRUCTION — deliberately (r13 reversal of the r12
+    * lazy-index ask, with measurements): the lazy shape carried the
+    * index as a one-row `sort_array(collect_list)` aggregate joined
+    * by `broadcast()`, and whole-stage codegen then COPIED the whole
+    * index into EVERY join output row — at a 50k-doc corpus that is
+    * ~1.1 TB of memcpy (measured: d7 8.4 s -> 43 min, plus executor
+    * OOM from the per-row Row-encoder conversions). Speculation
+    * safety lives in the SELECTOR instead: [[ngramJaccardPairs]]
+    * decides the path from the one-pass stats BEFORE constructing
+    * this operator, so the collect here is never speculative
+    * (DedupSpec pins that the prefix path runs no signature collect).
+    *
+    * TINY-VOCABULARY kernel: when the exact global vocabulary
+    * (derived driver-side from the already-collected signatures —
+    * zero extra jobs) fits 4096 bits, signatures are bitset-packed
+    * and the per-pair verify is ~V/64 branchless AND+popcounts. The
+    * merge verifier's early exit is worthless exactly there: overlap
+    * against a small shared vocabulary climbs too slowly to bail, so
+    * every candidate paid a full ~|d| merge.
     */
+  /** Test seam: how many dense indexes have been BUILT (collected) —
+    * DedupSpec pins that prefix-path corpora never increment it.
+    */
+  private[graft] val denseBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    denseBuilds.incrementAndGet()
     val spark = docs.sparkSession
-    import spark.implicits._
+    val sp = org.apache.spark.sql.graft.Shim.classic(spark)
     val base = spread(docs).select(
       col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
       .filter(col("nh") > 0)
-    val memoKey = "dense_" + java.util.UUID.randomUUID().toString
-    val sigRow = base
-      .select(struct(col("nh"), col("doc_id"), col("hs")).as("s"))
-      .agg(sort_array(collect_list(col("s"))).as("sigs"))
+    // EAGER index: the signature table is collected ONCE driver-side
+    // (bounded by the selector's byte budget) and shipped via
+    // SparkContext.broadcast — each executor fetches it once over the
+    // torrent path. A lazy one-row-aggregate column shape was tried
+    // (r13): whole-stage codegen then COPIES the whole index into
+    // EVERY join output row — measured 1.1 TB of memcpy + executor
+    // OOM at a 50k-doc corpus. Laziness is the SELECTOR's job: this
+    // constructor is only reached once the adaptive decision to go
+    // dense is already made, so the collect is never speculative.
+    val rows = base.select(col("nh"), col("doc_id"), col("hs")).collect()
+    java.util.Arrays.sort(rows, (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) => {
+      val c = Integer.compare(x.getInt(0), y.getInt(0))
+      if (c != 0) c else java.lang.Long.compare(x.getLong(1), y.getLong(1))
+    })
+    val nIdx = rows.length
+    val ids = new Array[Long](nIdx)
+    val lens = new Array[Int](nIdx)
+    val hsArr = new Array[Array[Long]](nIdx)
+    var i0 = 0
+    while (i0 < nIdx) {
+      ids(i0) = rows(i0).getLong(1)
+      lens(i0) = rows(i0).getInt(0)
+      hsArr(i0) = rows(i0).getSeq[Long](2).toArray
+      i0 += 1
+    }
+    // TINY-VOCABULARY kernel: derive the EXACT global vocabulary from
+    // the already-collected signatures (zero extra jobs). Templated
+    // corpora (V ~ thousands while E grows with the corpus) defeat
+    // the merge verifier's early exit — overlap against a shared
+    // vocabulary climbs too slowly to bail — so each signature is
+    // bitset-packed over the vocabulary and the per-pair verify
+    // collapses to ~V/64 branchless AND+popcounts. Above the 4096-bit
+    // cap the sorted-merge kernel stands.
+    val vocab: Array[Long] = {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var k = 0
+      var overflow = false
+      while (k < nIdx && !overflow) {
+        val a = hsArr(k); var j = 0
+        while (j < a.length && !overflow) {
+          set.add(a(j))
+          if (set.size > 4096) overflow = true
+          j += 1
+        }
+        k += 1
+      }
+      if (overflow) null
+      else {
+        val out = new Array[Long](set.size)
+        val it = set.iterator(); var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        out
+      }
+    }
+    def packBits(hs: Array[Long], vocabArr: Array[Long]): Array[Long] = {
+      val b = new Array[Long]((vocabArr.length + 63) >>> 6)
+      var i = 0
+      while (i < hs.length) {
+        val idx = java.util.Arrays.binarySearch(vocabArr, hs(i))
+        b(idx >>> 6) |= 1L << (idx & 63) // every doc hash is in the vocab by construction
+        i += 1
+      }
+      b
+    }
+    val sigs: Array[Array[Long]] =
+      if (vocab == null) hsArr else hsArr.map(packBits(_, vocab))
+    val bc = sp.sparkContext.broadcast((ids, sigs, lens, vocab))
     val t = threshold
     val needFrac = threshold / (1 + threshold)
-    val pairs = base.crossJoin(broadcast(sigRow)).mapPartitions { it0 =>
-      val it = it0.buffered
-      if (!it.hasNext) Iterator.empty
-      else {
-        // columns: doc_id(0), hs(1), nh(2), sigs(3) — sigs is the SAME
-        // broadcast value on every row; deserialize it once per JVM
-        val all = DenseIndexCache.get(memoKey, {
-          val raw = it.head.getSeq[org.apache.spark.sql.Row](3)
-          raw.iterator.map(r =>
-            (r.getLong(1), r.getSeq[Long](2).toArray, r.getInt(0))).toArray
-        })
-        it.flatMap { row =>
-          val id = row.getLong(0)
-          val ha = row.getSeq[Long](1).toArray
-          val na = row.getInt(2)
-          // first index AFTER this doc in the (nh, doc_id) order
-          var lo = 0; var hi = all.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            val m = all(mid)
-            if (m._3 < na || (m._3 == na && m._1 <= id)) lo = mid + 1 else hi = mid
-          }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var i = lo
-          var inWindow = true
-          while (inWindow && i < all.length) {
-            val (idB, hb, nb) = all(i)
-            // same 1e-9 slack as the join formulation, so the admitted
-            // candidate set is unchanged; nh ascending makes the first
-            // failure terminal
-            if (nb * t > na + 1e-9) inWindow = false
-            else {
+    // InternalRow scan (no Row-encoder conversion of probe rows);
+    // each probe extracts its own primitives, then walks the sorted
+    // length window over the broadcast arrays.
+    val pairsRdd = base.queryExecution.toRdd.mapPartitions { it =>
+      val (bIds, bSigs, bLens, bVocab) = bc.value
+      val useBits = bVocab != null
+      val w = if (useBits) (bVocab.length + 63) >>> 6 else 0
+      def probe(id: Long, haRaw: Array[Long], na: Int): Seq[(Long, Long, Double)] = {
+        val ha = if (useBits) packBits(haRaw, bVocab) else haRaw
+        // first index AFTER this doc in the (nh, doc_id) order
+        var lo = 0; var hi = bIds.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bLens(mid) < na || (bLens(mid) == na && bIds(mid) <= id)) lo = mid + 1
+          else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = lo
+        var inWindow = true
+        while (inWindow && i < bIds.length) {
+          val nb = bLens(i)
+          // same 1e-9 slack as the join formulation, so the admitted
+          // candidate set is unchanged; nh ascending makes the first
+          // failure terminal
+          if (nb * t > na + 1e-9) inWindow = false
+          else {
+            val hb = bSigs(i)
+            if (useBits) {
+              // exact overlap in one branchless pass; admit jac >= t
+              // directly (the at-least precheck is subsumed)
+              var ov = 0; var k = 0
+              while (k < w) { ov += java.lang.Long.bitCount(ha(k) & hb(k)); k += 1 }
+              val jac = ov.toDouble / (na + nb - ov)
+              if (jac >= t) {
+                val idB = bIds(i)
+                out += ((math.min(id, idB), math.max(id, idB), jac))
+              }
+            } else {
               val need = math.ceil((na + nb) * needFrac - 1e-6).toInt
               if (graft.functions.HashOps.sortedOverlapAtLeastArr(ha, hb, need)) {
                 val ov = graft.functions.HashOps.sortedOverlapArr(ha, hb).toDouble
                 val jac = ov / (na + nb - ov)
-                if (jac >= t) out += ((math.min(id, idB), math.max(id, idB), jac))
+                if (jac >= t) {
+                  val idB = bIds(i)
+                  out += ((math.min(id, idB), math.max(id, idB), jac))
+                }
               }
-              i += 1
             }
+            i += 1
           }
-          out
         }
+        out.toSeq
       }
+      // extract each row's primitives inside the flatMap call, BEFORE
+      // the iterator advances (UnsafeRow buffers are reused)
+      it.flatMap(row =>
+        probe(row.getLong(0), row.getArray(1).toLongArray(), row.getInt(2)))
     }
-    pairs.toDF("a", "b", "jac")
+    sp.createDataFrame(pairsRdd).toDF("a", "b", "jac")
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
       .orderBy("a", "b")
-  }
-
-  /** Per-JVM memo for [[denseJaccardPairs]]' deserialized signature
-    * index: the broadcast row is shared by Spark, but converting it
-    * to a primitive probe array per TASK would multiply the (budget-
-    * capped, up to 256 MB) index by the task slot count. Soft values
-    * so an idle index never pins the heap against execution memory.
-    */
-  private object DenseIndexCache {
-    private val m = new java.util.concurrent.ConcurrentHashMap[
-      String, java.lang.ref.SoftReference[Array[(Long, Array[Long], Int)]]]()
-    def get(key: String, build: => Array[(Long, Array[Long], Int)]): Array[(Long, Array[Long], Int)] = {
-      val ref = m.get(key)
-      val hit = if (ref == null) null else ref.get()
-      if (hit != null) hit
-      else m.synchronized { // one builder; losers reuse the winner's
-        val again = Option(m.get(key)).map(_.get()).orNull
-        if (again != null) again
-        else {
-          val built = build
-          m.put(key, new java.lang.ref.SoftReference(built))
-          built
-        }
-      }
-    }
   }
 
   /** Benchmark decontamination: flag corpus documents that contain

@@ -85,37 +85,39 @@ class DedupSpec extends AnyFunSuite {
     assert(dense3 == pref3)
     // the measured selector picks dense on this flat-vocabulary
     // fixture: no candidate row is shuffled — the pair loop is the
-    // sorted-length-window AllPairs scan over the signature index,
-    // which since r13 rides the plan as a ONE-ROW grand aggregate
-    // joined by broadcast (lazy at construction): the only join is
-    // that 1-row BNLJ (PlanLint's boundIsOneRow shape), and the only
-    // shuffles are the probe-side spread and the aggregate's
-    // single-partition gather
+    // sorted-length-window AllPairs scan over the sc.broadcast
+    // signature index (eager by design since the r13 lazy-shape
+    // regression — see denseJaccardPairs' scaladoc), so the executed
+    // plan is just the probe-side spread feeding the scan: ONE
+    // shuffle, NO join operator of any kind
     val auto = Dedup.ngramJaccardPairs(docs, 2, 0.5)
     val plan = auto.queryExecution.sparkPlan.toString
-    assert(plan.contains("MapPartitions"), plan.take(800))
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
-    assert(plan.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange")) == 2, plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(800))
   }
 
-  test("denseJaccardPairs runs no Spark job at construction (r12 ask #7)") {
-    val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
-    @volatile var jobs = 0
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-    }
-    sc.addSparkListener(l)
+  test("the adaptive selector never builds the dense index on the prefix path") {
+    // r12's speculation concern, re-pinned after the r13 lazy-shape
+    // reversal (the lazy index column COPIED itself into every join
+    // output row — see denseJaccardPairs' scaladoc): the dense
+    // constructor's collect is gated BEHIND the selector, so a
+    // prefix-path corpus pays only the one-pass decision stats —
+    // never a signature-table collect.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def zipfText() =
+      Seq.fill(60)("w" + math.exp(rnd.nextDouble() * math.log(2000.0)).toInt).mkString(" ")
+    val zipfDocs = (0L until 300L).map(i => (i, zipfText())).toDF("doc_id", "text")
+      .persist()
+    zipfDocs.count()
     try {
-      val df = Dedup.denseJaccardPairs(docs, 2, 0.5)
-      Thread.sleep(500) // listener bus is async; give a phantom job time to surface
-      assert(jobs == 0,
-        s"speculative construction must cost zero Spark jobs, saw $jobs")
-      assert(df.count() > 0, "the lazy plan must still execute")
-      Thread.sleep(500)
-      assert(jobs > 0, "execution itself must of course run jobs")
-    } finally sc.removeSparkListener(l)
+      val before = Dedup.denseBuilds.get()
+      Dedup.ngramJaccardPairs(zipfDocs, 2, 0.5) // prefix path on a Zipf vocabulary
+      assert(Dedup.denseBuilds.get() == before,
+        "prefix-path construction must never collect a dense signature index")
+      // and the flat-vocabulary fixture DOES go dense (the seam works)
+      Dedup.ngramJaccardPairs(docs, 2, 0.5)
+      assert(Dedup.denseBuilds.get() == before + 1)
+    } finally { zipfDocs.unpersist(); () }
   }
 
   test("default (df-ordered) path matches inverted truth on a Zipf corpus") {
