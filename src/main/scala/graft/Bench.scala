@@ -107,10 +107,45 @@ object Bench {
     }
     val calibMs: Long = sustainedCalib()
     System.err.println(s"[bench] calib_ms=$calibMs")
+    // I/O-SENSITIVE calibration leg (r13 verdict ask #1c). The CPU+
+    // DRAM calibration above is blind to the resource micro-batch
+    // streaming lives on: state-store/checkpoint commits are many
+    // SMALL SYNCED WRITES on the local temp volume (r13: the driver
+    // box and the builder box read near-identical calib_ms yet
+    // differed 2.5x on the st family and ~1x elsewhere). Fixed work:
+    // 400 x 4 KB create+write+fsync+close on java.io.tmpdir — the
+    // volume Spark puts streaming checkpoints and RocksDB working
+    // dirs on — plus the same directory-entry churn a commit makes.
+    // Recorded as calib_io_ms/calib_io_end_ms; trend_gate uses the
+    // pair to adjudicate st-family flags the CPU calibration cannot.
+    def ioCalib(): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_iocal_")
+      val buf = java.nio.ByteBuffer.allocate(4096)
+      new java.util.Random(42).nextBytes(buf.array())
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 400) {
+        val p = dir.resolve(s"f$i")
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        buf.rewind(); ch.write(buf); ch.force(true); ch.close()
+        if ((i & 3) == 3) java.nio.file.Files.delete(p) // entry churn
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1000000L
+      try {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Exception => () }
+      dt
+    }
+    val calibIoMs: Long = { ioCalib(); ioCalib() } // warm dentry cache, then measure
+    System.err.println(s"[bench] calib_io_ms=$calibIoMs")
     // standalone mode for drift experiments (NOTES.md): measure the
     // box without running the suite, e.g. under a deliberate load
     if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").contains("1")) {
-      println(s"""{"metric":"calib","calib_ms":$calibMs,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs}""")
+      println(s"""{"metric":"calib","calib_ms":$calibMs,"calib_io_ms":$calibIoMs,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs}""")
       return
     }
     val spark = SparkSession.builder()
@@ -147,6 +182,12 @@ object Bench {
       "g51_delta_dv", "g52_delta_changes", "g53_iceberg_changes",
       "g54_iceberg_merge_changes", "g55_iceberg_bucket_prune",
       "g56_iceberg_truncate_prune", "g57_delta_rename", "g58_delta_drop",
+      // g61 writes, spec-evolves, and re-appends a table per
+      // invocation (r13 flagged 7.3 s, write-dominated); g66 writes +
+      // merges a partitioned table then diffs it — both are
+      // correctness-gated CDC/evolution ops whose latency measures
+      // write throughput, like g53/g54
+      "g61_iceberg_spec_evolution", "g66_iceberg_part_changes",
       // retention trio: write + physically delete per invocation
       "g41_delta_vacuum", "g42_iceberg_expire", "g43_hudi_clean",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run
@@ -222,6 +263,8 @@ object Bench {
     // not the state of one instant
     val calibEndMs: Long = sustainedCalib()
     System.err.println(s"[bench] calib_end_ms=$calibEndMs")
+    val calibIoEndMs: Long = ioCalib()
+    System.err.println(s"[bench] calib_io_end_ms=$calibIoEndMs")
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // headline value is POISONED (-1) whenever any query failed: a
@@ -231,7 +274,7 @@ object Bench {
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs}"""
     // The driver captures only a BOUNDED WINDOW of process output, so
     // any single placement of the summary can be truncated away
     // (observed rounds 8-10; `parsed: null`): the full per-query line
@@ -251,7 +294,7 @@ object Bench {
     //     the artifact of record for local trend_gate comparisons
     //     (the short line carries its path).
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"queries_file":"target/bench_summary.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs,"queries_file":"target/bench_summary.json"}"""
     println(shortLine)
     println(summary)
     val chunks = results.grouped(25).toSeq

@@ -495,8 +495,37 @@ final class GlueTableEngine(
     val delDelta = (delTo.map(_.path).toSet -- delFrom.map(_.path).toSet) ++
       (delFrom.map(_.path).toSet -- delTo.map(_.path).toSet)
     if (delDelta.nonEmpty) {
-      require(meta.table.partitionKeys.isEmpty,
-        "row-level delete deltas on partitioned tables are not supported yet")
+      // Partitioned tables: raw leaf-file reads don't see Hive-layout
+      // partition columns, so attach them from the MANIFEST partition
+      // records (the same authoritative source the scan path uses —
+      // paths need not encode values). A tiny driver-built
+      // (path -> values) frame broadcast-joined on the canonical file
+      // path: candidate sets are CDC-small by contract, and the join
+      // stays a narrow broadcast at any table size.
+      val attachParts: (DataFrame, String) => DataFrame =
+        if (meta.table.partitionKeys.isEmpty) (raw0, _) => raw0
+        else {
+          val pSchema = partitionSchemaOf(meta)
+          val pvByPath = (files(database, table, toOffset) ++
+              files(database, table, fromOffset))
+            .map(f => canonPath(f.path) -> f.partitionValues).toMap
+          (raw0, fpCol) => {
+            import scala.jdk.CollectionConverters._
+            val rows = pvByPath.toSeq.sortBy(_._1).map { case (p, pv) =>
+              org.apache.spark.sql.Row.fromSeq(
+                p +: meta.table.partitionKeys.map(k => pv.get(k.name).orNull))
+            }
+            val strSchema = StructType(StructField(fpCol, StringType, nullable = false) +:
+              meta.table.partitionKeys.map(k =>
+                StructField(k.name, StringType, nullable = true)))
+            val pvDf0 = spark.createDataFrame(
+              new java.util.ArrayList(rows.asJava), strSchema)
+            val pvDf = meta.table.partitionKeys.foldLeft(pvDf0) { (d, k) =>
+              d.withColumn(k.name, col(k.name).cast(pSchema(k.name).dataType))
+            }
+            raw0.join(broadcast(pvDf), Seq(fpCol))
+          }
+        }
       val commonRaw = (fromFiles intersect toFiles).toSeq.sorted
       val common = commonRaw.map(canonPath)
       val deltaDels = (delFrom ++ delTo).filter(d => delDelta(d.path))
@@ -527,7 +556,7 @@ final class GlueTableEngine(
             .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
             .withColumn("__pos", col("_metadata").getField("row_index"))
           def leg(pos: DataFrame, kind: String): DataFrame =
-            raw.join(broadcast(pos), Seq("__fp", "__pos"))
+            attachParts(raw.join(broadcast(pos), Seq("__fp", "__pos")), "__fp")
               .drop("__fp", "__pos").withColumn(ct, lit(kind))
           legs += leg(newlyDel, "delete")
           legs += leg(revived, "insert")
@@ -585,8 +614,8 @@ final class GlueTableEngine(
           val newlyDel = pFrom.join(pTo, Seq("__fp", "__pos"), "left_anti")
           val revived = pTo.join(pFrom, Seq("__fp", "__pos"), "left_anti")
           def leg(pos: DataFrame, kind: String): DataFrame =
-            raw.join(broadcast(pos),
-                col("__lfp") === col("__fp") && col("__lpos") === col("__pos"))
+            attachParts(raw.join(broadcast(pos),
+                col("__lfp") === col("__fp") && col("__lpos") === col("__pos")), "__lfp")
               .drop("__lfp", "__lpos", "__fp", "__pos").withColumn(ct, lit(kind))
           legs += leg(newlyDel, "delete")
           legs += leg(revived, "insert")
@@ -910,9 +939,23 @@ final class GlueTableEngine(
 
   /** Scheme-insensitive canonical path column (delete files record
     * raw writer paths; `_metadata.file_path` is a qualified URI).
+    *
+    * Also DECODES URI %-escapes: `_metadata.file_path` is a proper
+    * URI where a space in a partition value rides as `%20`, while
+    * manifests/logs carry the literal writer path — without decoding,
+    * every path-keyed comparison (MOR delete application, DV sidecar
+    * filters, changelog legs, sequence scoping) silently missed files
+    * in any partition whose value URI-encodes (found via a partitioned
+    * `4-NOT SPECIFIED` changelog: eq-delete seq scoping missed the
+    * encoded paths and killed same-sequence merge rows). Literal `+`
+    * is protected first (url_decode is form-decoding), and an
+    * undecodable stray `%` falls back to the raw form — which is what
+    * the driver-side [[canonPath]] preserves for the same string.
     */
-  private[graft] def canonPathCol(c: Column): Column =
-    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+  private[graft] def canonPathCol(c: Column): Column = {
+    val stripped = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+    coalesce(try_url_decode(regexp_replace(stripped, raw"\+", "%2B")), stripped)
+  }
 
   private def applyIcebergDeletes(df: DataFrame,
       deletes: Seq[IcebergSnapshotResolver#IcebergDeleteFile],
@@ -2404,11 +2447,18 @@ final class GlueTableEngine(
     val metaDir = new HadoopPath(s"$root/metadata")
     if (!fs.exists(metaDir)) return Nil
 
-    // every path any retained version can reach
-    val keepData = (0 until retainVersions).flatMap { off =>
+    // every path any retained version can reach — PLUS every path any
+    // named ref (staged WAP branch, tag) can reach: the version walk
+    // resolves refs.main only, so a staged branch's data files are
+    // invisible to it, and deleting them would make a later
+    // publishBranch fast-forward main onto snapshots whose parquet is
+    // gone (ADVICE r13 high). Ref manifests were always kept (the
+    // manifestFiles walk spans every snapshot of a retained version);
+    // this closes the data-file half.
+    val keepData = ((0 until retainVersions).flatMap { off =>
       iceberg.dataFilesDetailed(root, off).map(f => canonPath(f.path)) ++
         iceberg.deleteFilesDetailed(root, off).map(f => canonPath(f.path))
-    }.toSet
+    } ++ iceberg.refReachableFiles(root).map(canonPath)).toSet
     val keepMeta = (0 until retainVersions)
       .flatMap(off => iceberg.manifestFiles(root, off).map(canonPath)).toSet
 

@@ -967,8 +967,27 @@ final class DeltaLogResolver(spark: SparkSession) {
     val latest = (commits.map(_._1) ++ checkpoints.keys).maxOption.getOrElse(return None)
     val target = latest - versionOffset
     if (target < 0) return None
+    // MEMOIZE the replay per (root, resolved version): a cold listing
+    // build needs the state twice (files+DVs, then the data schema),
+    // and each call replayed the full log — checkpoint parquet plus
+    // the commit tail (verdict r13 #5). The listing above stays fresh
+    // every call (new commits move `target`), and state AT a fixed
+    // version is immutable, so a short-TTL LRU is sound; capacity is
+    // driver-side metadata only.
+    Some(replayCache.get(s"${location.stripSuffix("/")}#v$target") {
+      replayCount += 1
+      replay(location.stripSuffix("/"), logDir, commits, checkpoints, target)
+    })
+  }
 
-    val root = location.stripSuffix("/")
+  /** Replays observed by this resolver — test instrumentation for the
+    * one-replay-per-build contract. */
+  private[graft] var replayCount = 0L
+  private val replayCache =
+    new graft.cache.TtlCache[RawDeltaState](maxEntries = 16, ttlMs = 5 * 60 * 1000L)
+
+  private def replay(root: String, logDir: Path, commits: Seq[(Long, Path)],
+      checkpoints: Map[Long, Seq[Path]], target: Long): RawDeltaState = {
     // mutable replay state: path -> (size, partitionValues, stats, dvPath)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Map[String, String], String, String)]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -1013,7 +1032,7 @@ final class DeltaLogResolver(spark: SparkSession) {
     val expected = (base + 1) to target
     if (tail.map(_._1) != expected)
       throw new IllegalStateException(
-        s"Delta log gap at $location: need versions ${expected.mkString(",")} after " +
+        s"Delta log gap at $root: need versions ${expected.mkString(",")} after " +
           s"checkpoint ${cpVer.getOrElse("none")}, found ${tail.map(_._1).mkString(",")} — " +
           "a commit was cleaned away without a covering checkpoint")
 
@@ -1052,11 +1071,11 @@ final class DeltaLogResolver(spark: SparkSession) {
         }
       }
 
-    Some(RawDeltaState(target, schemaString, partitionColumns,
+    RawDeltaState(target, schemaString, partitionColumns,
       live.toSeq.map { case (p, (size, pv, stats, dv)) =>
         DeltaAdd(p, size, pv, Option(stats), Option(dv))
       },
-      txns.toMap))
+      txns.toMap)
   }
 
   private def listLog(location: String): (Path, Seq[(Long, Path)], Map[Long, Seq[Path]]) = {

@@ -257,9 +257,20 @@ object HudiTimelineWriter {
         val byName = ps.fields.map(f => f.name -> f).toMap
         val byPhys = ps.fields.map(f => physOf(f) -> f).toMap
         val livePhys = ps.fields.map(physOf).toSet ++ retired.map(_._2)
+        // Fields another batch column already claims by LOGICAL name
+        // are off-limits to the byPhys fallback: after rename a->b
+        // (phys stays 'a'), an additive append carrying both 'b' and
+        // a fresh 'a' must bind 'b'->b byName and send 'a' down the
+        // additive path — a byPhys bind of 'a' onto b would duplicate
+        // the field (ADVICE r13 medium). DML rewrites (the fallback's
+        // purpose) carry ONLY physical names, so their binds survive.
+        val namedClaims = df.schema.fields
+          .flatMap(c => byName.get(c.name).map(_.name)).toSet
         val bound = df.schema.fields.map { c =>
           byName.get(c.name).map(f => (f, physOf(f), c.name != physOf(f)))
-            .orElse(byPhys.get(c.name).map(f => (f, physOf(f), false)))
+            .orElse(byPhys.get(c.name)
+              .filterNot(f => namedClaims.contains(f.name))
+              .map(f => (f, physOf(f), false)))
             .getOrElse {
               // additive new column: fresh physical name, never one a
               // dropped column's bytes still occupy
@@ -269,9 +280,14 @@ object HudiTimelineWriter {
               (annotate(c, ph), ph, c.name != ph)
             }
         }
-        val renamed = bound.foldLeft(df) { case (d, (f, ph, needs)) =>
-          if (needs) d.withColumnRenamed(f.name, ph) else d
-        }
+        // one SELECT with aliases, never chained withColumnRenamed:
+        // sequential renames are order-dependent when a target
+        // physical name collides with a still-unrenamed source column
+        // (rename b->'a' while batch column 'a' awaits its own
+        // 'a'->'a_1' rename would rename both)
+        val renamed = df.select(df.schema.fields.zip(bound).map {
+          case (c, (_, ph, _)) => df.col("`" + c.name + "`").as(ph)
+        }.toSeq: _*)
         (org.apache.spark.sql.types.StructType(bound.map(_._1)), renamed)
       case _ => (df.schema, df)
     }

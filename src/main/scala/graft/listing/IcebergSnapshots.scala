@@ -185,34 +185,67 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
       val id = Option(meta.get("refs")).flatMap(r => Option(r.get(ref)))
         .flatMap(m => Option(m.get("snapshot-id")).map(_.asLong()))
         .getOrElse(throw new IllegalArgumentException(s"no ref $ref at $location"))
-      val snap = Option(meta.get("snapshots")).toSeq
-        .flatMap(_.elements().asScala.toSeq)
-        .find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id))
-        .getOrElse(throw new IllegalStateException(
-          s"ref $ref points at missing snapshot $id at $location"))
-      Option(snap.get("manifest-list")).map(_.asText()).toSeq.flatMap { ml =>
-        readAvroField(ml, _.get("manifest_path").toString).flatMap { mp =>
-          readAvroField(mp, { r =>
-            val deleted = Option(r.getSchema.getField("status")).exists { f =>
-              r.get(f.pos()) match {
-                case i: java.lang.Integer => i.intValue() == 2
-                case l: java.lang.Long    => l.longValue() == 2L
-                case _                    => false
+      snapshotFiles(meta, id, ref, dataOnly = true)
+    }.distinct.sorted
+
+  /** Every file path (data AND delete content) live at one snapshot's
+    * head, by manifest walk. `dataOnly` restricts to content==0 (the
+    * branch-audit read); expiry keeps everything. */
+  private def snapshotFiles(meta: JsonNode, id: Long, ref: String,
+      dataOnly: Boolean): Seq[String] = {
+    val snap = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+      .find(s => Option(s.get("snapshot-id")).exists(_.asLong() == id))
+      .getOrElse(throw new IllegalStateException(
+        s"ref $ref points at missing snapshot $id"))
+    Option(snap.get("manifest-list")).map(_.asText()).toSeq.flatMap { ml =>
+      readAvroField(ml, _.get("manifest_path").toString).flatMap { mp =>
+        readAvroField(mp, { r =>
+          val deleted = Option(r.getSchema.getField("status")).exists { f =>
+            r.get(f.pos()) match {
+              case i: java.lang.Integer => i.intValue() == 2
+              case l: java.lang.Long    => l.longValue() == 2L
+              case _                    => false
+            }
+          }
+          if (deleted) None
+          else {
+            val df = r.get("data_file").asInstanceOf[GenericRecord]
+            val content = Option(df.getSchema.getField("content")).map { f =>
+              df.get(f.pos()) match {
+                case i: java.lang.Integer => i.intValue()
+                case l: java.lang.Long    => l.intValue()
+                case _                    => 0
               }
-            }
-            if (deleted) None
-            else {
-              val df = r.get("data_file").asInstanceOf[GenericRecord]
-              val content = Option(df.getSchema.getField("content")).map { f =>
-                df.get(f.pos()) match {
-                  case i: java.lang.Integer => i.intValue()
-                  case l: java.lang.Long    => l.intValue()
-                  case _                    => 0
-                }
-              }.getOrElse(0)
-              if (content == 0) Some(df.get("file_path").toString) else None
-            }
-          }).flatten
+            }.getOrElse(0)
+            if (!dataOnly || content == 0) Some(df.get("file_path").toString) else None
+          }
+        }).flatten
+      }
+    }
+  }
+
+  /** Every file path (data AND delete parquet) reachable from ANY
+    * named ref — branches and tags alike — in the LATEST metadata.
+    * Snapshot expiry must union this into its keep-set: a staged WAP
+    * branch or an old tag keeps its snapshot entry in the current
+    * metadata JSON (so its MANIFESTS were always retained via
+    * [[manifestFiles]]), but its data files are reachable through no
+    * retained version's main head, and expiry would otherwise orphan-
+    * delete them — publishing the branch later would fast-forward
+    * main onto snapshots whose parquet is gone (silent data loss).
+    * `refs.main` is included too (harmless: already in the keep-set
+    * via the version walk); a ref pointing at a snapshot the current
+    * metadata no longer lists fails loudly rather than silently
+    * under-protecting.
+    */
+  def refReachableFiles(location: String): Seq[String] =
+    metadataAt(location, 0).toSeq.flatMap { meta =>
+      Option(meta.get("refs")).toSeq.flatMap { refs =>
+        refs.fieldNames().asScala.toSeq.flatMap { name =>
+          val id = Option(refs.get(name)).flatMap(m =>
+            Option(m.get("snapshot-id")).map(_.asLong()))
+          id.toSeq.flatMap(snapshotFiles(meta, _, name, dataOnly = false))
         }
       }
     }.distinct.sorted

@@ -160,12 +160,20 @@ object IcebergWriter {
     case StringType    => Some("string")
     case DateType      => Some("date")
     case TimestampType => Some("timestamptz")
-    // float/double are real SCHEMA types (metadata-authoritative reads
-    // and column mapping need every column present); only their BOUNDS
-    // stay unwritten — boundBytes returns None (NaN soundness)
-    case DoubleType    => Some("double")
-    case FloatType     => Some("float")
-    case _             => None // nested/complex: unsupported
+    // Every reader-supported primitive must be a SCHEMA type: mapped
+    // mode makes the published schema AUTHORITATIVE for reads
+    // (GlueTableEngine mapped scan), so a type absent here would make
+    // a table's boolean/decimal/... columns vanish from all reads
+    // after any rename/drop (ADVICE r13 medium). BOUNDS for the types
+    // below float stay unwritten — boundBytes returns None (NaN
+    // soundness for float/double; no bound encoding for the rest).
+    case DoubleType       => Some("double")
+    case FloatType        => Some("float")
+    case BooleanType      => Some("boolean")
+    case BinaryType       => Some("binary")
+    case TimestampNTZType => Some("timestamp")
+    case d: DecimalType   => Some(s"decimal(${d.precision},${d.scale})")
+    case _                => None // nested/complex: unsupported
   }
 
   /** One published schema column: field id, current LOGICAL name, the
@@ -558,9 +566,16 @@ object IcebergWriter {
     val lastColId = math.max(
       prior.map(p => lastColIdOf(p, pub)).getOrElse(0),
       if (pub.isEmpty) 0 else pub.map(_.id).max)
-    // files hold PHYSICAL names — rename mapped columns before the write
-    val physDf = pub.filter(c => c.phys != c.name)
-      .foldLeft(df)((d, c) => d.withColumnRenamed(c.name, c.phys))
+    // files hold PHYSICAL names — one SELECT with aliases, never
+    // chained withColumnRenamed: sequential renames are order-
+    // dependent when a physical name collides with a still-unrenamed
+    // batch column (after rename a->b the batch re-adds 'a': renaming
+    // b->'a' first would make the later 'a'->'a_N' rename hit BOTH
+    // columns; ADVICE r13 medium)
+    val physByName = pub.map(c => c.name -> c.phys).toMap
+    val physDf = df.select(df.schema.fields.map { f =>
+      df.col("`" + f.name + "`").as(physByName.getOrElse(f.name, f.name))
+    }.toSeq: _*)
     val partCols = partitionBy.map { c =>
       val f = df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"partition column $c not in the batch schema"))
@@ -1216,11 +1231,23 @@ object IcebergWriter {
       .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
       .headOption.getOrElse(throw new IllegalStateException(
         s"no Iceberg metadata at $location — commitMerge extends an existing table"))
-    val declaredSpec = Option(prior.get("partition-specs")).toSeq
+    // Identity-partitioned tables merge like unpartitioned ones: the
+    // batch lands in the declared partition layout (records in the
+    // manifest partition field, Hive k=v paths) and the equality
+    // delete stays GLOBAL — one delete file applying across
+    // partitions by key, the scan path's existing semantics. Hidden
+    // transforms (bucket/truncate) are refused: their partition
+    // records need transform evaluation at write time.
+    val partitionBy: Seq[String] = Option(prior.get("partition-specs")).toSeq
       .flatMap(_.elements().asScala.toSeq.headOption)
       .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq))
-    require(declaredSpec.isEmpty,
-      s"commitMerge supports unpartitioned tables; $location declares a partition spec")
+      .map { f =>
+        val tr = Option(f.get("transform")).map(_.asText()).getOrElse("identity")
+        require(tr == "identity",
+          s"commitMerge supports identity partition specs; $location declares $tr")
+        Option(f.get("name")).map(_.asText()).getOrElse(
+          throw new IllegalStateException(s"unnamed partition-spec field at $location"))
+      }
     val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
     // exact-schema rule, as on appends: positional ids must bind to
     // the same columns
@@ -1253,23 +1280,41 @@ object IcebergWriter {
           s"merge column $nm not in the table schema at $root"))
       }
     }
-    // files (data AND the key delete file) hold PHYSICAL names
-    val physDf = pub.filter(c => c.phys != c.name)
-      .foldLeft(df)((d, c) => d.withColumnRenamed(c.name, c.phys))
+    // files (data AND the key delete file) hold PHYSICAL names — one
+    // SELECT with aliases (chained withColumnRenamed is order-
+    // dependent on physical/logical name collisions, same fix as the
+    // append path)
     val physByName = pub.map(c => c.name -> c.phys).toMap
+    val physDf = df.select(df.schema.fields.map { f =>
+      df.col("`" + f.name + "`").as(physByName.getOrElse(f.name, f.name))
+    }.toSeq: _*)
     val token = java.util.UUID.randomUUID().toString.take(8)
 
     // 1. the source batch's data files + their manifest (one footer
     // read per written file yields bounds and record_count)
     val dd = s"$root/data_s${seq}_$token"
-    physDf.write.mode("overwrite").parquet(dd)
+    val w0 = physDf.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0).parquet(dd)
     def walkParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walkParquet(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
         else Nil
       }
-    val dataFileS = dataFileSchema(None)
+    val partCols = partitionBy.map { c =>
+      val f = df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"partition column $c not in the merge batch schema"))
+      (c, partitionAvro(c, f.dataType))
+    }
+    val partSchemaOpt: Option[Schema] =
+      if (partCols.isEmpty) None
+      else Some {
+        val b = SchemaBuilder.record("r102").fields()
+        partCols.foldLeft(b) { case (acc, (c, (s, _))) =>
+          acc.name(c).`type`(s).withDefault(null)
+        }.endRecord()
+      }
+    val dataFileS = dataFileSchema(partSchemaOpt)
     val entryS = entrySchema(dataFileS)
     val entries = walkParquet(new Path(dd)).sortBy(_.getPath.toString).map { st =>
       val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
@@ -1277,6 +1322,19 @@ object IcebergWriter {
       d.put("file_path", st.getPath.toString) // full URI: authority kept so object-store reads resolve
       d.put("file_size_in_bytes", st.getLen)
       d.put("record_count", nRows.getOrElse(-1L))
+      partSchemaOpt.foreach { ps =>
+        // k=v path segments -> typed identity values (as commitInternal)
+        val segs = st.getPath.getParent.toUri.getPath.split('/')
+          .filter(_.contains('=')).map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val pr = new GenericData.Record(ps)
+        partCols.foreach { case (c, (_, conv)) =>
+          segs.get(c).foreach(v => pr.put(c, conv(v)))
+        }
+        d.put("partition", pr)
+      }
       val lows = new java.util.ArrayList[GenericRecord]()
       val highs = new java.util.ArrayList[GenericRecord]()
       val nulls = new java.util.ArrayList[GenericRecord]()
@@ -1356,10 +1414,16 @@ object IcebergWriter {
     val carry = evolutionCarryJson(
       lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior)) +
       refsJson(refsAfterCommit(Some(prior), seq, None))
+    // carry the partition spec VERBATIM: a partitioned table whose
+    // merge dropped the spec would stop pruning (and mis-bind the
+    // next append's spec-stability check)
+    val specsJson = Option(prior.get("partition-specs"))
+      .map(n => s""",
+         |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
     val body =
       s"""{"format-version": 2, "last-sequence-number": $seq$carry,
          |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
-         |"schemas": $schemasJson,
+         |"schemas": $schemasJson$specsJson,
          |"snapshots": [${(priorSnapshots :+ snapJson).mkString(", ")}]}""".stripMargin
     val tmp = new Path(metaDir, s".v$seq.metadata.json.$token.tmp")
     val dst = new Path(metaDir, s"v$seq.metadata.json")

@@ -838,7 +838,13 @@ object Dedup {
       var i = 0
       while (i < hs.length) {
         val idx = java.util.Arrays.binarySearch(vocabArr, hs(i))
-        b(idx >>> 6) |= 1L << (idx & 63) // every doc hash is in the vocab by construction
+        // The INDEX side holds every hash by construction, but the
+        // probe side RE-EXECUTES `base` after the driver collect — a
+        // source mutated in between (or a nondeterministic input) can
+        // surface a hash the vocab never saw. An unknown hash
+        // contributes no overlap bit (the correct Jaccard semantics),
+        // never a negative array index (ADVICE r13 low).
+        if (idx >= 0) b(idx >>> 6) |= 1L << (idx & 63)
         i += 1
       }
       b

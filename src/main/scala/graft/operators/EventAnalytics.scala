@@ -743,8 +743,18 @@ object EventAnalytics {
       .union(base.select(col("it").as("src"), col("u").as("dst"), col("w")))
       .persist()
     try {
-      val source = edges.filter(col("src") > 0)
-        .agg(min(col("src")).as("s")).collect()(0).getLong(0)
+      // empty edge set (no qualifying view rows): the oracle returns
+      // zero rows — return the empty histogram rather than NPE on the
+      // null min cell (ADVICE r13 low)
+      val minRow = edges.filter(col("src") > 0)
+        .agg(min(col("src")).as("s")).collect()(0)
+      if (minRow.isNullAt(0)) {
+        val sp0 = org.apache.spark.sql.graft.Shim.classic(edges.sparkSession)
+        import sp0.implicits._
+        return Seq.empty[(Long, Long, Long, Long)]
+          .toDF("d", "n_nodes", "min_node", "max_node")
+      }
+      val source = minRow.getLong(0)
       val sess = edges.sparkSession
       var dist = sess.range(1)
         .select(lit(source).as("node"), lit(0L).as("d")).persist()

@@ -1500,6 +1500,48 @@ object Queries {
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Iceberg CHANGELOG over a PARTITIONED MOR table (verdict r13
+    // #4): the merge's equality-delete delta forces the GENERAL
+    // liveness-diff path on a table whose data files don't hold the
+    // partition column — the change legs attach partition values from
+    // the manifest partition records (a tiny broadcast keyed on file
+    // path), so grouping the changelog BY the partition column is
+    // exactly what a wrong attachment would hash-break.
+    "g66_iceberg_part_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_pcdf_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "ice_pcdf_rt", loc, partitionBy = Seq("o_orderpriority"))
+        val src = o.filter(col("o_orderkey") % 2 === 1)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        eng.mergeIceberg("default", "ice_pcdf_rt", src, "o_orderkey")
+        eng.icebergChanges("default", "ice_pcdf_rt", 1, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """WITH ins AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |del AS (
+        |  SELECT o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM ins GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM del GROUP BY o_orderpriority)
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi COLUMN RENAME through the oracle gate — completes the
     // rename row of the evolution matrix (Delta g57, Iceberg g59):
     // a metadata-only schema instant renames the field in the

@@ -397,6 +397,13 @@ object EventStreams {
     * same session are untouched.
     */
   def withRocksDbStateStore[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    // A/B hook (r13 verdict ask #1a): SPARK_GRAFT_STATE_STORE=memory
+    // makes the RocksDB wrapper a no-op, so the SAME registered query
+    // can be timed on both backends from one binary — the measured
+    // adjudication of what the r12 RocksDB switch costs. Unset (the
+    // default, and what Bench/Verify run) keeps the production
+    // spillable backend.
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("memory")) return body
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
@@ -414,7 +421,30 @@ object EventStreams {
   def runToCompletion(stream: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = stream.sparkSession
     val q = runToCompletionQuery(stream, name, mode)
-    try { q.processAllAvailable() } finally q.stop()
+    try {
+      q.processAllAvailable()
+      // Micro-batch accounting (r13 verdict ask #1b), opt-in: one
+      // stderr line per query from StreamingQueryProgress — batch
+      // count and where the wall time went (addBatch = plan+execute,
+      // stateCommit = state-store checkpoint/commit, walCommit+
+      // offsets = the per-trigger offset-log fsyncs). This is what
+      // turns "micro-batch streaming is expensive on this box" from
+      // prose into numbers a bench NOTES entry can carry.
+      if (sys.env.get("SPARK_GRAFT_STREAM_METRICS").contains("1")) {
+        val ps = q.recentProgress.toSeq
+        def sumDur(k: String): Long =
+          ps.flatMap(p => Option(p.durationMs.get(k)).map(_.longValue())).sum
+        val stateCommit = ps.flatMap(_.stateOperators.toSeq.map(_.commitTimeMs)).sum
+        val stateRows = ps.flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+        val rows = ps.map(_.numInputRows).sum
+        System.err.println(
+          s"[stream-metrics] $name batches=${ps.size} inputRows=$rows " +
+            s"trigger_ms=${sumDur("triggerExecution")} addBatch_ms=${sumDur("addBatch")} " +
+            s"planning_ms=${sumDur("queryPlanning")} walCommit_ms=${sumDur("walCommit")} " +
+            s"offsets_ms=${sumDur("commitOffsets")} latestOffset_ms=${sumDur("latestOffset")} " +
+            s"stateCommit_ms=$stateCommit stateRowsMax=$stateRows")
+      }
+    } finally q.stop()
     spark.table(name)
   }
 

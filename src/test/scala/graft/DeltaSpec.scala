@@ -815,4 +815,25 @@ class DeltaSpec extends AnyFunSuite {
       .select("protocol.minReaderVersion").head()
     assert(p2.getInt(0) == 1)
   }
+
+  test("one log replay serves a cold build's listing, DVs, and schema (verdict r13 #5)") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_memo_${System.nanoTime()}"
+    graft.listing.DeltaLogWriter.commit(spark,
+      loc, (0L until 10L).map(i => (i, s"r$i")).toDF("k", "v").coalesce(1))
+    val r = new graft.listing.DeltaLogResolver(spark)
+    assert(r.replayCount == 0L)
+    // the cold listing build's exact call shape: files+DVs, then schema
+    val (files, dvs) = r.filesAndDeletionVectors(loc, 0)
+    assert(files.nonEmpty && dvs.isEmpty)
+    assert(r.dataSchemaAt(loc, 0).exists(_.fieldNames.toSeq == Seq("k", "v")))
+    assert(r.replayCount == 1L,
+      s"cold build must replay the log ONCE, got ${r.replayCount}")
+    // a new commit moves the resolved version -> a fresh replay (the
+    // memo can never serve a stale table state)
+    graft.listing.DeltaLogWriter.commit(spark,
+      loc, Seq((100L, "x")).toDF("k", "v").coalesce(1))
+    assert(r.filesAndDeletionVectors(loc, 0)._1.size > files.size)
+    assert(r.replayCount == 2L, "a new commit must invalidate the memo by key")
+  }
 }

@@ -289,4 +289,27 @@ class HudiSpec extends AnyFunSuite {
     assert(left.length == 1 && left.head.isNullAt(0),
       "NULL-key row must survive a k >= 0 delete")
   }
+
+  test("re-adding a renamed column's old name binds additively, not byPhys onto its ghost") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/hudi_readd_${System.nanoTime()}"
+    val eng = new graft.engine.GlueTableEngine(spark, new graft.catalog.FixtureCatalog())
+    eng.writeHudiTable((0L until 10L).map(i => (s"a$i", i)).toDF("a", "x").coalesce(1),
+      "d", "hrd", loc)
+    eng.renameHudiColumn("d", "hrd", "a", "b") // b's physical name stays 'a'
+    // additive evolve append re-introducing 'a': the byPhys fallback
+    // must NOT bind it onto field b (duplicate field / duplicate-
+    // column write, ADVICE r13 medium) — b is already claimed byName
+    eng.appendHudiTable(Seq(("b10", 10L, "fresh")).toDF("b", "x", "a").coalesce(1),
+      "d", "hrd", evolve = true)
+    val out = eng.tableDF("d", "hrd")
+    assert(out.columns.sorted.toSeq == Seq("a", "b", "x"), s"got ${out.columns.toSeq}")
+    val newRow = out.filter(col("x") === 10L).head()
+    assert(newRow.getAs[String]("b") == "b10")
+    assert(newRow.getAs[String]("a") == "fresh")
+    val oldRow = out.filter(col("x") === 7L).head()
+    assert(oldRow.getAs[String]("b") == "a7")
+    assert(oldRow.isNullAt(oldRow.fieldIndex("a")),
+      s"pre-append rows must not resurrect physical-'a' bytes: $oldRow")
+  }
 }

@@ -672,4 +672,134 @@ class IcebergWriterSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(old.toSeq == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("expiry keeps data reachable only through branch/tag refs (ADVICE r13 high)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // BRANCH leg: staged rows are reachable from NO retained main head
+    val locB = s"/root/repo/target/ice_exprefb_${System.nanoTime()}"
+    eng.writeIcebergTable((0L until 50L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "ierb", locB)
+    eng.appendIcebergBranch((1000L until 1050L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "ierb", "audit")
+    val delB = eng.expireIcebergSnapshots("d", "ierb", retainVersions = 1)
+    assert(eng.icebergBranchDF("d", "ierb", "audit").count() == 100,
+      s"expiry deleted branch-staged data (deleted=$delB)")
+    // and publishing the branch AFTER expiry yields a readable main
+    eng.publishIcebergBranch("d", "ierb", "audit")
+    assert(eng.tableDF("d", "ierb").count() == 100,
+      "post-expiry publish must fast-forward onto intact data")
+    // TAG leg: a main REWRITE retires the original file from main's
+    // head — only the tag still references it across expiry
+    val locT = s"/root/repo/target/ice_expreft_${System.nanoTime()}"
+    eng.writeIcebergTable((0L until 50L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "iert", locT)
+    eng.tagIcebergSnapshot("d", "iert", "v1tag")
+    eng.compactIcebergTable("d", "iert", targetFileBytes = Long.MaxValue)
+    val delT = eng.expireIcebergSnapshots("d", "iert", retainVersions = 1)
+    assert(eng.icebergTagDF("d", "iert", "v1tag").count() == 50,
+      s"expiry deleted tag-reachable data (deleted=$delT)")
+    assert(eng.tableDF("d", "iert").count() == 50)
+  }
+
+  test("icebergChanges over a PARTITIONED MOR table: position and equality deltas (r13 #4)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // POSITION-delete delta: partition values must ride the delete leg
+    val locP = s"/root/repo/target/ice_pcdc_${System.nanoTime()}"
+    eng.writeIcebergTable(
+      (0L until 40L).map(i => (i, s"r$i", if (i % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "p").repartition(2),
+      "d", "ipc", locP, partitionBy = Seq("p"))
+    eng.deleteIcebergWhere("d", "ipc", col("k") < 10L)
+    val ch = eng.icebergChanges("d", "ipc", 1, 0)
+    assert(ch.columns.contains("p"), s"partition column missing: ${ch.columns.toSeq}")
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(dels.toSeq == (0L until 10L).map(k =>
+      (k, if (k % 2 == 0) "even" else "odd")),
+      s"delete leg must carry manifest partition values, got ${dels.toSeq}")
+    // EQUALITY-delete delta (merge) on a partitioned table
+    val locM = s"/root/repo/target/ice_pmrg_${System.nanoTime()}"
+    eng.writeIcebergTable(
+      (0L until 40L).map(i => (i, s"r$i", if (i % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "p").repartition(2),
+      "d", "ipm", locM, partitionBy = Seq("p"))
+    eng.mergeIceberg("d", "ipm",
+      (0L until 5L).map(i => (i, s"u$i", if (i % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "p").coalesce(1), "k")
+    // scan correctness first: updated rows once, partitions prune
+    val after = eng.tableDF("d", "ipm")
+    assert(after.count() == 40)
+    assert(after.filter(col("k") === 2L).head().getString(1) == "u2")
+    val chM = eng.icebergChanges("d", "ipm", 1, 0)
+    val insM = chM.filter(col("_change_type") === "insert")
+      .select("k", "v", "p").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(insM.toSeq == (0L until 5L).map(i => (i, s"u$i")),
+      s"merge insert leg, got ${insM.toSeq}")
+    val delM = chM.filter(col("_change_type") === "delete")
+      .select("k", "v", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(delM.toSeq == (0L until 5L).map(i =>
+      (i, s"r$i", if (i % 2 == 0) "even" else "odd")),
+      s"merge delete leg must carry partition values, got ${delM.toSeq}")
+  }
+
+  test("re-adding a renamed column's old name binds additively, not to its physical ghost") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_readd_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable((0L until 10L).map(i => (s"a$i", i)).toDF("a", "x").coalesce(1),
+      "d", "ird", loc)
+    eng.renameIcebergColumn("d", "ird", "a", "b") // b's physical name stays 'a'
+    // additive evolve append RE-INTRODUCING the name 'a': must create a
+    // fresh column, never bind byPhys onto b / rename-collide (ADVICE
+    // r13 medium — chained withColumnRenamed hit both columns)
+    eng.appendIcebergTable(
+      Seq(("b10", 10L, "fresh")).toDF("b", "x", "a").coalesce(1),
+      "d", "ird", evolve = true)
+    val out = eng.tableDF("d", "ird")
+    assert(out.columns.sorted.toSeq == Seq("a", "b", "x"),
+      s"got ${out.columns.toSeq}")
+    val newRow = out.filter(col("x") === 10L).head()
+    assert(newRow.getAs[String]("b") == "b10")
+    assert(newRow.getAs[String]("a") == "fresh")
+    // pre-append rows read NULL for the re-added 'a' (no resurrection
+    // of b's bytes, which live under physical name 'a')
+    val oldRow = out.filter(col("x") === 7L).head()
+    assert(oldRow.getAs[String]("b") == "a7")
+    assert(oldRow.isNullAt(oldRow.fieldIndex("a")),
+      s"pre-append rows must not resurrect physical-'a' bytes: $oldRow")
+  }
+
+  test("boolean/decimal/binary columns survive schema evolution (published schema)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_wide_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    val df = Seq(
+      (1L, true, BigDecimal("1.50"), Array[Byte](1, 2)),
+      (2L, false, BigDecimal("2.25"), Array[Byte](3))
+    ).toDF("k", "flag", "amt", "blob")
+    eng.writeIcebergTable(df.coalesce(1), "d", "iwide", loc)
+    // rename flips the table to mapped mode, where the published
+    // schema is AUTHORITATIVE — a type missing from icebergType would
+    // silently vanish from all reads (ADVICE r13 medium)
+    eng.renameIcebergColumn("d", "iwide", "k", "id")
+    val out = eng.tableDF("d", "iwide")
+    assert(out.columns.sorted.toSeq == Seq("amt", "blob", "flag", "id"),
+      s"got ${out.columns.toSeq}")
+    val r = out.filter(col("id") === 1L).head()
+    assert(r.getAs[Boolean]("flag"))
+    assert(r.getAs[java.math.BigDecimal]("amt").compareTo(
+      new java.math.BigDecimal("1.50")) == 0)
+    assert(r.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2))
+  }
 }

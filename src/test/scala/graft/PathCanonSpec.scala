@@ -54,4 +54,21 @@ class PathCanonSpec extends AnyFunSuite {
       "s3n://bucket/t/f.parquet")
     assert(forms.map(engine.canonPath).distinct.size == 1)
   }
+
+  test("URI-encoded and literal forms of one path canonicalize identically (r14)") {
+    // `_metadata.file_path` is a PROPER URI: a space in a partition
+    // value rides as %20 while manifests/logs carry the literal
+    // writer path. Both forms must land on one canonical string, or
+    // every path-keyed join silently misses the encoded files.
+    val literal = "/t/o_orderpriority=4-NOT SPECIFIED/f.parquet"
+    val encoded = "file:///t/o_orderpriority=4-NOT%20SPECIFIED/f.parquet"
+    assert(engine.canonPath(literal) == columnForm(encoded),
+      s"'${engine.canonPath(literal)}' vs '${columnForm(encoded)}'")
+    assert(columnForm(literal) == columnForm(encoded))
+    // literal '+' survives (url_decode alone would form-decode it)
+    assert(columnForm("/t/k=a+b/f.parquet") == "/t/k=a+b/f.parquet")
+    assert(engine.canonPath("/t/k=a+b/f.parquet") == "/t/k=a+b/f.parquet")
+    // a stray '%' that is not a valid escape falls back, both sides
+    assert(columnForm("/t/100%off/f.parquet") == engine.canonPath("/t/100%off/f.parquet"))
+  }
 }

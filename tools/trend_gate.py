@@ -112,7 +112,8 @@ def load(path):
                 qs = {k: float(v) for k, v in pairs
                       if k not in ("value", "failed", "load1", "canary_ms",
                                    "canary_all_ms", "canary_end_ms", "calib_ms",
-                                   "calib_end_ms", "part", "parts", "n_queries")}
+                                   "calib_end_ms", "calib_io_ms", "calib_io_end_ms",
+                                   "part", "parts", "n_queries")}
                 mv = re.search(r'"value":(-?\d+(?:\.\d+)?)', line)
                 if qs:
                     print(f"note: {path}: summary line head-truncated; "
@@ -212,6 +213,33 @@ def main():
         else:
             scale = 1.0
 
+    # I/O-sensitive normalization for the STREAMING family (r13 ask
+    # #1c): micro-batch queries are dominated by many small synced
+    # writes (offset-log fsyncs, state-store commits) that the CPU+
+    # DRAM calibration provably cannot see — the r13 official pair
+    # carried near-identical calib_ms on boxes whose st family
+    # differed 2.5x. When BOTH artifacts carry calib_io_ms (the fixed
+    # 400-fsync probe), st-prefixed queries are compared under
+    # whichever of the CPU and I/O normalizations is MORE FAVORABLE
+    # to the new run: a slow-disk box is thereby adjudicated by its
+    # own measured disk, while a real code regression (same box, io
+    # ratio ~1) still fails. Non-st queries never use the io scale.
+    def io_speed(art):
+        if art.get("calib_io_ms"):
+            vals = [art["calib_io_ms"]] + \
+                ([art["calib_io_end_ms"]] if art.get("calib_io_end_ms") else [])
+            return sum(vals) / len(vals)
+        return None
+    io_scale = None
+    o_io, n_io = io_speed(old), io_speed(new)
+    if o_io and n_io:
+        io_scale = o_io / n_io
+        if abs(1 - io_scale) > 0.05:
+            print(f"calib_io_ms: old={o_io:.0f}ms new={n_io:.0f}ms "
+                  f"-> st-family may normalize at x{io_scale:.3f} (io)")
+        else:
+            io_scale = None
+
     failures = []
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     for q in shared:
@@ -221,24 +249,39 @@ def main():
         # speed (raw-n floors flickered near the boundary)
         if n * scale < args.floor or o <= 0:
             continue
-        r = n * scale / o
+        # st-family: the more favorable of CPU and I/O normalization
+        # (see the calib_io block above); everything else: CPU only
+        q_scale = scale
+        scale_tag = ""
+        if q.startswith("st") and io_scale is not None and \
+                min(scale, io_scale) < scale:
+            q_scale = min(scale, io_scale)
+            scale_tag = " [io-norm]"
+        r = n * q_scale / o
         limit, reason = ALLOW.get(q, (args.ratio, None))
-        slowed = n * scale - o  # absolute normalized slowdown
+        slowed = n * q_scale - o  # absolute normalized slowdown
         regressed = r > limit and slowed >= args.abs_floor
         flag = "REGRESSED" if regressed else (
             f"within abs-floor ({slowed:+.2f}s)" if r > limit else (
                 f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else ""))
         if regressed:
-            failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)")
+            failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){scale_tag}")
         if r > args.ratio or r < 1 / args.ratio:
-            print(f"  {q:>24s}  {o:8.2f}s -> {n:8.2f}s  {r:5.2f}x  {flag}")
+            print(f"  {q:>24s}  {o:8.2f}s -> {n:8.2f}s  {r:5.2f}x  {flag}{scale_tag}")
 
-    # totals over the SHARED set only, so suite growth is not a "regression"
+    # totals over the SHARED set only, so suite growth is not a
+    # "regression"; per-query normalization (st-family may use the io
+    # scale) applies to the comparison, raw seconds are printed
+    def q_scale_of(q):
+        if q.startswith("st") and io_scale is not None:
+            return min(scale, io_scale)
+        return scale
     o_tot = sum(old["queries"][q] for q in shared)
     n_tot = sum(new["queries"][q] for q in shared)
+    n_tot_norm = sum(new["queries"][q] * q_scale_of(q) for q in shared)
     if o_tot > 0:
-        r_tot = n_tot * scale / o_tot
-        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
+        r_tot = n_tot_norm / o_tot
+        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x normalized)")
         if r_tot > args.total_ratio:
             failures.append(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
 
