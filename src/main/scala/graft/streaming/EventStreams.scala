@@ -403,14 +403,31 @@ object EventStreams {
     // adjudication of what the r12 RocksDB switch costs. Unset (the
     // default, and what Bench/Verify run) keeps the production
     // spillable backend.
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("memory")) return body
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("memory") ||
+        sys.props.get("graft.stream.stateStore").contains("memory")) return body
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing: each commit uploads only the batch's
+    // key changes; full snapshots amortize in the background. Without
+    // it every micro-batch pays a full RocksDB snapshot + upload per
+    // store instance — measured r14 (8 state partitions, sf0.1):
+    // st11 44.6 s -> 9.2 s summed state-commit time, wall 11.2 -> 7.0 s.
+    // This is the production setting for frequent-commit streams, and
+    // exactly what a slow-fsync box amplifies.
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
+    val prevCl = spark.conf.getOption(clKey)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    spark.conf.set(clKey, "true")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 
