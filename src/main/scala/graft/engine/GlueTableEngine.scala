@@ -502,8 +502,24 @@ final class GlueTableEngine(
       // (path -> values) frame broadcast-joined on the canonical file
       // path: candidate sets are CDC-small by contract, and the join
       // stays a narrow broadcast at any table size.
+      // Mapped tables (a rename/drop happened): raw leaf files hold
+      // PHYSICAL column names; the added/removed legs (readTable) and
+      // the caller's schema are LOGICAL. Delete evaluation stays
+      // physical (equality ids resolve to physical names, binding to
+      // what the files hold); the legs project physical->logical in
+      // ONE select at construction — mirroring the Delta changelog leg.
+      val toLogical: DataFrame => DataFrame = {
+        val mapping = iceberg.dataSchemaAt(loc, toOffset)
+          .map(IcebergSnapshotResolver.mappingOf).getOrElse(Map.empty)
+        if (mapping.isEmpty) identity
+        else {
+          val logicalByPhys = mapping.map(_.swap)
+          df => df.select(df.columns.map(c =>
+            df.col("`" + c + "`").as(logicalByPhys.getOrElse(c, c))).toSeq: _*)
+        }
+      }
       val attachParts: (DataFrame, String) => DataFrame =
-        if (meta.table.partitionKeys.isEmpty) (raw0, _) => raw0
+        if (meta.table.partitionKeys.isEmpty) (raw0, _) => toLogical(raw0)
         else {
           val pSchema = partitionSchemaOf(meta)
           val pvByPath = (files(database, table, toOffset) ++
@@ -523,7 +539,7 @@ final class GlueTableEngine(
             val pvDf = meta.table.partitionKeys.foldLeft(pvDf0) { (d, k) =>
               d.withColumn(k.name, col(k.name).cast(pSchema(k.name).dataType))
             }
-            raw0.join(broadcast(pvDf), Seq(fpCol))
+            toLogical(raw0.join(broadcast(pvDf), Seq(fpCol)))
           }
         }
       val commonRaw = (fromFiles intersect toFiles).toSeq.sorted

@@ -749,6 +749,41 @@ class IcebergWriterSpec extends AnyFunSuite {
       s"merge delete leg must carry partition values, got ${delM.toSeq}")
   }
 
+  test("icebergChanges on a MAPPED table emits logical column names (raw legs project)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // unpartitioned + position-delete delta (fast path)
+    val locU = s"/root/repo/target/ice_mapcdc_${System.nanoTime()}"
+    eng.writeIcebergTable((0L until 20L).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), "d", "imc", locU)
+    eng.renameIcebergColumn("d", "imc", "v", "label") // files still hold 'v'
+    eng.deleteIcebergWhere("d", "imc", col("k") < 5L)
+    val ch = eng.icebergChanges("d", "imc", 1, 0)
+    assert(ch.columns.sorted.toSeq == Seq("_change_type", "k", "label"),
+      s"raw legs must project physical->logical, got ${ch.columns.toSeq}")
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select("k", "label").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(dels.toSeq == (0L until 5L).map(k => (k, s"r$k")))
+    // partitioned + equality delta (general path) on a mapped table
+    val locP = s"/root/repo/target/ice_mapcdcp_${System.nanoTime()}"
+    eng.writeIcebergTable(
+      (0L until 20L).map(i => (i, s"r$i", if (i % 2 == 0) "e" else "o"))
+        .toDF("k", "v", "p").repartition(2), "d", "imcp", locP, partitionBy = Seq("p"))
+    eng.renameIcebergColumn("d", "imcp", "v", "label")
+    eng.mergeIceberg("d", "imcp",
+      Seq((2L, "u2", "e"), (3L, "u3", "o")).toDF("k", "label", "p").coalesce(1), "k")
+    val chP = eng.icebergChanges("d", "imcp", 1, 0)
+    assert(chP.columns.sorted.toSeq == Seq("_change_type", "k", "label", "p"),
+      s"got ${chP.columns.toSeq}")
+    val delP = chP.filter(col("_change_type") === "delete")
+      .select("k", "label", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(delP.toSeq == Seq((2L, "r2", "e"), (3L, "r3", "o")),
+      s"mapped partitioned delete leg, got ${delP.toSeq}")
+  }
+
   test("re-adding a renamed column's old name binds additively, not to its physical ghost") {
     val sp = Shim.classic(spark)
     import sp.implicits._
