@@ -970,7 +970,17 @@ final class GlueTableEngine(
     */
   private[graft] def canonPathCol(c: Column): Column = {
     val stripped = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-    coalesce(try_url_decode(regexp_replace(stripped, raw"\+", "%2B")), stripped)
+    // %-gate: url_decode is only REACHED for paths that carry an
+    // escape (the '+'-protect regexp + decode per row cost g29's MOR
+    // anti-join 2.6x at sf1 when applied unconditionally — this
+    // expression runs per ROW on _metadata.file_path in every
+    // delete/DV application). Escape-free paths — the universal
+    // common case — pay one contains() only. A '+'-only path skips
+    // the decode and stays literal, which is what the driver-side
+    // canonPath produces for the same string.
+    when(stripped.contains("%"),
+      coalesce(try_url_decode(regexp_replace(stripped, raw"\+", "%2B")), stripped))
+      .otherwise(stripped)
   }
 
   private def applyIcebergDeletes(df: DataFrame,

@@ -280,4 +280,75 @@ object Search {
        |SELECT doc_id, round(sum(contrib), 6) AS score
        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** RECIPROCAL-RANK FUSION of the lexical (BM25) and vector (cosine)
+    * rankings — the standard way hybrid retrieval combines systems
+    * whose scores live on incomparable scales (Cormack, Clarke &
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and
+    * individual Rank Learning Methods", SIGIR 2009):
+    *
+    *   rrf(d) = sum over systems s of 1 / (k0 + rank_s(d))
+    *
+    * over each system's top-`poolK` list (a doc absent from a list
+    * contributes nothing for that system). The query doc itself
+    * (`queryVecId`, whose embedding is the vector query) is excluded
+    * from both lists.
+    *
+    * Distribution shape: each system produces its own bounded top-k
+    * (BM25's TakeOrderedAndProject, brute cosine's per-partition
+    * heaps); the rank windows then order <= poolK rows — constant-
+    * size frames by construction, independent of corpus size — and
+    * the fusion is a union + groupBy over <= 2*poolK rows. At 100 TB
+    * the expensive part is the per-system retrieval, which reuses
+    * those operators' scan-once plans unchanged.
+    *
+    * Cross-engine exactness: per-system scores are rounded to 6
+    * decimals BEFORE ranking (both engines), ranks tie-break on id,
+    * and the fused score is rounded to 6.
+    */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, k: Int, poolK: Int = 20, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, terms, poolK)
+      .filter(col("doc_id") =!= queryVecId)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), (lit(1.0) / (lit(k0) + col("r"))).as("c"))
+    val vec = Similarity.bruteForceTopK(emb, queryVecId, poolK)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), (lit(1.0) / (lit(k0) + col("r"))).as("c"))
+    lex.unionByName(vec)
+      .groupBy("doc_id").agg(round(sum(col("c")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[rrfFusion]] — identical per-system lists,
+    * ranks, and fusion arithmetic.
+    */
+  def sqlRrfFusion(terms: Seq[String], queryVecId: Long, k: Int,
+      poolK: Int = 20, k0: Int = 60): String = {
+    import graft.functions.VectorFunctions.{sqlDot, sqlNorm}
+    val bm25 = sqlBm25TopK(terms, poolK)
+    s"""WITH lex0 AS ($bm25),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |  FROM lex0 WHERE doc_id <> $queryVecId),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryVecId),
+       |vec0 AS (
+       |  SELECT e.vec_id,
+       |    round(${sqlDot("e.embedding", "qe")} / (${sqlNorm("e.embedding")} * ${sqlNorm("qe")}), 6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> $queryVecId
+       |  ORDER BY cos DESC, vec_id LIMIT $poolK),
+       |vec AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+       |  FROM vec0),
+       |c AS (
+       |  SELECT doc_id, 1.0 / ($k0 + r) AS c FROM lex
+       |  UNION ALL
+       |  SELECT doc_id, 1.0 / ($k0 + r) AS c FROM vec)
+       |SELECT doc_id, round(sum(c), 6) AS rrf
+       |FROM c GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -3181,6 +3181,17 @@ object Queries {
         Search.bm25TopK(t(spark, sf, "documents"), Seq("spark", "vector", "merge"), 10),
       Search.sqlBm25TopK(Seq("spark", "vector", "merge"), 10))),
 
+    // HYBRID retrieval: reciprocal-rank fusion of the BM25 lexical
+    // list and the cosine vector list (SIGIR'09) — the standard
+    // score-scale-free combiner a RAG/retrieval pipeline runs over
+    // its two indexes; each system contributes its bounded top-20,
+    // fusion is a union of 40 rows
+    "s23_rrf_fusion" -> ((
+      (spark: SparkSession, sf: String) =>
+        Search.rrfFusion(t(spark, sf, "documents"), t(spark, sf, "embeddings"),
+          Seq("spark", "vector", "merge"), 0L, 10),
+      Search.sqlRrfFusion(Seq("spark", "vector", "merge"), 0L, 10))),
+
     // BM25 against the PERSISTED inverted index (the third member of
     // the index trio: d11 corpus prefix index, s7 ANN index, s11
     // search index): term buckets computed driver-side, the scan
