@@ -164,6 +164,22 @@ object Similarity {
     * ~25M candidate pairs (17-30 s), 6 planes is ~1.6M (sub-5 s). At
     * production scale pick planes ≈ log4(n / target-bucket-size).
     */
+  /** Blocking resolution for [[knnGraph]] as a function of corpus
+    * size: the smallest plane count holding expected bucket occupancy
+    * at or under ~320 vectors, floored at the 20k-corpus sweet spot
+    * (LshPlanes + 2 = 6). This is the scale path made automatic —
+    * bucket-quadratic work stays bounded as the corpus grows instead
+    * of squaring (measured at sf3 / 60k vectors: 6 planes 48 s, 8
+    * planes 8.4 s, 10 planes 4.7 s, with 180000 / 179994 / 179637
+    * edges — resolution costs only the tail where a bucket thins
+    * below k+1 members). The registered query derives this from one
+    * count and the oracle replays the SAME resolution through the
+    * dynamic-oracle slot.
+    */
+  def autoPlanes(n: Long): Int =
+    math.max(LshPlanes + 2,
+      math.ceil(math.log(math.max(1L, n) / 320.0) / math.log(2.0)).toInt)
+
   def knnGraph(emb: DataFrame, k: Int = 3, planes: Int = LshPlanes + 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = emb.withColumn("bucket", bucketId(col("embedding"), planes))

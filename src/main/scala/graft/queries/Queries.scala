@@ -42,6 +42,12 @@ object Queries {
     */
   @volatile private[graft] var d28Thresholds: Option[Map[String, Long]] = None
 
+  /** Blocking resolution chosen by the last s22_knn_graph run
+    * ([[graft.operators.Similarity.autoPlanes]] of the corpus size) —
+    * the oracle must replay the SAME resolution.
+    */
+  @volatile private[graft] var s22Planes: Option[Int] = None
+
   /** Oracles only known after a query has run (s17's fitted-model
     * embed). Empty until the corresponding query executes, which
     * matches the driver flow: Verify runs queries, then dumps SQL.
@@ -54,7 +60,9 @@ object Queries {
       t17Weights.map(w =>
         "t17_classifier" -> TextAnalysis.sqlClassifierScores(w)).toMap ++
       d28Thresholds.map(t =>
-        "d28_temperature_mix" -> Sampling.sqlTemperatureAudit(t)).toMap
+        "d28_temperature_mix" -> Sampling.sqlTemperatureAudit(t)).toMap ++
+      s22Planes.map(p =>
+        "s22_knn_graph" -> graft.operators.Similarity.sqlKnnGraph(3, p)).toMap
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -3118,8 +3126,17 @@ object Queries {
     // generation, source-partitioned rank window — never global);
     // the oracle replays the identical blocking + rank semantics
     "s22_knn_graph" -> ((
-      (spark: SparkSession, sf: String) =>
-        Similarity.knnGraph(t(spark, sf, "embeddings")),
+      (spark: SparkSession, sf: String) => {
+        // blocking resolution scales with the corpus (one count-
+        // aggregate job): expected bucket occupancy stays <= ~320, so
+        // the per-bucket quadratic stays bounded instead of squaring
+        // with corpus growth (sf3 measured: 48 s at fixed 6 planes,
+        // 8.4 s auto at 8). Floor keeps sf<=1 at the prior 6 planes.
+        val emb = t(spark, sf, "embeddings")
+        val p = Similarity.autoPlanes(emb.count())
+        s22Planes = Some(p)
+        Similarity.knnGraph(emb, 3, p)
+      },
       Similarity.sqlKnnGraph())),
 
     // ANN recall audit: recall@10 of the one-bucket LSH probe and

@@ -481,4 +481,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet.exists(Set(4L, 5L)),
       s"MMR kept the whole near-dup cluster: ${got.map(_._2)}")
   }
+
+  test("kNN-graph blocking resolution scales with corpus size, floored at 6 planes") {
+    import graft.operators.Similarity.autoPlanes
+    // floor: every sf<=1 corpus keeps the measured 20k sweet spot
+    assert(autoPlanes(500) == 6)
+    assert(autoPlanes(2000) == 6)
+    assert(autoPlanes(20000) == 6)
+    // growth: occupancy <= ~320/bucket (sf3 measured 48 s -> 8.4 s)
+    assert(autoPlanes(60000) == 8)
+    assert(autoPlanes(200000) == 10)
+    assert(autoPlanes(1000000) == 12)
+    // monotone, and occupancy bound holds across 4 decades
+    var prev = 0
+    Seq(1L, 1000L, 10000L, 100000L, 1000000L, 10000000L).foreach { n =>
+      val p = autoPlanes(n)
+      assert(p >= prev); prev = p
+      assert(n.toDouble / (1L << p) <= 320.0 || p == 6)
+    }
+  }
 }
