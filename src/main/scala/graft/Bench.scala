@@ -188,6 +188,7 @@ object Bench {
       // correctness-gated CDC/evolution ops whose latency measures
       // write throughput, like g53/g54
       "g61_iceberg_spec_evolution", "g66_iceberg_part_changes",
+      "g67_hudi_changes", // writes + full-span upsert per invocation
       // retention trio: write + physically delete per invocation
       "g41_delta_vacuum", "g42_iceberg_expire", "g43_hudi_clean",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run

@@ -1568,6 +1568,46 @@ object Queries {
         |  FROM del GROUP BY o_orderpriority)
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // Hudi CHANGELOG between instants (completes the CDC row of the
+    // format matrix: Delta g52, Iceberg g53/g54/g66): COW rewrites
+    // whole file groups, so the net row-level diff is a content
+    // exceptAll over the TOUCHED slices only — updates surface as
+    // delete(old)+insert(new), carried-over rows cancel exactly,
+    // untouched groups never scan.
+    "g67_hudi_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/hudi_cdf_rt"
+        eng.writeHudiTable(o.filter(col("o_orderkey") % 2 === 0), "default", "hudi_cdf_rt", loc)
+        val src = o.filter(col("o_orderkey") % 2 === 1)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2))
+        eng.upsertHudi("default", "hudi_cdf_rt", src, "o_orderkey")
+        eng.hudiChanges("default", "hudi_cdf_rt", 1, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """WITH ins AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |del AS (
+        |  SELECT o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM ins GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM del GROUP BY o_orderpriority)
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi COLUMN RENAME through the oracle gate — completes the
     // rename row of the evolution matrix (Delta g57, Iceberg g59):
     // a metadata-only schema instant renames the field in the
