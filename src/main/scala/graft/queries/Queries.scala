@@ -114,7 +114,7 @@ object Queries {
     * exactly the knob a production job tunes.
     */
   private def filesPerTrigger: String =
-    sys.props.getOrElse("graft.stream.filesPerTrigger", "2")
+    graft.streaming.EventStreams.filesPerTrigger
 
   private def stagedDocStream(spark: SparkSession, sf: String,
       tag: String): (DataFrame, String) = {

@@ -325,10 +325,21 @@ object EventStreams {
     * query exercises the actual incremental path end-to-end and still
     * terminates.
     */
+  /** Files per micro-batch for the bounded file replays (default 2,
+    * r14: same multi-batch coverage at ~60% of the per-trigger fixed
+    * cost; sys.prop override exists for `graft.tools.StreamAB`).
+    * Consumers whose POST-PROCESSING must stay batch-count-
+    * independent: Complete mode re-emits (st1/st9), Update-mode
+    * rollups take max_by over the update stream (st3).
+    */
+  def filesPerTrigger: String =
+    sys.props.getOrElse("graft.stream.filesPerTrigger", "2")
+
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val staged = graft.fixtures.TestFixtures.eventsStreamDir(spark, sfDir)
     val schema = spark.read.parquet(staged).schema
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(staged)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(staged)
   }
 
   /** Deterministic COUNT-MIN SKETCH cells over a stream of keys — the
