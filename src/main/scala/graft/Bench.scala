@@ -18,10 +18,11 @@ object Bench {
     // reruns passed). Record the 1-min load in the summary always;
     // with SPARK_GRAFT_REQUIRE_QUIET=1 (closing-run discipline),
     // REFUSE to emit an artifact at all when the box is loaded.
-    val load1 = try {
+    def load1Now(): Double = try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")(0).toDouble
     } catch { case _: Exception => -1.0 }
+    val load1 = load1Now()
     val quietCap = cpus.toDouble * 0.25
     if (sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").contains("1") && load1 > quietCap) {
       System.err.println(
@@ -142,6 +143,38 @@ object Bench {
     }
     val calibIoMs: Long = { ioCalib(); ioCalib() } // warm dentry cache, then measure
     System.err.println(s"[bench] calib_io_ms=$calibIoMs")
+    // PER-QUERY environment witness (r14 verdict ask #2). The START/
+    // END point probes above are structurally blind to mid-suite host
+    // load waves (~5-minute swings measured on both boxes: r14
+    // official inflated CPU-bound pair-miners 2.6-4.1x while calib/
+    // calib_io read the boxes near-equal). Sampling the CUMULATIVE
+    // /proc/stat busy jiffies at every query boundary and subtracting
+    // the bench JVM's own /proc/self/stat jiffies gives, per query,
+    // the fraction of total box CPU that OTHER processes consumed
+    // while it ran — an average over exactly the query's interval, so
+    // a wave that hits mid-query is visible no matter what the
+    // endpoints looked like. Near-zero cost (two ~1 KB procfs reads
+    // per query). Recorded as env[q] = [load1, ext_busy] in the
+    // summary; trend_gate downgrades a flag whose query ran under
+    // measurably higher external load to ENV-ADJUDICATED.
+    def procSample(): (Long, Long, Long) = try {
+      val cpu = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next()
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      val total = f.sum
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+      val self0 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      // utime/stime are 1-based fields 14/15; the comm field can hold
+      // spaces, so index from after the last ')' (state = field 3)
+      val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
+      (total - idle, total, rest(11).toLong + rest(12).toLong)
+    } catch { case _: Exception => (-1L, -1L, -1L) }
+    def extBusy(a: (Long, Long, Long), b: (Long, Long, Long)): Double =
+      if (a._2 < 0 || b._2 < 0 || b._2 <= a._2) -1.0
+      else math.max(0.0,
+        ((b._1 - a._1) - (b._3 - a._3)).toDouble / (b._2 - a._2))
     // standalone mode for drift experiments (NOTES.md): measure the
     // box without running the suite, e.g. under a deliberate load
     if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").contains("1")) {
@@ -189,6 +222,7 @@ object Bench {
       // write throughput, like g53/g54
       "g61_iceberg_spec_evolution", "g66_iceberg_part_changes",
       "g67_hudi_changes", // writes + full-span upsert per invocation
+      "g68_delta_part_changes", // writes + DV-deletes a partitioned table per invocation
       // retention trio: write + physically delete per invocation
       "g41_delta_vacuum", "g42_iceberg_expire", "g43_hudi_clean",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run
@@ -214,7 +248,7 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
 
-    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // clean-heap start per query: without this, a memory-heavy query
       // leaves tens of GB of garbage whose collection lands in (and is
       // billed to) whichever query runs next — observed q10 at 30s in
@@ -235,14 +269,19 @@ object Bench {
       val sc = org.apache.spark.sql.graft.Shim.classic(spark).sparkContext
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
+      val s0 = procSample()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
       // failures are reported as -1, never as a (fast) fake timing
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-      name -> dt
+      val eb = extBusy(s0, procSample())
+      val l1 = load1Now()
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s  ext_busy=$eb%.3f load1=$l1%.1f")
+      (name, dt, eb, l1)
     }
+    val results = timed.map { case (name, dt, _, _) => name -> dt }
+    val envResults = timed.map { case (name, _, eb, l1) => name -> (eb, l1) }
     // end-of-run all-core canary: the start canary alone cannot see a
     // host that sags DURING the ~10-minute suite (observed: heavies
     // +45% mid-run under a healthy start canary). The pair records
@@ -268,6 +307,9 @@ object Bench {
     System.err.println(s"[bench] calib_io_end_ms=$calibIoEndMs")
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // per-query environment witness map: env[q] = [load1, ext_busy]
+    val envJson = envResults.map { case (k, (eb, l1)) =>
+      "\"" + k + f"""\":[$l1%.2f,$eb%.4f]""" }.mkString("{", ",", "}")
     // headline value is POISONED (-1) whenever any query failed: a
     // crashing query must never read as a speedup to a consumer that
     // ignores the 'failed' field. Per-query failures stay -1.0.
@@ -275,7 +317,7 @@ object Bench {
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"env":$envJson,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs}"""
     // The driver captures only a BOUNDED WINDOW of process output, so
     // any single placement of the summary can be truncated away
     // (observed rounds 8-10; `parsed: null`): the full per-query line
@@ -304,6 +346,15 @@ object Bench {
         .mkString("{", ",", "}")
       println(
         s"""{"metric":"queries_chunk","part":$idx,"parts":${chunks.size},"queries":$part}""")
+    }
+    // the load witness re-emitted the same self-delimiting way, so a
+    // head-truncated driver tail still yields per-query env context
+    val envChunks = envResults.grouped(25).toSeq
+    envChunks.zipWithIndex.foreach { case (grp, idx) =>
+      val part = grp.map { case (k, (eb, l1)) =>
+        "\"" + k + f"""\":[$l1%.2f,$eb%.4f]""" }.mkString("{", ",", "}")
+      println(
+        s"""{"metric":"env_chunk","part":$idx,"parts":${envChunks.size},"env":$part}""")
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, SubqueryE
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{PreListedFileIndex, Shim}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** The engine facade — Spark-native re-expression of the reference's
@@ -374,6 +374,60 @@ final class GlueTableEngine(
       proxied = false)
   }
 
+  /** Changelog partition-value attachment: `(raw, fpCol) => raw +
+    * typed partition columns`, for CDC legs that read leaf data files
+    * directly — a partitioned lakehouse table's data files don't hold
+    * their partition columns, so they're recovered from the LOG /
+    * MANIFEST partition records (the same authoritative source the
+    * scan path uses) as a tiny driver-built `(canonical path ->
+    * values)` frame broadcast-joined on the canonical file path.
+    * Candidate sets are CDC-small by contract, so the join stays a
+    * narrow broadcast at any table size. LEFT join + loud per-row
+    * guard (ADVICE r14 low): a scanned file missing from the
+    * metadata-derived map means canonicalization drift, and an inner
+    * join would silently DROP its change rows from the CDC stream —
+    * here it raises instead.
+    */
+  private def partitionValuesAttach(database: String, table: String,
+      meta: CachedTableMetadata, fromOffset: Int,
+      toOffset: Int): (DataFrame, String) => DataFrame =
+    if (meta.table.partitionKeys.isEmpty) (raw0, _) => raw0
+    else {
+      val pSchema = partitionSchemaOf(meta)
+      val pvByPath = (files(database, table, toOffset) ++
+          files(database, table, fromOffset))
+        .map(f => canonPath(f.path) -> f.partitionValues).toMap
+      (raw0, fpCol) => {
+        import scala.jdk.CollectionConverters._
+        val rows = pvByPath.toSeq.sortBy(_._1).map { case (p, pv) =>
+          org.apache.spark.sql.Row.fromSeq(
+            (p +: meta.table.partitionKeys.map(k => pv.get(k.name).orNull)) :+
+              java.lang.Boolean.TRUE)
+        }
+        val strSchema = StructType(
+          (StructField(fpCol, StringType, nullable = false) +:
+            meta.table.partitionKeys.map(k =>
+              StructField(k.name, StringType, nullable = true))) :+
+            StructField("__pv_hit", BooleanType, nullable = true))
+        val pvDf0 = spark.createDataFrame(
+          new java.util.ArrayList(rows.asJava), strSchema)
+        val pvDf = meta.table.partitionKeys.foldLeft(pvDf0) { (d, k) =>
+          d.withColumn(k.name, col(k.name).cast(pSchema(k.name).dataType))
+        }
+        val joined = raw0.join(broadcast(pvDf), Seq(fpCol), "left")
+        // guard rides the partition columns themselves (downstream
+        // always reads at least one, or the attach was moot), so a
+        // miss surfaces as an error, not missing CDC rows
+        val guarded = meta.table.partitionKeys.foldLeft(joined) { (d, k) =>
+          d.withColumn(k.name, when(col("__pv_hit").isNull,
+            raise_error(concat(
+              lit(s"changelog partition attach miss for $database.$table: "),
+              col(fpCol)))).otherwise(col(k.name)))
+        }
+        guarded.drop("__pv_hit")
+      }
+    }
+
   /** NET row-level CHANGES of a Delta table between two versions —
     * the change-data-feed read an incremental consumer runs: every
     * emitted row carries `_change_type` 'insert' (present at `to`,
@@ -418,8 +472,6 @@ final class GlueTableEngine(
     val dvChanged = (fromFiles intersect toFiles).toSeq.sorted
       .filter(p => dvFrom.get(p) != dvTo.get(p))
     if (dvChanged.nonEmpty) {
-      require(meta.table.partitionKeys.isEmpty,
-        "row-level DV deltas on partitioned tables are not supported yet")
       def posDf(dv: Map[String, String]): DataFrame = {
         val byDv = dvChanged.flatMap(p => dv.get(p).map(d => (p, d))).groupBy(_._2)
         if (byDv.isEmpty)
@@ -437,11 +489,17 @@ final class GlueTableEngine(
       // (readTable) emit logical ones — rename so the union agrees
       val mapping = delta.dataSchemaAt(loc, toOffset)
         .map(graft.listing.DeltaLogWriter.mappingOf).getOrElse(Map.empty)
-      val raw = mapping.foldLeft(spark.read.parquet(dvChanged: _*)) {
+      val raw0 = mapping.foldLeft(spark.read.parquet(dvChanged: _*)) {
           case (d, (l, ph)) => d.withColumnRenamed(ph, l)
         }
         .withColumn("__fp", canonPathCol(col("_metadata").getField("file_path")))
         .withColumn("__pos", col("_metadata").getField("row_index"))
+      // partitioned tables: the raw leaf files don't hold the
+      // partition columns the added/removed legs (readTable) emit —
+      // attach them from the LOG's add-action partitionValues (r14
+      // verdict ask #4, the exact recipe g66 used for Iceberg)
+      val raw = partitionValuesAttach(database, table, meta,
+        fromOffset, toOffset)(raw0, "__fp")
       def leg(pos: DataFrame, kind: String): DataFrame =
         raw.join(broadcast(pos), Seq("__fp", "__pos"))
           .drop("__fp", "__pos").withColumn(ct, lit(kind))
@@ -518,30 +576,10 @@ final class GlueTableEngine(
             df.col("`" + c + "`").as(logicalByPhys.getOrElse(c, c))).toSeq: _*)
         }
       }
-      val attachParts: (DataFrame, String) => DataFrame =
-        if (meta.table.partitionKeys.isEmpty) (raw0, _) => toLogical(raw0)
-        else {
-          val pSchema = partitionSchemaOf(meta)
-          val pvByPath = (files(database, table, toOffset) ++
-              files(database, table, fromOffset))
-            .map(f => canonPath(f.path) -> f.partitionValues).toMap
-          (raw0, fpCol) => {
-            import scala.jdk.CollectionConverters._
-            val rows = pvByPath.toSeq.sortBy(_._1).map { case (p, pv) =>
-              org.apache.spark.sql.Row.fromSeq(
-                p +: meta.table.partitionKeys.map(k => pv.get(k.name).orNull))
-            }
-            val strSchema = StructType(StructField(fpCol, StringType, nullable = false) +:
-              meta.table.partitionKeys.map(k =>
-                StructField(k.name, StringType, nullable = true)))
-            val pvDf0 = spark.createDataFrame(
-              new java.util.ArrayList(rows.asJava), strSchema)
-            val pvDf = meta.table.partitionKeys.foldLeft(pvDf0) { (d, k) =>
-              d.withColumn(k.name, col(k.name).cast(pSchema(k.name).dataType))
-            }
-            toLogical(raw0.join(broadcast(pvDf), Seq(fpCol)))
-          }
-        }
+      val attachParts: (DataFrame, String) => DataFrame = {
+        val attach = partitionValuesAttach(database, table, meta, fromOffset, toOffset)
+        (raw0, fpCol) => toLogical(attach(raw0, fpCol))
+      }
       val commonRaw = (fromFiles intersect toFiles).toSeq.sorted
       val common = commonRaw.map(canonPath)
       val deltaDels = (delFrom ++ delTo).filter(d => delDelta(d.path))
@@ -1887,6 +1925,23 @@ final class GlueTableEngine(
     v
   }
 
+  /** DROP a named ref (tag or staged branch) — metadata-only
+    * ([[graft.listing.IcebergWriter.dropRef]]). Also the documented
+    * RECOVERY path when snapshot expiry fails on a dangling ref
+    * (a ref pointing at a snapshot the current metadata no longer
+    * lists): expiry keeps failing loudly rather than silently
+    * under-protecting, and the operator repairs the table by
+    * dropping the dangling ref, then re-runs expiry.
+    */
+  def dropIcebergRef(database: String, table: String, ref: String): Long = {
+    val meta = tableMetadata(database, table)
+    require(meta.tableType == TableType.Iceberg,
+      s"$database.$table is ${meta.tableType}, not an Iceberg table")
+    val v = graft.listing.IcebergWriter.dropRef(spark, location(meta), ref)
+    invalidateTable(database, table)
+    v
+  }
+
   /** Read a TAGGED snapshot — the frozen state the tag names,
     * however far main has moved since. Same resolution as the
     * branch-audit read.
@@ -2000,8 +2055,12 @@ final class GlueTableEngine(
     val matches = tableDF(database, table)
       .filter(coalesce(predicate, lit(false)))
       .select(
-        regexp_replace(col("_metadata").getField("file_path"),
-          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/").as("file_path"),
+        // canonPathCol, not a bare scheme strip: _metadata.file_path
+        // is URI-ENCODED (a partition value with a space reads as
+        // %20), while listing paths decode — an encoding-blind strip
+        // here silently skipped every row in such a partition (found
+        // by g68's space-holding o_orderpriority partition)
+        canonPathCol(col("_metadata").getField("file_path")).as("file_path"),
         col("_metadata").getField("row_index").as("pos"))
     val delDir = s"${loc.stripSuffix("/")}/deletes_${System.nanoTime()}"
     matches.coalesce(1).write.mode("overwrite").parquet(delDir)
@@ -2178,8 +2237,12 @@ final class GlueTableEngine(
     val matches = tableDF(database, table)
       .filter(coalesce(predicate, lit(false)))
       .select(
-        regexp_replace(col("_metadata").getField("file_path"),
-          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/").as("file_path"),
+        // canonPathCol, not a bare scheme strip: _metadata.file_path
+        // is URI-ENCODED (a partition value with a space reads as
+        // %20), while listing paths decode — an encoding-blind strip
+        // here silently skipped every row in such a partition (found
+        // by g68's space-holding o_orderpriority partition)
+        canonPathCol(col("_metadata").getField("file_path")).as("file_path"),
         col("_metadata").getField("row_index").as("pos"))
     val affectedCanon = matches.select("file_path").distinct()
       .collect().map(_.getString(0)).toSet

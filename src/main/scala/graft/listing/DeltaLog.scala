@@ -863,7 +863,7 @@ final class DeltaLogResolver(spark: SparkSession) {
     * a checkpoint IS that version's state.
     */
   def latestVersion(location: String): Option[Long] = {
-    val (_, commits, checkpoints) = listLog(location)
+    val (_, commits, checkpoints, _) = listLog(location)
     (commits.map(_._1) ++ checkpoints.keys).maxOption
   }
 
@@ -963,18 +963,20 @@ final class DeltaLogResolver(spark: SparkSession) {
     */
   private[listing] def rawState(location: String, versionOffset: Int): Option[RawDeltaState] = {
     require(versionOffset >= 0, s"versionOffset must be >= 0: $versionOffset")
-    val (logDir, commits, checkpoints) = listLog(location)
+    val (logDir, commits, checkpoints, logId) = listLog(location)
     val latest = (commits.map(_._1) ++ checkpoints.keys).maxOption.getOrElse(return None)
     val target = latest - versionOffset
     if (target < 0) return None
-    // MEMOIZE the replay per (root, resolved version): a cold listing
-    // build needs the state twice (files+DVs, then the data schema),
-    // and each call replayed the full log — checkpoint parquet plus
-    // the commit tail (verdict r13 #5). The listing above stays fresh
-    // every call (new commits move `target`), and state AT a fixed
-    // version is immutable, so a short-TTL LRU is sound; capacity is
-    // driver-side metadata only.
-    Some(replayCache.get(s"${location.stripSuffix("/")}#v$target") {
+    // MEMOIZE the replay per (root, log identity, resolved version):
+    // a cold listing build needs the state twice (files+DVs, then the
+    // data schema), and each call replayed the full log — checkpoint
+    // parquet plus the commit tail (verdict r13 #5). The listing
+    // above stays fresh every call (new commits move `target`), and
+    // state AT a fixed version of a fixed LOG INSTANCE is immutable,
+    // so a short-TTL LRU is sound; the identity component (oldest
+    // commit's mtime+len) keeps a deleted-and-recreated log at the
+    // same location from serving the old table's state (ADVICE r14).
+    Some(replayCache.get(s"${location.stripSuffix("/")}#$logId#v$target") {
       replayCount += 1
       replay(location.stripSuffix("/"), logDir, commits, checkpoints, target)
     })
@@ -1078,10 +1080,10 @@ final class DeltaLogResolver(spark: SparkSession) {
       txns.toMap)
   }
 
-  private def listLog(location: String): (Path, Seq[(Long, Path)], Map[Long, Seq[Path]]) = {
+  private def listLog(location: String): (Path, Seq[(Long, Path)], Map[Long, Seq[Path]], String) = {
     val logDir = new Path(s"${location.stripSuffix("/")}/_delta_log")
     val fs = logDir.getFileSystem(hadoopConf)
-    if (!fs.exists(logDir)) return (logDir, Nil, Map.empty)
+    if (!fs.exists(logDir)) return (logDir, Nil, Map.empty, "")
     val statuses = fs.listStatus(logDir).toSeq
     val commits = statuses.flatMap { s =>
       s.getPath.getName match {
@@ -1095,7 +1097,16 @@ final class DeltaLogResolver(spark: SparkSession) {
         case _               => None
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    (logDir, commits, checkpoints)
+    // LOG IDENTITY for the replay memo (ADVICE r14 low): a log deleted
+    // and recreated at the same location that reaches the same version
+    // number within the memo TTL must not serve the previous table's
+    // state. The oldest surviving commit's (mtime, length) names THIS
+    // log instance — free from the listStatus already in hand.
+    val identity = commits.headOption.map { case (v, p) =>
+      val st = statuses.find(_.getPath == p)
+      s"$v:${st.map(_.getModificationTime).getOrElse(0L)}:${st.map(_.getLen).getOrElse(0L)}"
+    }.getOrElse("")
+    (logDir, commits, checkpoints, identity)
   }
 
   /** `add.path` is URL-encoded and relative to the table root unless

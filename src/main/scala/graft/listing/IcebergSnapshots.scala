@@ -237,7 +237,10 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     * `refs.main` is included too (harmless: already in the keep-set
     * via the version walk); a ref pointing at a snapshot the current
     * metadata no longer lists fails loudly rather than silently
-    * under-protecting.
+    * under-protecting — the documented recovery is
+    * [[graft.listing.IcebergWriter.dropRef]] (engine:
+    * `dropIcebergRef`), which removes the dangling ref so expiry can
+    * run again.
     */
   def refReachableFiles(location: String): Seq[String] =
     metadataAt(location, 0).toSeq.flatMap { meta =>

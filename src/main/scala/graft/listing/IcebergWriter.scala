@@ -623,8 +623,10 @@ object IcebergWriter {
           }
         val parts = walkParquet(new Path(dd)).sortBy(_.getPath.toString)
 
-        // 2+3. one manifest for this batch
-        val entries = parts.map { st =>
+        // 2+3. one manifest for this batch; on a build failure after
+        // the data dir is written (footer read, partition-value
+        // conversion), remove the staged dir — no orphan parquet
+        val entries = try parts.map { st =>
           // ONE footer open per written file yields bounds AND the row
           // count the manifest must carry (record_count)
           val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
@@ -641,7 +643,11 @@ object IcebergWriter {
           }.toMap
         val pr = new GenericData.Record(ps)
         partCols.foreach { case (c, (_, conv)) =>
-          segs.get(c).foreach(v => pr.put(c, conv(v)))
+          // a null partition value writes the Hive sentinel segment:
+          // store a real null in the manifest partition record, not
+          // the sentinel literal (string) or a conv throw (int/long)
+          segs.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__")
+            .foreach(v => pr.put(c, conv(v)))
         }
         d.put("partition", pr)
       }
@@ -671,7 +677,7 @@ object IcebergWriter {
           val e = new GenericData.Record(entryS)
           e.put("data_file", d)
           e
-        }
+        } catch { case t: Throwable => fs.delete(new Path(dd), true); throw t }
         // token BEFORE the _s<seq> suffix: the resolver parses the
         // manifest's sequence number from the trailing `_s<seq>.avro`
         // (it scopes equality deletes), and a racing writer must
@@ -906,6 +912,62 @@ object IcebergWriter {
         s"tag lost the publish race at $dst — re-resolve and retry")
     }
     mainId
+  }
+
+  /** DROP a named ref (tag or staged branch) — a new metadata version
+    * with the ref removed; snapshots array untouched, zero data
+    * movement. This is ALSO the documented recovery path for a
+    * DANGLING ref (ADVICE r14): [[IcebergSnapshotResolver
+    * .refReachableFiles]] fails loudly when any named ref points at a
+    * snapshot the current metadata no longer lists (hand-edited
+    * metadata, an older writer), which makes every subsequent expiry
+    * run fail — dropping the dangling ref is the supported way for an
+    * operator to repair the table and let maintenance proceed.
+    * Returns the new sequence number.
+    */
+  def dropRef(spark: SparkSession, location: String, name: String): Long = {
+    require(name != "main", "main is not a droppable ref")
+    val root = location.stripSuffix("/")
+    val metaDir = new Path(s"$root/metadata")
+    val conf = org.apache.spark.sql.graft.Shim.classic(spark)
+      .sparkContext.hadoopConfiguration
+    val fs = metaDir.getFileSystem(conf)
+    val prior = fs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try mapper.readTree(in) finally in.close()
+      }
+      .sortBy(n => Option(n.get("last-sequence-number")).map(-_.asLong()).getOrElse(0L))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"no Iceberg metadata at $location"))
+    val refs = refsOf(prior)
+    require(refs.contains(name), s"ref $name does not exist at $location")
+    val newRefs = refs - name
+    val seq = Option(prior.get("last-sequence-number")).map(_.asLong()).getOrElse(0L) + 1L
+    val priorSnapshots = Option(prior.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(mapper.writeValueAsString))
+    val schemasJson = Option(prior.get("schemas")).map(mapper.writeValueAsString)
+      .getOrElse("""[{"schema-id": 0, "fields": []}]""")
+    val specsJson = Option(prior.get("partition-specs"))
+      .map(n => s""",
+         |"partition-specs": ${mapper.writeValueAsString(n)}""".stripMargin).getOrElse("")
+    val body =
+      s"""{"format-version": 2, "last-sequence-number": $seq${evolutionCarryJson(
+            lastColIdOf(prior, pubColsOf(prior)), retiredOf(prior), mappedMode(prior))}${refsJson(newRefs)},
+         |"current-schema-id": ${Option(prior.get("current-schema-id")).map(_.asInt()).getOrElse(0)},
+         |"schemas": $schemasJson$specsJson,
+         |"snapshots": [${priorSnapshots.mkString(", ")}]}""".stripMargin
+    val tmp = new Path(metaDir, s".v$seq.metadata.json.tmp")
+    val dst = new Path(metaDir, s"v$seq.metadata.json")
+    val os = fs.create(tmp, true)
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"dropRef lost the publish race at $dst — re-resolve and retry")
+    }
+    seq
   }
 
   /** PUBLISH a staged branch — the write-audit-publish endgame: a
@@ -1316,7 +1378,11 @@ object IcebergWriter {
       }
     val dataFileS = dataFileSchema(partSchemaOpt)
     val entryS = entrySchema(dataFileS)
-    val entries = walkParquet(new Path(dd)).sortBy(_.getPath.toString).map { st =>
+    // manifest-entry construction can fail after the data dir is
+    // already written (footer read, partition-value conversion):
+    // remove the staged dir rather than leaving orphan parquet
+    // (ADVICE r14 low)
+    val entries = try walkParquet(new Path(dd)).sortBy(_.getPath.toString).map { st =>
       val (stats, nRows) = FooterStats.readWithCount(conf, st.getPath.toString)
       val d = new GenericData.Record(dataFileS)
       d.put("file_path", st.getPath.toString) // full URI: authority kept so object-store reads resolve
@@ -1331,7 +1397,11 @@ object IcebergWriter {
           }.toMap
         val pr = new GenericData.Record(ps)
         partCols.foreach { case (c, (_, conv)) =>
-          segs.get(c).foreach(v => pr.put(c, conv(v)))
+          // a null partition value writes the Hive sentinel segment:
+          // store a real null in the manifest partition record, not
+          // the sentinel literal (string) or a conv throw (int/long)
+          segs.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__")
+            .foreach(v => pr.put(c, conv(v)))
         }
         d.put("partition", pr)
       }
@@ -1360,7 +1430,7 @@ object IcebergWriter {
       val e = new GenericData.Record(entryS)
       e.put("data_file", d)
       e
-    }
+    } catch { case t: Throwable => fs.delete(new Path(dd), true); throw t }
     val dataManifest = s"$root/metadata/manifest_${token}_s$seq.avro"
     writeAvro(fs, new Path(dataManifest), entryS, entries)
 

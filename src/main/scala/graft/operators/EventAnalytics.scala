@@ -181,8 +181,17 @@ object EventAnalytics {
       .union(ev.select(col("it").as("src"), col("u").as("dst")))
       .persist()
     try {
-      val source = edges.filter(col("src") > 0)
-        .agg(min(col("src")).as("s")).collect()(0).getLong(0)
+      // empty edge set (no qualifying view rows): the oracle returns
+      // zero rows — return the empty histogram rather than NPE on the
+      // null min cell (same guard shortestPaths got, ADVICE r13 low)
+      val minRow = edges.filter(col("src") > 0)
+        .agg(min(col("src")).as("s")).collect()(0)
+      if (minRow.isNullAt(0)) {
+        val sp0 = org.apache.spark.sql.graft.Shim.classic(edges.sparkSession)
+        import sp0.implicits._
+        return Seq.empty[(Int, Long)].toDF("hop", "n_nodes")
+      }
+      val source = minRow.getLong(0)
       // the settled set is the UNION of the persisted per-hop
       // frontiers — no re-materialized cumulative table, ONE action
       // per round (the frontier count), and the anti-join reads only
@@ -226,7 +235,8 @@ object EventAnalytics {
          |    AND CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
          |e AS (SELECT u AS src, it AS dst FROM ev
          |      UNION ALL SELECT it AS src, u AS dst FROM ev),
-         |d0 AS (SELECT (SELECT MIN(src) FROM e WHERE src > 0) AS node, 0 AS hop)""".stripMargin
+         |d0 AS (SELECT MIN(src) AS node, 0 AS hop FROM e WHERE src > 0
+       |      HAVING MIN(src) IS NOT NULL)""".stripMargin
     val stages = (1 to maxHops).map { h =>
       val prev = s"d${h - 1}"
       s"""d$h AS (

@@ -1568,6 +1568,42 @@ object Queries {
         |  FROM del GROUP BY o_orderpriority)
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // Delta CDC over a PARTITIONED table with deletion vectors (r14
+    // verdict ask #4, the g66 recipe for Delta): the DV delta forces
+    // the row-level leg on a table whose data files don't hold the
+    // partition column — the changelog attaches partition values from
+    // the log's add-action records, and grouping BY that column is
+    // exactly what a wrong (or silently dropped) attachment would
+    // hash-break.
+    "g68_delta_part_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_pcdf_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "delta_pcdf_rt", loc, partitionBy = Seq("o_orderpriority"))
+        eng.appendDeltaTable(o.filter(col("o_orderkey") % 2 === 1),
+          "default", "delta_pcdf_rt")
+        eng.deleteDeltaWhereMor("default", "delta_pcdf_rt",
+          col("o_orderkey") % 10 === 0)
+        eng.deltaChanges("default", "delta_pcdf_rt", 2, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 <> 0
+        |  GROUP BY o_orderpriority)
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi CHANGELOG between instants (completes the CDC row of the
     // format matrix: Delta g52, Iceberg g53/g54/g66): COW rewrites
     // whole file groups, so the net row-level diff is a content

@@ -836,4 +836,28 @@ class DeltaSpec extends AnyFunSuite {
     assert(r.filesAndDeletionVectors(loc, 0)._1.size > files.size)
     assert(r.replayCount == 2L, "a new commit must invalidate the memo by key")
   }
+
+  test("replay memo never serves a deleted-and-recreated log's old state (ADVICE r14)") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_reid_${System.nanoTime()}"
+    graft.listing.DeltaLogWriter.commit(spark,
+      loc, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    val r = new graft.listing.DeltaLogResolver(spark)
+    val before = r.filesAndDeletionVectors(loc, 0)._1
+    assert(before.nonEmpty)
+    // delete the table and recreate it at the SAME location, reaching
+    // the SAME version number within the memo's TTL: the key's log
+    // identity (oldest commit mtime+len) must miss, not hit
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val hfs = p.getFileSystem(
+      org.apache.spark.sql.graft.Shim.classic(spark).sparkContext.hadoopConfiguration)
+    hfs.delete(p, true)
+    Thread.sleep(5) // local-fs mtime is millisecond-resolution
+    graft.listing.DeltaLogWriter.commit(spark,
+      loc, (0L until 3L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    val after = r.filesAndDeletionVectors(loc, 0)._1
+    assert(after.map(_.path).toSet != before.map(_.path).toSet,
+      "recreated log at the same (location, version) must not serve the old file list")
+    assert(after.size == spark.read.parquet(after.map(_.path): _*).inputFiles.length)
+  }
 }

@@ -257,4 +257,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // the 2-core is exactly the 2-connected block {1,2,3,-8,-3}
     assert(want.last._2 == 5L)
   }
+
+  test("bfsHops and shortestPaths return empty frames on view-less events") {
+    // no 'view' rows -> empty edge set; the min-source collect sees a
+    // null cell and must NOT NPE (verdict r14 ask #5) — the DuckDB
+    // oracles return zero rows on the same input
+    val ev = Seq((1L, "click", ts(2), """{"k":1}"""),
+        (2L, "purchase", ts(3), """{"k":2}"""))
+      .toDF("user_id", "event_type", "ts", "props")
+    val hops = EventAnalytics.bfsHops(ev)
+    assert(hops.columns.toSeq == Seq("hop", "n_nodes"))
+    assert(hops.count() == 0)
+    val sp = EventAnalytics.shortestPaths(ev)
+    assert(sp.count() == 0)
+  }
 }

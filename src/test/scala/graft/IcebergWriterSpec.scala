@@ -837,4 +837,73 @@ class IcebergWriterSpec extends AnyFunSuite {
       new java.math.BigDecimal("1.50")) == 0)
     assert(r.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2))
   }
+
+  test("null partition values store as real nulls, not the Hive sentinel (ADVICE r14)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // STRING partition: the sentinel segment must become a null in
+    // the manifest partition record, never the literal
+    val loc = s"/root/repo/target/ice_nullpart_${System.nanoTime()}"
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, Option.empty[String]))
+      .toDF("k", "p")
+    eng.writeIcebergTable(df.coalesce(1), "d", "inp", loc, partitionBy = Seq("p"))
+    val fs0 = eng.files("d", "inp")
+    assert(fs0.exists(f => !f.partitionValues.contains("p")),
+      s"one file holds the null partition (absent key = null): $fs0")
+    assert(!fs0.exists(_.partitionValues.get("p").contains("__HIVE_DEFAULT_PARTITION__")),
+      s"sentinel literal leaked into the manifest partition record: $fs0")
+    assert(eng.tableDF("d", "inp").count() == 3)
+    // INT partition: the sentinel previously threw NumberFormatException
+    // AFTER the data dir was written — now it stores null, and a build
+    // failure would clean the staged dir up
+    val loc2 = s"/root/repo/target/ice_nullpart2_${System.nanoTime()}"
+    eng.writeIcebergTable(Seq((1L, Option(10)), (2L, Option.empty[Int]))
+      .toDF("k", "pi").coalesce(1), "d", "inp2", loc2, partitionBy = Seq("pi"))
+    assert(eng.tableDF("d", "inp2").count() == 2)
+    // and through the MERGE path (commitMerge recovers values the same way)
+    eng.mergeIceberg("d", "inp2",
+      Seq((3L, Option.empty[Int])).toDF("k", "pi"), "k")
+    assert(eng.tableDF("d", "inp2").count() == 3)
+  }
+
+  test("dropRef repairs a dangling ref so expiry can run again (ADVICE r14)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    val loc = s"/root/repo/target/ice_dangling_${System.nanoTime()}"
+    eng.writeIcebergTable((0L until 20L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "idr", loc)
+    eng.tagIcebergSnapshot("d", "idr", "cut")
+    eng.appendIcebergTable((100L until 120L).map(k => (k, s"r$k")).toDF("k", "v")
+      .coalesce(1), "d", "idr")
+    // hand-corrupt: point the tag at a snapshot id the metadata never
+    // listed (an older writer / hand-edited table)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$loc/metadata")
+    val hfs = metaDir.getFileSystem(
+      Shim.classic(spark).sparkContext.hadoopConfiguration)
+    val latest = hfs.listStatus(metaDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .maxBy(st => st.getPath.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(latest.getPath.toUri.getPath)), "UTF-8")
+    val corrupted = body.replaceAll(
+      """("cut"\s*:\s*\{\s*"snapshot-id"\s*:\s*)\d+""", "$199999")
+    assert(corrupted != body, "corruption must have rewritten the tag's snapshot id")
+    val os = hfs.create(latest.getPath, true)
+    try os.write(corrupted.getBytes("UTF-8")) finally os.close()
+    eng.invalidateTable("d", "idr")
+    // expiry fails loudly on the dangling ref...
+    val e = intercept[IllegalStateException] {
+      eng.expireIcebergSnapshots("d", "idr", retainVersions = 1)
+    }
+    assert(e.getMessage.contains("missing snapshot"))
+    // ...dropRef is the documented recovery, after which expiry runs
+    eng.dropIcebergRef("d", "idr", "cut")
+    eng.expireIcebergSnapshots("d", "idr", retainVersions = 1)
+    assert(eng.tableDF("d", "idr").count() == 40)
+  }
 }

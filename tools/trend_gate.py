@@ -58,6 +58,11 @@ def load(path):
         qs = {}
         for c in chunks:
             qs.update(c.get("queries", {}))
+        # per-query load-witness chunks (r15+): reassembled the same way
+        env = {}
+        for c in cands:
+            if c.get("metric") == "env_chunk":
+                env.update(c.get("env", {}))
         nparts = chunks[0].get("parts") if chunks else None
         complete = nparts is not None and \
             len({c.get("part") for c in chunks}) == nparts
@@ -84,9 +89,13 @@ def load(path):
         # value-matched persisted summary > partial chunks (degraded)
         if full is not None:
             d = full
+            if env and "env" not in d:
+                d["env"] = env
         elif complete and short is not None:
             d = dict(short)
             d["queries"] = qs
+            if env:
+                d["env"] = env
         elif filed is not None:
             print(f"note: {path}: per-query timings read from the "
                   f"value-matched persisted summary {filed_path}")
@@ -97,6 +106,8 @@ def load(path):
                   f"chunks (head-truncated tail); {len(qs)} timings recovered")
             d = dict(short)
             d["queries"] = qs
+            if env:
+                d["env"] = env
         if "queries" not in d:
             # The tail capture keeps the LAST N bytes, so the summary
             # line can be head-truncated (round 8's artifact): the line
@@ -149,6 +160,10 @@ def main():
                          "0.57/1.01/1.03s and s20_mmr_rerank 0.83/1.42s across runs "
                          "of IDENTICAL code); a genuine regression on any query "
                          "worth paging about clears this easily")
+    ap.add_argument("--strict-env", action="store_true",
+                    help="disable the per-query load-witness adjudication: "
+                         "flags fail even when the new run's env witness shows "
+                         "the query ran under measurably higher external load")
     args = ap.parse_args()
 
     if args.old and args.new:
@@ -234,54 +249,106 @@ def main():
     o_io, n_io = io_speed(old), io_speed(new)
     if o_io and n_io:
         io_scale = o_io / n_io
-        if abs(1 - io_scale) > 0.05:
+        # Leniency threshold (ADVICE r14 low): the old rule granted the
+        # io scale whenever it was ANY amount more favorable, so ~10%
+        # calibration noise could excuse a genuine st regression. Real
+        # disk sags measured 2.8x-8x on the fsync probe; require the
+        # new box to read at least 20% slower on io before the st
+        # family may normalize by it.
+        if io_scale <= 0.83:
             print(f"calib_io_ms: old={o_io:.0f}ms new={n_io:.0f}ms "
                   f"-> st-family may normalize at x{io_scale:.3f} (io)")
         else:
             io_scale = None
 
+    # Per-query environment witness (r14 verdict ask #2). Artifacts
+    # carry env[q] = [load1_at_boundary, ext_busy_fraction] where
+    # ext_busy is the fraction of TOTAL box CPU consumed by OTHER
+    # processes during that query ((/proc/stat busy delta minus the
+    # bench JVM's own /proc/self/stat delta) / total delta). The r14
+    # official run inflated CPU-bound pair-miners 2.6-4.1x while both
+    # START/END point probes read the boxes near-equal — mid-suite
+    # ~5-minute host load waves are invisible to point probes but land
+    # exactly in the per-query cumulative busy fraction. A flag whose
+    # query ran under measurably higher external load in the NEW run
+    # is downgraded to ENV-ADJUDICATED (printed, not failed): the
+    # inflation has a named, measured cause. Superlinear contention
+    # effects (cache/bandwidth) make a quantitative correction model
+    # unreliable, so this is an adjudication, not a normalization —
+    # and it only fires when the new run's witness is itself elevated
+    # (ext_busy >= 0.08, i.e. ~2.5 cores of a 32-core box), so flags
+    # from quiet runs always still fail.
+    o_env = old.get("env") or {}
+    n_env = new.get("env") or {}
+    def env_suspect(q):
+        ne = n_env.get(q)
+        if not ne or ne[1] < 0:
+            return None
+        n_busy = ne[1]
+        oe = o_env.get(q)
+        o_busy = oe[1] if oe and oe[1] >= 0 else 0.0
+        if n_busy >= 0.08 and n_busy - o_busy >= 0.05:
+            return f"ext_busy {o_busy:.2f}->{n_busy:.2f} load1 " + \
+                (f"{oe[0]:.1f}" if oe else "?") + f"->{ne[0]:.1f}"
+        return None
+
+    # st-family: the more favorable of CPU and I/O normalization
+    # (see the calib_io block above); everything else: CPU only
+    def q_scale_of(q):
+        if q.startswith("st") and io_scale is not None:
+            return min(scale, io_scale)
+        return scale
+
     failures = []
+    env_adjudicated = []
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     for q in shared:
+        q_scale = q_scale_of(q)
+        scale_tag = " [io-norm]" if q_scale != scale else ""
         o, n = old["queries"][q], new["queries"][q]
-        # floor uses the same canary normalization as the ratio, so a
-        # query sits on the same side of the floor regardless of box
-        # speed (raw-n floors flickered near the boundary)
-        if n * scale < args.floor or o <= 0:
+        # floor uses the same per-query normalization as the ratio, so
+        # a query sits on the same side of the floor regardless of box
+        # speed (ADVICE r14: the floor previously used the CPU scale
+        # while the ratio used the io-normalized one — a query could
+        # flip sides of the floor inconsistently)
+        if n * q_scale < args.floor or o <= 0:
             continue
-        # st-family: the more favorable of CPU and I/O normalization
-        # (see the calib_io block above); everything else: CPU only
-        q_scale = scale
-        scale_tag = ""
-        if q.startswith("st") and io_scale is not None and \
-                min(scale, io_scale) < scale:
-            q_scale = min(scale, io_scale)
-            scale_tag = " [io-norm]"
         r = n * q_scale / o
         limit, reason = ALLOW.get(q, (args.ratio, None))
         slowed = n * q_scale - o  # absolute normalized slowdown
         regressed = r > limit and slowed >= args.abs_floor
-        flag = "REGRESSED" if regressed else (
-            f"within abs-floor ({slowed:+.2f}s)" if r > limit else (
-                f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else ""))
+        witness = env_suspect(q) if regressed else None
+        if witness and not args.strict_env:
+            env_adjudicated.append(q)
+            flag = f"ENV-ADJUDICATED ({witness})"
+            regressed = False
+        else:
+            flag = "REGRESSED" if regressed else (
+                f"within abs-floor ({slowed:+.2f}s)" if r > limit else (
+                    f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else ""))
         if regressed:
             failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){scale_tag}")
         if r > args.ratio or r < 1 / args.ratio:
             print(f"  {q:>24s}  {o:8.2f}s -> {n:8.2f}s  {r:5.2f}x  {flag}{scale_tag}")
 
     # totals over the SHARED set only, so suite growth is not a
-    # "regression"; per-query normalization (st-family may use the io
-    # scale) applies to the comparison, raw seconds are printed
-    def q_scale_of(q):
-        if q.startswith("st") and io_scale is not None:
-            return min(scale, io_scale)
-        return scale
+    # "regression"; per-query normalization applies to the comparison,
+    # raw seconds are printed. Queries whose per-query flag was
+    # env-adjudicated are excluded from BOTH sides: their inflation
+    # has a measured external cause, and leaving them in would fail
+    # the total on the same evidence the per-query check just excused.
+    tot_set = [q for q in shared if q not in env_adjudicated]
     o_tot = sum(old["queries"][q] for q in shared)
     n_tot = sum(new["queries"][q] for q in shared)
-    n_tot_norm = sum(new["queries"][q] * q_scale_of(q) for q in shared)
-    if o_tot > 0:
-        r_tot = n_tot_norm / o_tot
-        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x normalized)")
+    o_tot_adj = sum(old["queries"][q] for q in tot_set)
+    n_tot_norm = sum(new["queries"][q] * q_scale_of(q) for q in tot_set)
+    if env_adjudicated:
+        print(f"note: {len(env_adjudicated)} flag(s) env-adjudicated by the "
+              f"per-query load witness: {env_adjudicated}")
+    if o_tot_adj > 0:
+        r_tot = n_tot_norm / o_tot_adj
+        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x normalized"
+              + (f", {len(env_adjudicated)} env-adjudicated queries excluded)" if env_adjudicated else ")"))
         if r_tot > args.total_ratio:
             failures.append(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
 
