@@ -119,13 +119,13 @@ object Bench {
     // dirs on — plus the same directory-entry churn a commit makes.
     // Recorded as calib_io_ms/calib_io_end_ms; trend_gate uses the
     // pair to adjudicate st-family flags the CPU calibration cannot.
-    def ioCalib(): Long = {
+    def ioCalib(n: Int = 400): Long = {
       val dir = java.nio.file.Files.createTempDirectory("graft_iocal_")
       val buf = java.nio.ByteBuffer.allocate(4096)
       new java.util.Random(42).nextBytes(buf.array())
       val t0 = System.nanoTime()
       var i = 0
-      while (i < 400) {
+      while (i < n) {
         val p = dir.resolve(s"f$i")
         val ch = java.nio.channels.FileChannel.open(p,
           java.nio.file.StandardOpenOption.CREATE,
@@ -175,6 +175,18 @@ object Bench {
       if (a._2 < 0 || b._2 < 0 || b._2 <= a._2) -1.0
       else math.max(0.0,
         ((b._1 - a._1) - (b._3 - a._3)).toDouble / (b._2 - a._2))
+    // The DISK leg of the witness: ext_busy sees CPU waves but is
+    // blind to disk sags, and those hit mid-suite too (r15 live case:
+    // st12 flagged 1.53x in an artifact whose calib_io END probe read
+    // 2.1x its start; an isolated fresh-JVM triplicate minutes later
+    // read 10-14 s against a measured calib_io of 1860 ms — a ~10x
+    // sag the CPU witness scored at ext_busy 0.04). A 24-fsync
+    // mini-probe after every query (~10-15 ms healthy, 10x that in a
+    // sag; outside the timed window) gives each query an io witness
+    // that is SELF-RELATIVE within the artifact — trend_gate compares
+    // it to the run's own median, so a sag reads as the deviation it
+    // is even when cross-artifact calibration means disagree.
+    def ioProbeMs(): Long = ioCalib(24)
     // standalone mode for drift experiments (NOTES.md): measure the
     // box without running the suite, e.g. under a deliberate load
     if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").contains("1")) {
@@ -277,11 +289,13 @@ object Bench {
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val eb = extBusy(s0, procSample())
       val l1 = load1Now()
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s  ext_busy=$eb%.3f load1=$l1%.1f")
-      (name, dt, eb, l1)
+      val io = ioProbeMs()
+      System.err.println(
+        f"[bench] $name%-22s $dt%8.2f s  ext_busy=$eb%.3f load1=$l1%.1f io_ms=$io")
+      (name, dt, eb, l1, io)
     }
-    val results = timed.map { case (name, dt, _, _) => name -> dt }
-    val envResults = timed.map { case (name, _, eb, l1) => name -> (eb, l1) }
+    val results = timed.map { case (name, dt, _, _, _) => name -> dt }
+    val envResults = timed.map { case (name, _, eb, l1, io) => name -> (eb, l1, io) }
     // end-of-run all-core canary: the start canary alone cannot see a
     // host that sags DURING the ~10-minute suite (observed: heavies
     // +45% mid-run under a healthy start canary). The pair records
@@ -308,8 +322,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // per-query environment witness map: env[q] = [load1, ext_busy]
-    val envJson = envResults.map { case (k, (eb, l1)) =>
-      "\"" + k + f"""\":[$l1%.2f,$eb%.4f]""" }.mkString("{", ",", "}")
+    val envJson = envResults.map { case (k, (eb, l1, io)) =>
+      "\"" + k + f"""\":[$l1%.2f,$eb%.4f,$io]""" }.mkString("{", ",", "}")
     // headline value is POISONED (-1) whenever any query failed: a
     // crashing query must never read as a speedup to a consumer that
     // ignores the 'failed' field. Per-query failures stay -1.0.
@@ -351,8 +365,8 @@ object Bench {
     // head-truncated driver tail still yields per-query env context
     val envChunks = envResults.grouped(25).toSeq
     envChunks.zipWithIndex.foreach { case (grp, idx) =>
-      val part = grp.map { case (k, (eb, l1)) =>
-        "\"" + k + f"""\":[$l1%.2f,$eb%.4f]""" }.mkString("{", ",", "}")
+      val part = grp.map { case (k, (eb, l1, io)) =>
+        "\"" + k + f"""\":[$l1%.2f,$eb%.4f,$io]""" }.mkString("{", ",", "}")
       println(
         s"""{"metric":"env_chunk","part":$idx,"parts":${envChunks.size},"env":$part}""")
     }

@@ -280,16 +280,30 @@ def main():
     # from quiet runs always still fail.
     o_env = old.get("env") or {}
     n_env = new.get("env") or {}
+    # the DISK leg of the witness (r15, env[q][2] = 24-fsync probe ms
+    # run right after the query): ext_busy sees CPU waves but not disk
+    # sags, and a sag that starts mid-suite can leave the artifact's
+    # calib_io MEAN reading healthy (live r15 case: st12 flagged 1.53x
+    # while the end probe read 2.1x the start and an isolated rerun
+    # measured the sag at ~10x). The io witness is SELF-RELATIVE: a
+    # query whose probe reads >= 3x the run's own median (and >= 15 ms
+    # absolute) ran into a sag, whatever the cross-artifact means say.
+    n_io_med = None
+    io_vals = sorted(e[2] for e in n_env.values() if len(e) > 2 and e[2] >= 0)
+    if io_vals:
+        n_io_med = io_vals[len(io_vals) // 2]
     def env_suspect(q):
         ne = n_env.get(q)
-        if not ne or ne[1] < 0:
+        if not ne:
             return None
         n_busy = ne[1]
         oe = o_env.get(q)
         o_busy = oe[1] if oe and oe[1] >= 0 else 0.0
-        if n_busy >= 0.08 and n_busy - o_busy >= 0.05:
+        if n_busy >= 0 and n_busy >= 0.08 and n_busy - o_busy >= 0.05:
             return f"ext_busy {o_busy:.2f}->{n_busy:.2f} load1 " + \
                 (f"{oe[0]:.1f}" if oe else "?") + f"->{ne[0]:.1f}"
+        if len(ne) > 2 and n_io_med and ne[2] >= max(3 * n_io_med, 15):
+            return f"io_probe {ne[2]:.0f}ms vs run median {n_io_med:.0f}ms"
         return None
 
     # st-family: the more favorable of CPU and I/O normalization
