@@ -235,6 +235,7 @@ object Bench {
       "g61_iceberg_spec_evolution", "g66_iceberg_part_changes",
       "g67_hudi_changes", // writes + full-span upsert per invocation
       "g68_delta_part_changes", // writes + DV-deletes a partitioned table per invocation
+      "g69_delta_restore_changes", // writes + DV-deletes + restores per invocation
       // retention trio: write + physically delete per invocation
       "g41_delta_vacuum", "g42_iceberg_expire", "g43_hudi_clean",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run
@@ -354,13 +355,6 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs,"queries_file":"target/bench_summary.json"}"""
     println(shortLine)
     println(summary)
-    val chunks = results.grouped(25).toSeq
-    chunks.zipWithIndex.foreach { case (grp, idx) =>
-      val part = grp.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-        .mkString("{", ",", "}")
-      println(
-        s"""{"metric":"queries_chunk","part":$idx,"parts":${chunks.size},"queries":$part}""")
-    }
     // the load witness re-emitted the same self-delimiting way, so a
     // head-truncated driver tail still yields per-query env context
     val envChunks = envResults.grouped(25).toSeq
@@ -369,6 +363,13 @@ object Bench {
         "\"" + k + f"""\":[$l1%.2f,$eb%.4f,$io]""" }.mkString("{", ",", "}")
       println(
         s"""{"metric":"env_chunk","part":$idx,"parts":${envChunks.size},"env":$part}""")
+    }
+    val chunks = results.grouped(25).toSeq
+    chunks.zipWithIndex.foreach { case (grp, idx) =>
+      val part = grp.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      println(
+        s"""{"metric":"queries_chunk","part":$idx,"parts":${chunks.size},"queries":$part}""")
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),

@@ -1604,6 +1604,34 @@ object Queries {
         |  GROUP BY o_orderpriority)
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // The REVIVED-positions leg of the partitioned Delta changelog:
+    // a RESTORE rolls the DV back, so the range's net row-level diff
+    // is pure un-deletes — inserts read out of the unchanged data
+    // files at the revived positions, partition values attached from
+    // the log (g68's other half; no file is added or removed in the
+    // whole range)
+    "g69_delta_restore_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_rcdf_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "delta_rcdf_rt", loc, partitionBy = Seq("o_orderpriority"))
+        eng.deleteDeltaWhereMor("default", "delta_rcdf_rt",
+          col("o_orderkey") % 10 === 0)
+        eng.restoreDeltaTable("default", "delta_rcdf_rt", 1)
+        eng.deltaChanges("default", "delta_rcdf_rt", 1, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+        |GROUP BY o_orderpriority
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi CHANGELOG between instants (completes the CDC row of the
     // format matrix: Delta g52, Iceberg g53/g54/g66): COW rewrites
     // whole file groups, so the net row-level diff is a content
