@@ -337,9 +337,19 @@ def main():
             flag = f"ENV-ADJUDICATED ({witness})"
             regressed = False
         else:
-            flag = "REGRESSED" if regressed else (
+            # a SURVIVING flag still prints its witness values inline:
+            # the reader sees at once whether the query ran quiet (a
+            # real suspect) or under sub-threshold load / the
+            # host-clock-sag signature (high load1 with ext_busy ~0
+            # and healthy io — our own threads piling up on a slowed
+            # clock, which no guest-visible counter can attribute)
+            ne = n_env.get(q)
+            ctx = (f" [env load1={ne[0]:.1f} ext_busy={ne[1]:.2f}" +
+                   (f" io={ne[2]:.0f}ms" if len(ne) > 2 else "") + "]") \
+                if regressed and ne else ""
+            flag = (f"REGRESSED{ctx}" if regressed else (
                 f"within abs-floor ({slowed:+.2f}s)" if r > limit else (
-                    f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else ""))
+                    f"allowed <= {limit}x: {reason}" if reason and r > args.ratio else "")))
         if regressed:
             failures.append(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){scale_tag}")
         if r > args.ratio or r < 1 / args.ratio:
