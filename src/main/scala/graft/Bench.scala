@@ -143,6 +143,31 @@ object Bench {
     }
     val calibIoMs: Long = { ioCalib(); ioCalib() } // warm dentry cache, then measure
     System.err.println(s"[bench] calib_io_ms=$calibIoMs")
+    // IO QUIET-FLOOR (r15 verdict ask #1b): the load1 gate above is
+    // blind to disk sags, and the r15 OFFICIAL artifact started inside
+    // a measured 10-25x io sag (calib_io 4602 ms vs this host's
+    // ~180-450 ms healthy floor, bench_history) — its headline total
+    // was pure box noise that then needed a full manual re-adjudication
+    // against quiet reruns. Under SPARK_GRAFT_REQUIRE_QUIET a start
+    // calib_io beyond 3x the floor REFUSES the run; without it the
+    // artifact still stamps a loud `degraded_start` verdict into BOTH
+    // headline lines, so a reader of the artifact alone knows its
+    // evidentiary value before comparing anything.
+    val ioFloorMs = sys.env.getOrElse("SPARK_GRAFT_IO_FLOOR_MS", "450").toLong
+    val degradedStart: String =
+      (if (load1 > quietCap) Seq("load") else Nil) ++
+        (if (calibIoMs > 3 * ioFloorMs) Seq("io") else Nil) match {
+        case Nil => ""
+        case xs  => xs.mkString("+")
+      }
+    if (sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").contains("1") && calibIoMs > 3 * ioFloorMs) {
+      System.err.println(
+        s"[bench] REFUSING quiet run: calib_io_ms=$calibIoMs > ${3 * ioFloorMs} " +
+          s"(3x the ${ioFloorMs} ms healthy floor) — the temp volume is sagging; wait it out")
+      sys.exit(3)
+    }
+    if (degradedStart.nonEmpty)
+      System.err.println(s"[bench] WARNING degraded_start=$degradedStart")
     // PER-QUERY environment witness (r14 verdict ask #2). The START/
     // END point probes above are structurally blind to mid-suite host
     // load waves (~5-minute swings measured on both boxes: r14
@@ -236,6 +261,11 @@ object Bench {
       "g67_hudi_changes", // writes + full-span upsert per invocation
       "g68_delta_part_changes", // writes + DV-deletes a partitioned table per invocation
       "g69_delta_restore_changes", // writes + DV-deletes + restores per invocation
+      // rename/spec-evolution CDC trio: each writes, evolves, and
+      // row-level-deletes a fresh table per invocation — write
+      // throughput, not query latency, like g53/g54/g66/g68
+      "g70_delta_rename_changes", "g71_iceberg_rename_changes",
+      "g72_iceberg_evo_changes",
       // retention trio: write + physically delete per invocation
       "g41_delta_vacuum", "g42_iceberg_expire", "g43_hudi_clean",
       // st2/st4/st5 stage + stream a fresh lakehouse table per run
@@ -332,7 +362,7 @@ object Bench {
     val total =
       if (failed > 0) -1.0 else results.map(_._2).sum
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"env":$envJson,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"env":$envJson,"failed":$failed,"degraded_start":"$degradedStart","sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs}"""
     // The driver captures only a BOUNDED WINDOW of process output, so
     // any single placement of the summary can be truncated away
     // (observed rounds 8-10; `parsed: null`): the full per-query line
@@ -352,11 +382,14 @@ object Bench {
     //     the artifact of record for local trend_gate comparisons
     //     (the short line carries its path).
     val shortLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs,"queries_file":"target/bench_summary.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"degraded_start":"$degradedStart","sf":"$sfDir","load1":$load1%.2f,"canary_ms":$canaryMs,"canary_all_ms":$canaryAllMs,"canary_end_ms":$canaryEndMs,"calib_ms":$calibMs,"calib_end_ms":$calibEndMs,"calib_io_ms":$calibIoMs,"calib_io_end_ms":$calibIoEndMs,"queries_file":"target/bench_summary.json"}"""
     println(shortLine)
     println(summary)
     // the load witness re-emitted the same self-delimiting way, so a
-    // head-truncated driver tail still yields per-query env context
+    // head-truncated driver tail still yields per-query env context.
+    // Env chunks print FIRST in the redundancy block: they are the
+    // most sacrificial layer, so head-truncation eats them before the
+    // query timings below (r15 verdict ask #5 ordering).
     val envChunks = envResults.grouped(25).toSeq
     envChunks.zipWithIndex.foreach { case (grp, idx) =>
       val part = grp.map { case (k, (eb, l1, io)) =>
@@ -371,6 +404,23 @@ object Bench {
       println(
         s"""{"metric":"queries_chunk","part":$idx,"parts":${chunks.size},"queries":$part}""")
     }
+    // ONE compact per-query line near the very end (r15 verdict ask
+    // #5): the driver's tail capture has been measured to keep only
+    // ~2-3 KB, so the ~7 KB chunk block above can lose most of its
+    // parts (r14: 48/198 timings recoverable). Query names compress
+    // to their unique leading token (q1/g68/st7/...), values to
+    // centiseconds — ~1.9 KB for 200 queries, small enough to
+    // survive the tail window WHOLE next to the closing short line.
+    // trend_gate expands the short keys against any artifact that
+    // carries full names (the leading token is unique by
+    // construction; a collision falls back to full names here).
+    val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }
+    val miniKeys =
+      if (shortKeys.map(_._2).distinct.size == shortKeys.size) shortKeys.toMap
+      else shortKeys.map { case (k, _) => k -> k }.toMap
+    val mini = results.map { case (k, v) => s"${miniKeys(k)}:" + f"$v%.2f" }
+      .mkString(";")
+    println(s"""{"metric":"queries_mini","n":${results.size},"v":"$mini"}""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))

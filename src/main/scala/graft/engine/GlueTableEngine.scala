@@ -388,7 +388,7 @@ final class GlueTableEngine(
     * join would silently DROP its change rows from the CDC stream —
     * here it raises instead.
     */
-  private def partitionValuesAttach(database: String, table: String,
+  private[graft] def partitionValuesAttach(database: String, table: String,
       meta: CachedTableMetadata, fromOffset: Int,
       toOffset: Int): (DataFrame, String) => DataFrame =
     if (meta.table.partitionKeys.isEmpty) (raw0, _) => raw0
@@ -404,27 +404,51 @@ final class GlueTableEngine(
             (p +: meta.table.partitionKeys.map(k => pv.get(k.name).orNull)) :+
               java.lang.Boolean.TRUE)
         }
+        // attach under reserved __pv_ names: a MIXED-GENERATION table
+        // (partition-spec evolution adopted a key some files predate)
+        // can hand a raw frame that already CARRIES a partition column
+        // as file bytes — joining same-named columns would be
+        // ambiguous, and blind withColumn would overwrite real values
         val strSchema = StructType(
           (StructField(fpCol, StringType, nullable = false) +:
             meta.table.partitionKeys.map(k =>
-              StructField(k.name, StringType, nullable = true))) :+
+              StructField(s"__pv_${k.name}", StringType, nullable = true))) :+
             StructField("__pv_hit", BooleanType, nullable = true))
         val pvDf0 = spark.createDataFrame(
           new java.util.ArrayList(rows.asJava), strSchema)
         val pvDf = meta.table.partitionKeys.foldLeft(pvDf0) { (d, k) =>
-          d.withColumn(k.name, col(k.name).cast(pSchema(k.name).dataType))
+          d.withColumn(s"__pv_${k.name}",
+            col(s"__pv_${k.name}").cast(pSchema(k.name).dataType))
         }
         val joined = raw0.join(broadcast(pvDf), Seq(fpCol), "left")
-        // guard rides the partition columns themselves (downstream
-        // always reads at least one, or the attach was moot), so a
-        // miss surfaces as an error, not missing CDC rows
-        val guarded = meta.table.partitionKeys.foldLeft(joined) { (d, k) =>
-          d.withColumn(k.name, when(col("__pv_hit").isNull,
+          // the miss guard is a FILTER, not a projection rider (ADVICE
+          // r15 low): a Filter condition is evaluated for EVERY row
+          // whatever the consumer projects, so a scanned file missing
+          // from the metadata-derived map (canonicalization drift)
+          // raises even when no partition column survives downstream
+          // pruning — it can never silently pass null partition values
+          // into the CDC stream. A file PRESENT in the map whose
+          // record merely lacks a key is NOT a miss: pre-spec-
+          // evolution files carry no value for later-adopted keys and
+          // surface null (the pruner's keep-on-unknown rule, read
+          // side) or their own file bytes below.
+          .filter(when(col("__pv_hit").isNull,
             raise_error(concat(
               lit(s"changelog partition attach miss for $database.$table: "),
-              col(fpCol)))).otherwise(col(k.name)))
+              col(fpCol)))).otherwise(lit(true)))
+        val rawCols = raw0.columns.toSet
+        val valued = meta.table.partitionKeys.foldLeft(joined) { (d, k) =>
+          // metadata record first (authoritative for partitionBy-
+          // written files, which hold no column bytes); fall back to
+          // the file's own column for generations written before the
+          // key joined the partition spec
+          val v = if (rawCols(k.name))
+            coalesce(col(s"__pv_${k.name}"), col(k.name))
+          else col(s"__pv_${k.name}")
+          d.withColumn(k.name, v)
         }
-        guarded.drop("__pv_hit")
+        valued.drop(
+          meta.table.partitionKeys.map(k => s"__pv_${k.name}") :+ "__pv_hit": _*)
       }
     }
 
@@ -1044,6 +1068,23 @@ final class GlueTableEngine(
     * undecodable stray `%` falls back to the raw form — which is what
     * the driver-side [[canonPath]] preserves for the same string.
     */
+  /** Fixed-point form for PERSISTING canonical paths in delete/DV
+    * sidecar files: escape every residual `%` as `%25` so that
+    * [[canonPathCol]] applied to the STORED value decodes back to
+    * exactly the canonical path. Readers canonicalize every
+    * `file_path` they load (externally-written delete files carry
+    * raw writer paths, so they must), which would DOUBLE-decode a
+    * canonical path holding a literal percent-escape — a partition
+    * value like `50%25` decoded twice reads `50%`, mismatches the
+    * once-decoded listing key, and rows silently skip: the same
+    * failure class as the g68 space fix (ADVICE r15 low). Paths
+    * without `%` — the universal common case — are bit-identical
+    * under this encoding and skip the read-side decode entirely.
+    * PathCanonSpec pins `canonPathCol(storedPathCol(p)) == p`.
+    */
+  private[graft] def storedPathCol(c: Column): Column =
+    regexp_replace(c, "%", "%25")
+
   private[graft] def canonPathCol(c: Column): Column = {
     val stripped = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
     // %-gate: url_decode is only REACHED for paths that carry an
@@ -1793,19 +1834,26 @@ final class GlueTableEngine(
     val meta = tableMetadata(database, table)
     require(meta.tableType == TableType.Iceberg,
       s"$database.$table is ${meta.tableType}, not an Iceberg table")
-    // a hidden transform spec is metadata, not catalog state: detect
-    // it and recompute the transform columns so appends keep the
-    // layout — the writer's spec-stability check refuses a bare append
-    val hspecs = iceberg.hiddenSpecs(location(meta))
+    // The partition SPEC is metadata, not catalog state — it, not the
+    // catalog, is the append layout's authority (the writer's
+    // spec-stability check refuses a mismatched append).
+    // ALL spec fields in spec order are the layout (not just hidden
+    // ones): an identity-partitioned table that adopted a hidden
+    // transform via spec evolution keeps BOTH dimensions — identity
+    // values come straight from the batch columns, hidden transform
+    // columns are recomputed per batch. Falling back to the catalog
+    // keys covers tables whose metadata predates spec records.
+    val sfields = iceberg.specFields(location(meta))
     val (batch, partBy, transforms) =
-      if (hspecs.isEmpty) (df, meta.table.partitionKeys.map(_.name),
+      if (sfields.isEmpty) (df, meta.table.partitionKeys.map(_.name),
         Map.empty[String, (String, String)])
       else {
-        val withCols = hspecs.foldLeft(df) { case (acc, (field, src, tr)) =>
+        val hidden = sfields.filter(_._3 != "identity")
+        val withCols = hidden.foldLeft(df) { case (acc, (field, src, tr)) =>
           acc.withColumn(field, transformColumnFor(acc, src, tr))
-        }.repartition(hspecs.map(h => col(h._1)): _*)
-        (withCols, hspecs.map(_._1),
-          hspecs.map { case (f, src, tr) => f -> (tr, src) }.toMap)
+        }.repartition(sfields.map(h => col(h._1)): _*)
+        (withCols, sfields.map(_._1),
+          hidden.map { case (f, src, tr) => f -> (tr, src) }.toMap)
       }
     val v = graft.listing.IcebergWriter.commit(
       spark, location(meta), batch, partBy,
@@ -2063,7 +2111,11 @@ final class GlueTableEngine(
         canonPathCol(col("_metadata").getField("file_path")).as("file_path"),
         col("_metadata").getField("row_index").as("pos"))
     val delDir = s"${loc.stripSuffix("/")}/deletes_${System.nanoTime()}"
-    matches.coalesce(1).write.mode("overwrite").parquet(delDir)
+    // storedPathCol: readers re-canonicalize stored paths, so persist
+    // the fixed-point form (a literal '%' in a partition value would
+    // otherwise decode twice and silently skip its rows)
+    matches.select(storedPathCol(col("file_path")).as("file_path"), col("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(delDir)
     val fs = new HadoopPath(delDir).getFileSystem(hadoopConf)
     val delFile = fs.listStatus(new HadoopPath(delDir)).toSeq
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
@@ -2262,7 +2314,11 @@ final class GlueTableEngine(
           .filter(col("file_path").isin(fps: _*)))
     }
     val dvDir = s"${loc.stripSuffix("/")}/dv_${System.nanoTime()}"
-    dvRows.distinct().coalesce(1).write.mode("overwrite").parquet(dvDir)
+    // storedPathCol: same fixed-point rule as deleteIcebergWhere —
+    // the sidecar is re-canonicalized on every read
+    dvRows.distinct()
+      .select(storedPathCol(col("file_path")).as("file_path"), col("pos"))
+      .coalesce(1).write.mode("overwrite").parquet(dvDir)
     val fs = new HadoopPath(dvDir).getFileSystem(hadoopConf)
     val dvFile = fs.listStatus(new HadoopPath(dvDir)).toSeq
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get

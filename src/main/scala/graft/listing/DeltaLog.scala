@@ -79,6 +79,42 @@ object DeltaLogWriter {
   private def jstr(s: String): String =
     new ObjectMapper().writeValueAsString(s)
 
+  /** Percent-encode a path for persistence in a log action or
+    * checkpoint row. The Delta protocol stores add/remove paths as
+    * RFC 2396 URI-encoded strings and the resolver DECODES them
+    * ([[DeltaLogResolver]] resolvePath) — writing the literal disk
+    * path instead only works while the decode happens to be the
+    * identity: a partition directory holding a literal `%` (Spark's
+    * writer escapes a `%` in a partition VALUE to `%25` on disk)
+    * decodes to a path that does not exist and every read of the
+    * partition fails (found by the ADVICE r15 '50%25' case; a SPACE
+    * survived only because an unencoded space makes the decode throw
+    * and fall back). Scheme-qualified URIs pass through verbatim —
+    * the resolver keeps those undecoded. Per '/'-segment form
+    * encoding with `+` mapped back to `%20` (URLEncoder is
+    * form-encoding; a literal `+` becomes `%2B` first, so the
+    * mapping only ever hits encoded spaces).
+    *
+    * ANY scheme-qualified form passes through verbatim — including
+    * the single-slash `file:/...` Hadoop `Path.toString` emits
+    * (no "://" in it): encoding its `file:` segment would turn an
+    * absolute URI into something the resolver root-prefixes into a
+    * nonexistent path. Only scheme-less paths (relative adds and
+    * bare absolute paths — everything this writer produces for data
+    * files) are encoded.
+    */
+  private val SchemePrefixRe = "^[A-Za-z][A-Za-z0-9+.-]*:/".r
+  private def encLogPath(p: String): String =
+    if (SchemePrefixRe.findFirstIn(p).isDefined) p
+    else p.split("/", -1).map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")).mkString("/")
+
+  /** JSON string of an encoded log path — every persisted add/remove/
+    * DV path goes through this, so reader decode composes to the
+    * identity on the on-disk literal.
+    */
+  private def jpath(p: String): String = jstr(encLogPath(p))
+
   /** Schema-metadata key carrying a field's PHYSICAL parquet column
     * name — Delta's own column-mapping (name mode) annotation, which
     * is how a rename becomes a metadata-only operation: files keep
@@ -350,7 +386,7 @@ object DeltaLogWriter {
       val pvJson = pv.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
       val size = fs.getFileStatus(p).getLen
       val stats = statsJson(conf, p.toString, dataSchema)
-      s"""{"add":{"path":${jstr(rel)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
+      s"""{"add":{"path":${jpath(rel)},"size":$size,"partitionValues":$pvJson,"dataChange":true""" +
         stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") + "}}"
     }
     // v0 declares the schema; a later commit whose batch ADDS columns
@@ -396,7 +432,7 @@ object DeltaLogWriter {
       val uriPath = new Path(p).toUri.getPath
       val rel = if (uriPath.startsWith(rootPath))
         uriPath.stripPrefix(rootPath).stripPrefix("/") else p
-      s"""{"remove":{"path":${jstr(rel)},"dataChange":false}}"""
+      s"""{"remove":{"path":${jpath(rel)},"dataChange":false}}"""
     }
     // streaming exactly-once: a txn action records (appId, version) so
     // a replayed micro-batch can be recognized and skipped (the Delta
@@ -519,9 +555,11 @@ object DeltaLogWriter {
         Row("parquet"), st.schemaString.orNull, st.partitionColumns), null, null)) ++
       st.txns.toSeq.sortBy(_._1).map { case (appId, v) => Row(null, null, Row(appId, v), null) } ++
       st.adds.map { a =>
+        // same protocol encoding as the JSON actions — the checkpoint
+        // reader resolves (decodes) these identically
         Row(null, null, null,
-          Row(rel(a.path), a.size, a.partitionValues, a.stats.orNull, true,
-            a.dv.map(rel).orNull))
+          Row(encLogPath(rel(a.path)), a.size, a.partitionValues, a.stats.orNull, true,
+            a.dv.map(d => encLogPath(rel(d))).orNull))
       }
 
     val sp = org.apache.spark.sql.graft.Shim.classic(spark)
@@ -616,7 +654,7 @@ object DeltaLogWriter {
     val curByPath = cur.adds.map(a => a.path -> a).toMap
     val tgtPaths = tgt.adds.map(_.path).toSet
     val removes = cur.adds.collect { case a if !tgtPaths(a.path) =>
-      s"""{"remove":{"path":${jstr(a.path)},"dataChange":true}}"""
+      s"""{"remove":{"path":${jpath(a.path)},"dataChange":true}}"""
     }
     // re-add a file that is (a) absent from the current state, or
     // (b) live but with a DIFFERENT deletion-vector descriptor — a
@@ -627,9 +665,9 @@ object DeltaLogWriter {
       case a if !curByPath.contains(a.path) || curByPath(a.path).dv != a.dv =>
         val pvJson = a.partitionValues
           .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
-        s"""{"add":{"path":${jstr(a.path)},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
+        s"""{"add":{"path":${jpath(a.path)},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
           a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
-          a.dv.map(d => s""","deletionVector":{"storagePath":${jstr(d)}}""").getOrElse("") + "}}"
+          a.dv.map(d => s""","deletionVector":{"storagePath":${jpath(d)}}""").getOrElse("") + "}}"
     }
     val metaLine =
       if (cur.schemaString == tgt.schemaString) Nil
@@ -699,9 +737,9 @@ object DeltaLogWriter {
         s"deletion vector targets $p, which is not a live file of $root"))
       val pvJson = a.partitionValues
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
-      s"""{"add":{"path":${jstr(a.path)},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
+      s"""{"add":{"path":${jpath(a.path)},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
         a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
-        s""","deletionVector":{"storagePath":${jstr(dv)}}}}"""
+        s""","deletionVector":{"storagePath":${jpath(dv)}}}}"""
     }
     val conf = org.apache.spark.sql.graft.Shim.classic(spark)
       .sparkContext.hadoopConfiguration
@@ -750,11 +788,11 @@ object DeltaLogWriter {
         if (p.contains("://") || p.startsWith("/")) p else s"$srcRoot/$p"
       val pvJson = a.partitionValues
         .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ", ", "}")
-      s"""{"add":{"path":${jstr(abs(a.path))},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
+      s"""{"add":{"path":${jpath(abs(a.path))},"size":${a.size},"partitionValues":$pvJson,"dataChange":true""" +
         a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("") +
         // the clone borrows the source's deletion vectors by absolute
         // path too — same vacuum-coordination caveat as the data
-        a.dv.map(d => s""","deletionVector":{"storagePath":${jstr(abs(d))}}""").getOrElse("") + "}}"
+        a.dv.map(d => s""","deletionVector":{"storagePath":${jpath(abs(d))}}""").getOrElse("") + "}}"
     }
     val meta =
       s"""{"metaData":{"id":${jstr(java.util.UUID.nameUUIDFromBytes(dst.getBytes("UTF-8")).toString)},""" +
@@ -1102,10 +1140,20 @@ final class DeltaLogResolver(spark: SparkSession) {
     // number within the memo TTL must not serve the previous table's
     // state. The oldest surviving commit's (mtime, length) names THIS
     // log instance — free from the listStatus already in hand.
-    val identity = commits.headOption.map { case (v, p) =>
-      val st = statuses.find(_.getPath == p)
-      s"$v:${st.map(_.getModificationTime).getOrElse(0L)}:${st.map(_.getLen).getOrElse(0L)}"
-    }.getOrElse("")
+    // ADVICE r15 low: minBy (not head-of-sorted, which reads as
+    // listing-order-dependent) for an explicitly deterministic oldest
+    // commit, plus the commit COUNT and the NEWEST commit's
+    // (version, mtime, length) in the identity — a fast
+    // delete-and-recreate that lands the same oldest version at the
+    // same ms/size still differs in tail shape, shrinking the
+    // collision window to a full-log bit-for-bit twin within the TTL.
+    val identity = if (commits.isEmpty) "" else {
+      def sig(vp: (Long, Path)): String = {
+        val st = statuses.find(_.getPath == vp._2)
+        s"${vp._1}:${st.map(_.getModificationTime).getOrElse(0L)}:${st.map(_.getLen).getOrElse(0L)}"
+      }
+      s"${sig(commits.minBy(_._1))}|${sig(commits.maxBy(_._1))}|n${commits.size}"
+    }
     (logDir, commits, checkpoints, identity)
   }
 

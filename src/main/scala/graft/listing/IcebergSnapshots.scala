@@ -300,13 +300,14 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
     }
   }
 
-  /** ALL non-identity (hidden) partition-spec fields of the current
-    * spec: `(spec field name, source column name, transform string)`.
-    * The engine's writer/append/pruning paths parse the transform
-    * (`bucket[N]`, `truncate[W]`); identity fields are excluded —
-    * they are real table columns handled by the declared-key path.
+  /** The current partition spec's fields IN SPEC ORDER, identity
+    * included: `(spec field name, source column name, transform)`.
+    * This is the append path's authority for how new files must land
+    * after a partition-spec evolution — the spec, not the catalog,
+    * holds the evolved layout (a table partitioned by an identity key
+    * that adopts a hidden transform keeps both dimensions).
     */
-  def hiddenSpecs(location: String, versionOffset: Int = 0): Seq[(String, String, String)] =
+  def specFields(location: String, versionOffset: Int = 0): Seq[(String, String, String)] =
     metadataAt(location, versionOffset).toSeq.flatMap { meta =>
       val nameById: Map[Int, String] =
         Option(meta.get("schemas")).toSeq.flatMap(_.elements().asScala.toSeq.headOption)
@@ -322,11 +323,22 @@ final class IcebergSnapshotResolver(hadoopConf: Configuration) {
           for {
             nm <- Option(f.get("name")).map(_.asText())
             tr <- Option(f.get("transform")).map(_.asText())
-            if tr != "identity"
             src <- Option(f.get("source-id")).map(_.asInt()).flatMap(nameById.get)
+              // identity fields name themselves when the source id is
+              // unresolvable (hand-built fixtures use source-id -1)
+              .orElse(if (tr == "identity") Some(nm) else None)
           } yield (nm, src, tr)
         })
     }
+
+  /** ALL non-identity (hidden) partition-spec fields of the current
+    * spec: `(spec field name, source column name, transform string)`.
+    * The engine's writer/append/pruning paths parse the transform
+    * (`bucket[N]`, `truncate[W]`); identity fields are excluded —
+    * they are real table columns handled by the declared-key path.
+    */
+  def hiddenSpecs(location: String, versionOffset: Int = 0): Seq[(String, String, String)] =
+    specFields(location, versionOffset).filter(_._3 != "identity")
 
   /** Live delete files of the selected snapshot (empty for v1/COW
     * tables), each carrying its sequence number so the read path can

@@ -1065,9 +1065,33 @@ object IcebergWriter {
         s"no Iceberg metadata at $location — spec evolution needs an existing table"))
     val pub = pubColsOf(prior)
     val idByName = pub.map(c => c.name -> c.id).toMap
-    val specJson = fields.zipWithIndex.map { case ((nm, tr, src), i) =>
+    // Partition evolution ADDS fields: the prior spec's fields carry
+    // forward ahead of the new ones (Iceberg's addField shape), so a
+    // table partitioned by an identity key that adopts a hidden
+    // transform keeps BOTH dimensions — appends keep landing under
+    // the identity key and new files additionally carry the transform
+    // value. Dropping the prior fields would silently flip appends to
+    // the new field alone, leaving post-evolution files without the
+    // catalog key's partition record.
+    val carried = Option(prior.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala.toSeq.headOption)
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala.toSeq))
+      .flatMap { f =>
+        for {
+          nm <- Option(f.get("name")).map(_.asText())
+          tr <- Option(f.get("transform")).map(_.asText())
+          sid <- Option(f.get("source-id")).map(_.asInt())
+        } yield (nm, tr, sid)
+      }
+    val carriedNames = carried.map(_._1).toSet
+    val added = fields.map { case (nm, tr, src) =>
+      require(!carriedNames.contains(nm),
+        s"spec field $nm already exists in the partition spec at $location")
       val sid = idByName.getOrElse(src, throw new IllegalArgumentException(
         s"spec source column $src not in the table schema at $location"))
+      (nm, tr, sid)
+    }
+    val specJson = (carried ++ added).zipWithIndex.map { case ((nm, tr, sid), i) =>
       s"""{"name": ${mapper.writeValueAsString(nm)}, "transform": "$tr", """ +
         s""""source-id": $sid, "field-id": ${1000 + i}}"""
     }.mkString("[", ", ", "]")

@@ -1632,6 +1632,125 @@ object Queries {
         |GROUP BY o_orderpriority
         |ORDER BY change_type, o_orderpriority""".stripMargin)),
 
+    // Delta CDC ACROSS A COLUMN RENAME (r15 verdict ask #2): the
+    // changelog range straddles a g57-style rename — the DV'd files
+    // were written BEFORE it under their birth physical names, the
+    // appended files AFTER it under the new logical name, and the
+    // row-level delete leg must project physical -> logical with the
+    // mapping read at `to` (sound because Delta physical names are
+    // fixed at column birth; a rename moves only the logical name).
+    // Grouping BY the renamed column is what a wrong projection
+    // would hash-break.
+    "g70_delta_rename_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/delta_rencdf_rt"
+        eng.writeDeltaTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "delta_rencdf_rt", loc)
+        eng.deleteDeltaWhereMor("default", "delta_rencdf_rt",
+          col("o_orderkey") % 10 === 0)
+        eng.renameDeltaColumn("default", "delta_rencdf_rt", "o_orderpriority", "priority")
+        eng.appendDeltaTable(
+          o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_orderpriority", "priority"),
+          "default", "delta_rencdf_rt")
+        eng.deltaChanges("default", "delta_rencdf_rt", 3, 0)
+          .groupBy(col("_change_type").as("change_type"), col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "priority")
+      },
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, o_orderpriority AS priority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, o_orderpriority AS priority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  GROUP BY o_orderpriority)
+        |ORDER BY change_type, priority""".stripMargin)),
+
+    // Iceberg CDC ACROSS A COLUMN RENAME — the g59 twin of g70 (r15
+    // verdict ask #2): position deletes land before the rename,
+    // the append after it, and the changelog's row-level leg reads
+    // the pre-rename files' physical columns and projects them to
+    // the post-rename logical schema via the field-id mapping at
+    // `to` (field ids are the identity; names are display).
+    "g71_iceberg_rename_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_rencdf_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "ice_rencdf_rt", loc)
+        eng.deleteIcebergWhere("default", "ice_rencdf_rt",
+          col("o_orderkey") % 10 === 0)
+        eng.renameIcebergColumn("default", "ice_rencdf_rt", "o_orderpriority", "priority")
+        eng.appendIcebergTable(
+          o.filter(col("o_orderkey") % 2 === 1).withColumnRenamed("o_orderpriority", "priority"),
+          "default", "ice_rencdf_rt")
+        eng.icebergChanges("default", "ice_rencdf_rt", 3, 0)
+          .groupBy(col("_change_type").as("change_type"), col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "priority")
+      },
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, o_orderpriority AS priority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, o_orderpriority AS priority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  GROUP BY o_orderpriority)
+        |ORDER BY change_type, priority""".stripMargin)),
+
+    // Iceberg CDC ACROSS A PARTITION-SPEC EVOLUTION (r15 verdict ask
+    // #3, g61 x g66): the changelog range crosses an evolution that
+    // ADDS truncate[1000] to an identity-partitioned spec, so the
+    // range mixes file generations whose manifest partition records
+    // differ in shape — pre-evolution files carry only the identity
+    // key, post-evolution files both fields. The row-level delete leg
+    // attaches partition values for PRE-evolution files from their
+    // manifest records (no raise: a record lacking a later-adopted
+    // key is unknown, not drift), the insert leg reads post-evolution
+    // files whose appends kept BOTH spec dimensions, and grouping BY
+    // the identity key is what any wrong attachment would hash-break.
+    "g72_iceberg_evo_changes" -> ((
+      (spark: SparkSession, sf: String) => {
+        val eng = TestFixtures.engineFor(spark, sf)
+        val o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val loc = s"${TestFixtures.root(sf)}/ice_evocdf_rt"
+        eng.writeIcebergTable(o.filter(col("o_orderkey") % 2 === 0),
+          "default", "ice_evocdf_rt", loc, partitionBy = Seq("o_orderpriority"))
+        eng.evolveIcebergPartitionSpec("default", "ice_evocdf_rt",
+          "o_orderkey", "truncate[1000]")
+        eng.appendIcebergTable(o.filter(col("o_orderkey") % 2 === 1),
+          "default", "ice_evocdf_rt")
+        eng.deleteIcebergWhere("default", "ice_evocdf_rt",
+          col("o_orderkey") % 3 === 0)
+        eng.icebergChanges("default", "ice_evocdf_rt", 3, 0)
+          .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2("o_totalprice")).cast("double").as("tp"))
+          .orderBy("change_type", "o_orderpriority")
+      },
+      """SELECT * FROM (
+        |  SELECT 'delete' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'insert' AS change_type, o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+        |  GROUP BY o_orderpriority)
+        |ORDER BY change_type, o_orderpriority""".stripMargin)),
+
     // Hudi CHANGELOG between instants (completes the CDC row of the
     // format matrix: Delta g52, Iceberg g53/g54/g66): COW rewrites
     // whole file groups, so the net row-level diff is a content

@@ -682,6 +682,33 @@ class DeltaSpec extends AnyFunSuite {
       ((10L until 20L).toSet - 12L).map((_, "insert")) ++ Set((3L, "delete")))
   }
 
+  test("MOR delete + changelog on a partition value holding a literal percent-escape (ADVICE r15)") {
+    import spark.implicits._
+    val loc = s"/root/repo/target/delta_pct_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // '50%25' is the adversarial value: a sidecar storing its file's
+    // CANONICAL path verbatim would decode a second time on read
+    // ('%25' -> '%'), mismatch the once-decoded listing key, and
+    // silently skip every row of the partition — the same failure
+    // class as the g68 space fix. storedPathCol makes the persisted
+    // form a fixed point of the read rule.
+    val df = Seq((1L, "50%25"), (2L, "50%25"), (3L, "plain"), (4L, "plain"))
+      .toDF("x", "p").coalesce(1)
+    eng.writeDeltaTable(df, "d", "pct", loc, partitionBy = Seq("p"))
+    eng.deleteDeltaWhereMor("d", "pct", col("x") === 1L || col("x") === 3L)
+    assert(eng.tableDF("d", "pct").select("x").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 4L), "the escaped partition's row must actually delete")
+    // the changelog's row-level leg re-reads the stored sidecar
+    val ch = eng.deltaChanges("d", "pct", 1, 0)
+      .select(col("x"), col("p"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set((1L, "50%25", "delete"), (3L, "plain", "delete")), s"got $ch")
+    // second DV on the same files merges through the stored form too
+    eng.deleteDeltaWhereMor("d", "pct", col("x") === 2L)
+    assert(eng.tableDF("d", "pct").select("x").collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
   test("deletion vectors survive checkpoint+cleanup; vacuum keeps live sidecars") {
     import spark.implicits._
     val loc = s"/root/repo/target/delta_dvcp_${System.nanoTime()}"

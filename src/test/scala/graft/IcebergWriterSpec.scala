@@ -574,18 +574,19 @@ class IcebergWriterSpec extends AnyFunSuite {
     val q2 = eng.query("SELECT count(*) AS n FROM glue.d.ise WHERE k = 42")
     assert(q2.head().getLong(0) == 2)
     assert(filesScanned(q2) == 2, s"expected gen1 + window 0, got ${filesScanned(q2)}")
-    // RE-EVOLUTION: re-width the spec. The width is part of the spec
-    // field NAME, so files written under the retired 100-wide spec
-    // read as value-unknown for the 50-wide spec (kept — sound), and
-    // only the newest generation prunes at the new width.
+    // RE-EVOLUTION: add a second width. Partition evolution ADDS
+    // fields (r16): the 100-wide field CARRIES into the new spec
+    // ahead of the 50-wide one, so generation-2 files keep pruning at
+    // their own width while generation 3 prunes at both.
     eng.evolveIcebergPartitionSpec("d", "ise", "k", "truncate[50]")
     eng.appendIcebergTable((0L until 100L).map(k => (k, s"c$k")).toDF("k", "v"), "d", "ise")
     assert(eng.files("d", "ise").size == 5, "+ windows 0/50 of the 50-wide spec")
     val q3 = eng.query("SELECT count(*) AS n FROM glue.d.ise WHERE k BETWEEN 60 AND 70")
     assert(q3.head().getLong(0) == 33, "11 keys x 3 generations")
-    // kept: gen1 (no value) + BOTH gen2 files (retired spec -> value
-    // unknown for the current one) + gen3's window-50 file
-    assert(filesScanned(q3) == 4, s"got ${filesScanned(q3)}")
+    // kept: gen1 (no value for either field) + gen2's window-0 file
+    // (its CARRIED 100-wide record prunes window 100 out) + gen3's
+    // window-50 file; gen2 window-100 and gen3 window-0 prune
+    assert(filesScanned(q3) == 3, s"got ${filesScanned(q3)}")
   }
 
   test("column rename is metadata-only; reads, appends, and bounds bind by field id") {
@@ -905,5 +906,67 @@ class IcebergWriterSpec extends AnyFunSuite {
     eng.dropIcebergRef("d", "idr", "cut")
     eng.expireIcebergSnapshots("d", "idr", retainVersions = 1)
     assert(eng.tableDF("d", "idr").count() == 40)
+  }
+
+  test("spec evolution on an identity-partitioned table keeps both dimensions (r15 ask #3)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_ievo_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    eng.writeIcebergTable(
+      Seq((10L, "a"), (150L, "a"), (20L, "b")).toDF("k", "p").coalesce(1),
+      "d", "ievo", loc, partitionBy = Seq("p"))
+    eng.evolveIcebergPartitionSpec("d", "ievo", "k", "truncate[100]")
+    eng.appendIcebergTable(Seq((30L, "a"), (160L, "b")).toDF("k", "p"), "d", "ievo")
+    // the evolved spec CARRIES the identity field ahead of the new one
+    val resolver = new graft.listing.IcebergSnapshotResolver(
+      Shim.classic(spark).sparkContext.hadoopConfiguration)
+    assert(resolver.specFields(loc).map(f => (f._1, f._3)) ==
+      Seq(("p", "identity"), ("k_trunc_100", "truncate[100]")),
+      s"spec = ${resolver.specFields(loc)}")
+    // post-evolution files carry BOTH partition records; pre-evolution
+    // files only the identity one — and every file still carries p
+    val pvs = eng.files("d", "ievo").map(_.partitionValues)
+    assert(pvs.forall(_.contains("p")), s"every record carries p: $pvs")
+    assert(pvs.exists(_.contains("k_trunc_100")) && pvs.exists(!_.contains("k_trunc_100")),
+      s"mixed generations expected: $pvs")
+    // reads attach the identity key for both generations
+    assert(eng.tableDF("d", "ievo").where(col("p") === "a").count() == 3)
+    assert(eng.tableDF("d", "ievo").count() == 5)
+  }
+
+  test("changelog partition attach: record-less files read null cells, unlisted files raise (r15 ask #3)") {
+    val sp = Shim.classic(spark)
+    import sp.implicits._
+    val loc = s"/root/repo/target/ice_pna_${System.nanoTime()}"
+    val cat = new FixtureCatalog()
+    val eng = new GlueTableEngine(spark, cat)
+    // files written UNPARTITIONED (no manifest partition record), but
+    // the catalog declares a partition key — the shape a spec
+    // evolution leaves pre-evolution files in
+    eng.writeIcebergTable(Seq((1L, "x"), (2L, "y")).toDF("k", "v").coalesce(1),
+      "d", "pna", loc)
+    cat.register(graft.model.GlueTable("d", "pna", Some(loc),
+      partitionKeys = Seq(graft.model.ColumnDef("p")),
+      parameters = Map("table_type" -> "ICEBERG")))
+    eng.invalidateTable("d", "pna")
+    val meta = eng.tableMetadata("d", "pna")
+    val attach = eng.partitionValuesAttach("d", "pna", meta, 0, 0)
+    val listed = eng.files("d", "pna").map(f => eng.canonPath(f.path))
+    assert(listed.nonEmpty)
+    // a LISTED file whose record lacks the key: null cell, NO raise
+    // (keep-on-unknown, read side)
+    val ok = attach(Seq(listed.head).toDF("__fp"), "__fp").collect()
+    assert(ok.length == 1 && ok.head.isNullAt(ok.head.fieldIndex("p")),
+      "record-less file must surface a null partition cell")
+    // an UNLISTED file (canonicalization drift): loud raise even
+    // though nothing downstream projects the partition column
+    val bad = attach(Seq("/nowhere/ghost.parquet").toDF("__fp"), "__fp")
+      .select("__fp") // partition column NOT projected — filter guard must still fire
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("partition attach miss")), s"got $e")
   }
 }

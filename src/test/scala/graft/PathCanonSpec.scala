@@ -71,4 +71,30 @@ class PathCanonSpec extends AnyFunSuite {
     // a stray '%' that is not a valid escape falls back, both sides
     assert(columnForm("/t/100%off/f.parquet") == engine.canonPath("/t/100%off/f.parquet"))
   }
+
+  test("stored sidecar paths round-trip: canonPathCol(storedPathCol(p)) == p (ADVICE r15)") {
+    // Delete/DV sidecars persist CANONICAL paths, and every reader
+    // re-canonicalizes what it loads (externally-written delete files
+    // carry raw writer paths, so it must). The stored form therefore
+    // has to be a FIXED POINT of the read rule — a canonical path
+    // holding a literal percent-escape ('50%25') would otherwise
+    // decode twice, read back as '50%', and silently skip its rows.
+    val sp = org.apache.spark.sql.graft.Shim.classic(spark)
+    import sp.implicits._
+    def roundTrip(p: String): String =
+      Seq(p).toDF("p")
+        .select(engine.canonPathCol(engine.storedPathCol(col("p"))))
+        .head().getString(0)
+    val canonicals = Seq(
+      "/t/o_orderpriority=4-NOT SPECIFIED/f.parquet", // space (decoded)
+      "/t/k=50%25/f.parquet",                         // literal percent-escape
+      "/t/100%off/f.parquet",                         // stray % (no valid escape)
+      "/t/k=a+b/f.parquet",                           // literal plus
+      "/t/k=a+b%25c/f.parquet",                       // plus AND percent together
+      "/bucket/t/f.parquet"                           // plain common case
+    )
+    canonicals.foreach { p =>
+      assert(roundTrip(p) == p, s"stored form of $p read back as ${roundTrip(p)}")
+    }
+  }
 }

@@ -58,11 +58,37 @@ def load(path):
         qs = {}
         for c in chunks:
             qs.update(c.get("queries", {}))
-        # per-query load-witness chunks (r15+): reassembled the same way
+        # per-query load-witness chunks (r15+): reassembled the same
+        # way. ADVICE r15 low: track completeness like query chunks —
+        # a head-truncated artifact yields a PARTIAL env map, and the
+        # io witness's self-relative median over the surviving subset
+        # would mis-fire/mis-suppress; the per-query ext_busy entries
+        # that did survive stay accurate, so the map itself is kept
+        # with an explicit env_complete verdict.
         env = {}
-        for c in cands:
-            if c.get("metric") == "env_chunk":
-                env.update(c.get("env", {}))
+        env_chunks = [c for c in cands if c.get("metric") == "env_chunk"]
+        for c in env_chunks:
+            env.update(c.get("env", {}))
+        env_nparts = env_chunks[0].get("parts") if env_chunks else None
+        env_complete = env_nparts is not None and \
+            len({c.get("part") for c in env_chunks}) == env_nparts
+        # compact whole-suite line (r16, r15 verdict ask #5): short
+        # unique-prefix keys + centisecond values, sized to survive
+        # the ~2-3 KB tail window whole — full coverage at reduced
+        # precision, preferred over a PARTIAL chunk set
+        mini = next((c for c in reversed(cands)
+                     if c.get("metric") == "queries_mini"), None)
+        qs_mini = {}
+        if mini:
+            for kv in mini.get("v", "").split(";"):
+                if ":" in kv:
+                    k, _, v = kv.rpartition(":")
+                    try:
+                        qs_mini[k] = float(v)
+                    except ValueError:
+                        pass
+            if mini.get("n") is not None and len(qs_mini) != mini["n"]:
+                qs_mini = {}  # the mini line itself was truncated
         nparts = chunks[0].get("parts") if chunks else None
         complete = nparts is not None and \
             len({c.get("part") for c in chunks}) == nparts
@@ -86,20 +112,33 @@ def load(path):
                     filed, filed_path = c2, p2
                     break
         # preference: intact full line > complete chunk set >
-        # value-matched persisted summary > partial chunks (degraded)
+        # value-matched persisted summary > compact mini line (full
+        # coverage, centisecond precision, short keys) > partial
+        # chunks (degraded)
         if full is not None:
             d = full
+            d["env_complete"] = True
             if env and "env" not in d:
                 d["env"] = env
+                d["env_complete"] = env_complete
         elif complete and short is not None:
             d = dict(short)
             d["queries"] = qs
             if env:
                 d["env"] = env
+                d["env_complete"] = env_complete
         elif filed is not None:
             print(f"note: {path}: per-query timings read from the "
                   f"value-matched persisted summary {filed_path}")
             d = filed
+            d["env_complete"] = True
+        elif qs_mini and short is not None:
+            d = dict(short)
+            d["queries"] = qs_mini
+            d["short_keys"] = True
+            if env:
+                d["env"] = env
+                d["env_complete"] = env_complete
         elif chunks and short is not None:
             print(f"note: {path}: reassembled "
                   f"{len({c.get('part') for c in chunks})}/{nparts} query "
@@ -108,6 +147,7 @@ def load(path):
             d["queries"] = qs
             if env:
                 d["env"] = env
+                d["env_complete"] = env_complete
         if "queries" not in d:
             # The tail capture keeps the LAST N bytes, so the summary
             # line can be head-truncated (round 8's artifact): the line
@@ -140,6 +180,9 @@ def load(path):
                             d = json.load(f2)
     if "queries" not in d:
         sys.exit(f"{path}: not a bench artifact (no 'queries' key)")
+    # a plain (non-driver-shaped) artifact carries its env map whole
+    if "env" in d:
+        d.setdefault("env_complete", True)
     return d
 
 def main():
@@ -164,6 +207,12 @@ def main():
                     help="disable the per-query load-witness adjudication: "
                          "flags fail even when the new run's env witness shows "
                          "the query ran under measurably higher external load")
+    ap.add_argument("--accept-env", action="store_true",
+                    help="treat env-adjudicated flags as passing (exit 0). "
+                         "Default (ADVICE r15 medium): adjudicated flags are "
+                         "INCONCLUSIVE — the gate exits 2 to demand a "
+                         "quiet-window rerun rather than calling the "
+                         "comparison green on ambient-load evidence alone")
     args = ap.parse_args()
 
     if args.old and args.new:
@@ -176,6 +225,31 @@ def main():
         old_path, new_path = hist[-2], hist[-1]
 
     old, new = load(old_path), load(new_path)
+    # expand compact short keys (unique leading token) against the
+    # other artifact's full names; if both sides are short-keyed the
+    # comparison proceeds on the short keys directly
+    def expand_short(short_side, full_side):
+        by_prefix = {}
+        for k in full_side["queries"]:
+            by_prefix.setdefault(k.split("_")[0], []).append(k)
+        out = {}
+        for k, v in short_side["queries"].items():
+            hits = by_prefix.get(k, [])
+            out[hits[0] if len(hits) == 1 else k] = v
+        short_side["queries"] = out
+        short_side.pop("short_keys", None)
+    if old.get("short_keys") and not new.get("short_keys"):
+        expand_short(old, new)
+    elif new.get("short_keys") and not old.get("short_keys"):
+        expand_short(new, old)
+    elif old.get("short_keys") and new.get("short_keys"):
+        print("note: both artifacts carry compact short-keyed timings; "
+              "comparing on short keys")
+    for tag, art in (("old", old), ("new", new)):
+        if art.get("degraded_start"):
+            print(f"WARNING: {tag} artifact is stamped degraded_start="
+                  f"{art['degraded_start']!r} — it began on a measurably "
+                  f"unhealthy box; treat its absolute numbers accordingly")
     print(f"old: {old_path} total={old['value']}s ({len(old['queries'])} queries)")
     print(f"new: {new_path} total={new['value']}s ({len(new['queries'])} queries)")
 
@@ -288,10 +362,15 @@ def main():
     # measured the sag at ~10x). The io witness is SELF-RELATIVE: a
     # query whose probe reads >= 3x the run's own median (and >= 15 ms
     # absolute) ran into a sag, whatever the cross-artifact means say.
+    # the io median is SELF-RELATIVE to the whole run, so it is only
+    # trustworthy when the env map is COMPLETE (ADVICE r15 low: a
+    # head-truncated artifact's surviving subset would bias it);
+    # per-query ext_busy entries stay accurate even from a partial map
     n_io_med = None
-    io_vals = sorted(e[2] for e in n_env.values() if len(e) > 2 and e[2] >= 0)
-    if io_vals:
-        n_io_med = io_vals[len(io_vals) // 2]
+    if new.get("env_complete", False):
+        io_vals = sorted(e[2] for e in n_env.values() if len(e) > 2 and e[2] >= 0)
+        if io_vals:
+            n_io_med = io_vals[len(io_vals) // 2]
     def env_suspect(q):
         ne = n_env.get(q)
         if not ne:
@@ -357,24 +436,38 @@ def main():
 
     # totals over the SHARED set only, so suite growth is not a
     # "regression"; per-query normalization applies to the comparison,
-    # raw seconds are printed. Queries whose per-query flag was
-    # env-adjudicated are excluded from BOTH sides: their inflation
-    # has a measured external cause, and leaving them in would fail
-    # the total on the same evidence the per-query check just excused.
-    tot_set = [q for q in shared if q not in env_adjudicated]
+    # raw seconds are printed. ADVICE r15 medium: env-adjudicated
+    # queries STAY in the total on both sides — excusing them twice
+    # (per-query AND total) let a real regression coinciding with
+    # ambient load escape both checks. When the total exceeds the gate
+    # ONLY with the adjudicated queries included, that is the same
+    # inconclusive-evidence situation as the flags themselves: the run
+    # needs a quiet rerun, not a red or a green verdict.
+    inconclusive = []
     o_tot = sum(old["queries"][q] for q in shared)
     n_tot = sum(new["queries"][q] for q in shared)
-    o_tot_adj = sum(old["queries"][q] for q in tot_set)
-    n_tot_norm = sum(new["queries"][q] * q_scale_of(q) for q in tot_set)
+    n_tot_norm = sum(new["queries"][q] * q_scale_of(q) for q in shared)
     if env_adjudicated:
         print(f"note: {len(env_adjudicated)} flag(s) env-adjudicated by the "
               f"per-query load witness: {env_adjudicated}")
-    if o_tot_adj > 0:
-        r_tot = n_tot_norm / o_tot_adj
-        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x normalized"
-              + (f", {len(env_adjudicated)} env-adjudicated queries excluded)" if env_adjudicated else ")"))
+    if o_tot > 0:
+        r_tot = n_tot_norm / o_tot
+        print(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x normalized)")
         if r_tot > args.total_ratio:
-            failures.append(f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
+            excl = [q for q in shared if q not in env_adjudicated]
+            o_excl = sum(old["queries"][q] for q in excl)
+            # an empty (or zero-weight) remainder after exclusion means
+            # the WHOLE excess rides on adjudicated queries — that is
+            # the inconclusive case, not a conclusive failure
+            r_excl = (sum(new["queries"][q] * q_scale_of(q) for q in excl) / o_excl
+                      if o_excl > 0 else 0.0)
+            if env_adjudicated and r_excl <= args.total_ratio and not args.strict_env:
+                inconclusive.append(
+                    f"shared-set total {r_tot:.2f}x exceeds {args.total_ratio}x only "
+                    f"with the env-adjudicated queries included ({r_excl:.2f}x without)")
+            else:
+                failures.append(
+                    f"shared-set total: {o_tot:.1f}s -> {n_tot:.1f}s ({r_tot:.2f}x)")
 
     dropped = set(old["queries"]) - set(new["queries"])
     if dropped:
@@ -385,6 +478,22 @@ def main():
         for f in failures:
             print(f"  {f}")
         sys.exit(1)
+    # ADVICE r15 medium: an adjudicated flag is a measured ambiguity,
+    # not a pass — exit 2 (distinct from failure) so a closing-run
+    # consumer reruns in a quiet window instead of recording green.
+    # --accept-env restores the r15 behavior for exploratory compares.
+    if (env_adjudicated or inconclusive) and not args.accept_env:
+        print("\nTREND GATE INCONCLUSIVE (exit 2) — environment-adjudicated "
+              "evidence; rerun in a quiet window or pass --accept-env:")
+        for q in env_adjudicated:
+            print(f"  adjudicated: {q}")
+        for m in inconclusive:
+            print(f"  {m}")
+        sys.exit(2)
+    if env_adjudicated or inconclusive:
+        print("trend gate OK (--accept-env: "
+              f"{len(env_adjudicated)} adjudicated flag(s) accepted)")
+        sys.exit(0)
     print("trend gate OK")
 
 if __name__ == "__main__":
