@@ -1133,8 +1133,18 @@ object Dedup {
     * guarantee termination.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // both orientations from ONE pass over the pair pipeline: the
+    // union-of-two-selects form evaluated the (expensive) upstream
+    // pair-mining subtree TWICE inside this checkpoint — nothing
+    // upstream is cached, and exchange reuse does not bridge the two
+    // union branches once the projections differ (measured r16, sf0.1:
+    // d8 ≈ 2×pairs + cc; pairs 4.7 s, cc 1.3 s). explode(array(...))
+    // emits (a,b) and (b,a) per input row in the same narrow stage
+    // (guide §2.4: remove shuffles/passes outright).
+    val und = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))

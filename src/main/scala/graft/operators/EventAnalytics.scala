@@ -121,22 +121,33 @@ object EventAnalytics {
       .distinct()
     val edges = ev.select(col("u").as("src"), col("it").as("dst"))
       .union(ev.select(col("it").as("src"), col("u").as("dst")))
-      .persist()
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
-    val nCount = nodes.count()
-    val r0 = PrUnit / nCount
+    // r16 optimization (guide §2.4/§3): the degree join moves OUT of
+    // the loop — each edge carries its source's out-degree in the
+    // persisted adjacency, so a round is ONE edge⋈ranks equi-join
+    // plus the dst-keyed sum instead of two joins. The adjacency is
+    // persisted PARTITIONED BY src (its setup join's exchange), and
+    // ranks arrive partitioned by node from the previous round's
+    // aggregate, so the per-round join adds no exchange of the edge
+    // set at any scale. The per-round `nodes LEFT JOIN contrib` is gone outright:
+    // the graph is symmetric by construction (every edge is emitted
+    // in both directions), so every node has in-degree >= 1 and the
+    // dst-aggregate already covers the full node set — the left join
+    // (an SMJ + two sorts per round in the measured plan) and its
+    // coalesce(s, 0) were dead weight. deg is one row per distinct
+    // src, which equals the node set, so nodes/ranks0 derive from deg
+    // with no extra distinct.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    var ranks = nodes.select(col("node"), lit(r0).as("rank")).persist()
+    val nCount = deg.count()
+    val r0 = PrUnit / nCount
+    val adj = edges.join(deg, "src").persist()
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("rank")).persist()
     try {
       (1 to iters).foreach { _ =>
-        val contrib = edges
+        val next = adj
           .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
           .select(col("dst").as("node"), expr("rank div deg").as("c"))
-          .groupBy("node").agg(sum(col("c")).as("s"))
-        val next = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"(3L * ${r0}L + 17L * coalesce(s, 0L)) div 20L").as("rank"))
+          .groupBy("node")
+          .agg(expr(s"(3L * ${r0}L + 17L * sum(c)) div 20L").as("rank"))
           .persist()
         next.count() // materialize before dropping the parent round
         ranks.unpersist()
@@ -151,7 +162,7 @@ object EventAnalytics {
       import sp.implicits._
       top.toDF("node", "rank")
     } finally {
-      ranks.unpersist(); edges.unpersist(); nodes.unpersist(); deg.unpersist()
+      ranks.unpersist(); adj.unpersist(); deg.unpersist()
       ()
     }
   }
@@ -202,7 +213,15 @@ object EventAnalytics {
       f0.count()
       var frontiers: List[DataFrame] = List(f0)
       try {
-        (1 to maxHops).foreach { h =>
+        // r16: EARLY EXIT on an empty frontier — once a round settles
+        // nothing, every later frontier is provably empty (it joins
+        // the empty frontier), so the remaining rounds' jobs are pure
+        // overhead; the emitted histogram is identical (guide §1.2:
+        // don't compute things you throw away). The count below was
+        // already the round's materialization — the exit is free.
+        var h = 1
+        var exhausted = false
+        while (h <= maxHops && !exhausted) {
           val settled = frontiers.map(_.select(col("node"))).reduce(_.union(_))
           val next = frontiers.head.withColumnRenamed("node", "src")
             .join(edges, "src")
@@ -210,8 +229,9 @@ object EventAnalytics {
             .join(settled, Seq("node"), "left_anti")
             .select(col("node"), lit(h).cast("int").as("hop"))
             .persist()
-          next.count() // the round's single materialization
+          exhausted = next.count() == 0L // the round's single materialization
           frontiers = next :: frontiers
+          h += 1
         }
         val rows = frontiers.reduce(_.union(_))
           .groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
@@ -473,18 +493,26 @@ object EventAnalytics {
         .localCheckpoint(true)
       var auths: DataFrame = null
       (1 to iters).foreach { _ =>
+        // r16: only the RAW propagation result is checkpointed — the
+        // normalized scores are a constant-factor projection OVER that
+        // checkpointed leaf (the 1-row L1 total is read before the
+        // projection is built, so the scalar enters as a literal), and
+        // a Project-over-LogicalRDD plan is as flat as a second
+        // checkpoint while skipping its full materialization pass.
+        // This halves the loop's checkpoint count (4 → 2 per round)
+        // without growing any round's plan (the truncation rationale
+        // in the scaladoc still holds: every join input is a leaf or a
+        // one-projection-deep leaf).
         val aRaw = ev.join(hubs, "u").groupBy("it").agg(sum("h").as("raw"))
           .localCheckpoint(true)
         val sa = aRaw.agg(sum("raw")).head().getLong(0)
         auths = aRaw
           .select(col("it"), expr(s"(raw * ${HitsUnit}L) div ${sa}L").as("a"))
-          .localCheckpoint(true)
         val hRaw = ev.join(auths, "it").groupBy("u").agg(sum("a").as("raw"))
           .localCheckpoint(true)
         val sh = hRaw.agg(sum("raw")).head().getLong(0)
         hubs = hRaw
           .select(col("u"), expr(s"(raw * ${HitsUnit}L) div ${sh}L").as("h"))
-          .localCheckpoint(true)
       }
       val topA = auths.orderBy(desc("a"), col("it")).limit(10)
         .collect().map(r => ("auth", r.getLong(0), r.getLong(1))).toSeq
@@ -681,16 +709,29 @@ object EventAnalytics {
     try {
       var alive = edges.select(col("src").as("node")).distinct()
         .localCheckpoint(true)
+      // r16: FIXPOINT FILL — alive sets only shrink (each round keeps
+      // a subset of the previous survivors), so two consecutive equal
+      // counts prove set equality, and every later round returns the
+      // identical set; the remaining trace rows are that same count,
+      // emitted without running the round's two joins + aggregate +
+      // checkpoint (guide §1.2). An empty set is likewise terminal.
+      var lastCount = -1L
+      var stable = false
       val trace = (1 to rounds).map { r =>
-        alive = edges
-          .join(alive.withColumnRenamed("node", "src"), "src")
-          .join(alive.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k)
-          .select("node")
-          .localCheckpoint(true)
-        (r, alive.count())
+        if (!stable) {
+          alive = edges
+            .join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k)
+            .select("node")
+            .localCheckpoint(true)
+          val c = alive.count()
+          stable = c == lastCount || c == 0L
+          lastCount = c
+        }
+        (r, lastCount)
       }
       val sp = org.apache.spark.sql.graft.Shim.classic(events.sparkSession)
       import sp.implicits._
@@ -772,7 +813,16 @@ object EventAnalytics {
       var frontier: DataFrame = dist
       val persisted = scala.collection.mutable.ListBuffer[DataFrame](dist)
       try {
-        (1 to maxHops).foreach { _ =>
+        // r16: EARLY EXIT when no distance improved — the next round's
+        // candidate set joins an empty frontier, so every later merged
+        // table equals dist exactly; skipping those rounds skips their
+        // join+persist jobs and changes nothing in the histogram. The
+        // improvement count rides the round's one materializing action
+        // (count + conditional count in a single aggregate) instead of
+        // a second job.
+        var h = 1
+        var settled = false
+        while (h <= maxHops && !settled) {
           val cand = frontier
             .select(col("node").as("src"), col("d").as("df"))
             .join(edges, "src")
@@ -784,10 +834,14 @@ object EventAnalytics {
                 coalesce(col("dc"), lit(Long.MaxValue))).as("nd"),
               (col("d").isNull || (col("dc").isNotNull && col("dc") < col("d"))).as("imp"))
             .persist()
-          merged.count() // the round's single materialization
+          // the round's single materialization: total + improved count
+          val r = merged.agg(count(lit(1)),
+            count(when(col("imp"), lit(1)))).head()
+          settled = r.getLong(1) == 0L
           persisted += merged
           frontier = merged.filter(col("imp")).select(col("node"), col("nd").as("d"))
           dist = merged.select(col("node"), col("nd").as("d"))
+          h += 1
         }
         val rows = dist.groupBy("d")
           .agg(count(lit(1)).as("n_nodes"),
@@ -799,6 +853,122 @@ object EventAnalytics {
         rows.toDF("d", "n_nodes", "min_node", "max_node")
       } finally { persisted.foreach(_.unpersist()); () }
     } finally { edges.unpersist(); () }
+  }
+
+  /** Build ONE round's DataFrame for each iterative graph operator,
+    * exactly as the operator's loop constructs it, and hand it to
+    * `sink(name, frame, note)` — the r16 plan-evidence hook
+    * (plans/r16/<op>_round_{before,after}.txt). Each frame below is a
+    * copy of the corresponding loop body at the current commit; any
+    * optimization to a loop updates its frame here in the same commit
+    * so the dumped plan always matches the shipped code. Dev/probe
+    * use only — never called from a query path.
+    */
+  private[graft] def dumpRoundPlans(events: DataFrame,
+      sink: (String, DataFrame, String) => Unit): Unit = {
+    val ev = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        (-(get_json_object(col("props"), "$.k").cast("long") + lit(1L))).as("it"))
+      .distinct()
+    val edges = ev.select(col("u").as("src"), col("it").as("dst"))
+      .union(ev.select(col("it").as("src"), col("u").as("dst")))
+      .persist()
+    try {
+      // ---- q47 pageRank: round = adj(deg-attached)⋈ranks → dst-keyed rank agg
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      val nCount = deg.count()
+      val r0 = PrUnit / nCount
+      val adj = edges.join(deg, "src").persist()
+      val ranks = deg.select(col("src").as("node"), lit(r0).as("rank")).persist()
+      try {
+        val next = adj
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy("node")
+          .agg(expr(s"(3L * ${r0}L + 17L * sum(c)) div 20L").as("rank"))
+        sink("q47_pagerank_round", next, "one power-iteration round")
+      } finally { ranks.unpersist(); adj.unpersist(); deg.unpersist(); () }
+
+      // ---- q48 bfsHops: round = frontier⋈edges → distinct → anti settled
+      val f0 = edges.sparkSession.range(1)
+        .select(lit(1L).as("node"), lit(0).cast("int").as("hop")).persist()
+      f0.count()
+      try {
+        val settled = f0.select(col("node"))
+        val next = f0.withColumnRenamed("node", "src")
+          .join(edges, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .select(col("node"), lit(1).cast("int").as("hop"))
+        sink("q48_bfs_round", next, "one frontier-expansion round")
+      } finally { f0.unpersist(); () }
+
+      // ---- q53 labelProp: round = edges⋈labels → (node,lbl) count → packed argmax
+      val labels0 = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+      val lpNext = edges.join(labels0.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(col("cnt") * lit(LpBase) + (lit(LpHalf) - col("lbl"))).as("s"))
+        .select(col("node"), (lit(LpHalf) - col("s") % lit(LpBase)).as("lbl"))
+      sink("q53_labelprop_round", lpNext, "one synchronous propagation round")
+
+      // ---- q54 kCore: round = edges⋈alive(src)⋈alive(dst) → deg filter
+      val alive0 = edges.select(col("src").as("node")).distinct().localCheckpoint(true)
+      val kcNext = edges
+        .join(alive0.withColumnRenamed("node", "src"), "src")
+        .join(alive0.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 11)
+        .select("node")
+      sink("q54_kcore_round", kcNext, "one peel round")
+    } finally { edges.unpersist(); () }
+
+    // ---- q51 HITS (positive item ids): round = ev⋈hubs → it-sum
+    val evH = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("it"))
+      .distinct().persist()
+    try {
+      val hubs = evH.select("u").distinct()
+        .select(col("u"), lit(HitsUnit).as("h")).localCheckpoint(true)
+      val aRaw = evH.join(hubs, "u").groupBy("it").agg(sum("h").as("raw"))
+      sink("q51_hits_round", aRaw, "one authority-propagation half-round")
+    } finally { evH.unpersist(); () }
+
+    // ---- q55 shortestPaths: round = frontier⋈edges → min-relax → full-outer merge
+    val evS = events.filter(col("event_type") === "view")
+      .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .distinct()
+    val baseS = evS.select(col("u"), (-(col("k") + lit(1L))).as("it"),
+      ((col("u") + col("k")) % 5 + lit(1L)).as("w"))
+    val edgesS = baseS.select(col("u").as("src"), col("it").as("dst"), col("w"))
+      .union(baseS.select(col("it").as("src"), col("u").as("dst"), col("w")))
+      .persist()
+    try {
+      val dist0 = edgesS.sparkSession.range(1)
+        .select(lit(1L).as("node"), lit(0L).as("d")).persist()
+      dist0.count()
+      try {
+        val cand = dist0
+          .select(col("node").as("src"), col("d").as("df"))
+          .join(edgesS, "src")
+          .select(col("dst").as("node"), (col("df") + col("w")).as("dc0"))
+          .groupBy("node").agg(min("dc0").as("dc"))
+        val merged = dist0.join(cand, Seq("node"), "full_outer")
+          .select(col("node"),
+            least(coalesce(col("d"), lit(Long.MaxValue)),
+              coalesce(col("dc"), lit(Long.MaxValue))).as("nd"),
+            (col("d").isNull || (col("dc").isNotNull && col("dc") < col("d"))).as("imp"))
+        sink("q55_sssp_round", merged, "one delta-relaxation round")
+      } finally { dist0.unpersist(); () }
+    } finally { edgesS.unpersist(); () }
   }
 
   /** DuckDB oracle for [[shortestPaths]] — Bellman-Ford unrolled to

@@ -199,11 +199,21 @@ object TextAnalysis {
       .withColumn("cum", col("pre") + col("inb"))
     val total = lens.agg(count(lit(1)).as("n"))
     val withN = cum.crossJoin(broadcast(total))
-    qs.map { case (num, den) =>
-      withN.filter(col("cum") * den >= col("n") * num)
-        .agg(min("len").as("len"))
-        .select(lit(s"p$num").as("q"), col("len"))
-    }.reduce(_ unionByName _).orderBy("q")
+    // r16: all quantiles from ONE pass — the per-quantile
+    // filter+agg arms each re-ran the whole tokenize→freq→cum
+    // pipeline (12 parquet scans for 3 quantiles in the measured
+    // plan; union arms share nothing). One conditional-min aggregate
+    // computes every rank cut in a single pipeline (4 scans), and
+    // stack() unpivots the 1-row result to the same (q, len) rows.
+    // min(when(cond, len)) over all rows ≡ filter(cond).agg(min):
+    // both yield null when no row qualifies (empty corpus).
+    val aggs = qs.map { case (num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col("len"))).as(s"l_${num}_$den") }
+    val one = withN.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${qs.size}, " +
+      qs.map { case (num, den) => s"'p$num', l_${num}_$den" }.mkString(", ") +
+      ") as (q, len)"
+    one.select(expr(stackExpr)).orderBy("q")
   }
 
   /** Per-group exact token-length quantiles — the per-source
@@ -463,6 +473,32 @@ object TextAnalysis {
           array(concat_ws("_", element_at(acc, -1), x))))
         .otherwise(concat(acc, array(x))))
 
+  /** The whole rule TABLE applied in one linear pass per rule —
+    * replaces a fold of [[mergeAdjacent]] calls on hot paths
+    * (optimization r16, guide §1.2 "per-task work"). [[mergeAdjacent]]
+    * is an `aggregate` HOF whose accumulator is REBUILT (array copy)
+    * per element: O(|toks|²) work and garbage per document per rule —
+    * measured as the dominant cost of t16's corpus-wide apply. This
+    * form uses the exact wrapped-token string encoding the DuckDB
+    * oracle replays ([[sqlBpeApplyStats]]): tokens joined with double
+    * spaces and space-wrapped, each rule one literal
+    * `replace(s, ' a  b ', ' a_b ')` — non-overlapping left-to-right,
+    * so a just-merged token can't re-match as the left half within
+    * the same rule, and later rules see merged tokens like any other
+    * (the same greedy non-reentrant semantics as the fold; spaces
+    * can't occur inside tokens, so the encoding is collision-free).
+    * Each rule is now O(|doc|) string scanning with no per-element
+    * allocation. TextAnalysisSpec pins equality against the fold on
+    * overlap-heavy cases.
+    */
+  private[graft] def mergeAdjacentAll(toks: Column, rules: Seq[(String, String)]): Column = {
+    val wrapped = concat(lit(" "), array_join(toks, "  "), lit(" "))
+    val folded = rules.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" ${a}_$b "))
+    }
+    filter(split(folded, " "), t => length(t) > lit(0))
+  }
+
   /** Train `merges` BPE merge rules over the corpus: each round finds
     * the globally most frequent adjacent pair (one aggregate; ties
     * broken lexicographically, so the learned table is deterministic
@@ -491,7 +527,9 @@ object TextAnalysis {
         else {
           val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
           learned += (((a, b), n))
-          val next = cur.select(mergeAdjacent(col("toks"), a, b).as("toks"))
+          // single-rule application via the linear string encoding —
+          // same semantics as mergeAdjacent (see mergeAdjacentAll)
+          val next = cur.select(mergeAdjacentAll(col("toks"), Seq((a, b))).as("toks"))
           next.persist(StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize before dropping the parent state
           cur.unpersist()
@@ -553,12 +591,9 @@ object TextAnalysis {
     * tokenizing 100 TB with a learned vocabulary is map-only.
     * Returns (doc_id, toks).
     */
-  def bpeApply(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
-    val toks = rules.foldLeft(tokens(col("text"))) {
-      case (acc, (a, b)) => mergeAdjacent(acc, a, b)
-    }
-    docs.select(col("doc_id"), toks.as("toks"))
-  }
+  def bpeApply(docs: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      mergeAdjacentAll(tokens(col("text")), rules).as("toks"))
 
   /** Per-document segmentation report of a trained BPE vocabulary:
     * base token count and the count after applying the learned merge
@@ -567,8 +602,8 @@ object TextAnalysis {
     */
   def bpeApplyStats(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
     val base = tokens(col("text"))
-    val folded = rules.foldLeft(base) { case (acc, (a, b)) => mergeAdjacent(acc, a, b) }
-    docs.select(col("doc_id"), size(base).as("n_base"), size(folded).as("n_merged"))
+    docs.select(col("doc_id"), size(base).as("n_base"),
+      size(mergeAdjacentAll(base, rules)).as("n_merged"))
       .orderBy("doc_id")
   }
 

@@ -107,6 +107,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq("x_x", "x"))
   }
 
+  test("mergeAdjacentAll (linear string encoding) == fold of mergeAdjacent") {
+    import spark.implicits._
+    // overlap-heavy shapes: same-token runs (x,x), chained rules where
+    // a later rule consumes an earlier rule's output, pairs straddling
+    // a just-merged token, single/empty docs, rule tokens with '_'
+    val docs = Seq(
+      Seq("x", "x", "x"), Seq("x", "x", "x", "x"),
+      Seq("a", "b", "b", "a", "b"), Seq("a", "a", "b"),
+      Seq("a", "b", "a", "b", "c"), Seq("c"), Seq.empty[String],
+      Seq("a_b", "a_b", "a"), Seq("b", "a", "b", "a"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val rules = Seq(("x", "x"), ("a", "b"), ("a_b", "a_b"), ("a_b_a_b", "c"))
+    val viaFold = rules.foldLeft(col("toks")) {
+      case (acc, (a, b)) => TextAnalysis.mergeAdjacent(acc, a, b)
+    }
+    val rows = docs.select(col("id"), viaFold.as("f"),
+      TextAnalysis.mergeAdjacentAll(col("toks"), rules).as("g"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id=${r.getLong(0)}: fold=${r.getSeq[String](1)} linear=${r.getSeq[String](2)}")
+    }
+  }
+
   test("bpeApply segments with the learned rules: corpus shrinks, learned pairs vanish") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "a b a b"), (3L, "c a b"))
