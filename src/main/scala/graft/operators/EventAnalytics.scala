@@ -503,13 +503,20 @@ object EventAnalytics {
         // without growing any round's plan (the truncation rationale
         // in the scaladoc still holds: every join input is a leaf or a
         // one-projection-deep leaf).
+        // LAZY checkpoints (r16): the L1-total aggregate right below
+        // is each raw table's first action, so it both materializes
+        // the checkpoint and reads the sum in ONE job — the eager form
+        // paid a separate materialization job per checkpoint (4 jobs/
+        // round → 2). Each aggregate's input plan is still flat: the
+        // join reads the persisted ev and a one-projection-deep leaf
+        // (the previous half-round's already-materialized checkpoint).
         val aRaw = ev.join(hubs, "u").groupBy("it").agg(sum("h").as("raw"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sa = aRaw.agg(sum("raw")).head().getLong(0)
         auths = aRaw
           .select(col("it"), expr(s"(raw * ${HitsUnit}L) div ${sa}L").as("a"))
         val hRaw = ev.join(auths, "it").groupBy("u").agg(sum("a").as("raw"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val sh = hRaw.agg(sum("raw")).head().getLong(0)
         hubs = hRaw
           .select(col("u"), expr(s"(raw * ${HitsUnit}L) div ${sh}L").as("h"))

@@ -513,28 +513,33 @@ object TextAnalysis {
     var cur = docs.select(tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
     cur.persist(StorageLevel.MEMORY_AND_DISK)
+    // r16: ONE action per round instead of two — the top-pair
+    // aggregate over the freshly-persisted state both caches it (the
+    // state is a single column, so the aggregate's scan fills the
+    // cache completely) and returns the next rule; the separate
+    // materializing count() is gone. The learned sequence is
+    // unchanged: each rule is still chosen from the fully-rewritten
+    // predecessor state.
+    def topPair(df: DataFrame): Array[org.apache.spark.sql.Row] =
+      df.select(explode(adjacentPairs(col("toks"))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1).collect()
     val learned = scala.collection.mutable.ListBuffer.empty[((String, String), Long)]
     try {
+      var top = topPair(cur)
       var round = 0
-      var dry = false
-      while (round < merges && !dry) {
-        val top = cur.select(explode(adjacentPairs(col("toks"))).as("pr"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), col("a"), col("b"))
-          .limit(1).collect()
-        if (top.isEmpty || top.head.getLong(2) < 2) dry = true
-        else {
-          val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-          learned += (((a, b), n))
-          // single-rule application via the linear string encoding —
-          // same semantics as mergeAdjacent (see mergeAdjacentAll)
-          val next = cur.select(mergeAdjacentAll(col("toks"), Seq((a, b))).as("toks"))
-          next.persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent state
-          cur.unpersist()
-          cur = next
-        }
+      while (round < merges && top.nonEmpty && top.head.getLong(2) >= 2) {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        learned += (((a, b), n))
+        // single-rule application via the linear string encoding —
+        // same semantics as mergeAdjacent (see mergeAdjacentAll)
+        val next = cur.select(mergeAdjacentAll(col("toks"), Seq((a, b))).as("toks"))
+        next.persist(StorageLevel.MEMORY_AND_DISK)
+        top = topPair(next) // materializes next's cache in the same job
+        cur.unpersist()
+        cur = next
         round += 1
       }
     } finally cur.unpersist()
