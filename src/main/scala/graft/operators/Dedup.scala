@@ -193,10 +193,13 @@ object Dedup {
     */
   private[graft] def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val mult = pairMult(docs, docs.count())
+    // r16: persisted for the same multi-consumer reason as the
+    // df-ordered variant (prefix explode + two verification sides)
     val base = spread(docs).select(
       col("doc_id"),
       sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
+      .persist()
     // prefix = |d| - ceil(t|d|) + 1 smallest hashes (exact AllPairs length)
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     val pref = pinned(base.select(col("doc_id"), col("nh"),
@@ -224,10 +227,15 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mult = pairMult(docs, docs.count())
+    // r16: base feeds the df aggregate, the prefix join's explode, and
+    // BOTH verification sides — unpersisted it was re-shingled per
+    // consumer (the signature kernel is the operator's per-row cost).
+    // Lazy persist: one shingle pass (guide §5).
     val base = spread(docs).select(
       col("doc_id"),
       sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
+      .persist()
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     val exploded = base.select(col("doc_id"), col("nh"), explode(col("hs")).as("h"))
     val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
@@ -358,8 +366,10 @@ object Dedup {
         sortedShingleHashes64Fast(col("text"), n).as("hs"))
         .withColumn("nh", size(col("hs")))
         .withColumn("side", lit(side))
-    val f = prep(fresh, "f")
-    val all = prep(corpus, "c").unionByName(f)
+    // r16: f feeds the probe AND `all`; `all` feeds the index side and
+    // both verification joins — persist so each side shingles once
+    val f = prep(fresh, "f").persist()
+    val all = prep(corpus, "c").unionByName(f).persist()
     def prefixed(df: DataFrame) = {
       val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
       pinned(df.select(col("doc_id"), col("nh"), col("side"),
@@ -524,12 +534,19 @@ object Dedup {
     val corpusDocs = spark.read.parquet(s"$path/docs")
     val corpusPref = spark.read.parquet(s"$path/prefix")
     val mult = pairMult(fresh, corpusDocs.count() + fresh.count())
+    // r16: the fresh side feeds four consumers (probe, the
+    // fresh-vs-fresh right side, and both verification unions) —
+    // unpersisted it was re-shingled per consumer (4 scans of the
+    // batch in the measured plan). Lazy persists: shingle the batch
+    // once, explode its prefixes once (guide §5).
     val f = spread(fresh)
       .select(col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
+      .persist()
     val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     val fPref = pinned(f.select(col("doc_id"), col("nh"),
       explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
+      .persist()
     val probe = fPref.select(col("h"), pmod(col("h"), lit(buckets)).as("b"),
       col("doc_id").as("x"), col("nh").as("nx"))
     // fresh-vs-corpus: (b, h) equi-join -> DPP prunes index buckets.
@@ -980,8 +997,11 @@ object Dedup {
       pinned(df.select(col("doc_id"), col("nh"),
         explode(slice(col("hs"), lit(1), plen)).as("h")), col("h"))
     }
-    val c = prep(corpus)
-    val e = prep(evalDocs)
+    // r16: each side feeds its prefix explode AND its verification
+    // join — unpersisted, each side was shingled twice. Lazy persist:
+    // one shingle pass per side (guide §5).
+    val c = prep(corpus).persist()
+    val e = prep(evalDocs).persist()
     val cand = pinnedWide(
       prefixed(c).select(col("h"), col("doc_id").as("a"), col("nh").as("na"))
         .join(prefixed(e).select(col("h"), col("doc_id").as("b"), col("nh").as("nb")), Seq("h"))

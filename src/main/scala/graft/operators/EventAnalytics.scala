@@ -340,13 +340,22 @@ object EventAnalytics {
       .filter(get_json_object(col("props"), "$.k").cast("long").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("it"))
+    // r16: edges/deg/oriented each feed SEVERAL consumers below
+    // (edges: deg's two union branches + oriented; deg: two orient
+    // joins + the wedge total; oriented: e1, e2, and the closing
+    // join) — unpersisted, the measured plan re-ran the scan→window→
+    // distinct subtree 17 times (17 parquet scans, 0 ReusedExchange:
+    // differing projections defeat exchange reuse). Lazy persists
+    // make each tier compute once (guide §5); the bench's
+    // between-query sweep drops the blocks.
     val edges = ev.withColumn("nx", lead(col("it"), 1).over(w))
       .filter(col("nx").isNotNull && col("nx") =!= col("it"))
       .select(least(col("it"), col("nx")).as("x"),
         greatest(col("it"), col("nx")).as("y"))
-      .distinct()
+      .distinct().persist()
     val deg = edges.select(col("x").as("n")).union(edges.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist()
     // orient x→y iff (d(x), x) < (d(y), y); x<y already, so ties keep x
     val flip = col("dy") < col("dx")
     val oriented = edges
@@ -356,6 +365,7 @@ object EventAnalytics {
         when(flip, col("y")).otherwise(col("x")).as("src"),
         when(flip, col("x")).otherwise(col("y")).as("dst"),
         when(flip, col("dx")).otherwise(col("dy")).as("dd"))
+      .persist()
     val e1 = oriented.select(col("src"), col("dst").as("u"), col("dd").as("du"))
     val e2 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
     val wedges = e1.join(e2, Seq("src"))

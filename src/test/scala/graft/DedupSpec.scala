@@ -242,20 +242,28 @@ class DedupSpec extends AnyFunSuite {
     val indexed = Dedup.incrementalPairsIndexed(spark, idx, fresh)
     assert(pairSet(indexed) == pairSet(Dedup.incrementalPairs(corpus, fresh, 3, 0.8)))
     // batch 2 must touch ONLY the index and the fresh side: no scan of
-    // the corpus documents source (= no re-shingle, no text read)
-    val scans = indexed.queryExecution.sparkPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.relation.location.rootPaths.map(_.toString)
-    }.flatten
+    // the corpus documents source (= no re-shingle, no text read).
+    // r16: the fresh side is persisted inside the operator, so file
+    // scans may live inside InMemoryRelation cached plans — traverse
+    // through them (the assertion's subject is unchanged).
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allScans(im.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.inputPlan)
+      }.flatten
+    val scanExecs = allScans(indexed.queryExecution.sparkPlan)
+    val scans = scanExecs.flatMap(_.relation.location.rootPaths.map(_.toString))
     assert(scans.nonEmpty)
     val offIndex = scans.filterNot(_.contains(new java.io.File(idx).getName))
     assert(offIndex.forall(_.contains("documents")), s"unexpected scans: $offIndex")
     // ...and the only documents scans are the FRESH probe's (pushed
     // doc_id % 5 = 0 filter), never the corpus split
-    val docScans = indexed.queryExecution.sparkPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-        if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
-    }
+    val docScans = scanExecs.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents")))
     assert(docScans.nonEmpty && docScans.forall(_.dataFilters.exists(_.toString.contains("% 5) = 0"))),
       docScans.map(_.dataFilters.mkString(",")).mkString("; "))
   }
