@@ -255,8 +255,14 @@ object Similarity {
     */
   def recallAudit(emb: DataFrame, nQueries: Int = 32, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r16: withBucket feeds the query slice + all three candidate
+    // scans (truth/lsh/multiprobe) — unpersisted, the per-row LSH
+    // projection re-ran 4×; truth (a crossJoin + per-query window)
+    // feeds BOTH recall semi-joins. Lazy persists: one projection
+    // pass, one ground-truth evaluation (guide §5).
     val withBucket = emb.select(col("vec_id"), col("embedding"),
       bucketId(col("embedding")).cast("long").as("bucket"))
+      .persist()
     val queries = withBucket.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("bucket").as("qb"))
@@ -268,7 +274,7 @@ object Similarity {
       joined.filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           round(cosineFast(col("embedding"), col("qe")), 6).as("cos"))
-    val truth = topkIds(scored(withBucket.crossJoin(broadcast(queries))))
+    val truth = topkIds(scored(withBucket.crossJoin(broadcast(queries)))).persist()
     val lsh = topkIds(scored(
       withBucket.join(broadcast(queries), col("bucket") === col("qb"))))
     val flips = array((lit(0L) +: (0 until LshPlanes).map(j => lit(1L << j))): _*)
