@@ -615,11 +615,19 @@ object Queries {
           sum(x * y).cast("double").as("sxy"))
         val n = col("n"); val sx = col("sx"); val sy = col("sy")
         val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+        // round(,6) on every float output (r16 correctness fix, both
+        // sides consistently): the raw-moment sums are exact DECIMAL,
+        // but once they exceed 2^53 scaled units the decimal->double
+        // CAST itself rounds, and Java's correctly-rounded
+        // BigDecimal.doubleValue and DuckDB's scaled-integer division
+        // can land one ULP apart — observed on regenerated sf0.001
+        // data (corr -0.020151421273443604 vs ...36). Same precision
+        // contract as every sibling float query (q5/q11/d3/...).
         s.select(col("l_returnflag"),
-          ((n * sxy - sx * sy) /
-            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"),
-          sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))).as("stddev_qty"),
-          ((n * sxy - sx * sy) / (n * n)).as("covar_pop_qp"))
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qty_price"),
+          round(sqrt((n * sxx - sx * sx) / (n * (n - lit(1)))), 6).as("stddev_qty"),
+          round((n * sxy - sx * sy) / (n * n), 6).as("covar_pop_qp"))
           .orderBy("l_returnflag")
       },
       """WITH s AS (
@@ -632,9 +640,9 @@ object Queries {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qty_price,
-        |  sqrt((n*sxx - sx*sx) / (n*(n-1))) AS stddev_qty,
-        |  (n*sxy - sx*sy) / (n*n) AS covar_pop_qp
+        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price,
+        |  round(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) AS stddev_qty,
+        |  round((n*sxy - sx*sy) / (n*n), 6) AS covar_pop_qp
         |FROM s ORDER BY l_returnflag""".stripMargin)),
 
     // FULL OUTER join of two pre-aggregated sides (null-padded both
