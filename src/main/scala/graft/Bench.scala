@@ -421,6 +421,29 @@ object Bench {
     val mini = results.map { case (k, v) => s"${miniKeys(k)}:" + f"$v%.2f" }
       .mkString(";")
     println(s"""{"metric":"queries_mini","n":${results.size},"v":"$mini"}""")
+    // GZIP payload (r16 verdict ask #1): the plain mini line above is
+    // ~2.3 KB for 198 queries and the driver's tail capture keeps only
+    // ~2.0 KB, so in r16 the mini's HEAD was truncated (14 timings
+    // lost) and no complete per-query set survived. This line carries
+    // the SAME map — short unique-prefix keys, full 3-decimal seconds
+    // — gzipped and base64'd to ~1.0 KB, printed immediately before
+    // the final short line so that payload + shortLine + runner
+    // epilogue (~1.6 KB together) fit the tail window WHOLE. Decode:
+    // base64 -> gzip -> "key:sec;key:sec;..."; `keys` says whether the
+    // keys are unique leading tokens ("prefix") or full names
+    // (prefix-collision fallback). Sized on r16's real data:
+    // b64(gzip(...)) = 980 chars for 198 queries at 3 decimals.
+    val miniFull = results.map { case (k, v) => s"${miniKeys(k)}:" + f"$v%.3f" }
+      .mkString(";")
+    val gzB64: String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(miniFull.getBytes("UTF-8")); gz.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
+    val keyMode =
+      if (shortKeys.map(_._2).distinct.size == shortKeys.size) "prefix" else "full"
+    println(s"""{"metric":"queries_gz","n":${results.size},"codec":"b64.gzip","keys":"$keyMode","v":"$gzB64"}""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_summary.json"),
       (summary + "\n").getBytes("UTF-8"))

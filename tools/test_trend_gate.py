@@ -161,6 +161,30 @@ def main():
     results.append(case("queries_mini tail-only artifact compares clean", 0, r.returncode, r.stdout))
     assert "2 queries" in r.stdout and "reassembled" not in r.stdout, r.stdout
 
+    # 13b. gzipped queries_gz tail line (r17, r16 verdict ask #1): a
+    #      driver-shaped artifact whose tail holds a HEAD-TRUNCATED
+    #      mini line but an intact queries_gz + short line yields full
+    #      coverage at 3-decimal precision; the truncated mini is
+    #      ignored
+    with tempfile.TemporaryDirectory() as d:
+        import base64 as _b64
+        import gzip as _gzip
+        po, pn = os.path.join(d, "o.json"), os.path.join(d, "n.json")
+        json.dump({**BASE, "queries": {"q1_scan_agg": 2.0, "st7_stream_join": 9.0}},
+                  open(po, "w"))
+        short_line = json.dumps({**BASE, "n_queries": 2, "failed": 0,
+                                 "queries_file": "/nonexistent"})
+        payload = _b64.b64encode(_gzip.compress(b"q1:2.100;st7:9.200")).decode()
+        gz_line = json.dumps({"metric": "queries_gz", "n": 2,
+                              "codec": "b64.gzip", "keys": "prefix", "v": payload})
+        truncated_mini = ':2.10;st7:9.20"}'  # head eaten by tail capture
+        json.dump({"tail": truncated_mini + "\n" + gz_line + "\n" + short_line},
+                  open(pn, "w"))
+        r = subprocess.run([sys.executable, GATE, po, pn],
+                           capture_output=True, text=True)
+    results.append(case("queries_gz tail-only artifact compares clean", 0, r.returncode, r.stdout))
+    assert "2 queries" in r.stdout and "reassembled" not in r.stdout, r.stdout
+
     # 14. degraded_start artifacts announce themselves
     rc, out = run(
         {"queries": {"q1": 2.0}},

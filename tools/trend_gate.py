@@ -79,6 +79,7 @@ def load(path):
         mini = next((c for c in reversed(cands)
                      if c.get("metric") == "queries_mini"), None)
         qs_mini = {}
+        mini_full_keys = False
         if mini:
             for kv in mini.get("v", "").split(";"):
                 if ":" in kv:
@@ -89,6 +90,31 @@ def load(path):
                         pass
             if mini.get("n") is not None and len(qs_mini) != mini["n"]:
                 qs_mini = {}  # the mini line itself was truncated
+        # gzipped whole-suite payload (r17, r16 verdict ask #1): the
+        # plain mini line is ~2.3 KB and the driver tail keeps ~2.0 KB,
+        # so its head was truncated in r16. queries_gz carries the same
+        # short-key map gzipped+base64'd to ~1.0 KB (3-decimal values),
+        # printed right before the closing short line so the pair fits
+        # the tail window whole. Preferred over the plain mini when
+        # both parse: same coverage, higher precision.
+        gz_line = next((c for c in reversed(cands)
+                        if c.get("metric") == "queries_gz"), None)
+        if gz_line:
+            try:
+                import base64 as _b64
+                import gzip as _gzip
+                raw = _gzip.decompress(
+                    _b64.b64decode(gz_line["v"])).decode("utf-8")
+                qs_gz = {}
+                for kv in raw.split(";"):
+                    if ":" in kv:
+                        k, _, v = kv.rpartition(":")
+                        qs_gz[k] = float(v)
+                if gz_line.get("n") is None or len(qs_gz) == gz_line["n"]:
+                    qs_mini = qs_gz
+                    mini_full_keys = gz_line.get("keys") == "full"
+            except Exception:
+                pass  # truncated/corrupt payload: other layers cover it
         nparts = chunks[0].get("parts") if chunks else None
         complete = nparts is not None and \
             len({c.get("part") for c in chunks}) == nparts
@@ -135,7 +161,8 @@ def load(path):
         elif qs_mini and short is not None:
             d = dict(short)
             d["queries"] = qs_mini
-            d["short_keys"] = True
+            if not mini_full_keys:
+                d["short_keys"] = True
             if env:
                 d["env"] = env
                 d["env_complete"] = env_complete
