@@ -163,6 +163,12 @@ object Dedup {
     // verification when the measured candidate density degenerates
     ngramJaccardPairs(docs, 3, threshold)
 
+  /** [[minhashPairs]] without the presentation orderBy — the pair SET
+    * for graph consumers (d8/d9 connected components).
+    */
+  private[graft] def minhashPairsUnordered(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardPairsUnordered(docs, 3, threshold)
+
   /** Prefix-filter Jaccard join with the PPJoin positional filter
     * (Xiao et al. WWW'08) — see [[minhashPairs]] for the prefix lemma.
     *
@@ -225,8 +231,6 @@ object Dedup {
     */
   def ngramJaccardPairsDfOrdered(docs: DataFrame, n: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val mult = pairMult(docs, docs.count())
     // r16: base feeds the df aggregate, the prefix join's explode, and
     // BOTH verification sides — unpersisted it was re-shingled per
     // consumer (the signature kernel is the operator's per-row cost).
@@ -236,9 +240,22 @@ object Dedup {
       sortedShingleHashes64Fast(col("text"), n).as("hs"))
       .withColumn("nh", size(col("hs")))
       .persist()
-    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     val exploded = base.select(col("doc_id"), col("nh"), explode(col("hs")).as("h"))
     val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    dfOrderedFromBase(base, exploded, dfCounts, base.count(), threshold, ordered = true)
+  }
+
+  /** The df-ordered prefix pipeline over a prebuilt (persisted)
+    * signature frame — shared by the standalone entry point above and
+    * the adaptive dispatcher, which reuses `base`/`dfCounts` for its
+    * decision statistics so the corpus is shingled exactly once.
+    */
+  private def dfOrderedFromBase(base: DataFrame, exploded: DataFrame,
+      dfCounts: DataFrame, nDocs: Long, threshold: Double,
+      ordered: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mult = pairMult(base, nDocs)
+    val plen = (col("nh") - ceil(col("nh") * lit(threshold) - lit(1e-9)) + lit(1)).cast("int")
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
     // shuffle_hash hint, two reasons: (1) the df table is
     // corpus-sized — a runtime broadcast "upgrade" would build a
@@ -255,7 +272,8 @@ object Dedup {
         .filter(col("p") < plen)
         .select("doc_id", "nh", "p", "h"),
       col("h"))
-    verifiedPairsFromPrefix(pref, base.select(col("doc_id"), col("hs")), mult, threshold)
+    verifiedPairsFromPrefix(pref, base.select(col("doc_id"), col("hs")), mult, threshold,
+      ordered)
   }
 
   /** Candidate generation + PPJoin positional filter + exact
@@ -265,7 +283,7 @@ object Dedup {
     * order and the (df, hash) order both qualify.
     */
   private def verifiedPairsFromPrefix(pref: DataFrame, sh: DataFrame,
-      mult: Int, threshold: Double): DataFrame = {
+      mult: Int, threshold: Double, ordered: Boolean = true): DataFrame = {
     // Equi-join on the prefix hash via using-columns so the planner is
     // guaranteed a hash join; ordering and length filters are
     // post-filters (folding them into the join condition risks a
@@ -292,7 +310,7 @@ object Dedup {
       .filter(col("c") + least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >=
         ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold)) - lit(1e-9)))
       .select("a", "b", "na", "nb")
-    verifyPairs(cand, sh, mult, threshold)
+    verifyPairs(cand, sh, mult, threshold, ordered)
   }
 
   /** Exact-Jaccard verification shared by the self-join and
@@ -301,8 +319,9 @@ object Dedup {
     * array_intersect's per-row hash set + materialized array), and
     * keep pairs at `threshold`. `cand` columns: a, b, na, nb.
     */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame, mult: Int, threshold: Double): DataFrame =
-    verifyPairsSides(cand, sh, sh, mult, threshold)
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, mult: Int, threshold: Double,
+      ordered: Boolean = true): DataFrame =
+    verifyPairsSides(cand, sh, sh, mult, threshold, ordered)
 
   /** Two-sided verification: the `a` column joins ONLY `shA` and the
     * `b` column ONLY `shB`. When the two sides are different datasets
@@ -313,7 +332,7 @@ object Dedup {
     * document.
     */
   private def verifyPairsSides(cand: DataFrame, shA: DataFrame, shB: DataFrame,
-      mult: Int, threshold: Double): DataFrame = {
+      mult: Int, threshold: Double, ordered: Boolean = true): DataFrame = {
     // shuffle_hash hints on the SIGNATURE sides: both sides arrive
     // pre-partitioned on the join key (pinnedWide), so a shuffled
     // hash join reuses those exchanges and builds its per-partition
@@ -327,14 +346,14 @@ object Dedup {
     val withA = pinnedWide(cand, mult, col("a"))
       .join(pinnedWide(shA.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), mult, col("a"))
         .hint("shuffle_hash"), "a")
-    pinnedWide(withA, mult, col("b"))
+    val verified = pinnedWide(withA, mult, col("b"))
       .join(pinnedWide(shB.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), mult, col("b"))
         .hint("shuffle_hash"), "b")
       .withColumn("ov", sortedOverlapFast(col("ha"), col("hb")).cast("double"))
       .withColumn("jac", col("ov") / (col("na") + col("nb") - col("ov")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
-      .orderBy("a", "b")
+    if (ordered) verified.orderBy("a", "b") else verified
   }
 
   /** Incremental near-duplicate detection — the daily-ingest shape: a
@@ -706,20 +725,42 @@ object Dedup {
     * choice is purely physical — an operator-level analog of
     * Catalyst's size-based join selection.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 2, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsImpl(docs, n, threshold, ordered = true)
+
+  /** [[ngramJaccardPairs]] without the final global sort — for
+    * consumers that only need the pair SET (connected components for
+    * d8/d9: min-label propagation is order-insensitive). The orderBy
+    * in the declared-query variant is presentation, and skipping it
+    * drops one range exchange + sort of the pair table (r17).
+    */
+  private[graft] def ngramJaccardPairsUnordered(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame =
+    ngramJaccardPairsImpl(docs, n, threshold, ordered = false)
+
+  private def ngramJaccardPairsImpl(docs: DataFrame, n: Int, threshold: Double,
+      ordered: Boolean): DataFrame = {
     val spark = docs.sparkSession
-    val nDocs = docs.count()
-    // One NARROW pass for the decision statistics: total doc-gram
-    // rows E exactly, vocabulary size V via HyperLogLog (deterministic
-    // for fixed data; the decision needs V to an order of magnitude,
-    // not a digit). No groupBy shuffle — the exact-df aggregate the
-    // prefix path builds is not duplicated here.
-    val dfStats = spread(docs)
-      .select(explode(sortedShingleHashes64Fast(col("text"), n)).as("h"))
-      .agg(count(lit(1)).as("e"), approx_count_distinct("h").as("v"))
-      .collect()(0)
-    val e = dfStats.getLong(0)
-    val v = dfStats.getLong(1)
+    // ONE shingle pass for everything (r17, guide §1.2/§5): `base` is
+    // persisted and feeds (1) the decision statistics, (2) the df
+    // aggregate, (3) the prefix explode, and (4) both verification
+    // sides — the r16 shape still paid a SEPARATE full
+    // tokenize+shingle pass for the selector's (E, V) aggregate plus
+    // a count() job before any mining work. The stats now read from
+    // the exact-df aggregate the prefix path was going to build
+    // anyway (so V is exact, not HLL-approximate — same decision,
+    // tighter input), and nDocs is a cache-backed count.
+    val base = spread(docs).select(
+      col("doc_id"),
+      sortedShingleHashes64Fast(col("text"), n).as("hs"))
+      .withColumn("nh", size(col("hs")))
+      .persist()
+    val exploded = base.select(col("doc_id"), col("nh"), explode(col("hs")).as("h"))
+    val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df")).persist()
+    val st = dfCounts.agg(sum("df").as("e"), count(lit(1)).as("v")).collect()(0)
+    val e = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val v = st.getLong(1)
+    val nDocs = base.count() // cached by the stats job above
     val maxBytes = spark.conf.getOption("graft.jaccard.dense.maxBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
     val prefixRows = (1.0 - threshold) * e + nDocs
@@ -731,8 +772,10 @@ object Dedup {
     // every prefix hash is common AND the merge verifier's early
     // exit almost never fires; the dense kernel detects exact-V
     // in-construction and switches to bitset verification there
-    if (dense) denseJaccardPairs(docs, n, threshold)
-    else ngramJaccardPairsDfOrdered(docs, n, threshold)
+    if (dense) {
+      dfCounts.unpersist() // dense path never reads the df table
+      denseJaccardPairsFromBase(base, threshold, ordered)
+    } else dfOrderedFromBase(base, exploded, dfCounts, nDocs, threshold, ordered)
   }
 
   /** All-pairs exact verification for corpora where prefix filtering
@@ -788,14 +831,26 @@ object Dedup {
     */
   private[graft] val denseBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  private[graft] def denseJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    denseJaccardPairsFromBase(
+      spread(docs).select(
+        col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
+        .withColumn("nh", size(col("hs"))),
+      threshold, ordered = true)
+
+  /** The dense kernel over a prebuilt signature frame `(doc_id, hs,
+    * nh)` — shared by the standalone entry point and the adaptive
+    * dispatcher, whose PERSISTED base makes the probe-side re-scan of
+    * the signatures a cache read instead of a second shingle pass
+    * (the collect below and the probe scan are two evaluations of
+    * `base`).
+    */
+  private def denseJaccardPairsFromBase(preBase: DataFrame, threshold: Double,
+      ordered: Boolean): DataFrame = {
     denseBuilds.incrementAndGet()
-    val spark = docs.sparkSession
+    val spark = preBase.sparkSession
     val sp = org.apache.spark.sql.graft.Shim.classic(spark)
-    val base = spread(docs).select(
-      col("doc_id"), sortedShingleHashes64Fast(col("text"), n).as("hs"))
-      .withColumn("nh", size(col("hs")))
-      .filter(col("nh") > 0)
+    val base = preBase.filter(col("nh") > 0)
     // EAGER index: the signature table is collected ONCE driver-side
     // (bounded by the selector's byte budget) and shipped via
     // SparkContext.broadcast — each executor fetches it once over the
@@ -929,9 +984,9 @@ object Dedup {
       it.flatMap(row =>
         probe(row.getLong(0), row.getArray(1).toLongArray(), row.getInt(2)))
     }
-    sp.createDataFrame(pairsRdd).toDF("a", "b", "jac")
+    val out = sp.createDataFrame(pairsRdd).toDF("a", "b", "jac")
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
-      .orderBy("a", "b")
+    if (ordered) out.orderBy("a", "b") else out
   }
 
   /** Benchmark decontamination: flag corpus documents that contain
@@ -1311,7 +1366,12 @@ object Dedup {
     * connected component.
     */
   def duplicateClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    connectedComponents(minhashPairs(docs, threshold).select("a", "b"))
+    // unordered pair set (r17): CC's min-label propagation is
+    // order-insensitive, so d3's presentation orderBy (range exchange
+    // + sort of the pair table) is dead weight inside the CC
+    // checkpoint; the declared output order comes from the final
+    // orderBy("doc_id") alone
+    connectedComponents(minhashPairsUnordered(docs, threshold).select("a", "b"))
       .orderBy("doc_id")
 
   /** The dedup pipeline's keep decision: every document joins its
@@ -1325,7 +1385,8 @@ object Dedup {
     */
   def canonicalKeep(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = connectedComponents(minhashPairs(docs, threshold).select("a", "b"))
+    // unordered pair set — same reasoning as [[duplicateClusters]]
+    val cc = connectedComponents(minhashPairsUnordered(docs, threshold).select("a", "b"))
     val lab = docs.select(col("doc_id"), length(col("text")).cast("int").as("len"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

@@ -534,24 +534,32 @@ object TextAnalysis {
       while (round < merges && top.nonEmpty && top.head.getLong(2) >= 2) {
         val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         learned += (((a, b), n))
-        // single-rule application via the linear string encoding —
-        // same semantics as mergeAdjacent (see mergeAdjacentAll).
-        // NOTE (r16): binding the rule from a broadcast 1-row frame
-        // (to make every round's generated code identical and save
-        // ~20 codegen compiles) was TRIED and REVERTED: the
-        // crossJoin's BroadcastExchange nests an AdaptiveSparkPlanExec
-        // under each round's persisted lineage, and AQE's per-update
-        // plan-description strings then grow superlinearly with
-        // rounds — the exact blowup bpeTrainSampled's scaladoc
-        // documents (reproduced: driver OOM in explainString at 20
-        // rounds). Literal rules keep every round's plan a flat
-        // project over the cached state.
-        val next = cur.select(mergeAdjacentAll(col("toks"), Seq((a, b))).as("toks"))
-        next.persist(StorageLevel.MEMORY_AND_DISK)
-        top = topPair(next) // materializes next's cache in the same job
-        cur.unpersist()
-        cur = next
         round += 1
+        if (round == merges) {
+          // the just-learned rule is the last one: the rewritten state
+          // would only feed a topPair whose result the loop exit
+          // discards — skip the final corpus rewrite + aggregate
+          // outright (ADVICE r16 low; one full pass per training call)
+          top = Array.empty
+        } else {
+          // single-rule application via the linear string encoding —
+          // same semantics as mergeAdjacent (see mergeAdjacentAll).
+          // NOTE (r16): binding the rule from a broadcast 1-row frame
+          // (to make every round's generated code identical and save
+          // ~20 codegen compiles) was TRIED and REVERTED: the
+          // crossJoin's BroadcastExchange nests an AdaptiveSparkPlanExec
+          // under each round's persisted lineage, and AQE's per-update
+          // plan-description strings then grow superlinearly with
+          // rounds — the exact blowup bpeTrainSampled's scaladoc
+          // documents (reproduced: driver OOM in explainString at 20
+          // rounds). Literal rules keep every round's plan a flat
+          // project over the cached state.
+          val next = cur.select(mergeAdjacentAll(col("toks"), Seq((a, b))).as("toks"))
+          next.persist(StorageLevel.MEMORY_AND_DISK)
+          top = topPair(next) // materializes next's cache in the same job
+          cur.unpersist()
+          cur = next
+        }
       }
     } finally cur.unpersist()
     learned.toList
